@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization policy, mirroring `dbt_project.yml:33-38`:
+  * staging models are views, marts are tables.
+  */
+sealed trait Materialization
+object Materialization {
+
+  /** No storage: the model's DataFrame is handed lazily to downstream
+    * models. Catalyst inlines it into consumers — the exact analogue
+    * of warehouse view expansion, and the reason staging-level
+    * predicate pushdown / column pruning are free (SURVEY.md §4).
+    */
+  case object View extends Materialization
+
+  /** Full-refresh precompute: `CREATE OR REPLACE TABLE ... AS` in the
+    * reference; here a parquet write (or cache) via a [[TableSink]].
+    */
+  case object Table extends Materialization
+}
+
+/** One node of the transformation DAG — the analogue of a dbt model
+  * file. `deps` carries what `ref()`/`source()` calls declare in the
+  * reference (SURVEY.md §2.1 S1/S2): every name is either another
+  * model or a catalog source, and `transform` receives exactly those
+  * relations by name.
+  */
+final case class Model(
+    name: String,
+    deps: Seq[String],
+    materialization: Materialization,
+    tests: Seq[DataTest] = Nil
+)(val transform: Map[String, DataFrame] => DataFrame)
+
+/** Where `Materialization.Table` models land. */
+trait TableSink {
+
+  /** Persist `df` under `name` and return the relation downstream
+    * models should read (post-materialization, like reading the CTAS
+    * output table — NOT the defining query).
+    */
+  def write(name: String, df: DataFrame): DataFrame
+}
+
+object TableSink {
+
+  /** Spark-memory materialization for in-session pipelines and tests.
+    * `cache() + count()` forces computation once, like CTAS, without
+    * touching disk.
+    */
+  final class Cached extends TableSink {
+    override def write(name: String, df: DataFrame): DataFrame = {
+      val c = df.cache()
+      c.count() // force, so downstream reads + tests don't recompute
+      c
+    }
+  }
+
+  /** Parquet-directory materialization — the scale path. Each mart is
+    * written once (optionally partitioned) and downstream/BI reads hit
+    * the precomputed files, exactly like the reference's mart tables.
+    */
+  final class Parquet(dir: String, partitionBy: Map[String, Seq[String]] = Map.empty)
+      extends TableSink {
+    override def write(name: String, df: DataFrame): DataFrame = {
+      val w = df.write.mode("overwrite")
+      val path = s"$dir/$name"
+      partitionBy.get(name) match {
+        case Some(cols) if cols.nonEmpty => w.partitionBy(cols: _*).parquet(path)
+        case _                           => w.parquet(path)
+      }
+      df.sparkSession.read.parquet(path)
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+import graft.engine.Materialization.{Table, View}
+
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def m(name: String, deps: Seq[String], tests: Seq[DataTest] = Nil)(
+      f: Map[String, DataFrame] => DataFrame): Model =
+    Model(name, deps, View, tests)(f)
+
+  test("topoSort orders dependencies before dependents") {
+    val a = m("a", Seq("src"))(in => in("src"))
+    val b = m("b", Seq("a"))(in => in("a"))
+    val c = m("c", Seq("a", "b"))(in => in("b"))
+    val runner = new DagRunner(new MapCatalog(Map("src" -> Seq(1).toDF("x"))))
+    val order = runner.topoSort(Seq(c, b, a)).map(_.name)
+    assert(order.indexOf("a") < order.indexOf("b"))
+    assert(order.indexOf("b") < order.indexOf("c"))
+  }
+
+  test("topoSort rejects cycles") {
+    val a = m("a", Seq("b"))(in => in("b"))
+    val b = m("b", Seq("a"))(in => in("a"))
+    val runner = new DagRunner(new MapCatalog(Map.empty))
+    intercept[IllegalArgumentException](runner.topoSort(Seq(a, b)))
+  }
+
+  test("failed test gates transitive descendants (dbt build semantics)") {
+    val src = Seq((1, Option.empty[String]), (2, Some("ok"))).toDF("id", "name")
+    val bad = m("bad", Seq("src"), tests = Seq(NotNull("name")))(in => in("src"))
+    val child = m("child", Seq("bad"))(in => in("bad"))
+    val grandchild = m("grandchild", Seq("child"))(in => in("child"))
+    val independent = m("independent", Seq("src"))(in => in("src"))
+    val r = new DagRunner(new MapCatalog(Map("src" -> src)))
+      .run(Seq(bad, child, grandchild, independent))
+    assert(r.tests == Seq(TestResult("bad", "not_null_name", passed = false)))
+    assert(r.skipped.toSet == Set("child", "grandchild"))
+    assert(r.relations.keySet == Set("bad", "independent"))
+  }
+
+  test("accepted_values passes NULLs (SQL three-valued logic, SURVEY §2.8 T2)") {
+    val df = Seq(Some("a"), Some("b"), None).toDF("v")
+    assert(AcceptedValues("v", Seq("a", "b")).passes(df))
+    assert(!AcceptedValues("v", Seq("a")).passes(df))
+    assert(NotNull("v").failureCount(df) == 1)
+  }
+
+  test("table materialization writes parquet and downstream reads the files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val src = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val t = Model("t", Seq("src"), Table)(in => in("src").filter($"id" > 0))
+    val r = new DagRunner(new MapCatalog(Map("src" -> src)), new TableSink.Parquet(dir)).run(Seq(t))
+    assert(r("t").count() == 2)
+    assert(new java.io.File(s"$dir/t").exists())
+  }
+
+  test("generate_schema_name routing (macros/generate_schema_name.sql:1-23)") {
+    assert(Seeds.schemaFor("seed", Some("raw"), "analytics", "dev") == "raw")
+    assert(Seeds.schemaFor("model", Some("marts"), "analytics", "prod") == "analytics_marts")
+    assert(Seeds.schemaFor("model", Some("marts"), "analytics", "dev") == "analytics")
+    assert(Seeds.schemaFor("model", None, "analytics", "prod") == "analytics")
+  }
+
+  test("seed CSV ingestion with explicit schema, gated by flag") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-seed")
+    val csv = dir.resolve("raw_products.csv")
+    java.nio.file.Files.writeString(csv, "sku,name,type,price,description\nS1,Widget,jaffle,1250,desc\n")
+    val schema = StructType(Seq(
+      StructField("sku", StringType), StructField("name", StringType), StructField("type", StringType),
+      StructField("price", LongType), StructField("description", StringType)))
+    assert(Seeds.load(spark, csv.toString, schema, enabled = false).isEmpty)
+    val df = Seeds.load(spark, csv.toString, schema).get
+    val row = df.select($"price", Functions.centsToDollars($"price").as("dollars")).head()
+    assert(row.getLong(0) == 1250L)
+    assert(row.getDecimal(1).doubleValue() == 12.5)
+  }
+}
