@@ -1,0 +1,434 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, StringType}
+
+import graft.engine.Functions._
+
+/** One verification query per operator of SURVEY.md §2, expressed over
+  * the driver's harness tables (TESTDATA.md) with a DuckDB-runnable
+  * ANSI-SQL oracle.
+  *
+  * Determinism contract (SURVEY.md §7.2): the driver hash-compares row
+  * streams, so every query ends in a total ORDER BY over a NON-NULL
+  * unique key prefix (Spark sorts NULLS FIRST on ASC, DuckDB NULLS
+  * LAST — never sort on a nullable column). Floating aggregates are
+  * rounded; money goes through DECIMAL and back to DOUBLE so both
+  * engines agree bit-for-bit.
+  */
+object Inventory {
+
+  /** A verification query: the Spark build plus an optional oracle.
+    * Oracle-less entries get the driver's weaker rows-only check
+    * (used for ops DuckDB can't express, e.g. MinHash-LSH).
+    */
+  final case class Q(build: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The harness `events.ts` is NANOS-precision parquet, which Spark 4
+    * refuses natively; sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * and this converts the long back to a (micro-precision) timestamp.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    // Defensive: the driver's smoke-check session may not carry the flag.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      case _ => raw
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // §2.1 S1 — source scan (full table, fixed projection order)
+  // ------------------------------------------------------------------
+  val s1Scan: Q = Q(
+    (s, d) => t(s, d, "region").select("r_regionkey", "r_name").orderBy("r_regionkey"),
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+  )
+
+  // ------------------------------------------------------------------
+  // §2.2 P1/P2 — column projection + reorder (the staging-model shape,
+  // reference `models/staging/stg_top_terms.sql:11-25`)
+  // ------------------------------------------------------------------
+  val p2Projection: Q = Q(
+    (s, d) =>
+      t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey"),
+    Some("SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer ORDER BY c_custkey")
+  )
+
+  // ------------------------------------------------------------------
+  // §2.2 P3/P6 — alias + INT→STRING cast (reference
+  // `models/marts/top_terms_comparison.sql:20-21`)
+  // ------------------------------------------------------------------
+  val p3RenameCast: Q = Q(
+    (s, d) =>
+      t(s, d, "customer")
+        .select(
+          col("c_custkey").cast(StringType).as("entity_key"),
+          col("c_name").as("entity_name"),
+          col("c_nationkey").as("nation_key"))
+        .orderBy("entity_key"),
+    Some("""SELECT CAST(c_custkey AS VARCHAR) AS entity_key, c_name AS entity_name,
+           |       c_nationkey AS nation_key
+           |FROM customer ORDER BY entity_key""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // §2.2 P4/P5 + §2.6 U1 — literal scope columns, typed NULL column,
+  // positional UNION ALL (the `top_terms_comparison` merge shape,
+  // reference `models/marts/top_terms_comparison.sql:1-35`)
+  // ------------------------------------------------------------------
+  val p4ScopeUnion: Q = Q(
+    (s, d) => {
+      val c = t(s, d, "customer").select(
+        lit("customer").as("scope"),
+        col("c_custkey").cast(StringType).as("entity_key"),
+        col("c_name").as("entity_name"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("acctbal"))
+      val sup = t(s, d, "supplier").select(
+        lit("supplier").as("scope"),
+        col("s_suppkey").cast(StringType).as("entity_key"),
+        col("s_name").as("entity_name"),
+        lit(null).cast(StringType).as("segment"),
+        col("s_acctbal").as("acctbal"))
+      // positional union — NOT unionByName (SURVEY.md §4 trap 3)
+      c.union(sup).orderBy("scope", "entity_key")
+    },
+    Some("""SELECT 'customer' AS scope, CAST(c_custkey AS VARCHAR) AS entity_key,
+           |       c_name AS entity_name, c_mktsegment AS segment, c_acctbal AS acctbal
+           |FROM customer
+           |UNION ALL
+           |SELECT 'supplier', CAST(s_suppkey AS VARCHAR), s_name, CAST(NULL AS VARCHAR), s_acctbal
+           |FROM supplier
+           |ORDER BY scope, entity_key""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // §2.7 F1 — rank_tier CASE cascade
+  // (reference `models/marts/trending_terms_analysis.sql:53-58`)
+  // ------------------------------------------------------------------
+  val f1RankTier: Q = Q(
+    (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_size"), rankTier(col("p_size")).as("rank_tier"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_size,
+           |  CASE WHEN p_size <= 5 THEN 'Top 5'
+           |       WHEN p_size <= 10 THEN 'Top 10'
+           |       WHEN p_size <= 25 THEN 'Top 25'
+           |       ELSE 'Other' END AS rank_tier
+           |FROM part ORDER BY p_partkey""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // §2.7 F2 — growth_category CASE cascade
+  // (reference `models/marts/trending_terms_analysis.sql:60-66`)
+  // ------------------------------------------------------------------
+  val f2GrowthCategory: Q = Q(
+    (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          (col("o_totalprice") / lit(100)).as("percent_gain"),
+          growthCategory(col("o_totalprice") / lit(100)).as("growth_category"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_totalprice / 100 AS percent_gain,
+           |  CASE WHEN o_totalprice / 100 >= 1000 THEN 'Explosive (1000%+)'
+           |       WHEN o_totalprice / 100 >= 500 THEN 'Very High (500-999%)'
+           |       WHEN o_totalprice / 100 >= 200 THEN 'High (200-499%)'
+           |       WHEN o_totalprice / 100 >= 100 THEN 'Moderate (100-199%)'
+           |       ELSE 'Low (<100%)' END AS growth_category
+           |FROM orders ORDER BY o_orderkey""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // §2.7 F3 — rank_category with the `rank = 1` equality arm
+  // (reference `models/marts/top_terms_comparison.sql:50-55`)
+  // ------------------------------------------------------------------
+  val f3RankCategory: Q = Q(
+    (s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          rankCategory(col("l_linenumber")).as("rank_category"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  CASE WHEN l_linenumber = 1 THEN '#1 Term'
+           |       WHEN l_linenumber <= 5 THEN 'Top 5'
+           |       WHEN l_linenumber <= 10 THEN 'Top 10'
+           |       ELSE 'Other' END AS rank_category
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // §2.7 F4 — interest_level buckets over a 0–100 domain
+  // (reference `models/marts/top_terms_comparison.sql:57-63`)
+  // ------------------------------------------------------------------
+  val f4InterestLevel: Q = Q(
+    (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), (col("p_size") * lit(2)).as("score"),
+          interestLevel(col("p_size") * lit(2)).as("interest_level"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_size * 2 AS score,
+           |  CASE WHEN p_size * 2 >= 80 THEN 'Very High Interest'
+           |       WHEN p_size * 2 >= 60 THEN 'High Interest'
+           |       WHEN p_size * 2 >= 40 THEN 'Moderate Interest'
+           |       WHEN p_size * 2 >= 20 THEN 'Low Interest'
+           |       ELSE 'Very Low Interest' END AS interest_level
+           |FROM part ORDER BY p_partkey""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // §2.2 P8 + §2.7 F5 — CASE over LIKE predicates
+  // (reference `models/marts/weekly_trends_summary.sql:97-105`)
+  // ------------------------------------------------------------------
+  val f5LikeCase: Q = Q(
+    (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_type"),
+          when(col("p_name").like("%widget%"), "Widget").otherwise("Other").as("product_family"),
+          when(col("p_type").like("ECO%"), "Economy").otherwise("Premium").as("price_class"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name, p_type,
+           |  CASE WHEN p_name LIKE '%widget%' THEN 'Widget' ELSE 'Other' END AS product_family,
+           |  CASE WHEN p_type LIKE 'ECO%' THEN 'Economy' ELSE 'Premium' END AS price_class
+           |FROM part ORDER BY p_partkey""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // §2.7 F7 — cents_to_dollars macro
+  // (reference `macros/cents_to_dollars.sql:3-21`). Round-trips through
+  // integer cents and DECIMAL(16,2) so both engines agree exactly; the
+  // final DOUBLE cast normalizes the result schema across dialects.
+  // ------------------------------------------------------------------
+  val f7CentsToDollars: Q = Q(
+    (s, d) => {
+      val cents = round(col("l_extendedprice") * lit(100), 0).cast("long")
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), cents.as("price_cents"),
+          centsToDollars(cents).cast(DoubleType).as("price_dollars"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+           |  CAST(round(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) / 100 AS DECIMAL(16,2)), 2) AS DOUBLE) AS price_dollars
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // §2.4 A1–A5 + §2.7 F6 — multi-key hash aggregate: count(*), avg,
+  // max, exact count(distinct), round(_,2)
+  // (reference `models/marts/weekly_trends_summary.sql:5-14`).
+  // Scale note: Catalyst plans partial+final HashAggregateExec (map-side
+  // combine before the shuffle); countDistinct stays EXACT per §2.4 A5.
+  // ------------------------------------------------------------------
+  val aGroupAgg: Q = Q(
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("total_rows"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          max(col("l_extendedprice")).as("max_price"),
+          countDistinct(col("l_suppkey")).as("unique_suppliers"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS total_rows,
+           |       round(avg(l_quantity), 2) AS avg_qty,
+           |       max(l_extendedprice) AS max_price,
+           |       count(DISTINCT l_suppkey) AS unique_suppliers
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // §2.5 — global ORDER BY ... DESC with tiebreak
+  // (reference `models/marts/weekly_trends_summary.sql:111`)
+  // ------------------------------------------------------------------
+  val sortGlobal: Q = Q(
+    (s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM orders ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // §2.8 T1 — not_null data test ("select failing rows" compiled form;
+  // dbt test passes iff count == 0)
+  // ------------------------------------------------------------------
+  val t1NotNull: Q = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        .map(c =>
+          li.filter(col(c).isNull)
+            .agg(count(lit(1)).as("failing_rows"))
+            .select(lit(c).as("column_name"), col("failing_rows")))
+        .reduce(_ union _)
+        .orderBy("column_name")
+    },
+    Some("""SELECT 'l_orderkey' AS column_name, count(*) AS failing_rows FROM lineitem WHERE l_orderkey IS NULL
+           |UNION ALL SELECT 'l_quantity', count(*) FROM lineitem WHERE l_quantity IS NULL
+           |UNION ALL SELECT 'l_returnflag', count(*) FROM lineitem WHERE l_returnflag IS NULL
+           |UNION ALL SELECT 'l_shipdate', count(*) FROM lineitem WHERE l_shipdate IS NULL
+           |ORDER BY column_name""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // §2.8 T2 — accepted_values data test, with the NULL-pass semantics
+  // of dbt's compiled `not in` filter (SURVEY.md §4 trap 5)
+  // ------------------------------------------------------------------
+  val t2AcceptedValues: Q = Q(
+    (s, d) => {
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      def check(df: DataFrame, c: String, vals: Seq[String]) =
+        df.filter(!col(c).isin(vals: _*) && col(c).isNotNull)
+          .agg(count(lit(1)).as("failing_rows"))
+          .select(lit(c).as("column_name"), col("failing_rows"))
+      check(ord, "o_orderstatus", Seq("P", "O", "F"))
+        .union(check(li, "l_returnflag", Seq("A", "N", "R")))
+        .union(check(li, "l_linestatus", Seq("O", "F")))
+        .orderBy("column_name")
+    },
+    Some("""SELECT 'o_orderstatus' AS column_name, count(*) AS failing_rows
+           |FROM orders WHERE o_orderstatus NOT IN ('P','O','F') AND o_orderstatus IS NOT NULL
+           |UNION ALL SELECT 'l_returnflag', count(*)
+           |FROM lineitem WHERE l_returnflag NOT IN ('A','N','R') AND l_returnflag IS NOT NULL
+           |UNION ALL SELECT 'l_linestatus', count(*)
+           |FROM lineitem WHERE l_linestatus NOT IN ('O','F') AND l_linestatus IS NOT NULL
+           |ORDER BY column_name""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Flagship: the full `weekly_trends_summary` mart shape
+  // (reference `models/marts/weekly_trends_summary.sql:1-112`) over the
+  // harness `events` table — 4 per-grain hash aggregates positionally
+  // unioned, typed-NULL gain columns on the non-value branches,
+  // round(_,2), CASE-over-LIKE categories, global DESC sort.
+  // Scale note: 4 independent aggregation stages, each with map-side
+  // partial agg; AQE coalesces the small post-shuffle partitions.
+  // ------------------------------------------------------------------
+  val martWeeklyEventsSummary: Q = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      def branch(trendType: String, eventType: String, hasValue: Boolean): DataFrame = {
+        val base = ev.filter(col("event_type") === eventType)
+          .groupBy(date_trunc("week", col("ts")).cast(DateType).as("week"))
+        val agged =
+          if (hasValue)
+            base.agg(
+              count(lit(1)).as("total_events"),
+              avg(col("value")).as("avg_value"),
+              max(col("value")).as("max_value"),
+              countDistinct(col("user_id")).as("unique_users"))
+          else
+            base.agg(
+              count(lit(1)).as("total_events"),
+              avg(col("value")).as("avg_value"),
+              lit(null).cast(DoubleType).as("max_value"),
+              countDistinct(col("user_id")).as("unique_users"))
+        agged.select(col("week"), lit(trendType).as("trend_type"), col("total_events"),
+          col("avg_value"), col("max_value"), col("unique_users"))
+      }
+      branch("rising_purchase", "purchase", hasValue = true)
+        .union(branch("rising_click", "click", hasValue = true))
+        .union(branch("top_view", "view", hasValue = false))
+        .union(branch("top_signup", "signup", hasValue = false))
+        .select(
+          col("week"), col("trend_type"), col("total_events"),
+          round(col("avg_value"), 2).as("avg_value"),
+          col("max_value"), col("unique_users"),
+          when(col("trend_type").like("rising%"), "Rising Trends").otherwise("Top Trends")
+            .as("trend_category"),
+          when(col("trend_type").like("%purchase%"), "Revenue").otherwise("Engagement")
+            .as("engagement_scope"))
+        .orderBy(col("week").desc, col("trend_type"))
+    },
+    Some("""WITH b AS (
+           |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, 'rising_purchase' AS trend_type,
+           |         count(*) AS total_events, avg(value) AS avg_value, max(value) AS max_value,
+           |         count(DISTINCT user_id) AS unique_users
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+           |  UNION ALL
+           |  SELECT CAST(date_trunc('week', ts) AS DATE), 'rising_click', count(*), avg(value),
+           |         max(value), count(DISTINCT user_id)
+           |  FROM events WHERE event_type = 'click' GROUP BY 1
+           |  UNION ALL
+           |  SELECT CAST(date_trunc('week', ts) AS DATE), 'top_view', count(*), avg(value),
+           |         CAST(NULL AS DOUBLE), count(DISTINCT user_id)
+           |  FROM events WHERE event_type = 'view' GROUP BY 1
+           |  UNION ALL
+           |  SELECT CAST(date_trunc('week', ts) AS DATE), 'top_signup', count(*), avg(value),
+           |         CAST(NULL AS DOUBLE), count(DISTINCT user_id)
+           |  FROM events WHERE event_type = 'signup' GROUP BY 1
+           |)
+           |SELECT week, trend_type, total_events, round(avg_value, 2) AS avg_value, max_value,
+           |       unique_users,
+           |       CASE WHEN trend_type LIKE 'rising%' THEN 'Rising Trends' ELSE 'Top Trends' END AS trend_category,
+           |       CASE WHEN trend_type LIKE '%purchase%' THEN 'Revenue' ELSE 'Engagement' END AS engagement_scope
+           |FROM b ORDER BY week DESC, trend_type""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Extension (§7.1-6): multi-way join with broadcast dims — revenue
+  // per nation. Not in the reference surface (§2.3: no joins) but part
+  // of the engine's capability set. DECIMAL(18,4) per-item cast makes
+  // the sum order-independent and exact in both engines; final DOUBLE
+  // cast normalizes the schema.
+  // Scale note: nation/customer are broadcast (dims ≪ fact);
+  // lineitem⋈orders shuffles on orderkey — the one unavoidable shuffle.
+  // ------------------------------------------------------------------
+  val joinRevenueByNation: Q = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+      li.select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("rev")).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+           |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           |       count(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  )
+
+  /** Insertion-ordered registry: name → Q. */
+  val all: Seq[(String, Q)] = Seq(
+    "s1_scan" -> s1Scan,
+    "p2_projection" -> p2Projection,
+    "p3_rename_cast" -> p3RenameCast,
+    "p4_scope_union" -> p4ScopeUnion,
+    "f1_rank_tier" -> f1RankTier,
+    "f2_growth_category" -> f2GrowthCategory,
+    "f3_rank_category" -> f3RankCategory,
+    "f4_interest_level" -> f4InterestLevel,
+    "f5_like_case" -> f5LikeCase,
+    "f7_cents_to_dollars" -> f7CentsToDollars,
+    "a_group_agg" -> aGroupAgg,
+    "sort_global" -> sortGlobal,
+    "t1_not_null" -> t1NotNull,
+    "t2_accepted_values" -> t2AcceptedValues,
+    "mart_weekly_events_summary" -> martWeeklyEventsSummary,
+    "join_revenue_by_nation" -> joinRevenueByNation
+  )
+}

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify's parquet
+dumps against the DuckDB oracle SQL and diff (dev tool only — the engine
+itself has no Python dependency).
+
+Usage: python3 tools/oracle_check.py <verifyOutDir> <sfDir>
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            expected = con.sql(sql).df()
+            actual = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            # driver compare: sort columns by name, then compare values
+            expected = expected[sorted(expected.columns)]
+            actual = actual[sorted(actual.columns)]
+            if list(expected.columns) != list(actual.columns):
+                print(f"FAIL {name}: columns {list(actual.columns)} != "
+                      f"{list(expected.columns)}")
+                failures += 1
+                continue
+            if expected.shape != actual.shape:
+                print(f"FAIL {name}: shape {actual.shape} != {expected.shape}")
+                failures += 1
+                continue
+            import pandas as pd
+            try:
+                pd.testing.assert_frame_equal(
+                    actual.reset_index(drop=True),
+                    expected.reset_index(drop=True),
+                    check_dtype=False, check_exact=True)
+                print(f"OK   {name} ({expected.shape[0]} rows)")
+            except AssertionError as e:
+                print(f"FAIL {name}: {str(e)[:500]}")
+                failures += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {e}")
+            failures += 1
+    print(f"\n{len(oracles) - failures}/{len(oracles)} oracle queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[2], sys.argv[1]))
