@@ -2,9 +2,17 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.queries.Inventory
+import graft.ext.{Dedup, Sessions, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  /** Reference-surface operators (SURVEY.md §2) + LLM-pipeline
+    * extensions (dedup / similarity / text analysis / sessions).
+    */
+  private def registry: Seq[(String, Inventory.Q)] =
+    Inventory.all ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ Sessions.queries
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The `weekly_trends_summary` mart shape (the reference's richest
     * model) over the harness `events` table.
@@ -14,10 +22,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Inventory.all.map { case (name, q) => name -> q.build }.toMap
+    registry.map { case (name, q) => name -> q.build }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Inventory.all.collect { case (name, q) if q.oracle.isDefined => name -> q.oracle.get }.toMap
+    registry.collect { case (name, q) if q.oracle.isDefined => name -> q.oracle.get }.toMap
 }

@@ -18,6 +18,29 @@ object Functions {
   def centsToDollars(c: Column, precision: Int = 16, scale: Int = 2): Column =
     round((c / lit(100)).cast(DecimalType(precision, scale)), 2)
 
+  /** Cross-engine-deterministic rounding: `floor(x·10^s + 0.5)/10^s`
+    * in pure double arithmetic. Engines disagree on `round()` ties —
+    * Spark rounds HALF_UP on the exact decimal expansion, DuckDB uses
+    * ties-to-even `nearbyint` — and with 2-decimal inputs averaged
+    * over small groups, exact binary ties (e.g. 145.625) are common.
+    * This formula is the same IEEE-754 op sequence everywhere, so the
+    * driver's hash compare can't drift. Half-ties round toward +∞.
+    */
+  def roundPortable(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * p + lit(0.5)) / p
+  }
+
+  /** Order-independent average of a ≤2-decimal double column: sum in
+    * DECIMAL (exact, associative — immune to partition-order float
+    * drift), then one double division. Needed because Spark's partial
+    * aggregation sums in partition order while single-node engines sum
+    * sequentially; raw double avg differs by ulps between the two,
+    * which flips rounding at tie boundaries.
+    */
+  def avgExact(c: Column, precision: Int = 18, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(precision, scale))).cast("double") / count(lit(1))
+
   /** `rank_category` (reference `models/marts/top_terms_comparison.sql:50-55`). */
   def rankCategory(rank: Column): Column =
     when(rank === 1, "#1 Term")

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Functions.{avgExact, roundPortable}
+import graft.queries.Inventory
+import graft.queries.Inventory.Q
+
+/** Event-stream analytics over the `events` table — the batch forms.
+  * (The Structured Streaming variants live in `graft.streaming` and
+  * are validated in ScalaTest; DuckDB can only oracle the batch
+  * equivalents, SURVEY.md §7.2.)
+  */
+object Sessions {
+
+  val GapSeconds = 1800L
+
+  // ------------------------------------------------------------------
+  // Sessionization: a session breaks after a 30-min silence. Window
+  // functions (lag + running sum) partition BY USER — at scale this is
+  // one shuffle on user_id and each user's timeline sorts locally;
+  // no global sort, no driver involvement.
+  // ------------------------------------------------------------------
+  val sessionize: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val prev = lag(us, 1).over(byUser)
+      val newSession = when(prev.isNull || (us - prev) > GapSeconds * 1000000L, 1L).otherwise(0L)
+      ev.withColumn("session_seq", sum(newSession).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(
+          max(col("session_seq")).as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          roundPortable(count(lit(1)).cast("double") / max(col("session_seq")), 4)
+            .as("avg_events_per_session"))
+        .orderBy("user_id")
+    },
+    Some("""WITH marked AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS us,
+           |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+           |         THEN 1 ELSE 0 END AS new_session
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), sess AS (
+           |  SELECT user_id,
+           |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           |  FROM marked
+           |)
+           |SELECT user_id, max(session_seq) AS n_sessions, count(*) AS n_events,
+           |       floor(CAST(count(*) AS DOUBLE) / max(session_seq) * 10000 + 0.5) / 10000 AS avg_events_per_session
+           |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Tumbling-window aggregation (the batch twin of the streaming
+  // windowed agg): 1-hour windows × event_type. Uses Spark's window()
+  // operator; keyed output as epoch-hour string for cross-engine
+  // comparison.
+  // ------------------------------------------------------------------
+  val hourly: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          roundPortable(avgExact(col("value")), 2).as("avg_value"),
+          countDistinct(col("user_id")).as("unique_users"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"), col("n_events"), col("avg_value"), col("unique_users"))
+        .orderBy("hour", "event_type")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           |       event_type, count(*) AS n_events,
+           |       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS avg_value,
+           |       count(DISTINCT user_id) AS unique_users
+           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
+  )
+
+  val queries: Seq[(String, Q)] = Seq(
+    "events_sessionize" -> sessionize,
+    "events_hourly_window" -> hourly
+  )
+}

@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import scala.util.Random
+
+import graft.engine.Functions.roundPortable
+import graft.queries.Inventory.Q
+
+/** Similarity search over the `embeddings` table (`Array[Float]`,
+  * 64-dim).
+  *
+  *   - Brute-force cosine top-k: broadcast the (small) query set
+  *     against the partitioned corpus — an embarrassingly parallel
+  *     scan, the correctness baseline and often the right answer even
+  *     at scale when the query set is small.
+  *   - Random-hyperplane LSH: L tables × B bits of sign hashes give an
+  *     equi-joinable bucket key; candidates are scored exactly. The
+  *     100 TB path — shuffle is hash-partitioned on bucket keys.
+  *   - IVF-lite: the corpus's `label` column acts as the coarse
+  *     quantizer cell (centroids computed from data); queries probe
+  *     the nearest `nprobe` cells only, cutting the scan by
+  *     cells/nprobe.
+  *
+  * Cosine is computed in DOUBLE via zip_with + a left-fold aggregate —
+  * deterministic order, codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  val TopK = 5
+  val NumQueries = 10
+
+  // ------------------------------------------------------------------
+  // Brute-force cosine top-k, oracle-verified. Rounding to 6 dp before
+  // ranking makes the rank (and thus the selected set) identical in
+  // both engines; neighbor_id breaks ties.
+  // ------------------------------------------------------------------
+  val bruteForceTopK: Q = Q(
+    (s, d) => {
+      val corpus = emb(s, d)
+      val queries = emb(s, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val sim = roundPortable(cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .orderBy("q_id", "rnk")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+           |), q AS (
+           |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10
+           |), s AS (
+           |  SELECT q.q_id, e.vec_id AS neighbor_id,
+           |    floor(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]))
+           |      / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+           |         * sqrt(list_sum(list_transform(e.v, x -> x * x)))) * 1000000 + 0.5) / 1000000 AS sim
+           |  FROM q, e WHERE e.vec_id <> q.q_id
+           |), r AS (
+           |  SELECT q_id, neighbor_id, sim,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM s
+           |)
+           |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Random-hyperplane LSH: L=4 tables × B=8 sign bits. Hyperplanes are
+  // generated from a fixed seed at plan-build time and inlined as
+  // array literals (they broadcast inside codegen — no side channel).
+  // A pair sharing ANY table bucket becomes a candidate; candidates
+  // get exact cosine, then per-query top-k.
+  // ------------------------------------------------------------------
+  val Tables = 4
+  val Bits = 8
+  val Dim = 64
+
+  /** Deterministic hyperplanes[table][bit][dim] from seed 42. */
+  lazy val hyperplanes: Array[Array[Array[Double]]] = {
+    val rnd = new Random(42)
+    Array.fill(Tables, Bits, Dim)(rnd.nextGaussian())
+  }
+
+  private def dotLit(v: Column, plane: Array[Double]): Column =
+    aggregate(zip_with(v, typedLit(plane.toSeq), (x, p) => x.cast(DoubleType) * p),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Bucket key of `v` in table `t`: B sign bits packed into a long. */
+  def lshBucket(v: Column, t: Int): Column =
+    (0 until Bits).map(b =>
+      when(dotLit(v, hyperplanes(t)(b)) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+
+  /** (id, table, bucket) — one row per table. */
+  def bucketed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), explode(array((0 until Tables).map(t =>
+      struct(lit(t).as("table"), lshBucket(col(vecCol), t).as("bucket"))): _*)).as("tb"),
+      col(vecCol))
+      .select(col(idCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"), col(vecCol))
+
+  val lshTopK: Q = Q(
+    (s, d) => {
+      val corpus = bucketed(emb(s, d), "vec_id", "embedding")
+      val queries = bucketed(
+        emb(s, d).filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        "q_id", "q_emb")
+      val cand = queries.join(corpus, Seq("table", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+        .dropDuplicates("q_id", "vec_id")
+      val sim = roundPortable(cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      cand.select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .orderBy("q_id", "rnk")
+    },
+    None // approximate: recall vs bruteForceTopK asserted in ScalaTest
+  )
+
+  // ------------------------------------------------------------------
+  // IVF-lite: per-label centroids (computed from the data — the
+  // pre-trained coarse quantizer), queries probe the nprobe nearest
+  // cells. At scale the corpus is partitioned/bucketed BY cell, so a
+  // probe reads only cells/nprobe of the data — partition pruning does
+  // the work the inverted file does in FAISS.
+  // ------------------------------------------------------------------
+  val NProbe = 3
+
+  /** label → centroid (small: collected and broadcast). */
+  def centroids(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), transform(col("pc"), p => p.getField("c")).as("centroid"))
+
+  val ivfTopK: Q = Q(
+    (s, d) => {
+      val corpus = emb(s, d)
+      val cents = centroids(corpus)
+      val queries = corpus.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // nprobe nearest cells per query (tiny: Q × cells)
+      val wCell = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("label"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("q_emb"), col("label"),
+          cosine(col("q_emb"), col("centroid")).as("csim"))
+        .withColumn("cr", row_number().over(wCell))
+        .filter(col("cr") <= NProbe)
+        .select("q_id", "q_emb", "label")
+      val sim = roundPortable(cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      corpus.join(broadcast(probes), Seq("label"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .orderBy("q_id", "rnk")
+    },
+    None // approximate: recall vs bruteForceTopK asserted in ScalaTest
+  )
+
+  val queries: Seq[(String, Q)] = Seq(
+    "ann_cosine_topk" -> bruteForceTopK,
+    "ann_lsh_topk" -> lshTopK,
+    "ann_ivf_topk" -> ivfTopK
+  )
+}

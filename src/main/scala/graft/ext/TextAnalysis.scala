@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.engine.Functions.roundPortable
+import graft.queries.Inventory.Q
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token statistics, quality scoring, n-gram
+  * language ID, and document fingerprinting.
+  *
+  * All of it is pure `org.apache.spark.sql.functions` (higher-order
+  * functions on arrays, no UDFs), so every expression stays inside
+  * whole-stage codegen and the scan keeps column pruning — at 100 TB
+  * these run as a single embarrassingly-parallel projection pass with
+  * no shuffle at all (the per-doc stage); only the final tiny
+  * aggregates shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Stopword sets for the n-gram language-ID heuristic. Tiny on
+    * purpose: they broadcast as literals into codegen (no join).
+    */
+  val StopEn: Seq[String] = Seq("the", "of", "and", "to", "in", "is", "it", "a")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "los")
+  val StopFr: Seq[String] = Seq("le", "la", "de", "et", "les", "des", "un", "est")
+  val StopDe: Seq[String] = Seq("der", "die", "und", "das", "ist", "von", "ein", "zu")
+
+  private def hits(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(stops)))
+
+  // ------------------------------------------------------------------
+  // Token counting: whitespace tokens, distinct tokens, avg token
+  // length (chars-sans-whitespace / tokens).
+  // ------------------------------------------------------------------
+  val tokenStats: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val toks = tokens(col("text"))
+      docs.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_unique_tokens"),
+        roundPortable(length(regexp_replace(trim(col("text")), "\\s+", "")).cast(DoubleType)
+          / size(toks), 4).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, length(text) AS n_chars,
+           |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+           |  len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS n_unique_tokens,
+           |  floor(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+           |        / len(string_split_regex(lower(trim(text)), '\s+')) * 10000 + 0.5) / 10000 AS avg_token_len
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Quality scoring: length score + punctuation ratio + stopword
+  // ratio, combined into a deterministic composite with CASE buckets
+  // (the filter criterion an LLM-data pipeline would threshold on).
+  // ------------------------------------------------------------------
+  val quality: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val toks = tokens(col("text"))
+      val nTokens = size(toks)
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+      val punctRatio = punct.cast(DoubleType) / length(col("text"))
+      val stopRatio = hits(toks, StopEn).cast(DoubleType) / nTokens
+      val lengthScore = least(nTokens.cast(DoubleType) / 100.0, lit(1.0))
+      val score = lengthScore * 0.5 + (lit(1.0) - punctRatio) * 0.3 + stopRatio * 0.2
+      docs.select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        roundPortable(punctRatio, 4).as("punct_ratio"),
+        roundPortable(stopRatio, 4).as("stopword_ratio"),
+        roundPortable(score, 4).as("quality_score"),
+        when(score >= 0.8, "high").when(score >= 0.5, "medium").otherwise("low")
+          .as("quality_bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks,
+           |    CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+           |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |         x -> x IN ('the','of','and','to','in','is','it','a'))) AS DOUBLE)
+           |      / len(string_split_regex(lower(trim(text)), '\s+')) AS stop_ratio,
+           |    least(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 100.0, 1.0) AS length_score
+           |  FROM documents
+           |)
+           |SELECT doc_id, len(toks) AS n_tokens,
+           |  floor(punct_ratio * 10000 + 0.5) / 10000 AS punct_ratio,
+           |  floor(stop_ratio * 10000 + 0.5) / 10000 AS stopword_ratio,
+           |  floor((length_score * 0.5 + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.2) * 10000 + 0.5) / 10000 AS quality_score,
+           |  CASE WHEN length_score * 0.5 + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.2 >= 0.8 THEN 'high'
+           |       WHEN length_score * 0.5 + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.2 >= 0.5 THEN 'medium'
+           |       ELSE 'low' END AS quality_bucket
+           |FROM t ORDER BY doc_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Language ID: stopword-hit scoring per language with a fixed
+  // precedence tie-break (en > es > fr > de > und). Deterministic in
+  // both engines because all scores are exact integers.
+  // ------------------------------------------------------------------
+  val langId: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val toks = tokens(col("text"))
+      val (en, es, fr, de) =
+        (hits(toks, StopEn), hits(toks, StopEs), hits(toks, StopFr), hits(toks, StopDe))
+      docs.select(
+        col("doc_id"), col("lang").as("declared_lang"),
+        en.as("hits_en"), es.as("hits_es"), fr.as("hits_fr"), de.as("hits_de"),
+        when(en >= es && en >= fr && en >= de && en > 0, "en")
+          .when(es >= fr && es >= de && es > 0, "es")
+          .when(fr >= de && fr > 0, "fr")
+          .when(de > 0, "de")
+          .otherwise("und").as("predicted_lang"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (
+           |  SELECT doc_id, lang,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('the','of','and','to','in','is','it','a'))) AS hits_en,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('el','la','de','que','y','en','un','los'))) AS hits_es,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('le','la','de','et','les','des','un','est'))) AS hits_fr,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('der','die','und','das','ist','von','ein','zu'))) AS hits_de
+           |  FROM documents
+           |)
+           |SELECT doc_id, lang AS declared_lang, hits_en, hits_es, hits_fr, hits_de,
+           |  CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de AND hits_en > 0 THEN 'en'
+           |       WHEN hits_es >= hits_fr AND hits_es >= hits_de AND hits_es > 0 THEN 'es'
+           |       WHEN hits_fr >= hits_de AND hits_fr > 0 THEN 'fr'
+           |       WHEN hits_de > 0 THEN 'de'
+           |       ELSE 'und' END AS predicted_lang
+           |FROM h ORDER BY doc_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Document fingerprinting: canonicalize (lowercase, collapse all
+  // non-alphanumeric runs) then hash — the standard exact-dup key that
+  // survives formatting noise. md5 is identical across engines.
+  // ------------------------------------------------------------------
+  val fingerprint: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+      docs.select(col("doc_id"), md5(encode(canon, "UTF-8")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  val queries: Seq[(String, Q)] = Seq(
+    "text_token_stats" -> tokenStats,
+    "text_quality" -> quality,
+    "text_lang_id" -> langId,
+    "text_fingerprint" -> fingerprint
+  )
+}

@@ -235,12 +235,12 @@ object Inventory {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("total_rows"),
-          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          roundPortable(avgExact(col("l_quantity")), 2).as("avg_qty"),
           max(col("l_extendedprice")).as("max_price"),
           countDistinct(col("l_suppkey")).as("unique_suppliers"))
         .orderBy("l_returnflag", "l_linestatus"),
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS total_rows,
-           |       round(avg(l_quantity), 2) AS avg_qty,
+           |       floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS avg_qty,
            |       max(l_extendedprice) AS max_price,
            |       count(DISTINCT l_suppkey) AS unique_suppliers
            |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -327,13 +327,13 @@ object Inventory {
           if (hasValue)
             base.agg(
               count(lit(1)).as("total_events"),
-              avg(col("value")).as("avg_value"),
+              avgExact(col("value")).as("avg_value"),
               max(col("value")).as("max_value"),
               countDistinct(col("user_id")).as("unique_users"))
           else
             base.agg(
               count(lit(1)).as("total_events"),
-              avg(col("value")).as("avg_value"),
+              avgExact(col("value")).as("avg_value"),
               lit(null).cast(DoubleType).as("max_value"),
               countDistinct(col("user_id")).as("unique_users"))
         agged.select(col("week"), lit(trendType).as("trend_type"), col("total_events"),
@@ -345,7 +345,7 @@ object Inventory {
         .union(branch("top_signup", "signup", hasValue = false))
         .select(
           col("week"), col("trend_type"), col("total_events"),
-          round(col("avg_value"), 2).as("avg_value"),
+          roundPortable(col("avg_value"), 2).as("avg_value"),
           col("max_value"), col("unique_users"),
           when(col("trend_type").like("rising%"), "Rising Trends").otherwise("Top Trends")
             .as("trend_category"),
@@ -355,23 +355,28 @@ object Inventory {
     },
     Some("""WITH b AS (
            |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, 'rising_purchase' AS trend_type,
-           |         count(*) AS total_events, avg(value) AS avg_value, max(value) AS max_value,
+           |         count(*) AS total_events,
+           |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+           |         max(value) AS max_value,
            |         count(DISTINCT user_id) AS unique_users
            |  FROM events WHERE event_type = 'purchase' GROUP BY 1
            |  UNION ALL
-           |  SELECT CAST(date_trunc('week', ts) AS DATE), 'rising_click', count(*), avg(value),
+           |  SELECT CAST(date_trunc('week', ts) AS DATE), 'rising_click', count(*),
+           |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*),
            |         max(value), count(DISTINCT user_id)
            |  FROM events WHERE event_type = 'click' GROUP BY 1
            |  UNION ALL
-           |  SELECT CAST(date_trunc('week', ts) AS DATE), 'top_view', count(*), avg(value),
+           |  SELECT CAST(date_trunc('week', ts) AS DATE), 'top_view', count(*),
+           |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*),
            |         CAST(NULL AS DOUBLE), count(DISTINCT user_id)
            |  FROM events WHERE event_type = 'view' GROUP BY 1
            |  UNION ALL
-           |  SELECT CAST(date_trunc('week', ts) AS DATE), 'top_signup', count(*), avg(value),
+           |  SELECT CAST(date_trunc('week', ts) AS DATE), 'top_signup', count(*),
+           |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*),
            |         CAST(NULL AS DOUBLE), count(DISTINCT user_id)
            |  FROM events WHERE event_type = 'signup' GROUP BY 1
            |)
-           |SELECT week, trend_type, total_events, round(avg_value, 2) AS avg_value, max_value,
+           |SELECT week, trend_type, total_events, floor(avg_value * 100 + 0.5) / 100 AS avg_value, max_value,
            |       unique_users,
            |       CASE WHEN trend_type LIKE 'rising%' THEN 'Rising Trends' ELSE 'Top Trends' END AS trend_category,
            |       CASE WHEN trend_type LIKE '%purchase%' THEN 'Revenue' ELSE 'Engagement' END AS engagement_scope
