@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+
+/** Specs for the LLM-pipeline extension operators (dedup, similarity,
+  * text analysis, sessions) at sf0.001.
+  */
+class ExtSpec extends SparkSpec {
+
+  private val d = sf()
+
+  test("exact dedup covers every document exactly once") {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val deduped = Dedup.exact.build(spark, d)
+    assert(deduped.agg(sum("copies")).head.getLong(0) === docs.count())
+    assert(deduped.filter(col("copies") < 1).isEmpty)
+  }
+
+  test("minhash-LSH finds exactly the brute-force near-dup pairs (J >= 0.5)") {
+    val brute = Dedup.jaccardPairs.build(spark, d)
+      .filter(col("jaccard") >= 0.5).collect().map(_.toString).sorted
+    val lsh = Dedup.minhashLsh.build(spark, d)
+      .filter(col("jaccard") >= 0.5).collect().map(_.toString).sorted
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh.toSeq === brute.toSeq)
+  }
+
+  test("simhash: near-dup pairs have small Hamming distance, random pairs large") {
+    val fp = Dedup.simhashFingerprints.build(spark, d).select("doc_id", "simhash")
+    val pairs = Dedup.jaccardPairs.build(spark, d).filter(col("jaccard") >= 0.5)
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    val nearAvg = pairs
+      .join(fp.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(fp.as("b"), col("doc_b") === col("b.doc_id"))
+      .agg(avg(hamming)).head.getDouble(0)
+    val randAvg = fp.as("a").crossJoin(fp.as("b"))
+      .filter(col("a.doc_id") + 7 === col("b.doc_id")) // arbitrary non-dup pairing
+      .agg(avg(hamming)).head.getDouble(0)
+    assert(nearAvg < 16, s"near-dup avg hamming $nearAvg should be far below 32")
+    assert(randAvg > nearAvg + 8, s"random avg $randAvg should exceed near-dup avg $nearAvg")
+  }
+
+  test("brute-force ANN: top-k is self-consistent and sims are in [-1,1]") {
+    val topk = Similarity.bruteForceTopK.build(spark, d).collect()
+    assert(topk.length === Similarity.NumQueries * Similarity.TopK)
+    assert(topk.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    // ranks are 1..k per query and sims non-increasing within a query
+    topk.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to Similarity.TopK))
+      assert(sorted.sliding(2).forall(p => p.head.getDouble(2) >= p.last.getDouble(2)))
+    }
+  }
+
+  test("LSH ANN returns a subset ranking consistent with exact cosine") {
+    val exact = Similarity.bruteForceTopK.build(spark, d)
+      .select(col("q_id"), col("neighbor_id"), col("sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK.build(spark, d).collect()
+    assert(lsh.nonEmpty)
+    // every LSH-scored candidate that's also in the exact top-k agrees on sim
+    lsh.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(1))).foreach(s => assert(s === r.getDouble(2)))
+    }
+  }
+
+  test("IVF probes reduce candidates and keep nonzero recall") {
+    val bf = Similarity.bruteForceTopK.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall > 0.2, s"IVF nprobe=${Similarity.NProbe} recall $recall too low")
+  }
+
+  test("token stats and quality are total over documents") {
+    val n = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(TextAnalysis.tokenStats.build(spark, d).count() === n)
+    val q = TextAnalysis.quality.build(spark, d)
+    assert(q.count() === n)
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1.2).isEmpty)
+    assert(q.filter(!col("quality_bucket").isin("high", "medium", "low")).isEmpty)
+  }
+
+  test("lang id predicts a valid code for every doc") {
+    val p = TextAnalysis.langId.build(spark, d)
+    assert(p.filter(!col("predicted_lang").isin("en", "es", "fr", "de", "und")).isEmpty)
+  }
+
+  test("fingerprint is whitespace/punctuation-insensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello,   world! "), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("x")
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val fps = df.select(col("doc_id"), md5(encode(canon, "UTF-8")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("sessionization: session counts bounded by event counts") {
+    val s = Sessions.sessionize.build(spark, d).collect()
+    assert(s.nonEmpty)
+    s.foreach { r =>
+      assert(r.getLong(1) >= 1L)               // n_sessions
+      assert(r.getLong(1) <= r.getLong(2))     // <= n_events
+    }
+  }
+
+  test("hourly window totals match raw event count") {
+    val hourly = Sessions.hourly.build(spark, d)
+    val total = hourly.agg(sum("n_events")).head.getLong(0)
+    assert(total === graft.queries.Inventory.events(spark, d).count())
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Structured Streaming twins vs their batch equivalents: feed the
+  * same rows through a MemoryStream and through the batch expression;
+  * results must agree (the batch path is DuckDB-oracle-verified, so
+  * agreement extends the oracle to the streaming path).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private val rows = Seq(
+    Ev(1L, Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "click", 10.0),
+    Ev(2L, Timestamp.valueOf("2024-01-01 00:40:00"), 2L, "click", 20.0),
+    Ev(3L, Timestamp.valueOf("2024-01-01 01:05:00"), 1L, "view", 165.5),
+    Ev(4L, Timestamp.valueOf("2024-01-01 01:20:00"), 3L, "click", 30.0),
+    Ev(5L, Timestamp.valueOf("2024-01-01 02:01:00"), 2L, "view", 5.25))
+
+  test("streaming hourly window agg equals the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+
+    val q = Streams.hourlyWindowed(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hourly_stream")
+      .orderBy("hour", "event_type").collect().map(_.toString)
+    // batch twin: same aggregation expressions, no watermark operator
+    val expected = rows.toDF()
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.engine.Functions.roundPortable(graft.engine.Functions.avgExact(col("value")), 2).as("avg_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n_events"), col("avg_value"))
+      .orderBy("hour", "event_type").collect().map(_.toString)
+    assert(streamed.toSeq === expected.toSeq)
+  }
+
+  test("stateless high-value filter streams through") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = Streams.highValueEvents(mem.toDF())
+      .writeStream.format("memory").queryName("hv_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hv_stream").select("event_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(3L))
+  }
+}
