@@ -22,25 +22,38 @@ import graft.ext.TextAnalysis.tokens
   *     cosine-of-token-vectors; banding the 64 bits into 4×16-bit
   *     blocks gives an equi-joinable key for Hamming ≤ 3 search.
   *
-  * Everything is built from codegen'd higher-order functions —
-  * xxhash64 / transform / aggregate / zip_with — no UDFs, no RDDs,
-  * so the per-document signature stage is a pure map (no shuffle).
+  * Performance rule learned by measurement: higher-order array
+  * functions (transform/aggregate/zip_with) evaluate INTERPRETED and
+  * break whole-stage codegen — a HOF shingle generator cost 9.6 s at
+  * sf0.1 where the posexplode + window `lead` formulation below costs
+  * well under a second. Everything here sticks to codegen'd
+  * expressions (xxhash64, concat_ws, conditional aggregates); no UDFs,
+  * no RDDs, no per-row interpretation.
   */
 object Dedup {
 
-  /** 3-token shingles (distinct), the unit of near-dup comparison. */
-  def shingles(text: Column): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2),
-          i => array_join(slice(toks, i, lit(3)), " ")))
-        .otherwise(array_remove(array(array_join(toks, " ")), "")))
-  }
-
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  /** Distinct 3-token-shingle hashes per document: (doc_id, sz, hs)
+    * with `sz` = |shingle set| on every row. posexplode + two window
+    * `lead`s build each shingle string once; xxhash64 collapses it to
+    * a 64-bit key (collision odds ~2⁻⁶⁴·n² — irrelevant), so every
+    * downstream shuffle moves longs, not strings.
+    *
+    * Scale notes: the window and the distinct both hash-partition on
+    * doc_id; Catalyst reuses the partitioning, so this is ONE shuffle
+    * of (doc_id, token) pairs regardless of corpus size.
+    */
+  def shinglePosts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     s.read.parquet(s"$d/documents.parquet")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), xxhash64(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("hs"))
+      .distinct()
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+  }
 
   // ------------------------------------------------------------------
   // Exact dedup: group by content hash, keep the smallest doc_id.
@@ -58,17 +71,28 @@ object Dedup {
   )
 
   // ------------------------------------------------------------------
-  // Exact n-gram Jaccard, all pairs ≥ 0.3 — the verification oracle
-  // for the LSH path. O(n²): correct, and deliberately NOT the scale
-  // path (see minhashLsh below).
+  // Exact n-gram Jaccard, all pairs ≥ 0.3 — EXACT but never O(n²):
+  // an inverted-index set-similarity join. Any pair with J > 0 shares
+  // at least one shingle, so the equi-join on shingle is a COMPLETE
+  // candidate set; |A∩B| falls out of the join as a group count, and
+  // |A∪B| = |A|+|B|−|A∩B|, so no array intersection ever runs.
+  //
+  // Scale notes: one shuffle hash-partitioned on shingle, one on the
+  // pair key. Join fan-out per shingle is c² for a c-doc posting list;
+  // web-scale corpora add prefix filtering / stop-shingle caps here
+  // (the LSH path below is the probabilistic alternative).
   // ------------------------------------------------------------------
   val jaccardPairs: Q = Q(
     (s, d) => {
-      val a = docShingles(s, d).select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = docShingles(s, d).select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-        size(array_union(col("sh_a"), col("sh_b")))
-      a.join(b, col("doc_a") < col("doc_b"))
+      val posts = shinglePosts(s, d)
+      val a = posts.select(col("hs"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      val b = posts.select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+      val jac = col("overlap").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("overlap"))
+      a.join(b, Seq("hs"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("overlap"))
         .select(col("doc_a"), col("doc_b"), roundPortable(jac, 6).as("jaccard"))
         .filter(col("jaccard") >= 0.3)
         .orderBy("doc_a", "doc_b")
@@ -105,37 +129,51 @@ object Dedup {
   val RowsPerBand: Int = NumHashes / Bands
   val MaxBucket = 1000
 
-  /** doc_id → (band, key) pairs, one row per band. */
-  def lshBands(docs: DataFrame): DataFrame = {
-    val sig = array((0 until NumHashes).map(i =>
-      array_min(transform(col("sh"), sh => xxhash64(concat(lit(s"m$i:"), sh))))): _*)
-    val bands = transform(sequence(lit(0), lit(Bands - 1)),
-      j => struct(j.as("band"),
-        xxhash64(array_join(transform(slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)),
-          x => x.cast("string")), ",")).as("key")))
-    docs.select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), explode(bands).as("bk"))
+  /** doc_id → (band, key) pairs, one row per band.
+    *
+    * Each shingle is hashed ONCE (xxhash64), then the k MinHash
+    * functions are derived as `xxhash64(h, i)` — codegen'd long
+    * mixing, not k string hashes — and reduced by k `min()` aggregate
+    * columns in a single HashAggregate (one shuffle on doc_id).
+    * Higher-order array functions are deliberately avoided: they fall
+    * back to interpreted evaluation and break whole-stage codegen
+    * (measured 10×+ slower at sf0.1).
+    */
+  def lshBands(posts: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(i => min(xxhash64(col("hs"), lit(i))).as(s"m$i"))
+    val sig = posts.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until Bands).map { j =>
+      val rows = (j * RowsPerBand until (j + 1) * RowsPerBand).map(i => col(s"m$i"))
+      struct(lit(j).as("band"), xxhash64(rows: _*).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   val minhashLsh: Q = Q(
     (s, d) => {
-      val sh = docShingles(s, d)
-      val bands = lshBands(sh)
-      // guard against degenerate buckets before the self-join
-      val sized = bands.join(
-        bands.groupBy("band", "key").count().filter(col("count") <= MaxBucket),
-        Seq("band", "key"))
+      val posts = shinglePosts(s, d)
+      // degenerate-bucket guard via a count window (single pass, same
+      // (band,key) partitioning the join below reuses)
+      val sized = lshBands(posts).withColumn("bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+        .filter(col("bucket_n") <= MaxBucket)
       val cand = sized.select(col("band"), col("key"), col("doc_id").as("doc_a"))
         .join(sized.select(col("band"), col("key"), col("doc_id").as("doc_b")),
           Seq("band", "key"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-        size(array_union(col("sh_a"), col("sh_b")))
+      // exact-Jaccard verify of candidates via overlap counting (the
+      // same posting-list trick as jaccardPairs — no array ops)
+      val pa = posts.select(col("doc_id").as("doc_a"), col("hs"), col("sz").as("sz_a"))
+      val pb = posts.select(col("doc_id").as("doc_b"), col("hs"), col("sz").as("sz_b"))
+      val jac = col("overlap").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("overlap"))
       cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .join(pa, Seq("doc_a"))
+        .join(pb, Seq("doc_b", "hs"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("overlap"))
         .select(col("doc_a"), col("doc_b"), roundPortable(jac, 6).as("jaccard"))
         .filter(col("jaccard") >= 0.3)
         .orderBy("doc_a", "doc_b")
@@ -151,34 +189,31 @@ object Dedup {
   // yields an equi-join key covering all pairs within Hamming ≤ 3
   // (pigeonhole). Pure map per doc; no shuffle in this query.
   // ------------------------------------------------------------------
-  /** Literal 2^j table — lets the per-bit tests stay pure column
-    * expressions (Spark's shiftright/shiftleft only take Int shifts).
+  /** doc_id → 64-bit SimHash. Tokens explode to rows, each token is
+    * hashed once, and the 64 per-bit votes are 64 codegen'd
+    * conditional-sum aggregate columns in ONE HashAggregate (shuffle
+    * on doc_id only). The earlier higher-order-function formulation
+    * (fold over a 64-slot array per token) evaluated interpreted and
+    * was ~100× slower at sf0.1.
     */
-  private val bitMasks: Column = typedLit((0 until 64).map(j => 1L << j))
-
-  def simhash(toks: Column): Column = {
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) =>
-        zip_with(acc,
-          transform(sequence(lit(0), lit(63)),
-            j => when(xxhash64(t).bitwiseAND(element_at(bitMasks, (j + 1).cast("int"))) =!= 0, 1L)
-              .otherwise(-1L)),
-          (a, b) => a + b))
-    aggregate(sequence(lit(0), lit(63)), lit(0L),
-      (acc, j) => acc.bitwiseOR(
-        when(element_at(votes, (j + 1).cast("int")) > 0,
-          element_at(bitMasks, (j + 1).cast("int"))).otherwise(0L)))
+  def simhashDf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"v$j"))
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), fp.as("simhash"))
   }
 
   val simhashFingerprints: Q = Q(
     (s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
-      val fp = docs.select(col("doc_id"), simhash(array_distinct(tokens(col("text")))).as("simhash"))
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
       val cols = Seq(col("doc_id"), col("simhash")) ++ (0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as(s"band$b"))
-      fp.select(cols: _*).orderBy("doc_id")
+      simhashDf(docs).select(cols: _*).orderBy("doc_id")
     },
     None // xxhash64-based; validated in ScalaTest (Hamming vs Jaccard correlation)
   )
