@@ -30,8 +30,18 @@ import graft.queries.Inventory.Q
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, in double. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float-array columns, in double — the
+    * native codegen'd expression (one fused loop per row).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** The same computation composed from built-in higher-order
+    * functions. Kept as the reference implementation the native
+    * expression is asserted against (identical accumulation order ⇒
+    * bit-identical doubles); interpreted, so NOT the hot path.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
         lit(0.0), (acc, v) => acc + v)

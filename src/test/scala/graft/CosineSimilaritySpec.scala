@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** The native codegen'd cosine expression vs the higher-order-function
+  * reference implementation: must agree bit-for-bit (same accumulation
+  * order), and match a driver-side double computation.
+  */
+class CosineSimilaritySpec extends SparkSpec {
+
+  test("native expression equals HOF composition bit-for-bit on real embeddings") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(50)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+    val diffs = pairs.select(
+      Similarity.cosine(col("va"), col("vb")).as("native"),
+      Similarity.cosineHof(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diffs.isEmpty)
+  }
+
+  test("native expression matches driver-side arithmetic") {
+    import spark.implicits._
+    val va = Array(1.0f, 2.0f, 3.0f)
+    val vb = Array(-1.0f, 0.5f, 2.0f)
+    val got = Seq((va, vb)).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0)
+    def d(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+    val want = d(va, vb) / (math.sqrt(d(va, va)) * math.sqrt(d(vb, vb)))
+    assert(got === want)
+  }
+
+  test("expression survives codegen (no fallback errors) across a full aggregation") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.select(col("vec_id").as("ia"), col("embedding").as("va")).limit(5)
+    val n = e.crossJoin(broadcast(q))
+      .select(Similarity.cosine(col("va"), col("embedding")).as("sim"))
+      .agg(count(when(abs(col("sim")) <= 1.0 + 1e-9, 1)), count(lit(1)))
+      .head
+    // self-pairs can overshoot 1.0 by an ulp (sqrt roundoff) — allowed
+    assert(n.getLong(0) === n.getLong(1), "all sims within [-1,1] (+ulp)")
+  }
+}
