@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Inventory
+import graft.ext.{Dedup, Similarity}
+
+/** Physical-plan regression guards: the properties that make these
+  * queries scale (pushdown, pruning, broadcast choice, no accidental
+  * cartesian products) asserted against the optimizer's actual output,
+  * so a refactor that silently loses them fails CI.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = sf("0.01")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and column pruning reach the parquet scan") {
+    val q = spark.read.parquet(s"$d/lineitem.parquet")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("dimension joins broadcast (never shuffle the small side)") {
+    val p = plan(Inventory.joinRevenueByNation.build(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("no query in the registry plans a cartesian product") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, d))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+    }
+  }
+
+  test("aggregation queries use hash aggregation (partial+final capable)") {
+    Seq(
+      "a_group_agg" -> Inventory.aGroupAgg,
+      "mart_weekly_events_summary" -> Inventory.martWeeklyEventsSummary).foreach {
+      case (name, q) =>
+        val p = plan(q.build(spark, d))
+        assert(p.contains("HashAggregate"), s"$name lost hash aggregation:\n$p")
+    }
+  }
+
+  test("LSH banding join is an equi-join, not a nested loop") {
+    val p = plan(Dedup.minhashLsh.build(spark, d))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    // BroadcastNestedLoopJoin with the tiny query set broadcast IS the
+    // intended embarrassingly-parallel corpus scan
+    val p = plan(Similarity.bruteForceTopK.build(spark, d))
+    assert(p.contains("Broadcast"), p)
+  }
+}
