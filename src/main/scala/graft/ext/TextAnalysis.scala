@@ -158,10 +158,36 @@ object TextAnalysis {
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // BPE-ish token estimate: split into letter runs / digit runs /
+  // single punctuation (the shape of a byte-pair pre-tokenizer), the
+  // usual cheap proxy for LLM token counts next to whitespace tokens.
+  // ------------------------------------------------------------------
+  val bpeTokens: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val ws = size(tokens(col("text")))
+      val bpe = size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      docs.select(
+        col("doc_id"),
+        ws.as("n_ws_tokens"),
+        bpe.as("n_bpe_tokens"),
+        roundPortable(bpe.cast(DoubleType) / ws, 4).as("bpe_per_ws_token"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_ws_tokens,
+           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+           |  floor(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE)
+           |        / len(string_split_regex(lower(trim(text)), '\s+')) * 10000 + 0.5) / 10000 AS bpe_per_ws_token
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_lang_id" -> langId,
-    "text_fingerprint" -> fingerprint
+    "text_fingerprint" -> fingerprint,
+    "text_bpe_tokens" -> bpeTokens
   )
 }

@@ -54,6 +54,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("partitioned materialization enables partition pruning (the reference's refresh_date claim)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val src = Seq(("2024-01-01", 1L), ("2024-01-01", 2L), ("2024-01-08", 3L))
+      .toDF("refresh_date", "id")
+    val sink = new graft.engine.TableSink.Parquet(dir, Map("part" -> Seq("refresh_date")))
+    val rel = sink.write("part", src)
+    val pruned = rel.filter(col("refresh_date") === "2024-01-08")
+    assert(pruned.count() === 1)
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters: [isnotnull(refresh_date"), p)
+    // only the matching partition directory is scanned
+    assert(!p.contains("PartitionFilters: []"), p)
+  }
+
   test("brute-force ANN broadcasts the query side") {
     // BroadcastNestedLoopJoin with the tiny query set broadcast IS the
     // intended embarrassingly-parallel corpus scan
