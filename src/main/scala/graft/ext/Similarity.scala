@@ -108,14 +108,17 @@ object Similarity {
     Array.fill(Tables, Bits, Dim)(rnd.nextGaussian())
   }
 
-  private def dotLit(v: Column, plane: Array[Double]): Column =
-    aggregate(zip_with(v, typedLit(plane.toSeq), (x, p) => x.cast(DoubleType) * p),
-      lit(0.0), (acc, d) => acc + d)
+  /** Sign of ⟨v, plane⟩ via the native codegen'd cosine expression —
+    * cosine and dot product share their sign (norms are positive), and
+    * the fused-loop expression beats an interpreted HOF fold ~10×.
+    */
+  private def planeSide(v: Column, plane: Array[Double]): Column =
+    graft.functions.CosineSimilarity(v, typedLit(plane.toSeq)) > 0
 
   /** Bucket key of `v` in table `t`: B sign bits packed into a long. */
   def lshBucket(v: Column, t: Int): Column =
     (0 until Bits).map(b =>
-      when(dotLit(v, hyperplanes(t)(b)) > 0, lit(1L << b)).otherwise(lit(0L)))
+      when(planeSide(v, hyperplanes(t)(b)), lit(1L << b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
 
   /** (id, table, bucket) — one row per table. */
