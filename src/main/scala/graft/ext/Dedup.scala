@@ -89,8 +89,12 @@ object Dedup {
       val b = posts.select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
       val jac = col("overlap").cast(DoubleType) /
         (col("sz_a") + col("sz_b") - col("overlap"))
+      // size-ratio prefilter: J(A,B) ≤ min/max of the set sizes, so
+      // J ≥ 0.3 pairs must satisfy the ratio bound — prunes join
+      // output before the pair aggregation ever sees it
       a.join(b, Seq("hs"))
-        .filter(col("doc_a") < col("doc_b"))
+        .filter(col("doc_a") < col("doc_b") &&
+          col("sz_a") * 10 >= col("sz_b") * 3 && col("sz_b") * 10 >= col("sz_a") * 3)
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(count(lit(1)).as("overlap"))
         .select(col("doc_a"), col("doc_b"), roundPortable(jac, 6).as("jaccard"))

@@ -41,4 +41,50 @@ object Streams {
   def highValueEvents(events: DataFrame, threshold: Double = 150.0): DataFrame =
     events.filter(col("value") >= threshold)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+  /** Streaming sessionization via the built-in session_window: gap-based
+    * windows per user, closed by the watermark. State per (user, open
+    * session) only — bounded by activity, merged incrementally.
+    */
+  def sessionized(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("max_value"))
+
+  /** One user's running state for [[runningTotals]]. */
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom arbitrary-state aggregation via flatMapGroupsWithState:
+    * running per-user event count + value sum, emitting an updated
+    * snapshot per micro-batch in which the user appears. The shape a
+    * real pipeline uses when the built-in windows can't express the
+    * state machine.
+    *
+    * Scale notes: state is one small case class per user,
+    * hash-partitioned on user_id across executors; timeouts would
+    * evict idle users in production (omitted here — the spec drives a
+    * bounded stream).
+    */
+  def runningTotals(
+      events: org.apache.spark.sql.Dataset[(Long, Double)]): org.apache.spark.sql.Dataset[UserTotals] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[UserTotals]
+    implicit val longEnc = Encoders.scalaLong
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserTotals(user, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 }

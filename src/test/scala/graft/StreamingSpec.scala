@@ -48,6 +48,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === expected.toSeq)
   }
 
+  test("streaming session windows split on the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // user 1: events at 00:10 and 01:05 — 55-min gap → 2 sessions
+    mem.addData(rows: _*)
+    val q = Streams.sessionized(mem.toDF())
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_stream")
+    assert(got.filter(col("user_id") === 1L).count() === 2)
+    assert(got.agg(sum("n_events")).head.getLong(0) === rows.length)
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streams.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("totals_stream")
+      .outputMode("append").start()
+    mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+    q.processAllAvailable()
+    mem.addData((1L, 2.5))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("totals_stream")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(last(1L) === ((3L, 17.5))) // state carried across micro-batches
+    assert(last(2L) === ((1L, 1.0)))
+  }
+
   test("stateless high-value filter streams through") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
