@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Functions
+
+/** Property tests (SURVEY.md §5): the CASE cascades are total
+  * functions onto exactly their accepted_values lists, and the
+  * portable rounding behaves like fixed-point rounding. Seeded random
+  * sampling, evaluated as single Spark jobs over the sample columns.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+
+  private def overLongs(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                        samples: Seq[Long]): Seq[String] = {
+    val s = spark; import s.implicits._
+    samples.toDF("v").select(c(col("v")).as("r")).collect().map(_.getString(0)).toSeq
+  }
+
+  test("rank_tier is total onto its accepted_values for arbitrary longs") {
+    val accepted = Set("Top 5", "Top 10", "Top 25", "Other")
+    val samples = Seq.fill(500)(rnd.nextLong()) ++ Seq(Long.MinValue + 1, -1L, 0L, 5L, 10L, 25L, 26L, Long.MaxValue)
+    assert(overLongs(Functions.rankTier, samples).forall(accepted.contains))
+  }
+
+  test("growth_category is total onto its accepted_values for arbitrary doubles") {
+    val s = spark; import s.implicits._
+    val accepted = Set("Explosive (1000%+)", "Very High (500-999%)", "High (200-499%)",
+      "Moderate (100-199%)", "Low (<100%)")
+    val samples = Seq.fill(500)((rnd.nextDouble() - 0.5) * 1e9) ++
+      Seq(99.999999, 100.0, 199.99, 200.0, 499.99, 500.0, 999.99, 1000.0, -1e12, 1e12)
+    val got = samples.toDF("v").select(Functions.growthCategory(col("v")).as("r"))
+      .collect().map(_.getString(0))
+    assert(got.forall(accepted.contains))
+  }
+
+  test("interest_level and rank_category are total onto their accepted_values") {
+    val interest = Set("Very High Interest", "High Interest", "Moderate Interest",
+      "Low Interest", "Very Low Interest")
+    val rank = Set("#1 Term", "Top 5", "Top 10", "Other")
+    val samples = Seq.fill(500)(rnd.nextLong() % 10000L) ++ Seq(0L, 1L, 19L, 20L, 39L, 40L, 59L, 60L, 79L, 80L, 100L)
+    assert(overLongs(Functions.interestLevel, samples).forall(interest.contains))
+    assert(overLongs(Functions.rankCategory, samples).forall(rank.contains))
+  }
+
+  test("roundPortable is identity on values already at the target scale") {
+    val s = spark; import s.implicits._
+    val samples = Seq.fill(500)(rnd.between(-9999999L, 9999999L)).map(_ / 100.0)
+    val bad = samples.toDF("v")
+      .select(col("v"), Functions.roundPortable(col("v"), 2).as("r"))
+      .filter(abs(col("v") - col("r")) > 1e-9)
+    assert(bad.isEmpty)
+  }
+
+  test("rank boundaries land in the reference buckets (golden contract)") {
+    val cases = Seq(1L -> "Top 5", 5L -> "Top 5", 6L -> "Top 10", 10L -> "Top 10",
+      11L -> "Top 25", 25L -> "Top 25", 26L -> "Other")
+    val got = overLongs(Functions.rankTier, cases.map(_._1))
+    assert(got === cases.map(_._2))
+    assert(overLongs(Functions.rankCategory, Seq(1L)) === Seq("#1 Term"))
+  }
+}
