@@ -20,10 +20,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest scale so first-query JIT cost
-    // doesn't land on one arbitrary query's number.
-    SparkEntry.queries.get("a_group_agg")
-      .foreach(fn => fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save())
+    // JVM/codegen warmup so first-query JIT cost doesn't land on one
+    // arbitrary query's number. Warm against sfDir itself (the only
+    // guaranteed dataset); a warmup failure must never abort the bench.
+    try SparkEntry.queries.get("a_group_agg")
+      .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

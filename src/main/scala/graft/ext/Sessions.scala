@@ -52,7 +52,7 @@ object Sessions {
            |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
            |  FROM marked
            |)
-           |SELECT user_id, max(session_seq) AS n_sessions, count(*) AS n_events,
+           |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events,
            |       floor(CAST(count(*) AS DOUBLE) / max(session_seq) * 10000 + 0.5) / 10000 AS avg_events_per_session
            |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)
   )

@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * path bit-for-bit: same accumulation order).
   *
   * Mismatched lengths score over the common prefix; empty arrays give
-  * NaN (0/0), which callers filter or never produce.
+  * NaN (0/0), which callers filter or never produce. A NULL array
+  * element makes the whole result NULL (the checks are only generated
+  * when the input type says elements can be null, so the
+  * containsNull=false hot path stays a branch-free loop).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,6 +45,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _                       => false
   }
 
+  private def mayHaveNullElements(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => false
+  }
+
+  override def nullable: Boolean =
+    super.nullable || mayHaveNullElements(left) || mayHaveNullElements(right)
+
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -49,6 +60,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     val (lf, rf) = (isFloat(left), isFloat(right))
+    if (mayHaveNullElements(left) || mayHaveNullElements(right)) {
+      var j = 0
+      while (j < n) {
+        if (x.isNullAt(j) || y.isNullAt(j)) return null
+        j += 1
+      }
+    }
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -75,19 +93,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val nullGuard =
+        if (mayHaveNullElements(left) || mayHaveNullElements(right)) {
+          val j = ctx.freshName("j")
+          s"""
+             |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+             |  if ($a.isNullAt($j) || $b.isNullAt($j)) ${ev.isNull} = true;
+             |}
+           """.stripMargin
+        } else ""
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |double $na = 0.0;
-         |double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = $getX;
-         |  final double $yi = $getY;
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
+         |$nullGuard
+         |if (!${ev.isNull}) {
+         |  double $dot = 0.0;
+         |  double $na = 0.0;
+         |  double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = $getX;
+         |    final double $yi = $getY;
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -38,7 +38,9 @@ object Inventory {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+        // `div` is integral division on longs — `/` would go through double
+        // and round ~2% of epoch-ns values (>2^53) off by 1 µs.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }
