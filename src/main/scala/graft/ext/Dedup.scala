@@ -18,9 +18,13 @@ import graft.ext.TextAnalysis.tokens
   *     shuffle is hash-partitioned on band keys; candidates are then
   *     verified with exact Jaccard. Cost is O(n·k + candidates),
   *     never O(n²);
-  *   - SimHash — 64-bit fingerprints whose Hamming distance bounds
-  *     cosine-of-token-vectors; banding the 64 bits into 4×16-bit
+  *   - SimHash — 60-bit fingerprints whose Hamming distance bounds
+  *     cosine-of-token-vectors; banding the 60 bits into 4×15-bit
   *     blocks gives an equi-joinable key for Hamming ≤ 3 search.
+  *
+  * All hashing is md5-derived 60-bit ([[hash60]]) or universal-hash
+  * arithmetic over it, so every operator here — including the
+  * approximate ones — has an exact DuckDB oracle.
   *
   * Performance rule learned by measurement: higher-order array
   * functions (transform/aggregate/zip_with) evaluate INTERPRETED and
@@ -32,11 +36,21 @@ import graft.ext.TextAnalysis.tokens
   */
 object Dedup {
 
+  /** Cross-engine 60-bit content hash: the top 15 hex chars of md5,
+    * parsed as an integer. md5 is bit-identical everywhere, and 60
+    * bits fits signed int64 in any engine — so a DuckDB oracle can
+    * reproduce every downstream hash-derived value exactly
+    * (`('0x' || substr(md5(s),1,15))::BIGINT`). Collision odds at
+    * 2⁻⁶⁰·n² are irrelevant for dedup candidate generation.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(encode(s, "UTF-8")), 1, 15), 16, 10).cast("long")
+
   /** Distinct 3-token-shingle hashes per document: (doc_id, sz, hs)
     * with `sz` = |shingle set| on every row. posexplode + two window
-    * `lead`s build each shingle string once; xxhash64 collapses it to
-    * a 64-bit key (collision odds ~2⁻⁶⁴·n² — irrelevant), so every
-    * downstream shuffle moves longs, not strings.
+    * `lead`s build each shingle string once; [[hash60]] collapses it
+    * to a 60-bit key, so every downstream shuffle moves longs, not
+    * strings — and the DuckDB oracle can recompute the identical key.
     *
     * Scale notes: the window and the distinct both hash-partition on
     * doc_id; Catalyst reuses the partitioning, so this is ONE shuffle
@@ -50,7 +64,7 @@ object Dedup {
       .withColumn("t1", lead("t", 1).over(w))
       .withColumn("t2", lead("t", 2).over(w))
       .filter(col("t2").isNotNull)
-      .select(col("doc_id"), xxhash64(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("hs"))
+      .select(col("doc_id"), hash60(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("hs"))
       .distinct()
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
   }
@@ -116,10 +130,18 @@ object Dedup {
   )
 
   // ------------------------------------------------------------------
-  // MinHash + LSH banding. k=32 hash functions (xxhash64 with distinct
-  // prefixes), 16 bands × 2 rows: P(candidate | J=0.5) ≈ 0.99.
-  // Pipeline: signature (pure map) → explode bands → equi-join on
-  // (band, key) → exact-Jaccard verify of the candidates only.
+  // MinHash + LSH banding. k=32 universal-hash functions
+  // `h_i(x) = (a_i·x + b_i) mod p` over the 60-bit shingle hash
+  // (p = 2³¹−1, so every product fits int64), 16 bands × 2 rows:
+  // P(candidate | J=0.5) ≈ 0.99. Pipeline: signature (pure map) →
+  // explode bands → equi-join on (band, key) → exact-Jaccard verify
+  // of the candidates only.
+  //
+  // Universal hashing instead of an engine-specific mixer keeps the
+  // whole pipeline pure int64 arithmetic, so the DuckDB oracle below
+  // replicates candidate generation EXACTLY (same coefficients
+  // inlined into the SQL) — the approximate operator gets the same
+  // hash-match verification as the exact ones.
   //
   // Scale notes: the band join is hash-partitioned on (band, key) —
   // no broadcast, no cross product. Degenerate keys (e.g. boilerplate
@@ -133,22 +155,38 @@ object Dedup {
   val RowsPerBand: Int = NumHashes / Bands
   val MaxBucket = 1000
 
+  /** Mersenne prime 2³¹−1: (p−1)² < 2⁶³, so a·x+b never overflows. */
+  val P = 2147483647L
+
+  /** Deterministic universal-hash coefficients (seed 7), inlined into
+    * both the Catalyst plan and the oracle SQL.
+    */
+  val (coefA, coefB): (IndexedSeq[Long], IndexedSeq[Long]) = {
+    val rnd = new scala.util.Random(7)
+    (IndexedSeq.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1)),
+      IndexedSeq.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
   /** doc_id → (band, key) pairs, one row per band.
     *
-    * Each shingle is hashed ONCE (xxhash64), then the k MinHash
-    * functions are derived as `xxhash64(h, i)` — codegen'd long
-    * mixing, not k string hashes — and reduced by k `min()` aggregate
-    * columns in a single HashAggregate (one shuffle on doc_id).
+    * Each shingle is hashed ONCE ([[hash60]]), reduced mod p, then the
+    * k MinHash functions are affine maps — codegen'd long arithmetic,
+    * not k string hashes — reduced by k `min()` aggregate columns in a
+    * single HashAggregate (one shuffle on doc_id). A 2-row band packs
+    * into one int64 key as m₀·p + m₁ (both < p, so the pack is exact).
     * Higher-order array functions are deliberately avoided: they fall
     * back to interpreted evaluation and break whole-stage codegen
     * (measured 10×+ slower at sf0.1).
     */
   def lshBands(posts: DataFrame): DataFrame = {
-    val mins = (0 until NumHashes).map(i => min(xxhash64(col("hs"), lit(i))).as(s"m$i"))
+    require(RowsPerBand == 2, "band key packing assumes 2 rows per band")
+    val x = col("hs") % P
+    val mins = (0 until NumHashes).map(i =>
+      min((lit(coefA(i)) * x + lit(coefB(i))) % P).as(s"m$i"))
     val sig = posts.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bandCols = (0 until Bands).map { j =>
-      val rows = (j * RowsPerBand until (j + 1) * RowsPerBand).map(i => col(s"m$i"))
-      struct(lit(j).as("band"), xxhash64(rows: _*).as("key"))
+      struct(lit(j).as("band"),
+        (col(s"m${2 * j}") * P + col(s"m${2 * j + 1}")).as("key"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -182,19 +220,71 @@ object Dedup {
         .filter(col("jaccard") >= 0.3)
         .orderBy("doc_a", "doc_b")
     },
-    // Not DuckDB-expressible (xxhash64 banding); ScalaTest asserts this
-    // equals jaccardPairs (full recall at J ≥ 0.5 with 16×2 bands).
-    None
+    // Full oracle: DuckDB replays the ENTIRE pipeline — md5-derived
+    // shingle hashes, the same universal-hash coefficients, band
+    // packing, bucket-size guard, candidate join, exact verify — so
+    // even the approximate path is hash-match verified, not just
+    // row-counted. (ScalaTest additionally asserts it equals
+    // jaccardPairs: full recall at J ≥ 0.5 with 16×2 bands.)
+    Some {
+      val minCols = (0 until NumHashes)
+        .map(i => s"    min((${coefA(i)} * x + ${coefB(i)}) % $P) AS m$i")
+        .mkString(",\n")
+      val bandRows = (0 until Bands)
+        .map(j => s"  SELECT doc_id, $j AS band, m${2 * j} * $P + m${2 * j + 1} AS key FROM sig")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' ')))) AS s
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hs FROM sh0
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id,
+         |$minCols
+         |  FROM (SELECT doc_id, hs % $P AS x FROM sh) GROUP BY doc_id
+         |), bands AS (
+         |$bandRows
+         |), sized AS (
+         |  SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bucket_n FROM bands
+         |), flt AS (
+         |  SELECT * FROM sized WHERE bucket_n <= $MaxBucket
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM flt a JOIN flt b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id
+         |), ov AS (
+         |  SELECT c.doc_a, c.doc_b, sa.sz AS sz_a, sb.sz AS sz_b, count(*) AS overlap
+         |  FROM cand c
+         |  JOIN sh pa ON pa.doc_id = c.doc_a
+         |  JOIN sh pb ON pb.doc_id = c.doc_b AND pb.hs = pa.hs
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT doc_a, doc_b,
+         |       floor(CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap) * 1000000 + 0.5) / 1000000 AS jaccard
+         |FROM ov
+         |WHERE floor(CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap) * 1000000 + 0.5) / 1000000 >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
   )
 
   // ------------------------------------------------------------------
-  // SimHash: 64-bit fingerprint = sign of per-bit vote sums over token
-  // hashes. Near-dup docs differ in few bits; the 4×16-bit band split
-  // yields an equi-join key covering all pairs within Hamming ≤ 3
-  // (pigeonhole). Pure map per doc; no shuffle in this query.
+  // SimHash: 60-bit fingerprint = sign of per-bit vote sums over token
+  // hashes ([[hash60]], so the oracle recomputes identical bits).
+  // Near-dup docs differ in few bits; the 4×15-bit band split yields
+  // an equi-join key covering all pairs within Hamming ≤ 3
+  // (pigeonhole). Pure map per doc; one shuffle on doc_id.
   // ------------------------------------------------------------------
-  /** doc_id → 64-bit SimHash. Tokens explode to rows, each token is
-    * hashed once, and the 64 per-bit votes are 64 codegen'd
+  val SimBits = 60
+  val SimBands = 4
+  val SimBandBits: Int = SimBits / SimBands
+
+  /** doc_id → 60-bit SimHash. Tokens explode to rows, each token is
+    * hashed once, and the 60 per-bit votes are 60 codegen'd
     * conditional-sum aggregate columns in ONE HashAggregate (shuffle
     * on doc_id only). The earlier higher-order-function formulation
     * (fold over a 64-slot array per token) evaluated interpreted and
@@ -202,11 +292,11 @@ object Dedup {
     */
   def simhashDf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(col("toks")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(j =>
+      .select(col("doc_id"), hash60(col("t")).as("h"))
+    val votes = (0 until SimBits).map(j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"v$j"))
     val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map(j =>
+    val fp = (0 until SimBits).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
     agg.select(col("doc_id"), fp.as("simhash"))
   }
@@ -215,11 +305,41 @@ object Dedup {
     (s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-      val cols = Seq(col("doc_id"), col("simhash")) ++ (0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as(s"band$b"))
+      val cols = Seq(col("doc_id"), col("simhash")) ++ (0 until SimBands).map(b =>
+        shiftright(col("simhash"), b * SimBandBits)
+          .bitwiseAND((1L << SimBandBits) - 1).as(s"band$b"))
       simhashDf(docs).select(cols: _*).orderBy("doc_id")
     },
-    None // xxhash64-based; validated in ScalaTest (Hamming vs Jaccard correlation)
+    // Full oracle: identical md5-derived token hashes ⇒ identical
+    // votes ⇒ identical fingerprint, bit for bit.
+    Some {
+      val voteCols = (0 until SimBits)
+        .map(j => s"    sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n")
+      val fpExpr = (0 until SimBits)
+        .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
+        .mkString(" |\n         ")
+      val bandCols = (0 until SimBands)
+        .map(b => s"  (simhash >> ${b * SimBandBits}) & ${(1L << SimBandBits) - 1} AS band$b")
+        .mkString(",\n")
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS t
+         |        FROM documents)
+         |), v AS (
+         |  SELECT doc_id,
+         |$voteCols
+         |  FROM tok GROUP BY doc_id
+         |), fp AS (
+         |  SELECT doc_id,
+         |         $fpExpr AS simhash
+         |  FROM v
+         |)
+         |SELECT doc_id, simhash,
+         |$bandCols
+         |FROM fp ORDER BY doc_id""".stripMargin
+    }
   )
 
   val queries: Seq[(String, Q)] = Seq(

@@ -17,10 +17,13 @@ object Sessions {
   val GapSeconds = 1800L
 
   // ------------------------------------------------------------------
-  // Sessionization: a session breaks after a 30-min silence. Window
-  // functions (lag + running sum) partition BY USER — at scale this is
-  // one shuffle on user_id and each user's timeline sorts locally;
-  // no global sort, no driver involvement.
+  // Sessionization: a session breaks after a 30-min silence. One `lag`
+  // window partitioned BY USER — at scale this is one shuffle on
+  // user_id and each user's timeline sorts locally; no global sort, no
+  // driver involvement. The per-user session COUNT is just
+  // sum(new_session), so no running-sum window pass is needed (the
+  // running session_seq only matters when tagging individual events —
+  // see `graft.streaming.Streams` for that shape).
   // ------------------------------------------------------------------
   val sessionize: Q = Q(
     (s, d) => {
@@ -29,13 +32,12 @@ object Sessions {
       val us = unix_micros(col("ts"))
       val prev = lag(us, 1).over(byUser)
       val newSession = when(prev.isNull || (us - prev) > GapSeconds * 1000000L, 1L).otherwise(0L)
-      ev.withColumn("session_seq", sum(newSession).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.withColumn("new_session", newSession)
         .groupBy("user_id")
         .agg(
-          max(col("session_seq")).as("n_sessions"),
+          sum(col("new_session")).as("n_sessions"),
           count(lit(1)).as("n_events"),
-          roundPortable(count(lit(1)).cast("double") / max(col("session_seq")), 4)
+          roundPortable(count(lit(1)).cast("double") / sum(col("new_session")), 4)
             .as("avg_events_per_session"))
         .orderBy("user_id")
     },
@@ -46,15 +48,10 @@ object Sessions {
            |         THEN 1 ELSE 0 END AS new_session
            |  FROM events
            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-           |), sess AS (
-           |  SELECT user_id,
-           |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-           |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-           |  FROM marked
            |)
-           |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events,
-           |       floor(CAST(count(*) AS DOUBLE) / max(session_seq) * 10000 + 0.5) / 10000 AS avg_events_per_session
-           |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)
+           |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events,
+           |       floor(CAST(count(*) AS DOUBLE) / sum(new_session) * 10000 + 0.5) / 10000 AS avg_events_per_session
+           |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
   // ------------------------------------------------------------------
