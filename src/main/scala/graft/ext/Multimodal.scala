@@ -46,12 +46,24 @@ object Multimodal {
     c.getValue
   }
 
+  /** 60-bit md5-derived payload hash — same construction as
+    * `Dedup.hash60`, computed JVM-side for the per-partition mapper
+    * (and reproducible as `('0x' || substr(md5(s),1,15))::BIGINT` in
+    * the oracle).
+    */
+  def hash60Bytes(bytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).take(8).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
   /** STUB decoder — a real implementation would hand `payload` to a
     * codec (ImageIO / ffmpeg / soundfile); this derives deterministic
-    * fake dimensions from the bytes so the pipeline is testable.
+    * fake dimensions from the payload hash so the pipeline is testable
+    * AND oracle-reproducible.
     */
   def decodeStub(item: MediaItem): MediaFeatures = {
-    val h = crc(item.payload)
+    val h = hash60Bytes(item.payload)
     val mean =
       if (item.payload.isEmpty) 0.0
       else item.payload.map(b => (b & 0xff).toLong).sum.toDouble / item.payload.length
@@ -103,8 +115,8 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** Rows-only verification query: decode-stub features aggregated per
-    * kind (plus frame counts for videos).
+  /** Decode-stub features aggregated per kind (plus frame counts for
+    * videos), hash-match verified against a DuckDB replay of the stub.
     */
   val features: Q = Q(
     (s, d) => {
@@ -124,7 +136,30 @@ object Multimodal {
           sum(coalesce(col("frames_sampled"), lit(0L))).as("total_frames_sampled"))
         .orderBy("kind")
     },
-    None // decode stub is engine-side only; validated in MultimodalSpec
+    // The stub's fake dimensions derive from the md5-based payload
+    // hash, so DuckDB reproduces them exactly. grouped(1024) yields
+    // ceil(len/1024) frames; sampling every 2nd gives ceil(frames/2).
+    Some(s"""WITH m AS (
+            |  SELECT doc_id AS media_id,
+            |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+            |    octet_length(encode(text)) AS n_bytes,
+            |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+            |  FROM documents
+            |), f AS (
+            |  SELECT media_id, kind, n_bytes,
+            |    CAST(h % 1920 + 1 AS INTEGER) AS width,
+            |    CAST((h >> 16) % 1080 + 1 AS INTEGER) AS height,
+            |    CAST(CASE WHEN kind = 'video' THEN n_bytes // $FrameBytes + 1 ELSE 1 END AS INTEGER) AS n_frames,
+            |    CASE WHEN kind = 'video'
+            |         THEN (CAST(ceil(n_bytes / $FrameBytes.0) AS BIGINT) + 1) // 2
+            |         ELSE 0 END AS frames_sampled
+            |  FROM m
+            |)
+            |SELECT kind, count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+            |       min(width) AS min_width, max(height) AS max_height,
+            |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+            |       CAST(sum(frames_sampled) AS BIGINT) AS total_frames_sampled
+            |FROM f GROUP BY kind ORDER BY kind""".stripMargin)
   )
 
   val queries: Seq[(String, Q)] = Seq("multimodal_features" -> features)

@@ -146,7 +146,45 @@ object Similarity {
         .filter(col("rnk") <= TopK)
         .orderBy("q_id", "rnk")
     },
-    None // approximate: recall vs bruteForceTopK asserted in ScalaTest
+    // Full oracle: the seed-42 hyperplanes are inlined into the SQL as
+    // literals, so DuckDB reproduces the sign-bit buckets (sign of the
+    // dot product — norms are positive, so cosine>0 ⇔ dot>0), the
+    // candidate join, and the exact re-rank. Bits are summed, not
+    // OR'd, which is equivalent since each bit value is distinct.
+    Some {
+      val planeRows = (for { t <- 0 until Tables; b <- 0 until Bits } yield
+        s"    ($t, $b, [${hyperplanes(t)(b).mkString(", ")}])").mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), planes(tbl, bit, pv) AS (
+         |  VALUES
+         |$planeRows
+         |), buckets AS (
+         |  SELECT vec_id, tbl,
+         |    sum(CASE WHEN list_sum(list_transform(list_zip(v, pv), p -> p[1] * p[2])) > 0
+         |             THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+         |  FROM e, planes GROUP BY vec_id, tbl
+         |), qb AS (
+         |  SELECT vec_id AS q_id, tbl, bucket FROM buckets WHERE vec_id < $NumQueries
+         |), cand AS (
+         |  SELECT DISTINCT qb.q_id, c.vec_id
+         |  FROM qb JOIN buckets c ON qb.tbl = c.tbl AND qb.bucket = c.bucket
+         |  WHERE c.vec_id <> qb.q_id
+         |), s AS (
+         |  SELECT cand.q_id, cand.vec_id AS neighbor_id,
+         |    floor(list_sum(list_transform(list_zip(q.v, e.v), p -> p[1] * p[2]))
+         |      / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+         |         * sqrt(list_sum(list_transform(e.v, x -> x * x)))) * 1000000 + 0.5) / 1000000 AS sim
+         |  FROM cand
+         |  JOIN e q ON q.vec_id = cand.q_id
+         |  JOIN e ON e.vec_id = cand.vec_id
+         |), r AS (
+         |  SELECT q_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM s
+         |)
+         |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+    }
   )
 
   // ------------------------------------------------------------------
@@ -174,10 +212,15 @@ object Similarity {
       val queries = corpus.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       // nprobe nearest cells per query (tiny: Q × cells)
+      // csim is rounded to 6 dp before ranking: the centroid is a
+      // float-sum average (addition order varies with partitioning),
+      // so raw last-bit drift could flip near-tied cell ranks — the
+      // rounding + label tiebreak makes the probe set deterministic
+      // and oracle-reproducible.
       val wCell = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("label"))
       val probes = queries.crossJoin(broadcast(cents))
         .select(col("q_id"), col("q_emb"), col("label"),
-          cosine(col("q_emb"), col("centroid")).as("csim"))
+          roundPortable(cosine(col("q_emb"), col("centroid")), 6).as("csim"))
         .withColumn("cr", row_number().over(wCell))
         .filter(col("cr") <= NProbe)
         .select("q_id", "q_emb", "label")
@@ -190,7 +233,43 @@ object Similarity {
         .filter(col("rnk") <= TopK)
         .orderBy("q_id", "rnk")
     },
-    None // approximate: recall vs bruteForceTopK asserted in ScalaTest
+    // Full oracle: DuckDB recomputes the per-label centroids (per-dim
+    // float avg), the 6-dp-rounded cell ranking with nprobe cut, and
+    // the exact re-rank inside probed cells. The csim rounding keeps
+    // the probe set identical despite sum-order drift in the avg.
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+            |), cents AS (
+            |  SELECT label, list(c ORDER BY i) AS centroid FROM (
+            |    SELECT label, i, avg(v[i]) AS c
+            |    FROM e, range(1, $Dim + 1) t(i)
+            |    GROUP BY label, i
+            |  ) GROUP BY label
+            |), q AS (
+            |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries
+            |), cellrank AS (
+            |  SELECT q_id, qv, label,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY
+            |      floor(list_sum(list_transform(list_zip(qv, centroid), p -> p[1] * p[2]))
+            |        / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+            |           * sqrt(list_sum(list_transform(centroid, x -> x * x)))) * 1000000 + 0.5) / 1000000 DESC,
+            |      label) AS cr
+            |  FROM q CROSS JOIN cents
+            |), probes AS (
+            |  SELECT q_id, qv, label FROM cellrank WHERE cr <= $NProbe
+            |), s AS (
+            |  SELECT p.q_id, e.vec_id AS neighbor_id,
+            |    floor(list_sum(list_transform(list_zip(p.qv, e.v), x -> x[1] * x[2]))
+            |      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+            |         * sqrt(list_sum(list_transform(e.v, x -> x * x)))) * 1000000 + 0.5) / 1000000 AS sim
+            |  FROM e JOIN probes p ON e.label = p.label
+            |  WHERE e.vec_id <> p.q_id
+            |), r AS (
+            |  SELECT q_id, neighbor_id, sim,
+            |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+            |  FROM s
+            |)
+            |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin)
   )
 
   val queries: Seq[(String, Q)] = Seq(
