@@ -48,15 +48,21 @@ object Dedup {
 
   /** Distinct 3-token-shingle hashes per document: (doc_id, sz, hs)
     * with `sz` = |shingle set| on every row. posexplode + two window
-    * `lead`s build each shingle string once; [[hash60]] collapses it
-    * to a 60-bit key, so every downstream shuffle moves longs, not
-    * strings — and the DuckDB oracle can recompute the identical key.
+    * `lead`s build each shingle string once; `shingleHash` collapses
+    * it to an int64 key, so every downstream shuffle moves longs, not
+    * strings.
+    *
+    * The hash is pluggable: operators whose ORACLE must recompute the
+    * key (MinHash) pass [[hash60]]; operators where the hash is only
+    * an opaque join key (Jaccard — its oracle intersects the string
+    * sets directly) keep the ~3× cheaper engine-native `xxhash64`.
     *
     * Scale notes: the window and the distinct both hash-partition on
     * doc_id; Catalyst reuses the partitioning, so this is ONE shuffle
     * of (doc_id, token) pairs regardless of corpus size.
     */
-  def shinglePosts(s: SparkSession, d: String): DataFrame = {
+  def shinglePosts(s: SparkSession, d: String,
+      shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     s.read.parquet(s"$d/documents.parquet")
@@ -64,7 +70,7 @@ object Dedup {
       .withColumn("t1", lead("t", 1).over(w))
       .withColumn("t2", lead("t", 2).over(w))
       .filter(col("t2").isNotNull)
-      .select(col("doc_id"), hash60(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("hs"))
+      .select(col("doc_id"), shingleHash(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("hs"))
       .distinct()
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
   }
@@ -194,7 +200,7 @@ object Dedup {
 
   val minhashLsh: Q = Q(
     (s, d) => {
-      val posts = shinglePosts(s, d)
+      val posts = shinglePosts(s, d, hash60)
       // degenerate-bucket guard via a count window (single pass, same
       // (band,key) partitioning the join below reuses)
       val sized = lshBands(posts).withColumn("bucket_n",
@@ -342,10 +348,51 @@ object Dedup {
     }
   )
 
+  // ------------------------------------------------------------------
+  // Embedding-cosine near-dup pairs: exact all-pairs over the
+  // embeddings table at threshold τ=0.4 — the correctness baseline of
+  // semantic dedup. The native codegen'd cosine expression makes the
+  // O(n²) scoring a tight fused loop; the id_a < id_b predicate halves
+  // the space.
+  //
+  // Scale notes: all-pairs is the right tool only per-block. At corpus
+  // scale the same exact scorer runs AFTER a candidate generator —
+  // `Similarity.bucketed` hyperplane buckets (near-dup τ≥0.85 regimes,
+  // where sign-LSH recall is high) or IVF cells as blocking keys — so
+  // cost is O(candidates), and this query is the verify stage.
+  // ------------------------------------------------------------------
+  val CosTau = 0.4
+
+  val embeddingPairs: Q = Q(
+    (s, d) => {
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val sim = roundPortable(
+        graft.functions.CosineSimilarity(col("va"), col("vb")), 6)
+      a.crossJoin(broadcast(b))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), sim.as("cos_sim"))
+        .filter(col("cos_sim") >= CosTau)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+            |), s AS (
+            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |    floor(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+            |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) * 1000000 + 0.5) / 1000000 AS cos_sim
+            |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+            |)
+            |SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= $CosTau ORDER BY id_a, id_b""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
     "dedup_minhash_lsh" -> minhashLsh,
-    "dedup_simhash" -> simhashFingerprints
+    "dedup_simhash" -> simhashFingerprints,
+    "dedup_embedding_pairs" -> embeddingPairs
   )
 }

@@ -75,6 +75,27 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.2, s"IVF nprobe=${Similarity.NProbe} recall $recall too low")
   }
 
+  test("hash60 matches a JVM-side md5 reference and stays in [0, 2^60)") {
+    import spark.implicits._
+    val texts = Seq("hello world", "", "naïve café", "a b c")
+    val got = texts.toDF("s").select(Dedup.hash60(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    val want = texts.map(t => Multimodal.hash60Bytes(t.getBytes("UTF-8")))
+    assert(got.toSeq === want)
+    val all = spark.read.parquet(s"$d/documents.parquet")
+      .select(Dedup.hash60(col("text")).as("h"))
+    assert(all.filter(col("h") < 0 || col("h") >= (1L << 60)).isEmpty)
+  }
+
+  test("embedding near-dup pairs: thresholded, ordered, within top-pair bounds") {
+    val pairs = Dedup.embeddingPairs.build(spark, d).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= Dedup.CosTau && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("token stats and quality are total over documents") {
     val n = spark.read.parquet(s"$d/documents.parquet").count()
     assert(TextAnalysis.tokenStats.build(spark, d).count() === n)
