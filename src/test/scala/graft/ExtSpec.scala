@@ -27,6 +27,13 @@ class ExtSpec extends SparkSpec {
     assert(lsh.toSeq === brute.toSeq)
   }
 
+  test("prefix-filtered jaccard join produces identical output to the direct join") {
+    val direct = Dedup.jaccardPairs.build(spark, d).collect().map(_.toString).sorted
+    val prefixed = Dedup.jaccardPairsPrefix(spark, d).collect().map(_.toString).sorted
+    assert(direct.nonEmpty)
+    assert(prefixed.toSeq === direct.toSeq)
+  }
+
   test("simhash: near-dup pairs have small Hamming distance, random pairs large") {
     val fp = Dedup.simhashFingerprints.build(spark, d).select("doc_id", "simhash")
     val pairs = Dedup.jaccardPairs.build(spark, d).filter(col("jaccard") >= 0.5)
