@@ -34,6 +34,26 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("GraftExtensions registers cosine_similarity for spark.sql users") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions).getOrCreate()
+      val r = s2
+        .sql("SELECT cosine_similarity(array(3.0D, 0.0D), array(3.0D, 4.0D)) AS c")
+        .head.getDouble(0)
+      assert(math.abs(r - 0.6) < 1e-12)
+      // null element propagates null, per the expression contract
+      val nl = s2.sql("SELECT cosine_similarity(array(1.0D, NULL), array(1.0D, 2.0D)) AS c")
+      assert(nl.head.isNullAt(0))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("expression survives codegen (no fallback errors) across a full aggregation") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val q = e.select(col("vec_id").as("ia"), col("embedding").as("va")).limit(5)
