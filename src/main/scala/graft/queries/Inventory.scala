@@ -264,17 +264,19 @@ object Inventory {
 
   // ------------------------------------------------------------------
   // §2.8 T1 — not_null data test ("select failing rows" compiled form;
-  // dbt test passes iff count == 0)
+  // dbt test passes iff count == 0).
+  // Scale note: all columns' null counts come from ONE scan — a single
+  // aggregate of conditional counts, pivoted to rows via inline() —
+  // instead of one scan per tested column.
   // ------------------------------------------------------------------
   val t1NotNull: Q = Q(
     (s, d) => {
-      val li = t(s, d, "lineitem")
-      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
-        .map(c =>
-          li.filter(col(c).isNull)
-            .agg(count(lit(1)).as("failing_rows"))
-            .select(lit(c).as("column_name"), col("failing_rows")))
-        .reduce(_ union _)
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      val counts = cols.map(c => count(when(col(c).isNull, 1)).as(s"null_$c"))
+      t(s, d, "lineitem")
+        .agg(counts.head, counts.tail: _*)
+        .select(inline(array(cols.map(c =>
+          struct(lit(c).as("column_name"), col(s"null_$c").as("failing_rows"))): _*)))
         .orderBy("column_name")
     },
     Some("""SELECT 'l_orderkey' AS column_name, count(*) AS failing_rows FROM lineitem WHERE l_orderkey IS NULL
@@ -288,18 +290,23 @@ object Inventory {
   // §2.8 T2 — accepted_values data test, with the NULL-pass semantics
   // of dbt's compiled `not in` filter (SURVEY.md §4 trap 5)
   // ------------------------------------------------------------------
+  // Scale note: one scan per TABLE (lineitem's two column checks share
+  // a single conditional-count aggregate), not one per tested column.
   val t2AcceptedValues: Q = Q(
     (s, d) => {
+      def fail(c: String, vals: Seq[String]) =
+        count(when(!col(c).isin(vals: _*) && col(c).isNotNull, 1))
       val ord = t(s, d, "orders")
+        .agg(fail("o_orderstatus", Seq("P", "O", "F")).as("failing_rows"))
+        .select(lit("o_orderstatus").as("column_name"), col("failing_rows"))
       val li = t(s, d, "lineitem")
-      def check(df: DataFrame, c: String, vals: Seq[String]) =
-        df.filter(!col(c).isin(vals: _*) && col(c).isNotNull)
-          .agg(count(lit(1)).as("failing_rows"))
-          .select(lit(c).as("column_name"), col("failing_rows"))
-      check(ord, "o_orderstatus", Seq("P", "O", "F"))
-        .union(check(li, "l_returnflag", Seq("A", "N", "R")))
-        .union(check(li, "l_linestatus", Seq("O", "F")))
-        .orderBy("column_name")
+        .agg(
+          fail("l_returnflag", Seq("A", "N", "R")).as("f_rf"),
+          fail("l_linestatus", Seq("O", "F")).as("f_ls"))
+        .select(inline(array(
+          struct(lit("l_returnflag").as("column_name"), col("f_rf").as("failing_rows")),
+          struct(lit("l_linestatus").as("column_name"), col("f_ls").as("failing_rows")))))
+      ord.union(li).orderBy("column_name")
     },
     Some("""SELECT 'o_orderstatus' AS column_name, count(*) AS failing_rows
            |FROM orders WHERE o_orderstatus NOT IN ('P','O','F') AND o_orderstatus IS NOT NULL
@@ -313,42 +320,47 @@ object Inventory {
   // ------------------------------------------------------------------
   // Flagship: the full `weekly_trends_summary` mart shape
   // (reference `models/marts/weekly_trends_summary.sql:1-112`) over the
-  // harness `events` table — 4 per-grain hash aggregates positionally
-  // unioned, typed-NULL gain columns on the non-value branches,
+  // harness `events` table — per-grain hash aggregates per event_type
+  // scope, typed-NULL gain columns on the non-value scopes,
   // round(_,2), CASE-over-LIKE categories, global DESC sort.
-  // Scale note: 4 independent aggregation stages, each with map-side
-  // partial agg; AQE coalesces the small post-shuffle partitions.
+  //
+  // Scale note: the reference's 4-way UNION of per-scope GROUP BYs
+  // would scan `events` 4 times. Because every branch groups the SAME
+  // table at the SAME (week, event_type) grain, the engine computes
+  // ONE groupBy(week, event_type) — one scan, one shuffle — and
+  // derives each branch's shape (trend_type label, NULLed max_value)
+  // with CASE projections over the tiny aggregate. Identical rows,
+  // 1/4 of the I/O; at 100 TB the scan is the whole cost. (The
+  // positional-union operator itself is exercised by p4_scope_union
+  // and the TrendsModels DAG, which keep the literal reference shape.)
   // ------------------------------------------------------------------
   val martWeeklyEventsSummary: Q = Q(
     (s, d) => {
       val ev = events(s, d)
-      def branch(trendType: String, eventType: String, hasValue: Boolean): DataFrame = {
-        val base = ev.filter(col("event_type") === eventType)
-          .groupBy(date_trunc("week", col("ts")).cast(DateType).as("week"))
-        val agged =
-          if (hasValue)
-            base.agg(
-              count(lit(1)).as("total_events"),
-              avgExact(col("value")).as("avg_value"),
-              max(col("value")).as("max_value"),
-              countDistinct(col("user_id")).as("unique_users"))
-          else
-            base.agg(
-              count(lit(1)).as("total_events"),
-              avgExact(col("value")).as("avg_value"),
-              lit(null).cast(DoubleType).as("max_value"),
-              countDistinct(col("user_id")).as("unique_users"))
-        agged.select(col("week"), lit(trendType).as("trend_type"), col("total_events"),
-          col("avg_value"), col("max_value"), col("unique_users"))
-      }
-      branch("rising_purchase", "purchase", hasValue = true)
-        .union(branch("rising_click", "click", hasValue = true))
-        .union(branch("top_view", "view", hasValue = false))
-        .union(branch("top_signup", "signup", hasValue = false))
+      val hasValue = col("event_type").isin("purchase", "click")
+      ev.filter(col("event_type").isin("purchase", "click", "view", "signup"))
+        .groupBy(
+          date_trunc("week", col("ts")).cast(DateType).as("week"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("total_events"),
+          avgExact(col("value")).as("avg_value"),
+          max(col("value")).as("max_value_raw"),
+          countDistinct(col("user_id")).as("unique_users"))
+        .select(
+          col("week"),
+          when(col("event_type") === "purchase", "rising_purchase")
+            .when(col("event_type") === "click", "rising_click")
+            .when(col("event_type") === "view", "top_view")
+            .otherwise("top_signup").as("trend_type"),
+          col("total_events"),
+          roundPortable(col("avg_value"), 2).as("avg_value"),
+          when(hasValue, col("max_value_raw")).otherwise(lit(null).cast(DoubleType))
+            .as("max_value"),
+          col("unique_users"))
         .select(
           col("week"), col("trend_type"), col("total_events"),
-          roundPortable(col("avg_value"), 2).as("avg_value"),
-          col("max_value"), col("unique_users"),
+          col("avg_value"), col("max_value"), col("unique_users"),
           when(col("trend_type").like("rising%"), "Rising Trends").otherwise("Top Trends")
             .as("trend_category"),
           when(col("trend_type").like("%purchase%"), "Revenue").otherwise("Engagement")

@@ -49,6 +49,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("multi-branch queries read their fact table exactly once") {
+    // the 4-scope weekly mart and the multi-column data tests are
+    // single-scan conditional aggregates, not one scan per branch
+    Seq(
+      "mart_weekly_events_summary" -> Inventory.martWeeklyEventsSummary,
+      "t1_not_null" -> Inventory.t1NotNull).foreach { case (name, q) =>
+      val p = plan(q.build(spark, d))
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans === 1, s"$name scans its input $scans times:\n$p")
+    }
+  }
+
   test("LSH banding join is an equi-join, not a nested loop") {
     val p = plan(Dedup.minhashLsh.build(spark, d))
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
