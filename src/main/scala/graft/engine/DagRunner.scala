@@ -37,7 +37,10 @@ final case class RunResult(
   * Spark scheduling; at 100 TB the write itself dominates, so we keep
   * scheduling sequential-and-simple here.
   */
-final class DagRunner(catalog: Catalog, sink: TableSink = new TableSink.Cached) {
+final class DagRunner(
+    catalog: Catalog,
+    sink: TableSink = new TableSink.Cached,
+    maxParallelism: Int = 1) {
 
   /** Kahn topo-sort over model-to-model edges; deterministic order
     * (insertion-ordered among ready nodes); throws on cycles and on
@@ -68,6 +71,16 @@ final class DagRunner(catalog: Catalog, sink: TableSink = new TableSink.Cached) 
     order.toSeq
   }
 
+  /** Run the DAG in dependency waves. Within a wave no model depends
+    * on another, so with `maxParallelism > 1` the wave's builds +
+    * tests are submitted concurrently (dbt's thread pool, Spark-side:
+    * concurrent actions share the cluster via the Spark scheduler —
+    * useful when single jobs don't saturate it, e.g. many small
+    * staging materializations). Results are deterministic regardless
+    * of parallelism: they're collected in wave-then-declaration order,
+    * and the test/skip gating semantics are identical to the
+    * sequential path.
+    */
   def run(models: Seq[Model]): RunResult = {
     val order = topoSort(models)
     val modelNames = models.map(_.name).toSet
@@ -76,24 +89,45 @@ final class DagRunner(catalog: Catalog, sink: TableSink = new TableSink.Cached) 
     val failedOrSkipped = mutable.Set.empty[String]
     val skipped = mutable.ArrayBuffer.empty[String]
 
-    for (m <- order) {
-      if (m.deps.exists(d => failedOrSkipped.contains(d))) {
-        failedOrSkipped += m.name
-        skipped += m.name
-      } else {
-        val inputs: Map[String, DataFrame] =
-          m.deps.map { d =>
-            d -> (if (modelNames.contains(d)) built(d) else catalog.table(d))
-          }.toMap
-        val df = m.transform(inputs)
-        val rel = m.materialization match {
-          case Materialization.View  => df
-          case Materialization.Table => sink.write(m.name, df)
+    // longest-path depth per model = its wave index
+    val depth = mutable.Map.empty[String, Int]
+    for (m <- order)
+      depth(m.name) =
+        m.deps.filter(modelNames.contains).map(d => depth(d) + 1).maxOption.getOrElse(0)
+    val waves = order.groupBy(m => depth(m.name)).toSeq.sortBy(_._1).map(_._2)
+
+    /** Build + materialize + test one model (its deps are complete). */
+    def process(m: Model): (String, DataFrame, Seq[TestResult]) = {
+      val inputs: Map[String, DataFrame] =
+        m.deps.map { d =>
+          d -> (if (modelNames.contains(d)) built(d) else catalog.table(d))
+        }.toMap
+      val df = m.transform(inputs)
+      val rel = m.materialization match {
+        case Materialization.View  => df
+        case Materialization.Table => sink.write(m.name, df)
+      }
+      (m.name, rel, m.tests.map(t => TestResult(m.name, t.name, t.passes(rel))))
+    }
+
+    for (wave <- waves) {
+      val (toSkip, toRun) = wave.partition(_.deps.exists(failedOrSkipped.contains))
+      toSkip.foreach { m => failedOrSkipped += m.name; skipped += m.name }
+      val outcomes: Seq[(String, DataFrame, Seq[TestResult])] =
+        if (maxParallelism <= 1 || toRun.size <= 1) toRun.map(process)
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(maxParallelism, toRun.size))
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+          try Await.result(Future.sequence(toRun.map(m => Future(process(m)))), Duration.Inf)
+          finally pool.shutdown()
         }
-        built += m.name -> rel
-        val testRs = m.tests.map(t => TestResult(m.name, t.name, t.passes(rel)))
+      outcomes.foreach { case (name, rel, testRs) =>
+        built += name -> rel
         results ++= testRs
-        if (testRs.exists(!_.passed)) failedOrSkipped += m.name
+        if (testRs.exists(!_.passed)) failedOrSkipped += name
       }
     }
     RunResult(built.toMap, results.toSeq, skipped.toSeq)

@@ -61,16 +61,33 @@ object TableSink {
   /** Parquet-directory materialization — the scale path. Each mart is
     * written once (optionally partitioned) and downstream/BI reads hit
     * the precomputed files, exactly like the reference's mart tables.
+    *
+    * With `overwritePartitions = true`, a partitioned write replaces
+    * ONLY the partitions present in the incoming DataFrame (dynamic
+    * partition overwrite) — the incremental path for the reference's
+    * `refresh_date`-keyed re-materialization (SURVEY.md §2.10): a
+    * daily refresh rewrites one partition, not the 100 TB table.
     */
-  final class Parquet(dir: String, partitionBy: Map[String, Seq[String]] = Map.empty)
+  final class Parquet(
+      dir: String,
+      partitionBy: Map[String, Seq[String]] = Map.empty,
+      overwritePartitions: Boolean = false)
       extends TableSink {
+
+    private val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+
     override def write(name: String, df: DataFrame): DataFrame = {
-      val w = df.write.mode("overwrite")
       val path = s"$dir/$name"
-      partitionBy.get(name) match {
-        case Some(cols) if cols.nonEmpty => w.partitionBy(cols: _*).parquet(path)
-        case _                           => w.parquet(path)
-      }
+      val conf = df.sparkSession.conf
+      val partCols = partitionBy.getOrElse(name, Nil)
+      val dynamic = overwritePartitions && partCols.nonEmpty
+      val prev = if (dynamic) Some(conf.get(OverwriteModeKey, "STATIC")) else None
+      if (dynamic) conf.set(OverwriteModeKey, "dynamic")
+      try {
+        val w = df.write.mode("overwrite")
+        if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(path)
+        else w.parquet(path)
+      } finally prev.foreach(conf.set(OverwriteModeKey, _))
       df.sparkSession.read.parquet(path)
     }
   }

@@ -59,6 +59,44 @@ class EngineSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/t").exists())
   }
 
+  test("dynamic partition overwrite rewrites only the incoming partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val sink = new TableSink.Parquet(dir,
+      Map("t" -> Seq("refresh_date")), overwritePartitions = true)
+    val full = Seq(("2024-01-01", 1L), ("2024-01-01", 2L), ("2024-01-08", 3L))
+      .toDF("refresh_date", "id")
+    sink.write("t", full)
+    // incremental refresh: only the 01-08 partition arrives, with new rows
+    val incr = Seq(("2024-01-08", 30L), ("2024-01-08", 31L)).toDF("refresh_date", "id")
+    val rel = sink.write("t", incr)
+    val got = rel.select($"refresh_date".cast("string"), $"id")
+      .orderBy("refresh_date", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("2024-01-01", 1L), ("2024-01-01", 2L),
+      ("2024-01-08", 30L), ("2024-01-08", 31L)))
+  }
+
+  test("parallel DAG run matches sequential semantics (relations, tests, gating)") {
+    val seq = graft.models.TrendsModels.run(spark)
+    val par = new DagRunner(
+      new MapCatalog(graft.models.TrendsFixtures.catalog(spark)),
+      new TableSink.Cached, maxParallelism = 4)
+      .run(graft.models.TrendsModels.all)
+    assert(par.relations.keySet == seq.relations.keySet)
+    assert(par.tests.sortBy(t => (t.model, t.test)) == seq.tests.sortBy(t => (t.model, t.test)))
+    assert(par.skipped == seq.skipped)
+    assert(par.allTestsPassed)
+    // gating still holds when a wave member fails in parallel mode
+    val src = Seq((1, Option.empty[String]), (2, Some("ok"))).toDF("id", "name")
+    val bad = m("bad", Seq("src"), tests = Seq(NotNull("name")))(in => in("src"))
+    val ok = m("ok", Seq("src"))(in => in("src"))
+    val child = m("child", Seq("bad", "ok"))(in => in("bad"))
+    val r = new DagRunner(new MapCatalog(Map("src" -> src)),
+      new TableSink.Cached, maxParallelism = 4).run(Seq(bad, ok, child))
+    assert(r.skipped == Seq("child"))
+    assert(r.relations.keySet == Set("bad", "ok"))
+  }
+
   test("generate_schema_name routing (macros/generate_schema_name.sql:1-23)") {
     assert(Seeds.schemaFor("seed", Some("raw"), "analytics", "dev") == "raw")
     assert(Seeds.schemaFor("model", Some("marts"), "analytics", "prod") == "analytics_marts")
