@@ -97,6 +97,25 @@ class EngineSpec extends SparkSpec {
     assert(r.relations.keySet == Set("bad", "ok"))
   }
 
+  test("salted join and salted aggregation match their unsalted equivalents") {
+    // 90% of fact rows share one hot key — the shape salting exists for
+    val fact = (1 to 1000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i.toLong))
+      .toDF("k", "v")
+    val dim = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (6L, "c")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).orderBy("v")
+      .collect().map(_.toString).toSeq
+    val salted = Joins.saltedJoin(fact, dim, "k", salts = 8, saltSource = col("v"))
+      .orderBy("v").collect().map(_.toString).toSeq
+    assert(salted == plain)
+    val plainAgg = fact.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    val saltedAgg = Joins.saltedAgg(fact, "k", salts = 8, saltSource = col("v"))(
+      Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+      Seq(sum("ps").as("s"), sum("pn").as("n")))
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(saltedAgg == plainAgg)
+  }
+
   test("generate_schema_name routing (macros/generate_schema_name.sql:1-23)") {
     assert(Seeds.schemaFor("seed", Some("raw"), "analytics", "dev") == "raw")
     assert(Seeds.schemaFor("model", Some("marts"), "analytics", "prod") == "analytics_marts")

@@ -54,6 +54,36 @@ class PropertySpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("PPJoin prefix lemma: J >= tau implies intersecting prefixes (random sets)") {
+    // the completeness guarantee jaccardPairsPrefix relies on, checked
+    // over random set pairs for every tau the engine might use
+    def prefix(s: Seq[Int], tau: Double): Set[Int] =
+      s.sorted.take(s.size - math.ceil(tau * s.size).toInt + 1).toSet
+    for (_ <- 1 to 2000) {
+      val universe = 40
+      val a = Seq.fill(rnd.between(1, 25))(rnd.nextInt(universe)).distinct
+      val b = Seq.fill(rnd.between(1, 25))(rnd.nextInt(universe)).distinct
+      val j = a.intersect(b).size.toDouble / a.concat(b).distinct.size
+      for (tau <- Seq(0.3, 0.5, 0.7, 0.9) if j >= tau) {
+        assert(prefix(a, tau).intersect(prefix(b, tau)).nonEmpty,
+          s"prefix filter would miss J=$j >= tau=$tau pair: a=$a b=$b")
+      }
+    }
+  }
+
+  test("minhash universal hashes stay in [0, p) and preserve set identity") {
+    import graft.ext.Dedup
+    assert(Dedup.coefA.forall(a => a >= 1 && a < Dedup.P))
+    assert(Dedup.coefB.forall(b => b >= 0 && b < Dedup.P))
+    for (_ <- 1 to 500) {
+      val x = math.abs(rnd.nextLong()) % (1L << 60)
+      (0 until Dedup.NumHashes).foreach { i =>
+        val h = (Dedup.coefA(i) * (x % Dedup.P) + Dedup.coefB(i)) % Dedup.P
+        assert(h >= 0 && h < Dedup.P)
+      }
+    }
+  }
+
   test("rank boundaries land in the reference buckets (golden contract)") {
     val cases = Seq(1L -> "Top 5", 5L -> "Top 5", 6L -> "Top 10", 10L -> "Top 10",
       11L -> "Top 25", 25L -> "Top 25", 26L -> "Other")
