@@ -129,6 +129,26 @@ class ExtSpec extends SparkSpec {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("stratified split covers the corpus and is reproducible") {
+    val n = spark.read.parquet(s"$d/documents.parquet").count()
+    val split = Pipelines.stratifiedSplit.build(spark, d)
+    assert(split.agg(sum("n_docs")).head.getLong(0) === n)
+    val bySplit = split.groupBy("split").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // determinism: a second build produces identical rows
+    val again = Pipelines.stratifiedSplit.build(spark, d).collect().map(_.toString).sorted
+    assert(again.toSeq === split.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("clean-corpus funnel only shrinks the corpus") {
+    val n = spark.read.parquet(s"$d/documents.parquet").count()
+    val cleaned = Pipelines.cleanCorpus.build(spark, d)
+    val kept = cleaned.agg(sum("n_docs")).head.getLong(0)
+    assert(kept > 0 && kept <= n)
+  }
+
   test("sessionization: session counts bounded by event counts") {
     val s = Sessions.sessionize.build(spark, d).collect()
     assert(s.nonEmpty)
