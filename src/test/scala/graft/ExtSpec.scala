@@ -158,6 +158,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: latest-at-or-before match, inclusive ties, null when no prior row") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 7L, "x1"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (2L, 8L, "r@8"))
+      .toDF("k", "rt", "snap")
+    val got = AsOf.asofJoin(left, right, "k", "t", "rt", Seq("snap"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(3)))).toSeq
+    assert(got === Seq(
+      (1L, 5L, None),            // before any snapshot
+      (1L, 10L, Some("r@10")),   // tie is inclusive (>= semantics)
+      (1L, 20L, Some("r@15")),   // latest at-or-before wins
+      (2L, 7L, None)))           // key 2's snapshot is later
+  }
+
   test("hourly window totals match raw event count") {
     val hourly = Sessions.hourly.build(spark, d)
     val total = hourly.agg(sum("n_events")).head.getLong(0)
