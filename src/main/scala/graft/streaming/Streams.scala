@@ -42,6 +42,18 @@ object Streams {
     events.filter(col("value") >= threshold)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
 
+  /** Streaming ingest dedup — the streaming twin of `Dedup.exact`:
+    * drop repeated event_ids, keeping dedup state only for the
+    * watermark horizon (`dropDuplicatesWithinWatermark`), so state is
+    * bounded by arrival rate × 2h instead of growing with the stream's
+    * lifetime. The at-least-once→exactly-once bridge for replayed
+    * sources (Kafka re-delivery, backfill overlap).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming sessionization via the built-in session_window: gap-based
     * windows per user, closed by the watermark. State per (user, open
     * session) only — bounded by activity, merged incrementally.

@@ -83,6 +83,22 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) === ((1L, 1.0)))
   }
 
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupedEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData(rows.take(3): _*) // replay: same event_ids re-delivered
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === rows.map(_.event_id).sorted)
+  }
+
   test("stateless high-value filter streams through") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
