@@ -183,11 +183,48 @@ object TextAnalysis {
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Token-length distribution per language: EXACT percentiles (the
+  // curriculum/filtering statistic pipelines threshold on). Spark's
+  // `percentile` is the exact sort-based aggregate — right for
+  // per-group distributions where groups fit a partition; corpus-wide
+  // single-group quantiles at 100 TB would switch to
+  // `percentile_approx` (t-digest, mergeable) and lose the oracle.
+  // Both engines use linear interpolation; results are rounded 4 dp
+  // because the interpolation's float op ORDER differs between them.
+  // ------------------------------------------------------------------
+  val lengthQuantiles: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val n = size(tokens(col("text")))
+      docs.select(col("lang"), n.as("n_tokens"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          roundPortable(percentile(col("n_tokens"), lit(0.5)), 4).as("p50"),
+          roundPortable(percentile(col("n_tokens"), lit(0.9)), 4).as("p90"),
+          roundPortable(percentile(col("n_tokens"), lit(0.99)), 4).as("p99"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy("lang")
+    },
+    Some("""WITH t AS (
+           |  SELECT lang, len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+           |  FROM documents
+           |)
+           |SELECT lang, count(*) AS n_docs,
+           |  floor(quantile_cont(n_tokens, 0.5) * 10000 + 0.5) / 10000 AS p50,
+           |  floor(quantile_cont(n_tokens, 0.9) * 10000 + 0.5) / 10000 AS p90,
+           |  floor(quantile_cont(n_tokens, 0.99) * 10000 + 0.5) / 10000 AS p99,
+           |  CAST(max(n_tokens) AS INTEGER) AS max_tokens
+           |FROM t GROUP BY lang ORDER BY lang""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_lang_id" -> langId,
     "text_fingerprint" -> fingerprint,
-    "text_bpe_tokens" -> bpeTokens
+    "text_bpe_tokens" -> bpeTokens,
+    "text_length_quantiles" -> lengthQuantiles
   )
 }
