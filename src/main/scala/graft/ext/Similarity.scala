@@ -54,6 +54,34 @@ object Similarity {
   val TopK = 5
   val NumQueries = 10
 
+  /** Rank scored candidates to (q_id, neighbor_id, sim, rnk ≤ k) via
+    * the bounded [[graft.functions.TopKPairs]] aggregate. Unlike a
+    * `row_number().over(Window)` — which shuffles and sorts EVERY
+    * candidate of a query — the aggregate reduces each map partition
+    * to ≤ k pairs before the shuffle, so the exchange carries
+    * k·partitions rows regardless of candidate count. Ties break
+    * toward the smaller neighbor_id in both formulations; a spec
+    * asserts they agree row-for-row.
+    */
+  private[graft] def rankTopK(scored: DataFrame): DataFrame =
+    scored
+      .groupBy("q_id")
+      .agg(graft.functions.TopKPairs.topk(col("sim"), col("neighbor_id"), TopK).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("neighbor_id"), col("p.score").as("sim"),
+        (col("pos") + lit(1)).cast("int").as("rnk"))
+      .orderBy("q_id", "rnk")
+
+  /** The window-based formulation, kept as the reference the aggregate
+    * path is asserted against.
+    */
+  private[graft] def rankTopKWindow(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .orderBy("q_id", "rnk")
+  }
+
   // ------------------------------------------------------------------
   // Brute-force cosine top-k, oracle-verified. Rounding to 6 dp before
   // ranking makes the rank (and thus the selected set) identical in
@@ -65,13 +93,9 @@ object Similarity {
       val queries = emb(s, d).filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val sim = roundPortable(cosine(col("q_emb"), col("embedding")), 6)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
-      corpus.crossJoin(broadcast(queries))
+      rankTopK(corpus.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .orderBy("q_id", "rnk")
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim")))
     },
     Some("""WITH e AS (
            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
@@ -140,11 +164,7 @@ object Similarity {
         .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
         .dropDuplicates("q_id", "vec_id")
       val sim = roundPortable(cosine(col("q_emb"), col("embedding")), 6)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
-      cand.select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .orderBy("q_id", "rnk")
+      rankTopK(cand.select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim")))
     },
     // Full oracle: the seed-42 hyperplanes are inlined into the SQL as
     // literals, so DuckDB reproduces the sign-bit buckets (sign of the
@@ -225,13 +245,9 @@ object Similarity {
         .filter(col("cr") <= NProbe)
         .select("q_id", "q_emb", "label")
       val sim = roundPortable(cosine(col("q_emb"), col("embedding")), 6)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
-      corpus.join(broadcast(probes), Seq("label"))
+      rankTopK(corpus.join(broadcast(probes), Seq("label"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .orderBy("q_id", "rnk")
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim")))
     },
     // Full oracle: DuckDB recomputes the per-label centroids (per-dim
     // float avg), the 6-dp-rounded cell ranking with nprobe cut, and

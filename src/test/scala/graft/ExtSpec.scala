@@ -49,6 +49,21 @@ class ExtSpec extends SparkSpec {
     assert(randAvg > nearAvg + 8, s"random avg $randAvg should exceed near-dup avg $nearAvg")
   }
 
+  test("TopKPairs aggregate matches the window top-k row-for-row") {
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val sim = graft.engine.Functions.roundPortable(
+      Similarity.cosine(col("q_emb"), col("embedding")), 6)
+    val scored = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+    val viaAgg = Similarity.rankTopK(scored).collect().map(_.toString).toSeq
+    val viaWindow = Similarity.rankTopKWindow(scored).collect().map(_.toString).toSeq
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
   test("brute-force ANN: top-k is self-consistent and sims are in [-1,1]") {
     val topk = Similarity.bruteForceTopK.build(spark, d).collect()
     assert(topk.length === Similarity.NumQueries * Similarity.TopK)
