@@ -81,6 +81,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("PartitionFilters: []"), p)
   }
 
+  test("ANN top-k ranks via partial (map-side) object aggregation, not a window sort") {
+    val p = plan(Similarity.bruteForceTopK.build(spark, d))
+    assert(p.contains("partial_topk_pairs"), p)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "), p)
+  }
+
   test("brute-force ANN broadcasts the query side") {
     // BroadcastNestedLoopJoin with the tiny query set broadcast IS the
     // intended embarrassingly-parallel corpus scan
