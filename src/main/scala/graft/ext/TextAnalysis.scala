@@ -219,12 +219,56 @@ object TextAnalysis {
            |FROM t GROUP BY lang ORDER BY lang""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Top bigrams per language — the n-gram frequency table feeding
+  // language-model stats and boilerplate detection. Explode bigrams
+  // (window `lead`, codegen'd — not an interpreted HOF), count per
+  // (lang, bigram), rank per lang. Count ties break on the bigram
+  // string so the head-k set is deterministic in both engines.
+  // Scale note: the count aggregate is partial+final (map-side
+  // combine); only (lang, bigram, count) rows shuffle, and the final
+  // per-lang rank touches |distinct bigrams|, not |tokens|.
+  // ------------------------------------------------------------------
+  val TopBigrams = 5
+
+  val topBigrams: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val wRank = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+        .withColumn("t1", lead("t", 1).over(w))
+        .filter(col("t1").isNotNull)
+        .select(col("lang"), concat_ws(" ", col("t"), col("t1")).as("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= TopBigrams)
+        .orderBy("lang", "rnk")
+    },
+    Some(s"""WITH bg AS (
+            |  SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram
+            |  FROM (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+            |       LATERAL unnest(range(1, len(toks))) AS r(i)
+            |), counted AS (
+            |  SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2
+            |), ranked AS (
+            |  SELECT lang, bigram, n,
+            |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+            |  FROM counted
+            |)
+            |SELECT lang, bigram, n, rnk FROM ranked WHERE rnk <= $TopBigrams
+            |ORDER BY lang, rnk""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_lang_id" -> langId,
     "text_fingerprint" -> fingerprint,
     "text_bpe_tokens" -> bpeTokens,
-    "text_length_quantiles" -> lengthQuantiles
+    "text_length_quantiles" -> lengthQuantiles,
+    "text_top_bigrams" -> topBigrams
   )
 }

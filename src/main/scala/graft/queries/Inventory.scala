@@ -431,6 +431,44 @@ object Inventory {
            |GROUP BY n_name ORDER BY n_name""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Extension (§2.3 note made concrete): LEFT SEMI / LEFT ANTI joins —
+  // existence tests without join fan-out. Customers with vs without
+  // orders, per market segment. Semi/anti never duplicate left rows
+  // (no fan-out on customers with many orders) and the right side
+  // reduces to its join key at the exchange.
+  // ------------------------------------------------------------------
+  val joinSemiAnti: Q = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+      val ord = t(s, d, "orders").select("o_custkey")
+      val withOrders = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("with_orders"))
+      val withoutOrders = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("without_orders"))
+      withOrders
+        .join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+          coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH w AS (
+           |  SELECT c_mktsegment, count(*) AS with_orders FROM customer
+           |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |  GROUP BY 1
+           |), wo AS (
+           |  SELECT c_mktsegment, count(*) AS without_orders FROM customer
+           |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |  GROUP BY 1
+           |)
+           |SELECT c_mktsegment,
+           |       coalesce(with_orders, 0) AS with_orders,
+           |       coalesce(without_orders, 0) AS without_orders
+           |FROM w FULL OUTER JOIN wo USING (c_mktsegment)
+           |ORDER BY c_mktsegment""".stripMargin)
+  )
+
   /** Insertion-ordered registry: name → Q. */
   val all: Seq[(String, Q)] = Seq(
     "s1_scan" -> s1Scan,
@@ -448,6 +486,7 @@ object Inventory {
     "t1_not_null" -> t1NotNull,
     "t2_accepted_values" -> t2AcceptedValues,
     "mart_weekly_events_summary" -> martWeeklyEventsSummary,
-    "join_revenue_by_nation" -> joinRevenueByNation
+    "join_revenue_by_nation" -> joinRevenueByNation,
+    "join_semi_anti" -> joinSemiAnti
   )
 }
