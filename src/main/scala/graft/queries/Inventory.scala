@@ -469,6 +469,32 @@ object Inventory {
            |ORDER BY c_mktsegment""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Extension (§2.4 beyond reference): ROLLUP — hierarchical
+  // subtotals (per (status, priority), per status, grand total) in ONE
+  // pass; Catalyst expands the grouping sets into a single aggregate,
+  // not one scan per level. Ordering is on grouping_id + coalesced
+  // keys because rolled-up keys are NULL and the engines disagree on
+  // NULL sort order (SURVEY.md §7.2).
+  // ------------------------------------------------------------------
+  val aggRollup: Q = Q(
+    (s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total_price"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), coalesce(col("o_orderstatus"), lit("")),
+          coalesce(col("o_orderpriority"), lit(""))),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           |       GROUPING(o_orderstatus, o_orderpriority) AS gid
+           |FROM orders
+           |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+           |ORDER BY gid, coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin)
+  )
+
   /** Insertion-ordered registry: name → Q. */
   val all: Seq[(String, Q)] = Seq(
     "s1_scan" -> s1Scan,
@@ -487,6 +513,7 @@ object Inventory {
     "t2_accepted_values" -> t2AcceptedValues,
     "mart_weekly_events_summary" -> martWeeklyEventsSummary,
     "join_revenue_by_nation" -> joinRevenueByNation,
-    "join_semi_anti" -> joinSemiAnti
+    "join_semi_anti" -> joinSemiAnti,
+    "agg_rollup" -> aggRollup
   )
 }
