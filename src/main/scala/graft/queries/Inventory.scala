@@ -495,6 +495,36 @@ object Inventory {
            |ORDER BY gid, coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Extension (§2.6 beyond reference): INTERSECT / EXCEPT — both
+  // DISTINCT-set semantics in Spark and DuckDB. Nation keys that have
+  // customers vs suppliers; the tag column disambiguates the union of
+  // the two result sets.
+  // ------------------------------------------------------------------
+  val setOps: Q = Q(
+    (s, d) => {
+      val custNations = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val suppNations = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      custNations.intersect(suppNations)
+        .select(lit("both").as("tag"), col("nationkey"))
+        .union(custNations.except(suppNations)
+          .select(lit("customers_only").as("tag"), col("nationkey")))
+        .orderBy("tag", "nationkey")
+    },
+    Some("""SELECT 'both' AS tag, nationkey FROM (
+           |  SELECT c_nationkey AS nationkey FROM customer
+           |  INTERSECT
+           |  SELECT s_nationkey FROM supplier
+           |)
+           |UNION ALL
+           |SELECT 'customers_only', nationkey FROM (
+           |  SELECT c_nationkey AS nationkey FROM customer
+           |  EXCEPT
+           |  SELECT s_nationkey FROM supplier
+           |)
+           |ORDER BY tag, nationkey""".stripMargin)
+  )
+
   /** Insertion-ordered registry: name → Q. */
   val all: Seq[(String, Q)] = Seq(
     "s1_scan" -> s1Scan,
@@ -514,6 +544,7 @@ object Inventory {
     "mart_weekly_events_summary" -> martWeeklyEventsSummary,
     "join_revenue_by_nation" -> joinRevenueByNation,
     "join_semi_anti" -> joinSemiAnti,
-    "agg_rollup" -> aggRollup
+    "agg_rollup" -> aggRollup,
+    "set_ops" -> setOps
   )
 }

@@ -66,6 +66,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("bucketed tables co-locate their join: no shuffle exchange in the plan") {
+    import spark.implicits._
+    // external tables at explicit paths — the (static) warehouse dir
+    // is irrelevant, only the metastore entry + bucket spec matter
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val facts = (1L to 1000L).map(i => (i % 50, i)).toDF("k", "v")
+    val dims = (0L until 50L).map(i => (i, s"dim_$i")).toDF("k", "name")
+    facts.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .option("path", s"$wh/bfacts").saveAsTable("bfacts")
+    dims.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .option("path", s"$wh/bdims").saveAsTable("bdims")
+    try {
+      // below the broadcast threshold the join would broadcast; force
+      // the shuffle-join path to show bucketing removes the exchange
+      val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("bfacts").join(spark.table("bdims"), "k")
+        val p = plan(joined)
+        assert(!p.contains("Exchange hashpartitioning"),
+          s"bucketed join still shuffles:\n$p")
+        assert(joined.count() === 1000L)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bfacts")
+      spark.sql("DROP TABLE IF EXISTS bdims")
+    }
+  }
+
   test("partitioned materialization enables partition pruning (the reference's refresh_date claim)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
