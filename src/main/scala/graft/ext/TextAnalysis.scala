@@ -262,6 +262,51 @@ object TextAnalysis {
             |ORDER BY lang, rnk""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Winnowing fingerprints (MOSS-style; Schleimer et al., "Winnowing:
+  // Local Algorithms for Document Fingerprinting", SIGMOD'03 — public
+  // algorithm): hash every 3-token shingle positionally, then keep the
+  // window-min over each run of W consecutive hashes. Guarantees any
+  // shared substring of ≥ W+2 tokens contributes a shared fingerprint,
+  // with ~1/W of the shingle count stored — the rolling-hash partial
+  // dedup key. Uses the md5-derived hash so the oracle replays the
+  // exact fingerprints.
+  // ------------------------------------------------------------------
+  val WinnowWindow = 4
+
+  val winnowFingerprints: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val winnow = w.rowsBetween(0, WinnowWindow - 1)
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+        .withColumn("t1", lead("t", 1).over(w))
+        .withColumn("t2", lead("t", 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          Dedup.hash60(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("hs"))
+        .select(col("doc_id"), min(col("hs")).over(winnow).as("fp"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fingerprints"), min(col("fp")).as("min_fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT doc_id, i,
+            |    ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT AS hs
+            |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+            |       LATERAL unnest(range(1, len(toks) - 1)) AS r(i)
+            |), fp AS (
+            |  SELECT DISTINCT doc_id,
+            |    min(hs) OVER (PARTITION BY doc_id ORDER BY i
+            |                  ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING) AS fp
+            |  FROM sh
+            |)
+            |SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fingerprint
+            |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -269,6 +314,7 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint,
     "text_bpe_tokens" -> bpeTokens,
     "text_length_quantiles" -> lengthQuantiles,
-    "text_top_bigrams" -> topBigrams
+    "text_top_bigrams" -> topBigrams,
+    "text_winnow_fingerprints" -> winnowFingerprints
   )
 }
