@@ -74,20 +74,20 @@ object TableSink {
       overwritePartitions: Boolean = false)
       extends TableSink {
 
-    private val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
-
     override def write(name: String, df: DataFrame): DataFrame = {
       val path = s"$dir/$name"
-      val conf = df.sparkSession.conf
       val partCols = partitionBy.getOrElse(name, Nil)
-      val dynamic = overwritePartitions && partCols.nonEmpty
-      val prev = if (dynamic) Some(conf.get(OverwriteModeKey, "STATIC")) else None
-      if (dynamic) conf.set(OverwriteModeKey, "dynamic")
-      try {
-        val w = df.write.mode("overwrite")
-        if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(path)
-        else w.parquet(path)
-      } finally prev.foreach(conf.set(OverwriteModeKey, _))
+      // per-WRITER option, never the session conf: a session-level
+      // toggle would race with concurrent writes from a wave-parallel
+      // DagRunner (another thread restoring STATIC mid-write turns a
+      // one-partition refresh into a whole-table wipe)
+      val w = df.write.mode("overwrite")
+      val w2 =
+        if (overwritePartitions && partCols.nonEmpty)
+          w.option("partitionOverwriteMode", "dynamic")
+        else w
+      if (partCols.nonEmpty) w2.partitionBy(partCols: _*).parquet(path)
+      else w2.parquet(path)
       df.sparkSession.read.parquet(path)
     }
   }

@@ -33,6 +33,15 @@ object AsOf {
   /** Generic as-of join. `rightPayload` columns are forward-filled
     * onto left rows; rows with no prior right match keep NULLs (drop
     * them for inner semantics).
+    *
+    * The payload is filled as ONE struct, not column-by-column: the
+    * struct is non-null on every right row even when its fields are
+    * null, so (a) a NULL field in the latest right row stays NULL
+    * instead of leaking an older row's value, and (b) multi-column
+    * payloads are row-atomic — the fill can never stitch together
+    * fields from different right rows. Equal-(ts) right rows are
+    * tie-broken by the payload struct itself, keeping the result
+    * deterministic under any partitioning.
     */
   def asofJoin(
       left: DataFrame,
@@ -42,23 +51,24 @@ object AsOf {
       rightTs: String,
       rightPayload: Seq[String]): DataFrame = {
     val lCols = left.columns
+    val payload = struct(rightPayload.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
     // unified frame: left rows carry their columns, right rows only key+ts+payload
     val l = left
       .withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
-      .select(Seq(col(key), col("_ts"), col("_side")) ++
-        lCols.filter(_ != key).map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .select(Seq(col(key), col("_ts"), col("_side"),
+        lit(null).cast(payloadType).as("_payload")) ++ lCols.filter(_ != key).map(col): _*)
     val r = right
       .withColumn("_ts", col(rightTs)).withColumn("_side", lit(0))
-      .select(Seq(col(key), col("_ts"), col("_side")) ++
-        lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col): _*)
-    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
+      .select(Seq(col(key), col("_ts"), col("_side"), payload.as("_payload")) ++
+        lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"), col("_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(l.union(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_side") === 1).drop("_ts", "_side")
+    l.union(r)
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(Seq(col(key)) ++ lCols.filter(_ != key).map(col) ++
+        rightPayload.map(c => col(s"_payload.$c").as(c)): _*)
   }
 
   // ------------------------------------------------------------------

@@ -275,8 +275,8 @@ object Dedup {
         .join(pb, Seq("doc_b", "hs"))
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(count(lit(1)).as("overlap"))
+        .filter(jac >= JaccardTau) // unrounded, same threshold semantics as jaccardPairs
         .select(col("doc_a"), col("doc_b"), roundPortable(jac, 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.3)
         .orderBy("doc_a", "doc_b")
     },
     // Full oracle: DuckDB replays the ENTIRE pipeline — md5-derived
@@ -326,7 +326,7 @@ object Dedup {
          |SELECT doc_a, doc_b,
          |       floor(CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap) * 1000000 + 0.5) / 1000000 AS jaccard
          |FROM ov
-         |WHERE floor(CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap) * 1000000 + 0.5) / 1000000 >= 0.3
+         |WHERE CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap) >= $JaccardTau
          |ORDER BY doc_a, doc_b""".stripMargin
     }
   )

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.engine.Functions.roundPortable
 import graft.ext.Dedup.hash60
-import graft.ext.TextAnalysis.{tokens, StopEn}
+import graft.ext.TextAnalysis
 import graft.queries.Inventory.Q
 
 /** Corpus-preparation operators that COMPOSE the per-document
@@ -26,8 +26,6 @@ object Pipelines {
     * corpus is re-partitioned — the property that matters when the
     * split must be reproduced months later.
     */
-  val SplitExpr: String = "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
-
   val stratifiedSplit: Q = Q(
     (s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
@@ -63,16 +61,10 @@ object Pipelines {
   val cleanCorpus: Q = Q(
     (s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
-      val toks = tokens(col("text"))
-      val nTokens = size(toks)
-      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
-      val punctRatio = punct.cast(DoubleType) / length(col("text"))
-      val stopRatio = size(filter(toks, t => t.isInCollection(StopEn))).cast(DoubleType) / nTokens
-      val lengthScore = least(nTokens.cast(DoubleType) / 100.0, lit(1.0))
-      val score = lengthScore * 0.5 + (lit(1.0) - punctRatio) * 0.3 + stopRatio * 0.2
+      val qc = TextAnalysis.qualityCols(col("text"))
       docs
         .select(col("doc_id"), col("lang"), col("text"),
-          nTokens.as("n_tokens"), score.as("quality_score"), stopRatio.as("stop_ratio"))
+          qc.nTokens.as("n_tokens"), qc.score.as("quality_score"), qc.stopRatio.as("stop_ratio"))
         .filter(col("quality_score") >= 0.5)
         .groupBy(md5(encode(col("text"), "UTF-8")).as("text_hash"))
         .agg(

@@ -34,6 +34,25 @@ object TextAnalysis {
   private def hits(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(stops)))
 
+  /** The quality-score building blocks — ONE definition of the
+    * 0.5/0.3/0.2 weights, the punctuation regex, and the stopword
+    * ratio, shared by [[quality]] and `Pipelines.cleanCorpus` so the
+    * cleaning gate can never silently fork from the published metric.
+    */
+  final case class QualityCols(
+      nTokens: Column, punctRatio: Column, stopRatio: Column, score: Column)
+
+  def qualityCols(text: Column): QualityCols = {
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val punct = length(regexp_replace(lower(text), "[a-z0-9\\s]", ""))
+    val punctRatio = punct.cast(DoubleType) / length(text)
+    val stopRatio = hits(toks, StopEn).cast(DoubleType) / nTokens
+    val lengthScore = least(nTokens.cast(DoubleType) / 100.0, lit(1.0))
+    QualityCols(nTokens, punctRatio, stopRatio,
+      lengthScore * 0.5 + (lit(1.0) - punctRatio) * 0.3 + stopRatio * 0.2)
+  }
+
   // ------------------------------------------------------------------
   // Token counting: whitespace tokens, distinct tokens, avg token
   // length (chars-sans-whitespace / tokens).
@@ -67,20 +86,14 @@ object TextAnalysis {
   val quality: Q = Q(
     (s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
-      val toks = tokens(col("text"))
-      val nTokens = size(toks)
-      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
-      val punctRatio = punct.cast(DoubleType) / length(col("text"))
-      val stopRatio = hits(toks, StopEn).cast(DoubleType) / nTokens
-      val lengthScore = least(nTokens.cast(DoubleType) / 100.0, lit(1.0))
-      val score = lengthScore * 0.5 + (lit(1.0) - punctRatio) * 0.3 + stopRatio * 0.2
+      val qc = qualityCols(col("text"))
       docs.select(
         col("doc_id"),
-        nTokens.as("n_tokens"),
-        roundPortable(punctRatio, 4).as("punct_ratio"),
-        roundPortable(stopRatio, 4).as("stopword_ratio"),
-        roundPortable(score, 4).as("quality_score"),
-        when(score >= 0.8, "high").when(score >= 0.5, "medium").otherwise("low")
+        qc.nTokens.as("n_tokens"),
+        roundPortable(qc.punctRatio, 4).as("punct_ratio"),
+        roundPortable(qc.stopRatio, 4).as("stopword_ratio"),
+        roundPortable(qc.score, 4).as("quality_score"),
+        when(qc.score >= 0.8, "high").when(qc.score >= 0.5, "medium").otherwise("low")
           .as("quality_bucket"))
         .orderBy("doc_id")
     },

@@ -74,6 +74,22 @@ class EngineSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("2024-01-01", 1L), ("2024-01-01", 2L),
       ("2024-01-08", 30L), ("2024-01-08", 31L)))
+    // the overwrite mode is a per-writer option, so concurrent writes
+    // from a parallel wave can't race on session state: two partitioned
+    // incremental models written in the same wave both keep their
+    // untouched partitions
+    val cat = new MapCatalog(Map("src" -> full))
+    val sink2 = new TableSink.Parquet(dir,
+      Map("m1" -> Seq("refresh_date"), "m2" -> Seq("refresh_date")),
+      overwritePartitions = true)
+    def model(n: String) = Model(n, Seq("src"), Materialization.Table)(in => in("src"))
+    new DagRunner(cat, sink2, maxParallelism = 2).run(Seq(model("m1"), model("m2")))
+    val incr2 = Seq(("2024-01-08", 99L)).toDF("refresh_date", "id")
+    val par = new DagRunner(new MapCatalog(Map("src" -> incr2)), sink2, maxParallelism = 2)
+      .run(Seq(model("m1"), model("m2")))
+    Seq("m1", "m2").foreach { m =>
+      assert(par(m).count() === 3, s"$m lost its untouched partition") // 2 old + 1 refreshed
+    }
   }
 
   test("parallel DAG run matches sequential semantics (relations, tests, gating)") {

@@ -189,6 +189,18 @@ class ExtSpec extends SparkSpec {
       (2L, 7L, None)))           // key 2's snapshot is later
   }
 
+  test("asofJoin: null payload field in the latest row is NOT replaced by a stale value") {
+    import spark.implicits._
+    val left = Seq((1L, 30L, "e")).toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, Some(5.0), Some("x")), (1L, 20L, None, Some("y")))
+      .toDF("k", "rt", "v", "tag")
+    val row = AsOf.asofJoin(left, right, "k", "t", "rt", Seq("v", "tag")).head()
+    // the t=20 row is the as-of match: its NULL v must win over t=10's 5.0,
+    // and the payload must be row-atomic (v and tag from the same row)
+    assert(row.isNullAt(row.fieldIndex("v")))
+    assert(row.getString(row.fieldIndex("tag")) === "y")
+  }
+
   test("hourly window totals match raw event count") {
     val hourly = Sessions.hourly.build(spark, d)
     val total = hourly.agg(sum("n_events")).head.getLong(0)
