@@ -70,6 +70,29 @@ object Seeds {
           .csv(path)
       )
 
+  /** Load a JSONL (newline-delimited JSON) source with an explicit
+    * schema — the interchange format training-data pipelines ingest
+    * most. Explicit schema for the same reason as CSV (no inference
+    * pass); `mode=FAILFAST` surfaces corrupt lines instead of
+    * silently nulling them, and `multiLine` stays false so the file
+    * splits by line across executors (a multiLine JSON file is ONE
+    * task at any size — never at 100 TB).
+    */
+  def loadJsonl(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      enabled: Boolean = true
+  ): Option[DataFrame] =
+    if (!enabled) None
+    else
+      Some(
+        spark.read
+          .option("mode", "FAILFAST")
+          .schema(schema)
+          .json(path)
+      )
+
   /** Namespace routing — a pure port of the reference's
     * `generate_schema_name` macro (`macros/generate_schema_name.sql:1-23`):
     * seeds go verbatim to their custom schema (`raw`); other nodes get

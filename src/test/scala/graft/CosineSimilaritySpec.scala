@@ -54,6 +54,26 @@ class CosineSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dot product on pre-normalized vectors equals cosine on raw vectors") {
+    import graft.functions.DotProduct
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(100)
+    val normed = e.select(col("vec_id"), DotProduct.normalized(col("embedding")).as("nv"),
+      col("embedding"))
+    val a = normed.select(col("vec_id").as("ia"), col("nv").as("na"), col("embedding").as("va"))
+    val b = normed.select(col("vec_id").as("ib"), col("nv").as("nb"), col("embedding").as("vb"))
+    val bad = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(
+        DotProduct(col("na"), col("nb")).as("dot"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(abs(col("dot") - col("cos")) > 1e-12)
+    assert(bad.isEmpty)
+    // driver-side parity of the raw dot itself
+    import spark.implicits._
+    val got = Seq((Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.5f, 2.0f))).toDF("a", "b")
+      .select(DotProduct(col("a"), col("b"))).head.getDouble(0)
+    assert(got === (1.0 * -1.0 + 2.0 * 0.5 + 3.0 * 2.0))
+  }
+
   test("expression survives codegen (no fallback errors) across a full aggregation") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val q = e.select(col("vec_id").as("ia"), col("embedding").as("va")).limit(5)

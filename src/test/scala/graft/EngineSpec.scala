@@ -132,6 +132,27 @@ class EngineSpec extends SparkSpec {
     assert(saltedAgg == plainAgg)
   }
 
+  test("JSONL source loads with explicit schema and fails fast on corrupt lines") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val good = dir.resolve("docs.jsonl")
+    java.nio.file.Files.writeString(good,
+      """{"doc_id": 1, "text": "hello world"}
+        |{"doc_id": 2, "text": "second doc"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    assert(Seeds.loadJsonl(spark, good.toString, schema, enabled = false).isEmpty)
+    val df = Seeds.loadJsonl(spark, good.toString, schema).get
+    assert(df.count() === 2)
+    assert(df.orderBy("doc_id").head.getString(1) === "hello world")
+    val bad = dir.resolve("bad.jsonl")
+    java.nio.file.Files.writeString(bad, "{\"doc_id\": 1, \"text\": \"ok\"}\nnot json at all\n")
+    intercept[Exception] {
+      Seeds.loadJsonl(spark, bad.toString, schema).get.collect()
+    }
+  }
+
   test("generate_schema_name routing (macros/generate_schema_name.sql:1-23)") {
     assert(Seeds.schemaFor("seed", Some("raw"), "analytics", "dev") == "raw")
     assert(Seeds.schemaFor("model", Some("marts"), "analytics", "prod") == "analytics_marts")
