@@ -24,8 +24,11 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    val (info, builder) =
+    val (cosInfo, cosBuilder) =
       FunctionRegistryBase.build[CosineSimilarity]("cosine_similarity", since = None)
-    ext.injectFunction((FunctionIdentifier("cosine_similarity"), info, builder))
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"), cosInfo, cosBuilder))
+    val (dotInfo, dotBuilder) =
+      FunctionRegistryBase.build[DotProduct]("dot_product", since = None)
+    ext.injectFunction((FunctionIdentifier("dot_product"), dotInfo, dotBuilder))
   }
 }

@@ -48,6 +48,9 @@ class CosineSimilaritySpec extends SparkSpec {
       // null element propagates null, per the expression contract
       val nl = s2.sql("SELECT cosine_similarity(array(1.0D, NULL), array(1.0D, 2.0D)) AS c")
       assert(nl.head.isNullAt(0))
+      val dp = s2.sql("SELECT dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d")
+        .head.getDouble(0)
+      assert(dp === 23.0)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
