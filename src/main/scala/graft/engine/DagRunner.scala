@@ -113,22 +113,32 @@ final class DagRunner(
     for (wave <- waves) {
       val (toSkip, toRun) = wave.partition(_.deps.exists(failedOrSkipped.contains))
       toSkip.foreach { m => failedOrSkipped += m.name; skipped += m.name }
-      val outcomes: Seq[(String, DataFrame, Seq[TestResult])] =
-        if (maxParallelism <= 1 || toRun.size <= 1) toRun.map(process)
+      val outcomes: Seq[util.Try[(String, DataFrame, Seq[TestResult])]] =
+        if (maxParallelism <= 1 || toRun.size <= 1) toRun.map(m => util.Try(process(m)))
         else {
           import scala.concurrent.{Await, ExecutionContext, Future}
           import scala.concurrent.duration.Duration
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
             math.min(maxParallelism, toRun.size))
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-          try Await.result(Future.sequence(toRun.map(m => Future(process(m)))), Duration.Inf)
+          // Every future is lifted to Try and the wave is awaited to
+          // COMPLETION before any failure propagates: a sibling model
+          // that finished (and possibly materialized through the sink)
+          // is recorded below rather than silently discarded while its
+          // Spark job races a shut-down pool.
+          try Await.result(
+            Future.sequence(toRun.map(m => Future(process(m)).transform(util.Success(_)))),
+            Duration.Inf)
           finally pool.shutdown()
         }
-      outcomes.foreach { case (name, rel, testRs) =>
-        built += name -> rel
-        results ++= testRs
-        if (testRs.exists(!_.passed)) failedOrSkipped += name
+      outcomes.foreach {
+        case util.Success((name, rel, testRs)) =>
+          built += name -> rel
+          results ++= testRs
+          if (testRs.exists(!_.passed)) failedOrSkipped += name
+        case util.Failure(_) => () // rethrown below, after the wave is recorded
       }
+      outcomes.collectFirst { case util.Failure(e) => e }.foreach(throw _)
     }
     RunResult(built.toMap, results.toSeq, skipped.toSeq)
   }

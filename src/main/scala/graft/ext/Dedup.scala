@@ -57,9 +57,16 @@ object Dedup {
     * an opaque join key (Jaccard — its oracle intersects the string
     * sets directly) keep the ~3× cheaper engine-native `xxhash64`.
     *
-    * Scale notes: the window and the distinct both hash-partition on
-    * doc_id; Catalyst reuses the partitioning, so this is ONE shuffle
-    * of (doc_id, token) pairs regardless of corpus size.
+    * Scale notes: genuinely ONE shuffle. The window hash-partitions on
+    * doc_id; the per-doc dedup is a `groupBy(doc_id).agg(collect_set)`
+    * whose required distribution is the partitioning the window just
+    * established, so EnsureRequirements inserts no further exchange
+    * (PlanSpec asserts the exchange count). The earlier
+    * `.distinct()` + second-window formulation re-partitioned on
+    * (doc_id, hs) and again on doc_id — 3 exchanges for the same
+    * result. Per-doc set size is bounded by document length, so the
+    * collect_set buffer is no larger than the window buffer it
+    * replaces.
     */
   def shinglePosts(s: SparkSession, d: String,
       shingleHash: Column => Column = xxhash64(_)): DataFrame = {
@@ -71,8 +78,10 @@ object Dedup {
       .withColumn("t2", lead("t", 2).over(w))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), shingleHash(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("hs"))
-      .distinct()
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .groupBy("doc_id").agg(collect_set(col("hs")).as("hss"))
+      .select(col("doc_id"), size(col("hss")).cast("long").as("sz"),
+        explode(col("hss")).as("hs"))
+      .select("doc_id", "hs", "sz")
   }
 
   // ------------------------------------------------------------------

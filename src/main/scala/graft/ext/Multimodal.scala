@@ -73,7 +73,12 @@ object Multimodal {
       n_bytes = item.payload.length.toLong,
       width = (h % 1920).toInt + 1,
       height = ((h >> 16) % 1080).toInt + 1,
-      n_frames = if (item.kind == "video") (item.payload.length / FrameBytes) + 1 else 1,
+      // ceil(len/FrameBytes): agrees with the count of frames
+      // `sampleFrames` actually materializes (grouped(FrameBytes)),
+      // including 0 frames for an empty payload
+      n_frames =
+        if (item.kind == "video") ((item.payload.length + FrameBytes - 1) / FrameBytes)
+        else 1,
       mean_byte = mean)
   }
 
@@ -149,9 +154,9 @@ object Multimodal {
             |  SELECT media_id, kind, n_bytes,
             |    CAST(h % 1920 + 1 AS INTEGER) AS width,
             |    CAST((h >> 16) % 1080 + 1 AS INTEGER) AS height,
-            |    CAST(CASE WHEN kind = 'video' THEN n_bytes // $FrameBytes + 1 ELSE 1 END AS INTEGER) AS n_frames,
+            |    CAST(CASE WHEN kind = 'video' THEN (n_bytes + $FrameBytes - 1) // $FrameBytes ELSE 1 END AS INTEGER) AS n_frames,
             |    CASE WHEN kind = 'video'
-            |         THEN (CAST(ceil(n_bytes / $FrameBytes.0) AS BIGINT) + 1) // 2
+            |         THEN ((n_bytes + $FrameBytes - 1) // $FrameBytes + 1) // 2
             |         ELSE 0 END AS frames_sampled
             |  FROM m
             |)

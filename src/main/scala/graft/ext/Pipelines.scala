@@ -1,9 +1,8 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
 
-import graft.engine.Functions.roundPortable
+import graft.engine.Functions.{avgExact, roundPortable}
 import graft.ext.Dedup.hash60
 import graft.ext.TextAnalysis
 import graft.queries.Inventory.Q
@@ -77,7 +76,7 @@ object Pipelines {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          roundPortable(avg(col("n_tokens").cast(DoubleType)), 4).as("avg_tokens"))
+          roundPortable(avgExact(col("n_tokens")), 4).as("avg_tokens"))
         .orderBy("lang")
     },
     Some("""WITH scored AS (
@@ -100,7 +99,7 @@ object Pipelines {
            |  FROM scored WHERE quality_score >= 0.5 GROUP BY 1
            |)
            |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           |       floor(avg(n_tokens) * 10000 + 0.5) / 10000 AS avg_tokens
+           |       floor(CAST(sum(CAST(n_tokens AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_tokens
            |FROM deduped WHERE stop_ratio > 0
            |GROUP BY lang ORDER BY lang""".stripMargin)
   )

@@ -76,7 +76,13 @@ case class TopKPairs(
       buf: mutable.PriorityQueue[(Double, Long)], input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) push(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    // NaN scores are dropped outright: under worstFirst a NaN would be
+    // the first evicted, while the window formulation's ORDER BY desc
+    // ranks NaN as LARGEST — skipping them keeps both formulations
+    // agreeing by construction (a NaN "similarity" carries no ranking
+    // information anyway).
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
+      push(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
     buf
   }
 

@@ -61,6 +61,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shingle pipeline shuffles exactly once (window partitioning reused by per-doc dedup)") {
+    val p = plan(Dedup.shinglePosts(spark, d, Dedup.hash60))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"shinglePosts plans $exchanges exchanges (want 1):\n$p")
+  }
+
   test("LSH banding join is an equi-join, not a nested loop") {
     val p = plan(Dedup.minhashLsh.build(spark, d))
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
