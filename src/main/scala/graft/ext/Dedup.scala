@@ -351,19 +351,28 @@ object Dedup {
   val SimBands = 4
   val SimBandBits: Int = SimBits / SimBands
 
-  /** doc_id → 60-bit SimHash. Tokens explode to rows, each token is
-    * hashed once, and the 60 per-bit votes are 60 codegen'd
-    * conditional-sum aggregate columns in ONE HashAggregate (shuffle
-    * on doc_id only). The earlier higher-order-function formulation
-    * (fold over a 64-slot array per token) evaluated interpreted and
-    * was ~100× slower at sf0.1.
+  /** doc_id → 60-bit SimHash. Tokens explode to rows and the 60
+    * per-bit votes are 60 codegen'd conditional-sum aggregate columns
+    * in ONE HashAggregate (shuffle on doc_id only). The earlier
+    * higher-order-function formulation (fold over a 64-slot array per
+    * token) evaluated interpreted and was ~100× slower at sf0.1.
+    *
+    * The md5-derived [[hash60]] (an md5 + hex-substring + base-16
+    * `conv` per input) is computed once per DISTINCT token via a
+    * vocabulary dimension and broadcast-joined back — not once per
+    * (doc, token) occurrence. Vocabulary grows sublinearly with corpus
+    * size (Heaps' law), so the dimension stays broadcastable long
+    * after the corpus doesn't; if it ever outgrows the broadcast
+    * threshold, dropping the hint degrades gracefully to a shuffle
+    * join while keeping the per-distinct-token hashing saving.
     */
   def simhashDf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(col("toks")).as("t"))
-      .select(col("doc_id"), hash60(col("t")).as("h"))
+    val vocab = tok.select("t").distinct().select(col("t"), hash60(col("t")).as("h"))
+    val hashed = tok.join(broadcast(vocab), Seq("t")).select("doc_id", "h")
     val votes = (0 until SimBits).map(j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"v$j"))
-    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val agg = hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
     val fp = (0 until SimBits).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
     agg.select(col("doc_id"), fp.as("simhash"))

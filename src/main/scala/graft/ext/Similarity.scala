@@ -120,6 +120,53 @@ object Similarity {
   )
 
   // ------------------------------------------------------------------
+  // Pre-normalized dot-product top-k — the production scorer path.
+  // The corpus is L2-normalized ONCE (an O(N·dim) projection, at scale
+  // done at ingest and stored); every pair score is then a single
+  // fused dot product instead of dot + two norms — a third of the
+  // per-pair FLOPs of ann_cosine_topk for identical rankings on
+  // non-zero vectors. Zero vectors normalize to NULL (explicitly) and
+  // drop out of the ranking in both engines.
+  // ------------------------------------------------------------------
+  val dotTopK: Q = Q(
+    (s, d) => {
+      val corpusN = emb(s, d).select(col("vec_id"),
+        graft.functions.DotProduct.normalized(col("embedding")).as("nv"))
+      val queriesN = corpusN.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("nv").as("qnv"))
+      val sim = roundPortable(graft.functions.DotProduct(col("qnv"), col("nv")), 6)
+      rankTopK(corpusN.crossJoin(broadcast(queriesN))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim")))
+    },
+    // Oracle replays the same two-step math: per-element double
+    // division by the (sequentially accumulated) norm, then a
+    // sequential dot — identical IEEE-754 op order to the Spark plan,
+    // so the 6-dp-rounded sims hash-match. The zero-norm CASE mirrors
+    // `DotProduct.normalized`'s NULL-on-zero-vector contract.
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+            |), n AS (
+            |  SELECT vec_id,
+            |    CASE WHEN list_sum(list_transform(v, y -> y * y)) > 0
+            |         THEN list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+            |         END AS nv
+            |  FROM e
+            |), q AS (
+            |  SELECT vec_id AS q_id, nv AS qnv FROM n WHERE vec_id < $NumQueries
+            |), s AS (
+            |  SELECT q.q_id, n.vec_id AS neighbor_id,
+            |    floor(list_sum(list_transform(list_zip(q.qnv, n.nv), p -> p[1] * p[2])) * 1000000 + 0.5) / 1000000 AS sim
+            |  FROM q, n WHERE n.vec_id <> q.q_id
+            |), r AS (
+            |  SELECT q_id, neighbor_id, sim,
+            |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+            |  FROM s WHERE sim IS NOT NULL
+            |)
+            |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // Random-hyperplane LSH: L=4 tables × B=8 sign bits. Hyperplanes are
   // generated from a fixed seed at plan-build time and inlined as
   // array literals (they broadcast inside codegen — no side channel).
@@ -294,6 +341,7 @@ object Similarity {
 
   val queries: Seq[(String, Q)] = Seq(
     "ann_cosine_topk" -> bruteForceTopK,
+    "ann_dot_topk" -> dotTopK,
     "ann_lsh_topk" -> lshTopK,
     "ann_ivf_topk" -> ivfTopK
   )

@@ -120,10 +120,15 @@ object DotProduct {
     * The norm comes from the fused `DotProduct(v, v)`; the division
     * is a higher-order `transform` — interpreted, but it runs once
     * per VECTOR at write time, not per scored pair.
+    *
+    * A zero (or empty) vector yields NULL — explicitly, rather than
+    * letting non-ANSI 0/0 division produce an array of NULL elements
+    * that downstream NULL-element guards would silently turn into
+    * NULL scores with no signal at the source.
     */
   def normalized(v: Column): Column = {
     import org.apache.spark.sql.functions._
     val norm = sqrt(DotProduct(v, v))
-    transform(v, x => x.cast(DoubleType) / norm)
+    when(norm > 0, transform(v, x => x.cast(DoubleType) / norm))
   }
 }

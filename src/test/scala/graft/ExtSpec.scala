@@ -88,6 +88,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dot-product ANN on normalized vectors matches brute-force cosine ANN") {
+    val cos = Similarity.bruteForceTopK.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val dot = Similarity.dotTopK.build(spark, d).collect()
+    assert(dot.length === Similarity.NumQueries * Similarity.TopK)
+    dot.foreach { r =>
+      val (cosNeighbor, cosSim) = cos((r.getLong(0), r.getInt(3)))
+      assert(cosNeighbor === r.getLong(1),
+        s"rank ${r.getInt(3)} of q ${r.getLong(0)}: dot picked ${r.getLong(1)}, cosine $cosNeighbor")
+      assert(math.abs(cosSim - r.getDouble(2)) <= 1e-6)
+    }
+  }
+
+  test("normalized of a zero or empty vector is NULL, not an array of NULL elements") {
+    import spark.implicits._
+    val rows = Seq((1L, Seq(0f, 0f)), (2L, Seq.empty[Float]), (3L, Seq(3f, 4f)))
+      .toDF("id", "v")
+      .select(col("id"), graft.functions.DotProduct.normalized(col("v")).as("nv"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getSeq[Double](1) === Seq(0.6, 0.8))
+  }
+
   test("IVF probes reduce candidates and keep nonzero recall") {
     val bf = Similarity.bruteForceTopK.build(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
