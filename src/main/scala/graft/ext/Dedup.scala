@@ -459,11 +459,107 @@ object Dedup {
             |SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= $CosTau ORDER BY id_a, id_b""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // BUCKETED embedding near-dup — the 100 TB semantic-dedup path.
+  // Sign-LSH blocks (Similarity.bucketKeys) generate candidates via an
+  // equi-join on (table, bucket); only candidates are scored with the
+  // exact codegen'd cosine — the embeddingPairs scorer demoted from
+  // all-pairs driver to verify stage. Cost is O(n·L + candidates),
+  // never O(n²), and the candidate join shuffles (id, table, bucket)
+  // longs — vectors are re-fetched by id only for candidate pairs.
+  //
+  // Parameter rule (see Similarity.gaussianPlanes): recall at cosine τ
+  // is 1 − (1 − p^B)^L with p = 1 − arccos(τ)/π. The registry runs
+  // L=16 tables × B=4 bits (seed 43): ~94% recall at the harness's
+  // τ=0.4 regime. B is the blocking-granularity knob — at web scale
+  // (and the usual near-dup τ ≥ 0.85, where p ≈ 0.82) you'd run
+  // B=8–16 so each block holds ~n/2^B vectors, keeping per-block
+  // fan-out flat; the spec exercises exactly that configuration on
+  // planted near-dups. Oversized blocks (degenerate directions) are
+  // dropped by the same MaxBucket guard as MinHash-LSH.
+  // ------------------------------------------------------------------
+  val EmbTables = 16
+  val EmbBits = 4
+  val EmbMaxBucket = 1000
+
+  /** Registry planes (seed 43), inlined into plan AND oracle. */
+  lazy val embPlanes: Array[Array[Array[Double]]] =
+    Similarity.gaussianPlanes(EmbTables, EmbBits, Similarity.Dim, 43)
+
+  /** Parameterized bucketed near-dup: candidates from any-shared-block,
+    * verified with exact cosine ≥ τ. `e` must have (vec_id, embedding).
+    */
+  def embeddingLshPairs(
+      e: DataFrame,
+      tau: Double,
+      planes: Array[Array[Array[Double]]],
+      maxBucket: Int = EmbMaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Similarity.bucketKeys(e, "vec_id", "embedding", planes)
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("table", "bucket")))
+      .filter(col("bucket_n") <= maxBucket)
+    val cand = keys.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+      .join(keys.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val sim = roundPortable(graft.functions.CosineSimilarity(col("va"), col("vb")), 6)
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), sim.as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy("id_a", "id_b")
+  }
+
+  val embeddingLsh: Q = Q(
+    (s, d) =>
+      embeddingLshPairs(s.read.parquet(s"$d/embeddings.parquet"), CosTau, embPlanes),
+    // Full oracle: seed-43 planes inlined as literals, same block
+    // generation (sign of the dot — norms positive), bucket-size
+    // guard, candidate join, and exact cosine verify — the bucketed
+    // approximate path gets the same hash-match verification as the
+    // exact one.
+    Some {
+      val planeRows = (for { t <- 0 until EmbTables; b <- 0 until EmbBits } yield
+        s"    ($t, $b, [${embPlanes(t)(b).mkString(", ")}])").mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), planes(tbl, bit, pv) AS (
+         |  VALUES
+         |$planeRows
+         |), buckets AS (
+         |  SELECT vec_id, tbl,
+         |    sum(CASE WHEN list_sum(list_transform(list_zip(v, pv), p -> p[1] * p[2])) > 0
+         |             THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+         |  FROM e, planes GROUP BY vec_id, tbl
+         |), sized AS (
+         |  SELECT vec_id, tbl, bucket, count(*) OVER (PARTITION BY tbl, bucket) AS bucket_n FROM buckets
+         |), flt AS (
+         |  SELECT * FROM sized WHERE bucket_n <= $EmbMaxBucket
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM flt a JOIN flt b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id
+         |), s AS (
+         |  SELECT c.id_a, c.id_b,
+         |    floor(list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1] * p[2]))
+         |      / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+         |         * sqrt(list_sum(list_transform(eb.v, x -> x * x)))) * 1000000 + 0.5) / 1000000 AS cos_sim
+         |  FROM cand c
+         |  JOIN e ea ON ea.vec_id = c.id_a
+         |  JOIN e eb ON eb.vec_id = c.id_b
+         |)
+         |SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= $CosTau ORDER BY id_a, id_b""".stripMargin
+    }
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhashFingerprints,
-    "dedup_embedding_pairs" -> embeddingPairs
+    "dedup_embedding_pairs" -> embeddingPairs,
+    "dedup_embedding_lsh" -> embeddingLsh
   )
 }

@@ -177,11 +177,21 @@ object Similarity {
   val Bits = 8
   val Dim = 64
 
-  /** Deterministic hyperplanes[table][bit][dim] from seed 42. */
-  lazy val hyperplanes: Array[Array[Array[Double]]] = {
-    val rnd = new Random(42)
-    Array.fill(Tables, Bits, Dim)(rnd.nextGaussian())
+  /** Deterministic Gaussian hyperplanes[table][bit][dim] — generated
+    * from a fixed seed at plan-build time so they can be inlined into
+    * BOTH the Catalyst plan and an oracle's SQL literals. Tuning rule
+    * (Charikar sign-LSH): P(bits agree) for a pair at cosine τ is
+    * p = 1 − arccos(τ)/π, so recall = 1 − (1 − p^bits)^tables — raise
+    * `bits` for finer blocking (bigger corpora), raise `tables` to buy
+    * recall back.
+    */
+  def gaussianPlanes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
+
+  /** The ANN queries' planes: 4 tables × 8 bits, seed 42. */
+  lazy val hyperplanes: Array[Array[Array[Double]]] = gaussianPlanes(Tables, Bits, Dim, 42)
 
   /** Sign of ⟨v, plane⟩ via the native codegen'd cosine expression —
     * cosine and dot product share their sign (norms are positive), and
@@ -190,13 +200,31 @@ object Similarity {
   private def planeSide(v: Column, plane: Array[Double]): Column =
     graft.functions.CosineSimilarity(v, typedLit(plane.toSeq)) > 0
 
-  /** Bucket key of `v` in table `t`: B sign bits packed into a long. */
-  def lshBucket(v: Column, t: Int): Column =
-    (0 until Bits).map(b =>
-      when(planeSide(v, hyperplanes(t)(b)), lit(1L << b)).otherwise(lit(0L)))
+  /** Bucket key of `v` under one table's planes: sign bits packed into
+    * a long.
+    */
+  def lshBucketOf(v: Column, tablePlanes: Array[Array[Double]]): Column =
+    tablePlanes.indices.map(b =>
+      when(planeSide(v, tablePlanes(b)), lit(1L << b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
 
-  /** (id, table, bucket) — one row per table. */
+  /** Bucket key of `v` in ANN table `t`. */
+  def lshBucket(v: Column, t: Int): Column = lshBucketOf(v, hyperplanes(t))
+
+  /** (id, table, bucket) rows WITHOUT the vector — the scale-correct
+    * candidate-generation input: downstream joins shuffle 3 longs per
+    * row, and vectors are fetched by id only for verified candidates.
+    */
+  def bucketKeys(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol), explode(array(planes.indices.map(t =>
+      struct(lit(t).as("table"), lshBucketOf(col(vecCol), planes(t)).as("bucket"))): _*)).as("tb"))
+      .select(col(idCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+
+  /** (id, table, bucket, vec) — one row per table, vector carried
+    * (used where the query set is small enough that re-fetching by id
+    * would cost more than carrying it).
+    */
   def bucketed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), explode(array((0 until Tables).map(t =>
       struct(lit(t).as("table"), lshBucket(col(vecCol), t).as("bucket"))): _*)).as("tb"),

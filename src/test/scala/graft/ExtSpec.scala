@@ -142,6 +142,41 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("bucketed embedding LSH dedup is a subset of exact pairs with high recall") {
+    val lsh = Dedup.embeddingLsh.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.embeddingPairs.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (pair, sim) => assert(exact(pair) === sim) }
+    val recall = lsh.size.toDouble / exact.size
+    // expected ~0.94 at tau=0.4 with 16 tables x 4 bits
+    assert(recall >= 0.7, s"LSH recall $recall vs exact all-pairs")
+  }
+
+  test("embedding LSH at the near-dup regime (tau=0.85, 8x8 planes) finds planted dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 200).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 50).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.2f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val lshPairs = Dedup
+      .embeddingLshPairs(df, 0.85, Similarity.gaussianPlanes(8, 8, 64, 7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exactPairs = a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.CosineSimilarity(col("va"), col("vb")) >= 0.85)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.size >= 40, s"fixture only planted ${exactPairs.size} near-dup pairs")
+    val recall = lshPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall at tau=0.85 with 8 tables x 8 bits")
+    assert(lshPairs.subsetOf(exactPairs))
+  }
+
   test("token stats and quality are total over documents") {
     val n = spark.read.parquet(s"$d/documents.parquet").count()
     assert(TextAnalysis.tokenStats.build(spark, d).count() === n)
