@@ -25,10 +25,23 @@ import graft.queries.Inventory.Q
   * Scale notes: ONE shuffle (hash-partition on the key) and a local
   * per-key sort — same cost as any window aggregation; no range
   * explosion, no broadcast requirement, works at any right-side
-  * cardinality. Skewed keys take the standard window mitigation
-  * (time-bucketed sub-keys when one key dominates).
+  * cardinality. Parallelism is bounded by |keys|; when one key
+  * dominates (or there are few keys), [[asofJoinBucketed]] sub-keys
+  * the window by time bucket for |keys|·|buckets| parallelism.
   */
 object AsOf {
+
+  /** Internal column names both join variants claim for themselves. */
+  private val Reserved = Seq("_ts", "_side", "_payload", "_bucket")
+
+  private def requireSafeNames(left: DataFrame, rightPayload: Seq[String]): Unit = {
+    val taken = Reserved.filter(left.columns.contains)
+    require(taken.isEmpty,
+      s"asofJoin reserves column name(s) ${taken.mkString(", ")}; rename them on the left input")
+    val clash = rightPayload.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"right payload column(s) ${clash.mkString(", ")} collide with left columns; alias them first")
+  }
 
   /** Generic as-of join. `rightPayload` columns are forward-filled
     * onto left rows; rows with no prior right match keep NULLs (drop
@@ -50,6 +63,7 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       rightPayload: Seq[String]): DataFrame = {
+    requireSafeNames(left, rightPayload)
     val lCols = left.columns
     val payload = struct(rightPayload.map(col): _*)
     val payloadType = right.select(payload).schema.head.dataType
@@ -67,6 +81,96 @@ object AsOf {
     l.union(r)
       .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+      .select(Seq(col(key)) ++ lCols.filter(_ != key).map(col) ++
+        rightPayload.map(c => col(s"_payload.$c").as(c)): _*)
+  }
+
+  /** Skew-hardened as-of join: identical semantics to [[asofJoin]],
+    * but the window is sub-keyed by a TIME BUCKET so parallelism is
+    * |keys|·|buckets| instead of |keys| — the mitigation for few or
+    * skewed keys (an event stream with 4 event types on a
+    * 1000-executor cluster would otherwise use 4 tasks).
+    *
+    * Mechanics: rows land in bucket ⌊ts/width⌋. Within a (key, bucket)
+    * window a left row sees the in-bucket right rows before it, plus a
+    * CARRY-IN pseudo-row holding the latest right row of any earlier
+    * bucket. Carry-ins come from a per-(key, bucket) `max(struct(ts,
+    * payload))` aggregate forward-filled across buckets — that fill
+    * window is per key, but over one summary row per non-empty bucket,
+    * never over the raw rows, so it cannot become the skew bottleneck.
+    * The carry-in sorts at the bucket start with side 0 (< right 1 <
+    * left 2): an in-bucket right row at the exact bucket-start instant
+    * still overrides it, and ties keep [[asofJoin]]'s inclusive,
+    * payload-tiebroken order — a property test asserts row-for-row
+    * equality with the plain path.
+    *
+    * `bucketWidth` is in the ts column's native unit (microseconds for
+    * timestamps, raw units for numerics). Pick it so a bucket holds
+    * roughly rows/desired-tasks rows; carry-in correctness is
+    * width-independent.
+    */
+  def asofJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    requireSafeNames(left, rightPayload)
+    val lCols = left.columns
+    val tsType = left.schema(leftTs).dataType
+    def tsLong(c: Column): Column = tsType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _                                        => c.cast("long")
+    }
+    def tsBack(c: Column): Column = tsType match {
+      case org.apache.spark.sql.types.TimestampType => timestamp_micros(c)
+      case other                                    => c.cast(other)
+    }
+    def bucketOf(ts: Column): Column = floor(tsLong(ts) / bucketWidth).cast("long")
+    val payload = struct(rightPayload.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
+
+    val r0 = right.select(col(key), col(rightTs).as("_ts"), payload.as("_payload"))
+      .withColumn("_bucket", bucketOf(col("_ts")))
+
+    // latest right row per (key, bucket): max of the (ts, payload)
+    // struct — the same tiebreak order the in-bucket window uses
+    val lastPerBucket = r0.groupBy(col(key), col("_bucket"))
+      .agg(max(struct(col("_ts"), col("_payload"))).as("_last"))
+
+    // every bucket that needs a carry-in (left activity) or can supply
+    // one (right activity)
+    val allBuckets = left.select(col(key), bucketOf(col(leftTs)).as("_bucket"))
+      .union(lastPerBucket.select(col(key), col("_bucket")))
+      .distinct()
+
+    val wCarry = Window.partitionBy(key).orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = allBuckets.join(lastPerBucket, Seq(key, "_bucket"), "left")
+      .withColumn("_carry", last(col("_last"), ignoreNulls = true).over(wCarry))
+      .filter(col("_carry").isNotNull)
+      .select(col(key), col("_bucket"),
+        tsBack(col("_bucket") * bucketWidth).as("_ts"), // ≤ every in-bucket ts
+        col("_carry._payload").as("_payload"))
+
+    def nullLefts: Seq[Column] =
+      lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    val lhs = left.select(Seq(col(key), bucketOf(col(leftTs)).as("_bucket"),
+      col(leftTs).as("_ts"), lit(2).as("_side"),
+      lit(null).cast(payloadType).as("_payload")) ++ lCols.filter(_ != key).map(col): _*)
+    val rhs = r0.select(Seq(col(key), col("_bucket"), col("_ts"), lit(1).as("_side"),
+      col("_payload")) ++ nullLefts: _*)
+    val chs = carries.select(Seq(col(key), col("_bucket"), col("_ts"), lit(0).as("_side"),
+      col("_payload")) ++ nullLefts: _*)
+
+    val w = Window.partitionBy(col(key), col("_bucket"))
+      .orderBy(col("_ts"), col("_side"), col("_payload"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lhs.union(rhs).union(chs)
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 2)
       .select(Seq(col(key)) ++ lCols.filter(_ != key).map(col) ++
         rightPayload.map(c => col(s"_payload.$c").as(c)): _*)
   }
@@ -110,5 +214,36 @@ object AsOf {
            |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
-  val queries: Seq[(String, Q)] = Seq("events_asof_rates" -> eventsAsofRates)
+  /** The same report through the SKEW-HARDENED path: 1-day sub-key
+    * buckets give |event_types|·|days| window tasks instead of
+    * |event_types|. Same oracle as [[eventsAsofRates]] — the variants
+    * are semantically identical by construction, and both hash-match
+    * DuckDB's native ASOF JOIN independently.
+    */
+  val eventsAsofRatesBucketed: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val rates = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("rts"))
+        .agg(roundPortable(avgExact(col("value")), 2).as("hourly_avg"))
+      val joined = asofJoinBucketed(
+        ev.select("event_type", "ts", "event_id", "value"),
+        rates, key = "event_type", leftTs = "ts", rightTs = "rts",
+        rightPayload = Seq("hourly_avg"),
+        bucketWidth = 24L * 3600 * 1000000) // 1 day of microseconds
+        .filter(col("hourly_avg").isNotNull)
+      joined
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          roundPortable(avgExact(col("value") - col("hourly_avg")), 4).as("avg_deviation"),
+          roundPortable(max(abs(col("value") - col("hourly_avg"))), 2).as("max_deviation"))
+        .orderBy("event_type")
+    },
+    eventsAsofRates.oracle
+  )
+
+  val queries: Seq[(String, Q)] = Seq(
+    "events_asof_rates" -> eventsAsofRates,
+    "events_asof_rates_bucketed" -> eventsAsofRatesBucketed)
 }

@@ -260,6 +260,37 @@ class ExtSpec extends SparkSpec {
     assert(row.getString(row.fieldIndex("tag")) === "y")
   }
 
+  test("bucketed as-of join equals the plain as-of join on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val lft = (1 to 400).map(i =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "ts", "event_id")
+    val rgt = (1 to 120).map(i =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(1000).toLong,
+        if (rnd.nextInt(5) == 0) null else s"v$i")).toDF("k", "rts", "value")
+    val plain = AsOf.asofJoin(lft, rgt, "k", "ts", "rts", Seq("value"))
+      .collect().map(_.toString).sorted.toSeq
+    // width chosen so ties, empty buckets, and carry-in chains all occur
+    Seq(7L, 100L, 5000L).foreach { width =>
+      val bucketed = AsOf.asofJoinBucketed(lft, rgt, "k", "ts", "rts", Seq("value"), width)
+        .collect().map(_.toString).sorted.toSeq
+      assert(bucketed === plain, s"bucketWidth=$width diverges from the plain as-of join")
+    }
+  }
+
+  test("as-of join rejects reserved and colliding column names") {
+    import spark.implicits._
+    val rgt = Seq(("a", 1L, "x")).toDF("k", "rts", "value")
+    val reservedLeft = Seq(("a", 1L, 0L)).toDF("k", "ts", "_payload")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(reservedLeft, rgt, "k", "ts", "rts", Seq("value"))
+    }
+    val clashingLeft = Seq(("a", 1L, "y")).toDF("k", "ts", "value")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoinBucketed(clashingLeft, rgt, "k", "ts", "rts", Seq("value"), 10L)
+    }
+  }
+
   test("hourly window totals match raw event count") {
     val hourly = Sessions.hourly.build(spark, d)
     val total = hourly.agg(sum("n_events")).head.getLong(0)

@@ -116,6 +116,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("PartitionFilters: []"), p)
   }
 
+  test("bucketed as-of join sub-keys its window beyond the join key") {
+    val p = plan(graft.ext.AsOf.eventsAsofRatesBucketed.build(spark, d))
+    // the main fill window must partition on (key, _bucket), not key alone
+    assert("hashpartitioning\\(event_type[^)]*_bucket".r.findFirstIn(p).isDefined,
+      s"as-of window not sub-keyed by time bucket:\n$p")
+  }
+
   test("ANN top-k ranks via partial (map-side) object aggregation, not a window sort") {
     val p = plan(Similarity.bruteForceTopK.build(spark, d))
     assert(p.contains("partial_topk_pairs"), p)
