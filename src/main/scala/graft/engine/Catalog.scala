@@ -66,6 +66,7 @@ object Seeds {
       Some(
         spark.read
           .option("header", "true")
+          .option("mode", "FAILFAST") // schema drift should fail, not null out
           .schema(schema)
           .csv(path)
       )
@@ -92,6 +93,55 @@ object Seeds {
           .schema(schema)
           .json(path)
       )
+
+  /** The reference's four shipped seed tables with their PUBLISHED
+    * long-term schemas (reference CSVs under `seeds/jaffle-data`;
+    * `README.md:196-203` documents the column types: customers
+    * `(id text, name text)`, products `(sku text, name text, type
+    * text, price int, description text)`, stores `(id text, name
+    * text, opened_at datetime, tax_rate float)`, supplies `(id text,
+    * name text, cost int, perishable boolean, sku text)`). Declared
+    * explicitly rather than inferred — same no-inference-pass rule as
+    * [[load]].
+    */
+  val jaffleSchemas: Map[String, StructType] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "raw_customers" -> StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType))),
+      "raw_products" -> StructType(Seq(
+        StructField("sku", StringType),
+        StructField("name", StringType),
+        StructField("type", StringType),
+        StructField("price", IntegerType),
+        StructField("description", StringType))),
+      "raw_stores" -> StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("opened_at", TimestampType),
+        StructField("tax_rate", DoubleType))),
+      "raw_supplies" -> StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("cost", IntegerType),
+        StructField("perishable", BooleanType),
+        StructField("sku", StringType))))
+  }
+
+  /** Load every jaffle seed from a directory of CSVs, FAILFAST so a
+    * schema drift surfaces instead of silently nulling columns. The
+    * `enabled` gate mirrors `load_source_data` exactly as [[load]].
+    */
+  def loadJaffle(
+      spark: SparkSession,
+      dir: String,
+      enabled: Boolean = true
+  ): Map[String, DataFrame] =
+    jaffleSchemas.flatMap { case (name, schema) =>
+      load(spark, s"$dir/$name.csv", schema, enabled)
+        .map(df => name -> df)
+    }
 
   /** Namespace routing — a pure port of the reference's
     * `generate_schema_name` macro (`macros/generate_schema_name.sql:1-23`):

@@ -18,6 +18,26 @@ object Functions {
   def centsToDollars(c: Column, precision: Int = 16, scale: Int = 2): Column =
     round((c / lit(100)).cast(DecimalType(precision, scale)), 2)
 
+  /** Dialect dispatch for `cents_to_dollars` — the analogue of the
+    * macro's `adapter.dispatch` mechanism (reference
+    * `macros/cents_to_dollars.sql:4`): resolution tries the
+    * target-named arm and falls back to `default__`. Each arm keeps
+    * its dialect's operation ORDER (what actually differs between
+    * them), re-expressed in Spark types:
+    *   - default  `(c / 100)::numeric(16,2)`      — divide in double, cast
+    *   - postgres `(c::numeric(16,2) / 100)`      — cast first, exact decimal division
+    *   - bigquery `round(cast(c / 100 as numeric), 2)` — [[centsToDollars]]
+    *   - fabric   `cast(c / 100 as numeric(16,2))` — same shape as default
+    */
+  val centsToDollarsArms: Map[String, Column => Column] = Map(
+    "default" -> (c => (c / lit(100)).cast(DecimalType(16, 2))),
+    "postgres" -> (c => c.cast(DecimalType(16, 2)) / lit(100)),
+    "bigquery" -> (c => centsToDollars(c)),
+    "fabric" -> (c => (c / lit(100)).cast(DecimalType(16, 2))))
+
+  def centsToDollarsFor(target: String): Column => Column =
+    centsToDollarsArms.getOrElse(target, centsToDollarsArms("default"))
+
   /** Cross-engine-deterministic rounding: `floor(x·10^s + 0.5)/10^s`
     * in pure double arithmetic. Engines disagree on `round()` ties —
     * Spark rounds HALF_UP on the exact decimal expansion, DuckDB uses

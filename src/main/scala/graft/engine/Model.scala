@@ -34,6 +34,39 @@ final case class Model(
     tests: Seq[DataTest] = Nil
 )(val transform: Map[String, DataFrame] => DataFrame)
 
+object Model {
+
+  /** A model authored as SQL TEXT — parity of experience with the
+    * reference, whose users write model files as SQL. Each dependency
+    * relation is registered as a temp view under its dep name, so the
+    * statement references `ref()`/`source()` names verbatim; the text
+    * then runs through the SAME Catalyst pipeline as DataFrame-authored
+    * models (views inline, predicates push, pruning reaches the scan),
+    * with every function registered by `GraftExtensions`
+    * (`cosine_similarity`, `dot_product`, `topk_pairs`) available.
+    *
+    * Dep names must be valid SQL identifiers (all reference model
+    * names are). Temp views are session-scoped: within one DAG run
+    * registration is idempotent (a name always re-binds the same
+    * relation), so wave-parallel execution is safe; concurrent
+    * DISTINCT DAG runs sharing one SparkSession should author
+    * DataFrame models or clone the session.
+    */
+  def sql(
+      name: String,
+      deps: Seq[String],
+      materialization: Materialization,
+      sqlText: String,
+      tests: Seq[DataTest] = Nil): Model =
+    Model(name, deps, materialization, tests) { inputs =>
+      val spark = inputs.headOption
+        .map(_._2.sparkSession)
+        .getOrElse(org.apache.spark.sql.SparkSession.active)
+      inputs.foreach { case (dep, df) => df.createOrReplaceTempView(dep) }
+      spark.sql(sqlText)
+    }
+}
+
 /** Where `Materialization.Table` models land. */
 trait TableSink {
 

@@ -174,4 +174,47 @@ class EngineSpec extends SparkSpec {
     assert(row.getLong(0) == 1250L)
     assert(row.getDecimal(1).doubleValue() == 12.5)
   }
+
+  test("cents_to_dollars dialect dispatch mirrors adapter.dispatch resolution") {
+    val df = Seq(1250L, 99L).toDF("cents")
+    def vals(target: String): Seq[BigDecimal] =
+      df.select(Functions.centsToDollarsFor(target)($"cents").cast("decimal(16,2)").as("d"))
+        .orderBy("d").collect().map(r => BigDecimal(r.getDecimal(0))).toSeq
+    // every arm agrees on clean cents values; each exercises its own
+    // dialect's operation order (divide-then-cast vs cast-then-divide)
+    Seq("default", "postgres", "bigquery", "fabric").foreach { t =>
+      assert(vals(t) === Seq(BigDecimal("0.99"), BigDecimal("12.50")), s"arm $t")
+    }
+    // an unknown target resolves to the default__ arm, like dispatch
+    assert(vals("duckdb") === vals("default"))
+    // postgres casts BEFORE dividing: decimal in, exact decimal division
+    import org.apache.spark.sql.types.DecimalType
+    val pgType = df.select(Functions.centsToDollarsArms("postgres")($"cents").as("d"))
+      .schema("d").dataType
+    assert(pgType.isInstanceOf[DecimalType])
+  }
+
+  test("the reference's shipped seed CSVs load with their published schemas") {
+    import org.apache.spark.sql.types._
+    val dir = getClass.getResource("/jaffle-data").getPath
+    val loaded = Seeds.loadJaffle(spark, dir)
+    assert(loaded.keySet === Set("raw_customers", "raw_products", "raw_stores", "raw_supplies"))
+    // published row counts of the shipped one-year dataset
+    assert(loaded("raw_customers").count() === 935)
+    assert(loaded("raw_products").count() === 10)
+    assert(loaded("raw_stores").count() === 6)
+    assert(loaded("raw_supplies").count() === 65)
+    // published dtypes survive the explicit-schema load
+    assert(loaded("raw_products").schema("price").dataType === IntegerType)
+    assert(loaded("raw_stores").schema("opened_at").dataType === TimestampType)
+    assert(loaded("raw_stores").schema("tax_rate").dataType === DoubleType)
+    assert(loaded("raw_supplies").schema("perishable").dataType === BooleanType)
+    // typed columns parsed, not silently nulled (FAILFAST + spot checks)
+    assert(loaded("raw_stores").filter($"opened_at".isNull || $"tax_rate".isNull).count() === 0)
+    assert(loaded("raw_supplies").filter($"perishable".isNull || $"cost".isNull).count() === 0)
+    // seeds route to their custom namespace verbatim (generate_schema_name)
+    assert(Seeds.schemaFor("seed", Some("raw"), "analytics", "dev") === "raw")
+    // the load_source_data gate disables the whole set
+    assert(Seeds.loadJaffle(spark, dir, enabled = false).isEmpty)
+  }
 }

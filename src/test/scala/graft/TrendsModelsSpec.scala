@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.RunResult
-import graft.models.TrendsModels
+import graft.engine.{DagRunner, MapCatalog, Materialization, Model, NotNull, RunResult, TableSink}
+import graft.models.{TrendsFixtures, TrendsModels}
 
 class TrendsModelsSpec extends SparkSpec {
 
@@ -75,6 +75,48 @@ class TrendsModelsSpec extends SparkSpec {
     // avg_score is rounded to 2dp
     val avgScores = rows.map(_.getDouble(4))
     assert(avgScores.forall(v => math.abs(v * 100 - math.round(v * 100)) < 1e-9))
+  }
+
+  test("a model authored as SQL text runs through the DAG identically") {
+    // the reference's users write SQL — stg_top_terms re-authored as
+    // SQL text must drop into the DAG with no downstream difference
+    val sqlStg = Model.sql(
+      "stg_top_terms",
+      Seq("top_terms"),
+      Materialization.View,
+      "SELECT dma_id, dma_name, term, refresh_date, week, score, rank FROM top_terms",
+      tests = Seq("dma_id", "dma_name", "term", "refresh_date", "week", "score", "rank").map(NotNull))
+    val models = TrendsModels.all.map(m => if (m.name == "stg_top_terms") sqlStg else m)
+    val sqlRun = new DagRunner(new MapCatalog(TrendsFixtures.catalog(spark)), new TableSink.Cached)
+      .run(models)
+    assert(sqlRun.tests.size === 68)
+    assert(sqlRun.allTestsPassed, sqlRun.tests.filterNot(_.passed).mkString(", "))
+    // every mart downstream of the SQL-authored staging model agrees
+    Seq("top_terms_comparison", "trending_terms_analysis", "weekly_trends_summary").foreach { m =>
+      val got = sqlRun(m).collect().map(_.toString).sorted.toSeq
+      val want = run(m).collect().map(_.toString).sorted.toSeq
+      assert(got === want, s"$m diverges under SQL authoring")
+    }
+  }
+
+  test("GraftExtensions functions work from SQL-text models in the DAG") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions).getOrCreate()
+      import s2.implicits._
+      val emb = Seq((1L, Seq(3.0, 0.0)), (2L, Seq(3.0, 4.0))).toDF("id", "v")
+      val m = Model.sql("sims", Seq("emb"), Materialization.View,
+        """SELECT a.id AS id_a, b.id AS id_b, cosine_similarity(a.v, b.v) AS sim
+          |FROM emb a JOIN emb b ON a.id < b.id""".stripMargin)
+      val result = new DagRunner(new MapCatalog(Map("emb" -> emb))).run(Seq(m))("sims").head()
+      assert(math.abs(result.getDouble(2) - 0.6) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
   }
 
   test("round is HALF_UP like BigQuery ROUND, not banker's (SURVEY §4 trap 1)") {
