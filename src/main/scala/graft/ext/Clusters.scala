@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Inventory.Q
+
+/** Connected components over the near-dup pair graph — the step that
+  * turns PAIRS into KEEP/DROP decisions. Candidate generation
+  * (MinHash-LSH / sign-LSH) and verification (exact Jaccard / cosine)
+  * yield edges; transitivity then demands clustering: if A≈B and B≈C,
+  * one representative must survive for {A,B,C} even when A≉C directly.
+  * Every production dedup pipeline ends with exactly this reduction
+  * (keep the minimum id per component).
+  *
+  * Algorithm: iterative min-label propagation. Each round every vertex
+  * adopts the smallest label among itself and its neighbors; the
+  * fixpoint labels every vertex with the minimum doc_id reachable in
+  * its component — a unique answer independent of iteration order,
+  * which is what makes the operator exactly oracle-able (DuckDB replays
+  * it as a recursive CTE).
+  *
+  * Scale notes: one round = an equi-join on dst + a min-aggregate on
+  * doc_id — both hash-partitioned shuffles, no broadcast requirement.
+  * Rounds needed = graph diameter; near-dup graphs are unions of small
+  * cliques and chains, so diameter stays in the single digits at any
+  * corpus size (the pathological long-chain case is bounded by
+  * `maxIter`, and non-convergence THROWS rather than returning a wrong
+  * answer — for adversarial graphs, switch to the large-star/small-star
+  * variant, which converges in O(log² n)). The driver loop holds only a
+  * per-round changed-row COUNT (a scalar) — never row data; each round
+  * is cached and the previous round unpersisted, so lineage stays flat.
+  */
+object Clusters {
+
+  /** Min-label propagation to fixpoint. `vertices` must have a
+    * `doc_id` column; `pairs` columns (doc_a, doc_b) are undirected
+    * edges. Returns (doc_id, cluster_id) where cluster_id = min doc_id
+    * of the component.
+    */
+  def connectedComponents(
+      vertices: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label")).cache()
+    // labels only ever DECREASE, so Σlabel is strictly monotone until
+    // the fixpoint — comparing sums detects convergence with one
+    // aggregate per round instead of a self-join (the only driver-side
+    // values in the loop are these scalars)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("label")).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds; " +
+            "graph diameter exceeds the bound — raise maxIter or use a star-contraction variant")
+      val viaNeighbor = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .cache()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Registry query: cluster the VERIFIED near-dup pairs (the exact
+  // n-gram Jaccard graph at τ=0.3) over all documents, then report
+  // per-document cluster assignment plus each cluster's size and
+  // representative — the final keep/drop table of the dedup funnel.
+  // ------------------------------------------------------------------
+  val dedupComponents: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+      val pairs = Dedup.jaccardPairs.build(s, d).select("doc_a", "doc_b")
+      val labels = connectedComponents(docs, pairs)
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_representative"))
+        .orderBy("doc_id")
+    },
+    // DuckDB replays the pair graph (same shingle-set Jaccard CTE as
+    // dedup_jaccard_pairs) and the component labels as a recursive
+    // reachability CTE: walk(v, label) closes over edges, min(label)
+    // per vertex IS the fixpoint of min-label propagation.
+    Some("""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+           |           i -> array_to_string(toks[i:i+2], ' '))) AS s
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+           |), pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh a, sh b
+           |  WHERE a.doc_id < b.doc_id
+           |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.3
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM pairs
+           |), walk(v, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.v
+           |), labels AS (
+           |  SELECT v AS doc_id, min(label) AS cluster_id FROM walk GROUP BY v
+           |), sizes AS (
+           |  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+           |)
+           |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           |       l.doc_id = l.cluster_id AS is_representative
+           |FROM labels l JOIN sizes s USING (cluster_id)
+           |ORDER BY l.doc_id""".stripMargin)
+  )
+
+  val queries: Seq[(String, Q)] = Seq("dedup_components" -> dedupComponents)
+}

@@ -287,6 +287,86 @@ object Similarity {
   )
 
   // ------------------------------------------------------------------
+  // Int8-quantized prefilter + exact re-rank — the storage-bandwidth
+  // play: per-vector max-abs scalar quantization stores 1 byte/dim
+  // instead of 4 (at 100 TB of embeddings, a 4× scan-bandwidth and
+  // cache-footprint cut), scores every pair on the quantized vectors,
+  // keeps a generous top-`RefineK` per query (bounded map-side via
+  // TopKPairs), and re-ranks only those with full-precision cosine.
+  // Quantization is one interpreted HOF pass per VECTOR (ingest-time
+  // at scale, same budget rule as DotProduct.normalized); all per-pair
+  // math stays codegen'd.
+  // ------------------------------------------------------------------
+  val RefineK = 20
+
+  val quantizedTopK: Q = Q(
+    (s, d) => {
+      val e = emb(s, d)
+      // dequantized int8 view of v: q_i = round_half_up(x_i·s)/s with
+      // s = 127/max|x| — exactly the values an int8-stored corpus
+      // would score with
+      val deq = {
+        val v = col("embedding")
+        val scale = lit(127.0) / array_max(transform(v, x => abs(x.cast(DoubleType))))
+        transform(v, x => floor(x.cast(DoubleType) * scale + lit(0.5)) / scale)
+      }
+      val eq = e.select(col("vec_id"), col("embedding"), deq.as("qv"))
+      val queriesQ = eq.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+      val qsim = roundPortable(cosine(col("q_qv"), col("qv")), 6)
+      val cand = eq.crossJoin(broadcast(queriesQ))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id")
+        .agg(graft.functions.TopKPairs.topk(qsim, col("vec_id"), RefineK).as("tk"))
+        .select(col("q_id"), explode(col("tk")).as("p"))
+        .select(col("q_id"), col("p.id").as("neighbor_id"))
+      val queriesRaw = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val sim = roundPortable(cosine(col("q_emb"), col("n_emb")), 6)
+      rankTopK(cand
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
+          Seq("neighbor_id"))
+        .join(broadcast(queriesRaw), Seq("q_id"))
+        .select(col("q_id"), col("neighbor_id"), sim.as("sim")))
+    },
+    // Oracle replays quantize → dequantize → quantized top-20 →
+    // full-precision re-rank with identical op order (s computed once,
+    // floor-half-up rounding, 6-dp rank keys).
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+            |), sc AS (
+            |  SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS s FROM e
+            |), qz AS (
+            |  SELECT vec_id, list_transform(v, x -> floor(x * s + 0.5) / s) AS qv FROM sc
+            |), q AS (
+            |  SELECT vec_id AS q_id, qv AS qqv FROM qz WHERE vec_id < $NumQueries
+            |), pre AS (
+            |  SELECT q.q_id, z.vec_id AS neighbor_id,
+            |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+            |      floor(list_sum(list_transform(list_zip(q.qqv, z.qv), p -> p[1] * p[2]))
+            |        / (sqrt(list_sum(list_transform(q.qqv, x -> x * x)))
+            |           * sqrt(list_sum(list_transform(z.qv, x -> x * x)))) * 1000000 + 0.5) / 1000000 DESC,
+            |      z.vec_id) AS prnk
+            |  FROM q, qz z WHERE z.vec_id <> q.q_id
+            |), cand AS (
+            |  SELECT q_id, neighbor_id FROM pre WHERE prnk <= $RefineK
+            |), s2 AS (
+            |  SELECT c.q_id, c.neighbor_id,
+            |    floor(list_sum(list_transform(list_zip(eq.v, en.v), p -> p[1] * p[2]))
+            |      / (sqrt(list_sum(list_transform(eq.v, x -> x * x)))
+            |         * sqrt(list_sum(list_transform(en.v, x -> x * x)))) * 1000000 + 0.5) / 1000000 AS sim
+            |  FROM cand c
+            |  JOIN e eq ON eq.vec_id = c.q_id
+            |  JOIN e en ON en.vec_id = c.neighbor_id
+            |), r AS (
+            |  SELECT q_id, neighbor_id, sim,
+            |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+            |  FROM s2
+            |)
+            |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // IVF-lite: per-label centroids (computed from the data — the
   // pre-trained coarse quantizer), queries probe the nprobe nearest
   // cells. At scale the corpus is partitioned/bucketed BY cell, so a
@@ -371,6 +451,7 @@ object Similarity {
     "ann_cosine_topk" -> bruteForceTopK,
     "ann_dot_topk" -> dotTopK,
     "ann_lsh_topk" -> lshTopK,
-    "ann_ivf_topk" -> ivfTopK
+    "ann_ivf_topk" -> ivfTopK,
+    "ann_quantized_topk" -> quantizedTopK
   )
 }

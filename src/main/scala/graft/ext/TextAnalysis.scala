@@ -320,6 +320,58 @@ object TextAnalysis {
             |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // TF-IDF top terms per document — the classic relevance weighting,
+  // with smooth idf = ln((N+1)/(df+1)) + 1 (the scikit-learn variant:
+  // never zero, never divides by zero).
+  //
+  // Scale notes: tf is one shuffle on (doc_id, term); df reuses tf's
+  // rows (already distinct per (doc, term)) with one shuffle on term;
+  // the corpus count N joins in as a broadcast scalar, keeping the
+  // plan fully lazy (no driver-side count at build time). The final
+  // per-doc window ranks a handful of terms per doc — partitions are
+  // document-sized, never corpus-sized.
+  // ------------------------------------------------------------------
+  val TfidfTopK = 3
+
+  val tfidfTopTerms: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("tfidf", roundPortable(
+          col("tf") * (log((col("n") + 1).cast(DoubleType) / (col("df") + 1)) + 1), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TfidfTopK)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some(s"""WITH tf AS (
+            |  SELECT doc_id, term, count(*) AS tf
+            |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            |        FROM documents)
+            |  GROUP BY 1, 2
+            |), dfq AS (
+            |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+            |), n AS (
+            |  SELECT count(*) AS n FROM documents
+            |), scored AS (
+            |  SELECT tf.doc_id, tf.term,
+            |    floor(tf.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (dfq.df + 1)) + 1) * 1000000 + 0.5) / 1000000 AS tfidf
+            |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+            |), r AS (
+            |  SELECT doc_id, term, tfidf,
+            |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+            |  FROM scored
+            |)
+            |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= $TfidfTopK ORDER BY doc_id, rnk""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -328,6 +380,7 @@ object TextAnalysis {
     "text_bpe_tokens" -> bpeTokens,
     "text_length_quantiles" -> lengthQuantiles,
     "text_top_bigrams" -> topBigrams,
-    "text_winnow_fingerprints" -> winnowFingerprints
+    "text_winnow_fingerprints" -> winnowFingerprints,
+    "text_tfidf_top_terms" -> tfidfTopTerms
   )
 }

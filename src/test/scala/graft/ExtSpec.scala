@@ -177,6 +177,39 @@ class ExtSpec extends SparkSpec {
     assert(lshPairs.subsetOf(exactPairs))
   }
 
+  test("connected components: chains, cliques, and singletons resolve to min-id labels") {
+    import spark.implicits._
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // chain 1-2-3 (needs propagation, not just direct neighbors),
+    // pair 5-6, singletons 4 and 7
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Clusters.connectedComponents(verts, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dedup_components: representatives are cluster minima and sizes are consistent") {
+    val rows = Clusters.dedupComponents.build(spark, d).collect()
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min === cid, s"cluster $cid representative is not the min doc_id")
+      assert(members.forall(_.getLong(2) === members.length), s"cluster $cid size column inconsistent")
+      assert(members.count(_.getBoolean(3)) === 1, s"cluster $cid must have exactly one representative")
+    }
+    // clustering only merges: at least one multi-doc cluster exists at sf0.01
+    assert(byCluster.exists(_._2.length > 1))
+  }
+
+  test("quantized ANN prefilter + exact re-rank recovers the exact top-k almost everywhere") {
+    val exact = Similarity.bruteForceTopK.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK.build(spark, d).collect()
+    assert(quant.length === Similarity.NumQueries * Similarity.TopK)
+    val recall = quant.map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(exact).size.toDouble / exact.size
+    // int8 error is tiny relative to the top-20 refine margin
+    assert(recall >= 0.9, s"quantized-prefilter recall $recall")
+  }
+
   test("token stats and quality are total over documents") {
     val n = spark.read.parquet(s"$d/documents.parquet").count()
     assert(TextAnalysis.tokenStats.build(spark, d).count() === n)
