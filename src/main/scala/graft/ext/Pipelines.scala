@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.engine.Functions.{avgExact, roundPortable}
 import graft.ext.Dedup.hash60
@@ -104,8 +105,120 @@ object Pipelines {
            |GROUP BY lang ORDER BY lang""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Benchmark decontamination — flag training documents whose n-gram
+  // overlap with a benchmark/eval set is suspicious (the step every
+  // serious pretraining pipeline runs so eval questions don't leak
+  // into training data). Overlap is |doc ∩ bench| / |doc| over 3-token
+  // shingles; the harness "benchmark" is doc_id < 20.
+  //
+  // Scale notes: the SAME inverted-index shape as the Jaccard join —
+  // an equi-join on shingle hash where one side (the benchmark set) is
+  // tiny, so at scale it broadcasts and the corpus side streams
+  // through map-side with NO shuffle of corpus rows; the per-(doc,
+  // bench) overlap count and per-doc max are partial aggregates. Never
+  // O(corpus × benchmark) — only docs sharing a shingle meet.
+  // ------------------------------------------------------------------
+  val BenchmarkDocs = 20
+  val ContaminationTau = 0.5
+
+  val decontaminate: Q = Q(
+    (s, d) => {
+      val posts = Dedup.shinglePosts(s, d) // hash is an opaque join key here
+      val bench = posts.filter(col("doc_id") < BenchmarkDocs)
+        .select(col("hs"), col("doc_id").as("bench_id"))
+      val corpus = posts.filter(col("doc_id") >= BenchmarkDocs)
+      val frac = col("shared").cast(DoubleType) / col("sz")
+      val overlap = corpus.join(broadcast(bench), Seq("hs"))
+        .groupBy("doc_id", "bench_id", "sz")
+        .agg(count(lit(1)).as("shared"))
+        .groupBy("doc_id")
+        .agg(max(frac).as("mo"))
+      corpus.select("doc_id", "sz").distinct()
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("sz").as("n_shingles"),
+          coalesce(roundPortable(col("mo"), 6), lit(0.0)).as("max_overlap"),
+          coalesce(col("mo") >= ContaminationTau, lit(false)).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            |           i -> array_to_string(toks[i:i+2], ' '))) AS s
+            |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+            |), bench AS (
+            |  SELECT * FROM sh WHERE doc_id < $BenchmarkDocs AND len(s) > 0
+            |), corpus AS (
+            |  SELECT * FROM sh WHERE doc_id >= $BenchmarkDocs AND len(s) > 0
+            |), ov AS (
+            |  SELECT c.doc_id,
+            |    max(CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) / len(c.s)) AS mo
+            |  FROM corpus c JOIN bench b ON len(list_intersect(c.s, b.s)) > 0
+            |  GROUP BY 1
+            |)
+            |SELECT c.doc_id, len(c.s) AS n_shingles,
+            |       coalesce(floor(ov.mo * 1000000 + 0.5) / 1000000, 0.0) AS max_overlap,
+            |       coalesce(ov.mo >= $ContaminationTau, false) AS contaminated
+            |FROM corpus c LEFT JOIN ov ON ov.doc_id = c.doc_id
+            |ORDER BY c.doc_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Per-group document cap — "at most K docs per domain, best quality
+  // first" (the C4/RefinedWeb-style anti-spam rule; the harness groups
+  // by `lang` since it has no domain column). Rank key is the
+  // 6-dp-rounded quality score with doc_id tiebreak, so the kept SET
+  // is deterministic and cross-engine identical.
+  //
+  // Scale notes: one shuffle on the group key; row_number needs no
+  // full sort of the corpus, only per-group ordering. For web-scale
+  // groups (one domain = millions of pages) the same time-bucket
+  // sub-keying as the as-of join applies before the final per-group
+  // merge.
+  // ------------------------------------------------------------------
+  val DomainCap = 50
+
+  val domainCap: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val qc = TextAnalysis.qualityCols(col("text"))
+      val q6 = roundPortable(qc.score, 6)
+      val ranked = docs.select(col("doc_id"), col("lang"), q6.as("q"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))))
+        .withColumn("kept", col("rnk") <= DomainCap)
+      ranked.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+          min(when(col("kept"), col("q"))).as("min_kept_quality"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH scored AS (
+            |  SELECT doc_id, lang,
+            |    floor((least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+            |      + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+            |      + CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            |            x -> x IN ('the','of','and','to','in','is','it','a'))) AS DOUBLE)
+            |        / len(string_split_regex(lower(trim(text)), '\\s+')) * 0.2) * 1000000 + 0.5) / 1000000 AS q
+            |  FROM documents
+            |), ranked AS (
+            |  SELECT doc_id, lang, q,
+            |         row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rnk
+            |  FROM scored
+            |)
+            |SELECT lang, count(*) AS n_docs,
+            |       CAST(sum(CASE WHEN rnk <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            |       CAST(sum(CASE WHEN rnk > $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+            |       min(CASE WHEN rnk <= $DomainCap THEN q END) AS min_kept_quality
+            |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "pipeline_stratified_split" -> stratifiedSplit,
-    "pipeline_clean_corpus" -> cleanCorpus
+    "pipeline_clean_corpus" -> cleanCorpus,
+    "pipeline_decontaminate" -> decontaminate,
+    "pipeline_domain_cap" -> domainCap
   )
 }

@@ -372,6 +372,71 @@ object TextAnalysis {
             |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= $TfidfTopK ORDER BY doc_id, rnk""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Repetition metrics — the Gopher-style quality rules that catch
+  // degenerate/boilerplate text which length and punctuation ratios
+  // miss: the fraction of the document taken by its single most
+  // frequent token / bigram, and the distinct-token ratio. Flags use
+  // the published-style thresholds (top token > 20%, top bigram >
+  // 18%), compared UNROUNDED in both engines.
+  //
+  // Scale notes: two shuffles — (doc_id, term) and (doc_id, bigram)
+  // counts — then per-doc partial aggregates; the bigram pass reuses
+  // the window-lead pattern (codegen'd, no HOF in the hot path).
+  // ------------------------------------------------------------------
+  val TopTokenTau = 0.2
+  val TopBigramTau = 0.18
+
+  val repetition: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bigrams = toks.withColumn("t1", lead("t", 1).over(w))
+        .filter(col("t1").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("t"), col("t1")).as("bg"))
+      val tokStats = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), max("c").as("top_tok"), count(lit(1)).as("n_unique"))
+      val bigStats = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("top_big"))
+      val topTokRatio = col("top_tok").cast(DoubleType) / col("n_tokens")
+      val topBigRatio = col("top_big").cast(DoubleType) / col("n_bigrams")
+      tokStats.join(bigStats, Seq("doc_id"), "left") // 1-token docs have no bigrams
+        .select(
+          col("doc_id"), col("n_tokens"),
+          roundPortable(topTokRatio, 6).as("top_token_ratio"),
+          roundPortable(col("n_unique").cast(DoubleType) / col("n_tokens"), 6).as("distinct_ratio"),
+          coalesce(roundPortable(topBigRatio, 6), lit(0.0)).as("top_bigram_ratio"),
+          (topTokRatio > TopTokenTau ||
+            coalesce(topBigRatio > TopBigramTau, lit(false))).as("repetitive"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents
+            |), tokstats AS (
+            |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_tok, count(*) AS n_unique
+            |  FROM (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2) GROUP BY 1
+            |), bg AS (
+            |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            |           i -> array_to_string(toks[i:i+1], ' '))) AS bg
+            |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+            |), bigstats AS (
+            |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_big
+            |  FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1
+            |)
+            |SELECT t.doc_id, t.n_tokens,
+            |  floor(CAST(t.top_tok AS DOUBLE) / t.n_tokens * 1000000 + 0.5) / 1000000 AS top_token_ratio,
+            |  floor(CAST(t.n_unique AS DOUBLE) / t.n_tokens * 1000000 + 0.5) / 1000000 AS distinct_ratio,
+            |  coalesce(floor(CAST(b.top_big AS DOUBLE) / b.n_bigrams * 1000000 + 0.5) / 1000000, 0.0) AS top_bigram_ratio,
+            |  (CAST(t.top_tok AS DOUBLE) / t.n_tokens > $TopTokenTau
+            |   OR coalesce(CAST(b.top_big AS DOUBLE) / b.n_bigrams > $TopBigramTau, false)) AS repetitive
+            |FROM tokstats t LEFT JOIN bigstats b ON b.doc_id = t.doc_id
+            |ORDER BY t.doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -381,6 +446,7 @@ object TextAnalysis {
     "text_length_quantiles" -> lengthQuantiles,
     "text_top_bigrams" -> topBigrams,
     "text_winnow_fingerprints" -> winnowFingerprints,
-    "text_tfidf_top_terms" -> tfidfTopTerms
+    "text_tfidf_top_terms" -> tfidfTopTerms,
+    "text_repetition" -> repetition
   )
 }

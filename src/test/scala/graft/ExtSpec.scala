@@ -256,6 +256,38 @@ class ExtSpec extends SparkSpec {
     assert(kept > 0 && kept <= n)
   }
 
+  test("decontamination covers exactly the non-benchmark shingled docs with bounded overlap") {
+    val rows = Pipelines.decontaminate.build(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) >= Pipelines.BenchmarkDocs))
+    rows.foreach { r =>
+      val mo = r.getDouble(2)
+      assert(mo >= 0.0 && mo <= 1.0)
+      // flag agrees with the reported overlap (tolerance for the 6-dp display rounding)
+      if (math.abs(mo - Pipelines.ContaminationTau) > 1e-6)
+        assert(r.getBoolean(3) === (mo >= Pipelines.ContaminationTau))
+    }
+  }
+
+  test("per-group document cap keeps at most K per group, partitioning the corpus") {
+    val rows = Pipelines.domainCap.build(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= Pipelines.DomainCap)
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3))
+    }
+  }
+
+  test("repetition ratios are in (0, 1] over every document") {
+    val rows = TextAnalysis.repetition.build(spark, d).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0) // top token ratio
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0) // distinct ratio
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) // top bigram ratio
+    }
+  }
+
   test("sessionization: session counts bounded by event counts") {
     val s = Sessions.sessionize.build(spark, d).collect()
     assert(s.nonEmpty)
