@@ -501,6 +501,55 @@ object Inventory {
   // customers vs suppliers; the tag column disambiguates the union of
   // the two result sets.
   // ------------------------------------------------------------------
+  // ------------------------------------------------------------------
+  // Extension (§2.5 beyond reference): lag/lead analytics — the
+  // week-over-week delta shape every trends dashboard needs. The
+  // window is keyed per event_type and ordered by week; deltas and
+  // percent change are computed from the ROUNDED weekly averages so
+  // both engines difference identical doubles. First week per key has
+  // NULL deltas (no prior row) — nulls stay out of the sort keys.
+  //
+  // Scale notes: one shuffle for the weekly aggregate, and the lag
+  // window REUSES that (event_type) partitioning over the tiny
+  // per-week summary rows — at 100 TB the window input is
+  // |keys|·|weeks| rows, not the event count.
+  // ------------------------------------------------------------------
+  val windowWowChange: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val weekly = ev
+        .groupBy(col("event_type"), date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+        .agg(count(lit(1)).as("n_events"),
+          roundPortable(avgExact(col("value")), 2).as("avg_value"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      weekly
+        .withColumn("prev_avg", lag("avg_value", 1).over(w))
+        .select(
+          col("event_type"), col("week"), col("n_events"), col("avg_value"),
+          roundPortable(col("avg_value") - col("prev_avg"), 2).as("wow_change"),
+          when(col("prev_avg") =!= 0,
+            roundPortable((col("avg_value") - col("prev_avg")) / col("prev_avg") * 100, 4))
+            .as("wow_pct"))
+        .orderBy("event_type", "week")
+    },
+    Some("""WITH weekly AS (
+           |  SELECT event_type, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           |    count(*) AS n_events,
+           |    floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS avg_value
+           |  FROM events GROUP BY 1, 2
+           |), lagd AS (
+           |  SELECT event_type, week, n_events, avg_value,
+           |    lag(avg_value) OVER (PARTITION BY event_type ORDER BY week) AS prev_avg
+           |  FROM weekly
+           |)
+           |SELECT event_type, week, n_events, avg_value,
+           |  floor((avg_value - prev_avg) * 100 + 0.5) / 100 AS wow_change,
+           |  CASE WHEN prev_avg <> 0
+           |       THEN floor((avg_value - prev_avg) / prev_avg * 100 * 10000 + 0.5) / 10000 END AS wow_pct
+           |FROM lagd ORDER BY event_type, week""".stripMargin)
+  )
+
   val setOps: Q = Q(
     (s, d) => {
       val custNations = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
@@ -545,6 +594,7 @@ object Inventory {
     "join_revenue_by_nation" -> joinRevenueByNation,
     "join_semi_anti" -> joinSemiAnti,
     "agg_rollup" -> aggRollup,
-    "set_ops" -> setOps
+    "set_ops" -> setOps,
+    "window_wow_change" -> windowWowChange
   )
 }
