@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Declarative data-quality predicates — the engine-side analogue of
   * dbt `data_tests` (reference: the YAMLs under `models/staging/` and
@@ -46,6 +46,42 @@ final case class AcceptedValues(column: String, values: Seq[String]) extends Dat
   override def name: String = s"accepted_values_$column"
   override def failingRows(df: DataFrame): DataFrame =
     df.filter(col(column).isNotNull && !col(column).isin(values: _*))
+}
+
+/** `unique` — dbt's third built-in (unused by the reference's YAMLs,
+  * provided for parity with dbt-core's standard test set). dbt
+  * compiles it to "group by column having count(*) > 1 (nulls
+  * excluded)"; the failing relation here is exactly that.
+  *
+  * Scale note: one shuffle on the column; the HAVING filter is applied
+  * post-partial-aggregation, so only genuine duplicate keys reach the
+  * reducer output.
+  */
+final case class Unique(column: String) extends DataTest {
+  override def name: String = s"unique_$column"
+  override def failingRows(df: DataFrame): DataFrame =
+    df.filter(col(column).isNotNull)
+      .groupBy(col(column))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+}
+
+/** `relationships` — dbt's fourth built-in (referential integrity):
+  * every non-null value of `column` must exist in `to().toColumn`.
+  * The parent relation is passed lazily so the test can reference a
+  * catalog table or another model at RUN time, like `ref()` inside
+  * dbt's compiled test SQL.
+  *
+  * Scale note: compiled as a LEFT ANTI join — the orphan side streams,
+  * the parent key column is all the join carries, and a small parent
+  * broadcasts.
+  */
+final case class Relationships(column: String, to: () => DataFrame, toColumn: String)
+    extends DataTest {
+  override def name: String = s"relationships_${column}_to_$toColumn"
+  override def failingRows(df: DataFrame): DataFrame =
+    df.filter(col(column).isNotNull)
+      .join(to().select(col(toColumn).as(column)).distinct(), Seq(column), "left_anti")
 }
 
 /** Outcome of one test run against one materialized model. */

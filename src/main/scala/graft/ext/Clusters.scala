@@ -45,13 +45,20 @@ object Clusters {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("label")).cache()
+    // only vertices that appear in an edge can ever change label: the
+    // iteration carries the PAIR-GRAPH vertex set (tiny after dedup
+    // thresholds — a fraction of the corpus), and untouched documents
+    // rejoin as singletons at the end. At 100 TB this is the
+    // difference between iterating over megabytes and iterating over
+    // the corpus.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label")).cache()
     // labels only ever DECREASE, so Σlabel is strictly monotone until
     // the fixpoint — comparing sums detects convergence with one
     // aggregate per round instead of a self-join (the only driver-side
     // values in the loop are these scalars)
     def labelSum(df: DataFrame): Long =
-      df.agg(sum("label")).head.getLong(0)
+      df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0) // 0 for an edgeless graph
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -74,7 +81,10 @@ object Clusters {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    // singletons (no edges) label themselves
+    vertices.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
   // ------------------------------------------------------------------

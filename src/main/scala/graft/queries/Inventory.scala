@@ -318,6 +318,71 @@ object Inventory {
   )
 
   // ------------------------------------------------------------------
+  // Extension (§2.8 beyond reference): dbt's other two built-in tests.
+  // t3 runs the `unique` failing-rows shape (group-by key HAVING
+  // count > 1) as a profile over three key columns — lineitem's
+  // orderkey legitimately duplicates (one row per line), the true
+  // primary keys report zero. t4 runs `relationships` (referential
+  // integrity via LEFT ANTI join): TPC-H foreign keys are intact,
+  // while events.user_id is NOT a customer key — a realistic orphan
+  // report with nonzero rows.
+  // ------------------------------------------------------------------
+  val t3Unique: Q = Q(
+    (s, d) => {
+      def profile(df: DataFrame, c: String, label: String) =
+        graft.engine.Unique(c).failingRows(df)
+          .agg(count(lit(1)).as("failing_keys"),
+            coalesce(sum(col("n")), lit(0L)).as("duplicate_rows"))
+          .select(lit(label).as("test"), col("failing_keys"), col("duplicate_rows"))
+      profile(t(s, d, "customer"), "c_custkey", "unique_customer_c_custkey")
+        .union(profile(t(s, d, "orders"), "o_orderkey", "unique_orders_o_orderkey"))
+        .union(profile(t(s, d, "lineitem"), "l_orderkey", "unique_lineitem_l_orderkey"))
+        .orderBy("test")
+    },
+    Some("""WITH c AS (SELECT c_custkey, count(*) AS n FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1 HAVING count(*) > 1),
+           |     o AS (SELECT o_orderkey, count(*) AS n FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1 HAVING count(*) > 1),
+           |     l AS (SELECT l_orderkey, count(*) AS n FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1 HAVING count(*) > 1)
+           |SELECT 'unique_customer_c_custkey' AS test, count(*) AS failing_keys,
+           |       CAST(coalesce(sum(n), 0) AS BIGINT) AS duplicate_rows FROM c
+           |UNION ALL
+           |SELECT 'unique_orders_o_orderkey', count(*), CAST(coalesce(sum(n), 0) AS BIGINT) FROM o
+           |UNION ALL
+           |SELECT 'unique_lineitem_l_orderkey', count(*), CAST(coalesce(sum(n), 0) AS BIGINT) FROM l
+           |ORDER BY test""".stripMargin)
+  )
+
+  val t4Relationships: Q = Q(
+    (s, d) => {
+      def profile(child: DataFrame, childCol: String,
+          parent: DataFrame, parentCol: String, label: String) =
+        graft.engine.Relationships(childCol, () => parent, parentCol).failingRows(child)
+          .agg(count(lit(1)).as("orphan_rows"),
+            countDistinct(col(childCol)).as("orphan_keys"))
+          .select(lit(label).as("relation"), col("orphan_rows"), col("orphan_keys"))
+      profile(t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey",
+        "orders_custkey_to_customer")
+        .union(profile(t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"), "o_orderkey",
+          "lineitem_orderkey_to_orders"))
+        .union(profile(events(s, d), "user_id", t(s, d, "customer"), "c_custkey",
+          "events_userid_to_customer"))
+        .orderBy("relation")
+    },
+    Some("""SELECT 'orders_custkey_to_customer' AS relation, count(*) AS orphan_rows,
+           |       count(DISTINCT o_custkey) AS orphan_keys
+           |FROM orders o WHERE o_custkey IS NOT NULL
+           |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+           |UNION ALL
+           |SELECT 'lineitem_orderkey_to_orders', count(*), count(DISTINCT l_orderkey)
+           |FROM lineitem l WHERE l_orderkey IS NOT NULL
+           |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+           |UNION ALL
+           |SELECT 'events_userid_to_customer', count(*), count(DISTINCT user_id)
+           |FROM events e WHERE user_id IS NOT NULL
+           |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+           |ORDER BY relation""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // Flagship: the full `weekly_trends_summary` mart shape
   // (reference `models/marts/weekly_trends_summary.sql:1-112`) over the
   // harness `events` table — per-grain hash aggregates per event_type
@@ -590,6 +655,8 @@ object Inventory {
     "sort_global" -> sortGlobal,
     "t1_not_null" -> t1NotNull,
     "t2_accepted_values" -> t2AcceptedValues,
+    "t3_unique" -> t3Unique,
+    "t4_relationships" -> t4Relationships,
     "mart_weekly_events_summary" -> martWeeklyEventsSummary,
     "join_revenue_by_nation" -> joinRevenueByNation,
     "join_semi_anti" -> joinSemiAnti,

@@ -175,6 +175,23 @@ class EngineSpec extends SparkSpec {
     assert(row.getDecimal(1).doubleValue() == 12.5)
   }
 
+  test("unique and relationships tests (dbt built-ins 3 and 4)") {
+    val dup = Seq(Some(1) -> "a", Some(2) -> "b", Some(2) -> "c", None -> "d")
+      .toDF("k", "v")
+    // duplicates fail; NULL keys are excluded like dbt's compiled test
+    assert(!Unique("k").passes(dup))
+    assert(Unique("k").failingRows(dup).count() === 1) // the k=2 group only
+    assert(Unique("v").passes(dup))
+    val parent = Seq(1, 2, 3).toDF("id")
+    val child = Seq(Some(1), Some(2), Some(9), None).toDF("pid")
+    val rel = Relationships("pid", () => parent, "id")
+    assert(!rel.passes(child))
+    // exactly the orphan (9); NULL children pass, like dbt
+    assert(rel.failingRows(child).collect().map(_.getInt(0)).toSeq === Seq(9))
+    assert(Relationships("pid", () => parent, "id")
+      .passes(child.filter($"pid".isNull || $"pid" < 3)))
+  }
+
   test("cents_to_dollars dialect dispatch mirrors adapter.dispatch resolution") {
     val df = Seq(1250L, 99L).toDF("cents")
     def vals(target: String): Seq[BigDecimal] =
