@@ -471,12 +471,17 @@ object Dedup {
   // Parameter rule (see Similarity.gaussianPlanes): recall at cosine τ
   // is 1 − (1 − p^B)^L with p = 1 − arccos(τ)/π. The registry runs
   // L=16 tables × B=4 bits (seed 43): ~94% recall at the harness's
-  // τ=0.4 regime. B is the blocking-granularity knob — at web scale
-  // (and the usual near-dup τ ≥ 0.85, where p ≈ 0.82) you'd run
-  // B=8–16 so each block holds ~n/2^B vectors, keeping per-block
-  // fan-out flat; the spec exercises exactly that configuration on
-  // planted near-dups. Oversized blocks (degenerate directions) are
-  // dropped by the same MaxBucket guard as MinHash-LSH.
+  // τ=0.4 regime. Be explicit about what B=4 does NOT buy: a RANDOM
+  // pair shares some table's 4-bit block with prob ≈ 1−(1−2⁻⁴)¹⁶ ≈
+  // 0.64, so at this setting blocking is plumbing-correct but barely
+  // prunes — the τ=0.4 regime is inherently blocking-hostile (sign-LSH
+  // cannot separate cos 0.4 from cos 0 sharply). Production near-dup
+  // dedup runs τ ≥ 0.85 with B=8–16, where p ≈ 0.82 keeps recall high
+  // while random collision drops to ≈ 1−(1−2⁻⁸)⁸ ≈ 3% — each block
+  // holds ~n/2^B vectors and per-block fan-out stays flat; the spec
+  // exercises exactly that configuration on planted near-dups.
+  // Oversized blocks (degenerate directions) are dropped by the same
+  // MaxBucket guard as MinHash-LSH.
   // ------------------------------------------------------------------
   val EmbTables = 16
   val EmbBits = 4
