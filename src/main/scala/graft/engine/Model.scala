@@ -124,4 +124,44 @@ object TableSink {
       df.sparkSession.read.parquet(path)
     }
   }
+
+  /** Keyed parquet upsert — dbt's `incremental` materialization with
+    * `unique_key` (SCD Type 1 merge): incoming rows REPLACE same-key
+    * base rows, new keys append, untouched keys survive. Models whose
+    * name has no entry in `keys` fall back to full overwrite.
+    *
+    * Without a transactional table format, the merge must rewrite
+    * files — and Spark cannot overwrite a path that feeds the plan
+    * being executed, so the merged relation is written to a staging
+    * directory first and swapped in with a filesystem rename. At
+    * scale, partition the table and pair this with dynamic partition
+    * overwrite so only touched partitions rewrite; the anti-join
+    * itself shuffles only the key columns of the base table.
+    */
+  final class ParquetUpsert(dir: String, keys: Map[String, Seq[String]])
+      extends TableSink {
+    import org.apache.hadoop.fs.Path
+
+    override def write(name: String, df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val path = s"$dir/$name"
+      val target = new Path(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val key = keys.getOrElse(name, Nil)
+      if (key.isEmpty || !fs.exists(target)) {
+        df.write.mode("overwrite").parquet(path)
+      } else {
+        val keyCols = key.map(org.apache.spark.sql.functions.col)
+        val merged = spark.read.parquet(path)
+          .join(df.select(keyCols: _*).distinct(), key, "left_anti")
+          .unionByName(df)
+        val staging = new Path(path + "__staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(target, true)
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(s"failed to swap staging dir into $path")
+      }
+      spark.read.parquet(path)
+    }
+  }
 }

@@ -175,6 +175,42 @@ class EngineSpec extends SparkSpec {
     assert(row.getDecimal(1).doubleValue() == 12.5)
   }
 
+  test("keyed parquet upsert merges updates, appends new keys, keeps untouched rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val sink = new TableSink.ParquetUpsert(dir, Map("t" -> Seq("id")))
+    val base = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "x")
+    sink.write("t", base)
+    val batch = Seq((2L, "B", 99), (3L, "c", 30)).toDF("id", "v", "x")
+    val merged = sink.write("t", batch).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(merged === Seq((1L, "a", 10), (2L, "B", 99), (3L, "c", 30)))
+    // re-running the same batch is idempotent (retry safety)
+    assert(sink.write("t", batch).count() === 3)
+    // a model with no declared key falls back to full overwrite
+    assert(new TableSink.ParquetUpsert(dir, Map.empty).write("t", batch).count() === 2)
+  }
+
+  test("snapshot (SCD2 timestamp strategy) opens, closes, and preserves intervals") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val s0 = Snapshots.snapshot(None,
+      Seq((1L, "a", t0), (2L, "b", t0)).toDF("id", "v", "updated_at"), "id", "updated_at")
+    assert(s0.filter($"dbt_valid_to".isNull).count() === 2)
+    // run 2: id=1 advanced to t1, id=2 absent (stays open), id=3 new
+    val batch2 = Seq((1L, "A", t1), (3L, "c", t1)).toDF("id", "v", "updated_at")
+    val s1 = Snapshots.snapshot(Some(s0), batch2, "id", "updated_at").cache()
+    assert(s1.count() === 4) // closed v1 of id=1, open A, open b, open c
+    val open = s1.filter($"dbt_valid_to".isNull).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(open === Seq((1L, "A"), (2L, "b"), (3L, "c")))
+    val closed = s1.filter($"dbt_valid_to".isNotNull).collect()
+    assert(closed.length === 1)
+    assert(closed(0).getLong(0) === 1L)
+    assert(closed(0).getTimestamp(4) === t1) // closed AT the replacing version's ts
+    // unchanged re-run is a no-op (same updated_at neither closes nor opens)
+    assert(Snapshots.snapshot(Some(s1), batch2, "id", "updated_at").count() === 4)
+  }
+
   test("unique and relationships tests (dbt built-ins 3 and 4)") {
     val dup = Seq(Some(1) -> "a", Some(2) -> "b", Some(2) -> "c", None -> "d")
       .toDF("k", "v")
