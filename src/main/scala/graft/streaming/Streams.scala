@@ -66,6 +66,21 @@ object Streams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("max_value"))
 
+  /** Stream-static enrichment join — the streaming cousin of the
+    * as-of join for the common case where the right side is the
+    * LATEST dimension snapshot rather than full history: each event
+    * picks up its type's current reference rate and reports its
+    * deviation. The static side is re-planned per micro-batch (so a
+    * refreshed snapshot table is picked up on the next trigger) and
+    * broadcast — the stream side never shuffles.
+    */
+  def enrichedAgainstSnapshot(events: DataFrame, typeRates: DataFrame): DataFrame =
+    events
+      .join(broadcast(typeRates), Seq("event_type"), "left")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        col("avg_value"),
+        roundPortable(col("value") - col("avg_value"), 2).as("deviation"))
+
   /** One user's running state for [[runningTotals]]. */
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

@@ -123,6 +123,17 @@ class PlanSpec extends SparkSpec {
       s"as-of window not sub-keyed by time bucket:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark side (corpus never shuffles for the join)") {
+    val p = plan(graft.ext.Pipelines.decontaminate.build(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quantized ANN prefilter reduces map-side via partial_topk_pairs") {
+    val p = plan(Similarity.quantizedTopK.build(spark, d))
+    assert(p.contains("partial_topk_pairs"), p)
+  }
+
   test("ANN top-k ranks via partial (map-side) object aggregation, not a window sort") {
     val p = plan(Similarity.bruteForceTopK.build(spark, d))
     assert(p.contains("partial_topk_pairs"), p)

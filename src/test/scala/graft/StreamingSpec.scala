@@ -112,4 +112,24 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("hv_stream").select("event_id").as[Long].collect().sorted
     assert(got.toSeq === Seq(3L))
   }
+
+  test("stream-static enrichment joins each event to its snapshot rate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rates = Seq(("click", 20.0), ("view", 85.0)).toDF("event_type", "avg_value")
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = Streams.enrichedAgainstSnapshot(mem.toDF(), rates)
+      .writeStream.format("memory").queryName("enr_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enr_stream")
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    // batch twin: identical expressions over the same rows
+    val expected = Streams.enrichedAgainstSnapshot(rows.toDF(), rates)
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    assert(got === expected)
+    assert(got.length === rows.length) // left join keeps every event
+  }
 }
