@@ -77,6 +77,20 @@ class TrendsModelsSpec extends SparkSpec {
     assert(avgScores.forall(v => math.abs(v * 100 - math.round(v * 100)) < 1e-9))
   }
 
+  test("the ENTIRE DAG authored as SQL text matches the DataFrame authoring") {
+    val sqlRun = graft.models.TrendsModelsSql.run(spark)
+    assert(sqlRun.tests.size === 68)
+    assert(sqlRun.allTestsPassed, sqlRun.tests.filterNot(_.passed).mkString(", "))
+    assert(sqlRun.skipped.isEmpty)
+    TrendsModels.all.map(_.name).foreach { m =>
+      val got = sqlRun(m).collect().map(_.toString).sorted.toSeq
+      val want = run(m).collect().map(_.toString).sorted.toSeq
+      assert(got === want, s"$m diverges between SQL and DataFrame authoring")
+      assert(sqlRun(m).columns.toSeq === run(m).columns.toSeq,
+        s"$m column order diverges between authorings")
+    }
+  }
+
   test("a model authored as SQL text runs through the DAG identically") {
     // the reference's users write SQL — stg_top_terms re-authored as
     // SQL text must drop into the DAG with no downstream difference
