@@ -80,8 +80,59 @@ object Sessions {
            |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Cohort retention — users grouped by their FIRST active week, then
+  // for each (cohort, weeks-since) cell the distinct users still
+  // active, with the retention rate against the cohort's size. The
+  // classic product-analytics matrix.
+  //
+  // Scale notes: one shuffle on user_id builds both the distinct
+  // (user, week) activity set and the per-user first week (the
+  // groupBy reuses the distinct's partitioning); the matrix aggregate
+  // shuffles on (cohort_week, weeks_since) — cells, not events. The
+  // cohort-size join is a broadcast (one row per cohort week).
+  // ------------------------------------------------------------------
+  val cohortRetention: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val weekOf = date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
+      val userWeeks = ev.select(col("user_id"), weekOf.as("week")).distinct()
+      val cohorts = userWeeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      val sizes = cohorts.groupBy("cohort_week")
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      val cells = userWeeks.join(cohorts, Seq("user_id"))
+        .withColumn("weeks_since",
+          (datediff(col("week").cast("date"), col("cohort_week").cast("date")) / 7).cast("int"))
+        .groupBy("cohort_week", "weeks_since")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      cells.join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("weeks_since"), col("active_users"),
+          roundPortable(col("active_users").cast("double") / col("cohort_size"), 4)
+            .as("retention_rate"))
+        .orderBy("cohort_week", "weeks_since")
+    },
+    Some("""WITH uw AS (
+           |  SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week FROM events
+           |), cohorts AS (
+           |  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+           |), sizes AS (
+           |  SELECT cohort_week, count(DISTINCT user_id) AS cohort_size FROM cohorts GROUP BY 1
+           |), cells AS (
+           |  SELECT c.cohort_week,
+           |         CAST(date_diff('day', CAST(c.cohort_week AS DATE), CAST(u.week AS DATE)) // 7 AS INTEGER) AS weeks_since,
+           |         count(DISTINCT u.user_id) AS active_users
+           |  FROM uw u JOIN cohorts c USING (user_id)
+           |  GROUP BY 1, 2
+           |)
+           |SELECT cells.cohort_week, cells.weeks_since, cells.active_users,
+           |       floor(CAST(cells.active_users AS DOUBLE) / s.cohort_size * 10000 + 0.5) / 10000 AS retention_rate
+           |FROM cells JOIN sizes s USING (cohort_week)
+           |ORDER BY cohort_week, weeks_since""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_sessionize" -> sessionize,
-    "events_hourly_window" -> hourly
+    "events_hourly_window" -> hourly,
+    "events_cohort_retention" -> cohortRetention
   )
 }
