@@ -46,11 +46,15 @@ object Model {
     * (`cosine_similarity`, `dot_product`, `topk_pairs`) available.
     *
     * Dep names must be valid SQL identifiers (all reference model
-    * names are). Temp views are session-scoped: within one DAG run
-    * registration is idempotent (a name always re-binds the same
-    * relation), so wave-parallel execution is safe; concurrent
-    * DISTINCT DAG runs sharing one SparkSession should author
-    * DataFrame models or clone the session.
+    * names are). The temp views exist only for the duration of SQL
+    * ANALYSIS (eager in `spark.sql`; the analyzed plan inlines the
+    * view definitions): they are dropped before returning, so a later
+    * statement in the same session cannot accidentally resolve an
+    * undeclared or stale name, and nothing shadows catalog tables.
+    * Register→analyze→drop runs under a lock — temp views are
+    * session-global, so two wave-parallel SQL models would otherwise
+    * race on registration. Only driver-side analysis is serialized;
+    * execution stays concurrent.
     */
   def sql(
       name: String,
@@ -62,9 +66,14 @@ object Model {
       val spark = inputs.headOption
         .map(_._2.sparkSession)
         .getOrElse(org.apache.spark.sql.SparkSession.active)
-      inputs.foreach { case (dep, df) => df.createOrReplaceTempView(dep) }
-      spark.sql(sqlText)
+      sqlAnalysisLock.synchronized {
+        inputs.foreach { case (dep, df) => df.createOrReplaceTempView(dep) }
+        try spark.sql(sqlText)
+        finally inputs.keys.foreach(spark.catalog.dropTempView(_))
+      }
     }
+
+  private val sqlAnalysisLock = new Object
 }
 
 /** Where `Materialization.Table` models land. */
@@ -148,6 +157,10 @@ object TableSink {
       val target = new Path(path)
       val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val key = keys.getOrElse(name, Nil)
+      if (!fs.exists(target) && fs.exists(new Path(path + "__backup")))
+        throw new java.io.IOException(
+          s"$path missing but ${path}__backup exists: a previous swap was interrupted — " +
+            "restore the backup before writing, or the merge history is lost")
       if (key.isEmpty || !fs.exists(target)) {
         df.write.mode("overwrite").parquet(path)
       } else {
@@ -156,10 +169,21 @@ object TableSink {
           .join(df.select(keyCols: _*).distinct(), key, "left_anti")
           .unionByName(df)
         val staging = new Path(path + "__staging")
+        val backup = new Path(path + "__backup")
         merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(target, true)
-        if (!fs.rename(staging, target))
+        // swap order matters: the base is RENAMED ASIDE, never deleted
+        // before the new data is in place — a crash mid-swap leaves
+        // either the old table or the new one recoverable, not a
+        // vanished directory that the next write would silently treat
+        // as a first load
+        fs.delete(backup, true)
+        if (!fs.rename(target, backup))
+          throw new java.io.IOException(s"failed to move $path aside before swap")
+        if (!fs.rename(staging, target)) {
+          fs.rename(backup, target) // restore
           throw new java.io.IOException(s"failed to swap staging dir into $path")
+        }
+        fs.delete(backup, true)
       }
       spark.read.parquet(path)
     }

@@ -40,7 +40,17 @@ object Snapshots {
       current: DataFrame,
       key: String,
       updatedAt: String): DataFrame = {
-    val freshOpen = current
+    // a batch may carry several versions of one key (e.g. CDC replay);
+    // only the LATEST survives — processing them all in one step would
+    // open multiple rows per key and break the one-open-row invariant
+    // (dbt snapshot requires key-unique input and errors otherwise;
+    // deterministic max-by is the graceful equivalent)
+    val latest = current
+      .groupBy(col(key))
+      .agg(max_by(
+        struct(current.columns.map(col): _*), struct(col(updatedAt), struct(current.columns.map(col): _*))).as("_r"))
+      .select(col("_r.*"))
+    val freshOpen = latest
       .withColumn("dbt_valid_from", col(updatedAt))
       .withColumn("dbt_valid_to", lit(null).cast(TimestampType))
     existing match {
@@ -48,7 +58,7 @@ object Snapshots {
       case Some(snap) =>
         val closed = snap.filter(col("dbt_valid_to").isNotNull)
         val open = snap.filter(col("dbt_valid_to").isNull)
-        val incoming = current.select(col(key).as("_k"), col(updatedAt).as("_new_ts"))
+        val incoming = latest.select(col(key).as("_k"), col(updatedAt).as("_new_ts"))
         // open rows: close those whose source advanced, keep the rest
         val openMerged = open
           .join(incoming, open(key) === incoming("_k"), "left")

@@ -109,15 +109,18 @@ object Clusters {
     // dedup_jaccard_pairs) and the component labels as a recursive
     // reachability CTE: walk(v, label) closes over edges, min(label)
     // per vertex IS the fixpoint of min-label propagation.
-    Some("""WITH RECURSIVE sh AS (
+    // the threshold interpolates Dedup.JaccardTau — a literal here
+    // would silently drift from the Spark side (which calls
+    // jaccardPairs directly) if the constant ever changed
+    Some(s"""WITH RECURSIVE sh AS (
            |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
            |           i -> array_to_string(toks[i:i+2], ' '))) AS s
-           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
            |), pairs AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM sh a, sh b
            |  WHERE a.doc_id < b.doc_id
-           |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.3
+           |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= ${Dedup.JaccardTau}
            |), edges AS (
            |  SELECT doc_a AS src, doc_b AS dst FROM pairs
            |  UNION ALL

@@ -124,7 +124,13 @@ object Pipelines {
 
   val decontaminate: Q = Q(
     (s, d) => {
-      val posts = Dedup.shinglePosts(s, d) // hash is an opaque join key here
+      // hash is an opaque join key here (the oracle intersects string
+      // sets). Cached because the shingle subtree feeds THREE branches
+      // (bench side, corpus join side, per-doc base) whose pushed-down
+      // filters make the subtrees non-identical — without the cache
+      // the tokenize+window+collect_set pipeline would execute three
+      // times per query
+      val posts = Dedup.shinglePosts(s, d).cache()
       val bench = posts.filter(col("doc_id") < BenchmarkDocs)
         .select(col("hs"), col("doc_id").as("bench_id"))
       val corpus = posts.filter(col("doc_id") >= BenchmarkDocs)

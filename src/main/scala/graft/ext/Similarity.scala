@@ -73,14 +73,16 @@ object Similarity {
       .orderBy("q_id", "rnk")
 
   /** The window-based formulation, kept as the reference the aggregate
-    * path is asserted against. NaN scores are filtered first: Spark's
-    * ORDER BY desc sorts NaN as LARGEST while [[graft.functions.TopKPairs]]
-    * drops them in `update()` — the shared filter keeps the two
-    * formulations agreeing by construction.
+    * path is asserted against. NaN AND NULL scores are filtered first:
+    * Spark's ORDER BY desc sorts NaN as LARGEST and still ranks NULLs
+    * (last), while [[graft.functions.TopKPairs]] drops both in
+    * `update()` — the shared filter keeps the two formulations
+    * agreeing by construction even when a query has fewer than k
+    * scoreable candidates.
     */
   private[graft] def rankTopKWindow(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.filter(!isnan(col("sim")))
+    scored.filter(col("sim").isNotNull && !isnan(col("sim")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
       .orderBy("q_id", "rnk")
