@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.engine.Functions.roundPortable
+import graft.queries.Inventory.Q
+
+/** Spherical k-means over the embedding corpus — the clustering stage
+  * of SemDeDup-style semantic curation (cluster once, then dedup /
+  * diversity-sample WITHIN clusters so the expensive pairwise work
+  * never crosses cluster boundaries) and the trainer of IVF coarse
+  * quantizers.
+  *
+  * Assignment maximizes cosine against the centroid (spherical
+  * variant — the right metric for embedding spaces), scored by the
+  * native codegen'd [[graft.functions.CosineSimilarity]]; centroids
+  * are per-dimension means recomputed per Lloyd iteration. The
+  * iterations are UNROLLED INTO THE PLAN (assign → recompute →
+  * assign): no driver-side collect, no mutable state — the whole
+  * refinement is one lazy Catalyst plan whose centroid sides broadcast.
+  *
+  * Determinism/oracle: init centroids are the first K vectors;
+  * assignment keys are 6-dp-rounded csim with cluster-id tiebreak
+  * (same recipe as `ann_ivf_topk`, whose centroid averages this
+  * mirrors), so DuckDB replays both iterations exactly.
+  *
+  * Scale notes: each iteration is one broadcast join (k centroids ≪
+  * corpus — they fit in a broadcast at any corpus size) + one
+  * (cluster, dim) aggregate with map-side partials; the corpus
+  * shuffles only for the posexplode aggregate, carrying (cluster,
+  * pos, x) triples. k and iteration count are compile-size knobs; a
+  * production run materializes the assignment between iterations
+  * instead of unrolling past a handful.
+  */
+object KMeans {
+
+  val K = 5
+  val Dim = 64
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** Nearest-centroid assignment: (vec_id, embedding, cluster, csim). */
+  def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cluster"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        roundPortable(graft.functions.CosineSimilarity(col("embedding"), col("centroid")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("csim"))
+  }
+
+  /** Per-cluster mean centroid of the assigned vectors. */
+  def recompute(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos").agg(avg(col("x")).as("c"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cluster"), transform(col("pc"), p => p.getField("c")).as("centroid"))
+
+  /** Two unrolled Lloyd iterations from first-K-vector seeds. */
+  def assignments(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val init = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("centroid"))
+    assign(e, recompute(assign(e, init)))
+  }
+
+  val kmeansAssign: Q = Q(
+    (s, d) =>
+      assignments(s, d)
+        .select(col("vec_id"), col("cluster"), col("csim"))
+        .orderBy("vec_id"),
+    // DuckDB replays both iterations: seed centroids, rounded-cosine
+    // assignment with cluster tiebreak, per-dim mean recompute, second
+    // assignment. The csim rounding keeps assignments identical
+    // despite float-sum order drift in the centroid means (the
+    // ann_ivf_topk precedent).
+    Some {
+      def cos(a: String, b: String) =
+        s"""floor(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
+           |      / (sqrt(list_sum(list_transform($a, x -> x * x)))
+           |         * sqrt(list_sum(list_transform($b, x -> x * x)))) * 1000000 + 0.5) / 1000000""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), c0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cluster, v AS centroid FROM e WHERE vec_id < $K
+         |), a1 AS (
+         |  SELECT vec_id, v, cluster, csim FROM (
+         |    SELECT e.vec_id, e.v, c.cluster, ${cos("e.v", "c.centroid")} AS csim,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cluster) AS rn
+         |    FROM e CROSS JOIN c0 c
+         |  ) WHERE rn = 1
+         |), c1 AS (
+         |  SELECT cluster, list(c ORDER BY i) AS centroid FROM (
+         |    SELECT cluster, i, avg(v[i]) AS c
+         |    FROM a1, range(1, $Dim + 1) t(i)
+         |    GROUP BY cluster, i
+         |  ) GROUP BY cluster
+         |), a2 AS (
+         |  SELECT vec_id, cluster, csim FROM (
+         |    SELECT e.vec_id, c.cluster, ${cos("e.v", "c.centroid")} AS csim,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cluster) AS rn
+         |    FROM e CROSS JOIN c1 c
+         |  ) WHERE rn = 1
+         |)
+         |SELECT vec_id, cluster, csim FROM a2 ORDER BY vec_id""".stripMargin
+    }
+  )
+
+  val queries: Seq[(String, Q)] = Seq("emb_kmeans_assign" -> kmeansAssign)
+}

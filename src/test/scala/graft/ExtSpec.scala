@@ -200,6 +200,25 @@ class ExtSpec extends SparkSpec {
     assert(byCluster.exists(_._2.length > 1))
   }
 
+  test("spherical k-means: total assignment, valid clusters, Lloyd step does not regress") {
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val n = e.count()
+    val init = e.filter(col("vec_id") < KMeans.K)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), x => x.cast(org.apache.spark.sql.types.DoubleType)).as("centroid"))
+    val a1 = KMeans.assign(e, init)
+    val a2 = KMeans.assign(e, KMeans.recompute(a1))
+    Seq(a1, a2).foreach { a =>
+      assert(a.count() === n) // every vector assigned exactly once
+      val clusters = a.select("cluster").distinct().collect().map(_.getInt(0)).toSet
+      assert(clusters.subsetOf((0 until KMeans.K).toSet) && clusters.nonEmpty)
+    }
+    // the Lloyd step cannot decrease the spherical objective (mean csim)
+    val m1 = a1.agg(avg("csim")).head.getDouble(0)
+    val m2 = a2.agg(avg("csim")).head.getDouble(0)
+    assert(m2 >= m1 - 1e-9, s"objective regressed: $m1 -> $m2")
+  }
+
   test("quantized ANN prefilter + exact re-rank recovers the exact top-k almost everywhere") {
     val exact = Similarity.bruteForceTopK.build(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
