@@ -115,5 +115,75 @@ object KMeans {
     }
   )
 
-  val queries: Seq[(String, Q)] = Seq("emb_kmeans_assign" -> kmeansAssign)
+  // ------------------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+  // cluster the corpus, then score pairs ONLY within clusters — the
+  // premise being that semantic near-dups land in the same cluster,
+  // so the quadratic work shrinks from O(n²) to Σ|cluster|². The
+  // k-means assignment above is the blocking key; the exact codegen'd
+  // cosine is the verify stage. Complements dedup_embedding_lsh: LSH
+  // blocks by random projections (no training), SemDeDup blocks by
+  // learned structure (tighter blocks on clusterable corpora).
+  //
+  // Scale notes: one shuffle on cluster id; per-cluster fan-out is
+  // |cluster|², so k is chosen to keep clusters bounded (k ~ n/target
+  // block size), and the MaxBucket-style guard for degenerate
+  // clusters is the same count-window as the LSH paths.
+  // ------------------------------------------------------------------
+  val semdedup: Q = Q(
+    (s, d) => {
+      val a = assignments(s, d)
+      val l = a.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("va"))
+      val r = a.select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val sim = roundPortable(
+        graft.functions.CosineSimilarity(col("va"), col("vb")), 6)
+      l.join(r, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("cluster"), col("id_a"), col("id_b"), sim.as("cos_sim"))
+        .filter(col("cos_sim") >= Dedup.CosTau)
+        .orderBy("cluster", "id_a", "id_b")
+    },
+    Some {
+      def cos(a: String, b: String) =
+        s"""floor(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
+           |      / (sqrt(list_sum(list_transform($a, x -> x * x)))
+           |         * sqrt(list_sum(list_transform($b, x -> x * x)))) * 1000000 + 0.5) / 1000000""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), c0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cluster, v AS centroid FROM e WHERE vec_id < $K
+         |), a1 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, c.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cluster) AS rn
+         |    FROM e CROSS JOIN c0 c
+         |  ) WHERE rn = 1
+         |), c1 AS (
+         |  SELECT cluster, list(c ORDER BY i) AS centroid FROM (
+         |    SELECT cluster, i, avg(v[i]) AS c
+         |    FROM a1, range(1, $Dim + 1) t(i)
+         |    GROUP BY cluster, i
+         |  ) GROUP BY cluster
+         |), a2 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, c.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cluster) AS rn
+         |    FROM e CROSS JOIN c1 c
+         |  ) WHERE rn = 1
+         |), pairs AS (
+         |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${cos("a.v", "b.v")} AS cos_sim
+         |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |)
+         |SELECT cluster, id_a, id_b, cos_sim FROM pairs
+         |WHERE cos_sim >= ${Dedup.CosTau}
+         |ORDER BY cluster, id_a, id_b""".stripMargin
+    }
+  )
+
+  val queries: Seq[(String, Q)] = Seq(
+    "emb_kmeans_assign" -> kmeansAssign,
+    "dedup_semdedup" -> semdedup)
 }

@@ -219,6 +219,16 @@ class ExtSpec extends SparkSpec {
     assert(m2 >= m1 - 1e-9, s"objective regressed: $m1 -> $m2")
   }
 
+  test("SemDeDup pairs are a subset of exact all-pairs with matching sims") {
+    val sem = KMeans.semdedup.build(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exact = Dedup.embeddingPairs.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sem.keySet.subsetOf(exact.keySet))
+    sem.foreach { case (pair, s) => assert(exact(pair) === s) }
+    assert(sem.nonEmpty, "no co-clustered near-dup pairs found at all")
+  }
+
   test("quantized ANN prefilter + exact re-rank recovers the exact top-k almost everywhere") {
     val exact = Similarity.bruteForceTopK.build(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
