@@ -221,10 +221,105 @@ object Pipelines {
             |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Sequence packing — assign documents to fixed-token-budget packs
+  // (the pretraining "sample packing" step that turns ragged documents
+  // into dense training rows). Greedy contiguous packing in doc_id
+  // order within each lang shard: a document's pack is determined by
+  // its STARTING token offset (running sum minus own length), so
+  // documents are never split and assignment is a pure window
+  // computation — integer arithmetic end to end, exactly replayable.
+  //
+  // Scale notes: one shuffle on the shard key; the running sum is the
+  // standard per-shard window. Shards bound window skew the same way
+  // the bucketed as-of does — at 100 TB the shard key is
+  // (lang, shard_hash) rather than lang alone.
+  // ------------------------------------------------------------------
+  val PackBudget = 2048
+
+  val packSequences: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .select(col("doc_id"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", expr(s"(cum - n_tokens) div $PackBudget"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "pack_id")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, lang,
+            |         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+            |  FROM documents
+            |), c AS (
+            |  SELECT doc_id, lang, n_tokens,
+            |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+            |  FROM t
+            |)
+            |SELECT lang, (cum - n_tokens) // $PackBudget AS pack_id, count(*) AS n_docs,
+            |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+            |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Multilingual temperature-sampling weights (the mC4/XLM-R alpha
+  // rule): upsample low-resource languages by sampling proportional to
+  // p^alpha instead of p. Emitted as the UNNORMALIZED per-language
+  // weight p^(alpha-1) — the multiplier applied to a document's
+  // natural sampling probability — because the normalizing constant is
+  // a cross-language float sum whose accumulation order is
+  // partition-dependent; the unnormalized form keeps every emitted
+  // number a deterministic function of exact integer token counts.
+  // ------------------------------------------------------------------
+  val SampleAlpha = 0.3
+
+  val langMix: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val perLang = docs
+        .select(col("doc_id"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val total = docs
+        .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+        .agg(sum(col("n")).as("total_tokens"))
+      perLang.crossJoin(broadcast(total))
+        .withColumn("token_share",
+          roundPortable(col("n_tokens").cast(DoubleType) / col("total_tokens"), 6))
+        .withColumn("sample_weight",
+          roundPortable(pow(col("n_tokens").cast(DoubleType) / col("total_tokens"),
+            SampleAlpha - 1), 4))
+        .select("lang", "n_docs", "n_tokens", "token_share", "sample_weight")
+        .orderBy("lang")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT lang, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+            |  FROM documents
+            |), per AS (
+            |  SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM t GROUP BY 1
+            |), tot AS (
+            |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t
+            |)
+            |SELECT lang, n_docs, per.n_tokens,
+            |       floor(CAST(per.n_tokens AS DOUBLE) / tot.total_tokens * 1000000 + 0.5) / 1000000 AS token_share,
+            |       floor(power(CAST(per.n_tokens AS DOUBLE) / tot.total_tokens, ${SampleAlpha - 1}) * 10000 + 0.5) / 10000 AS sample_weight
+            |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,
     "pipeline_decontaminate" -> decontaminate,
-    "pipeline_domain_cap" -> domainCap
+    "pipeline_domain_cap" -> domainCap,
+    "pipeline_pack_sequences" -> packSequences,
+    "pipeline_lang_mix" -> langMix
   )
 }

@@ -317,6 +317,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing covers every doc once in contiguous per-shard ranges") {
+    val rows = Pipelines.packSequences.build(spark, d).collect()
+    assert(rows.map(_.getLong(2)).sum === 500) // every doc in exactly one pack
+    rows.groupBy(_.getString(0)).foreach { case (lang, packs) =>
+      val sorted = packs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(5) < b.getLong(4), s"$lang packs overlap or interleave")
+        case _ => ()
+      }
+    }
+  }
+
+  test("language mix weights upsample low-resource languages") {
+    val rows = Pipelines.langMix.build(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    assert(rows.forall { case (_, share, w) => share > 0 && w >= 1.0 - 1e-9 })
+    // smaller share => larger weight (p^(alpha-1) is decreasing)
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array(lo, hi) => assert(lo._3 >= hi._3 - 1e-9)
+      case _ => ()
+    }
+  }
+
   test("sessionization: session counts bounded by event counts") {
     val s = Sessions.sessionize.build(spark, d).collect()
     assert(s.nonEmpty)
