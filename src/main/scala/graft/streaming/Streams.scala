@@ -81,6 +81,28 @@ object Streams {
         col("avg_value"),
         roundPortable(col("value") - col("avg_value"), 2).as("deviation"))
 
+  /** Watermarked stream-stream INTERVAL join — click attribution: each
+    * click joins the same user's views from the preceding
+    * `window`. Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark can size the state store
+    * exactly: a buffered view is dropped once the click-side watermark
+    * passes `view_ts + window`; state never grows with stream
+    * lifetime. The canonical two-unbounded-sources join shape that
+    * stream-static enrichment cannot express.
+    */
+  def attributedClicks(views: DataFrame, clicks: DataFrame,
+      window: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+      col("ts").as("view_ts")).withWatermark("view_ts", "1 hour")
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
+    c.join(v,
+      col("user_id") === col("view_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"interval $window"))
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"), col("view_ts"))
+  }
+
   /** One user's running state for [[runningTotals]]. */
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

@@ -113,6 +113,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq(3L))
   }
 
+  test("stream-stream interval join attributes clicks to in-window views only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      Ev(10L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      Ev(11L, Timestamp.valueOf("2024-01-01 00:30:00"), 2L, "view", 0.0))
+    val clicks = Seq(
+      Ev(20L, Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "click", 0.0), // in window of 10
+      Ev(21L, Timestamp.valueOf("2024-01-01 00:50:00"), 1L, "click", 0.0), // 50 min after 10 — out
+      Ev(22L, Timestamp.valueOf("2024-01-01 00:40:00"), 2L, "click", 0.0)) // in window of 11
+    val vMem = MemoryStream[Ev]
+    val cMem = MemoryStream[Ev]
+    vMem.addData(views: _*)
+    cMem.addData(clicks: _*)
+    val q = Streams.attributedClicks(vMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_stream")
+      .select("click_id", "view_id").orderBy("click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((20L, 10L), (22L, 11L)))
+    // batch twin: identical join expressions over static frames
+    val batch = Streams.attributedClicks(views.toDF(), clicks.toDF())
+      .select("click_id", "view_id").orderBy("click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch === got)
+  }
+
   test("stream-static enrichment joins each event to its snapshot rate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
