@@ -71,6 +71,45 @@ object KMeans {
     assign(e, recompute(assign(e, init)))
   }
 
+  /** The cosine-with-portable-rounding SQL fragment. */
+  private def cosSql(a: String, b: String) =
+    s"""floor(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
+       |      / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |         * sqrt(list_sum(list_transform($b, x -> x * x)))) * 1000000 + 0.5) / 1000000""".stripMargin
+
+  /** The SHARED oracle CTE chain (seed centroids → assign → recompute
+    * → assign), ending in `a2(vec_id, v, cluster, csim)`. Both oracled
+    * queries build on this one string, so an edit to the clustering
+    * recipe (K, rounding, tiebreak, seeding) cannot drift between
+    * them.
+    */
+  private def kmeansCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cluster, v AS centroid FROM e WHERE vec_id < $K
+       |), a1 AS (
+       |  SELECT vec_id, v, cluster, csim FROM (
+       |    SELECT e.vec_id, e.v, c.cluster, ${cosSql("e.v", "c.centroid")} AS csim,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.centroid")} DESC, c.cluster) AS rn
+       |    FROM e CROSS JOIN c0 c
+       |  ) WHERE rn = 1
+       |), c1 AS (
+       |  SELECT cluster, list(c ORDER BY i) AS centroid FROM (
+       |    SELECT cluster, i, avg(v[i]) AS c
+       |    FROM a1, range(1, $Dim + 1) t(i)
+       |    GROUP BY cluster, i
+       |  ) GROUP BY cluster
+       |), a2 AS (
+       |  SELECT vec_id, v, cluster, csim FROM (
+       |    SELECT e.vec_id, e.v, c.cluster, ${cosSql("e.v", "c.centroid")} AS csim,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.centroid")} DESC, c.cluster) AS rn
+       |    FROM e CROSS JOIN c1 c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
   val kmeansAssign: Q = Q(
     (s, d) =>
       assignments(s, d)
@@ -81,38 +120,9 @@ object KMeans {
     // assignment. The csim rounding keeps assignments identical
     // despite float-sum order drift in the centroid means (the
     // ann_ivf_topk precedent).
-    Some {
-      def cos(a: String, b: String) =
-        s"""floor(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
-           |      / (sqrt(list_sum(list_transform($a, x -> x * x)))
-           |         * sqrt(list_sum(list_transform($b, x -> x * x)))) * 1000000 + 0.5) / 1000000""".stripMargin
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-         |), c0 AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cluster, v AS centroid FROM e WHERE vec_id < $K
-         |), a1 AS (
-         |  SELECT vec_id, v, cluster, csim FROM (
-         |    SELECT e.vec_id, e.v, c.cluster, ${cos("e.v", "c.centroid")} AS csim,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cluster) AS rn
-         |    FROM e CROSS JOIN c0 c
-         |  ) WHERE rn = 1
-         |), c1 AS (
-         |  SELECT cluster, list(c ORDER BY i) AS centroid FROM (
-         |    SELECT cluster, i, avg(v[i]) AS c
-         |    FROM a1, range(1, $Dim + 1) t(i)
-         |    GROUP BY cluster, i
-         |  ) GROUP BY cluster
-         |), a2 AS (
-         |  SELECT vec_id, cluster, csim FROM (
-         |    SELECT e.vec_id, c.cluster, ${cos("e.v", "c.centroid")} AS csim,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cluster) AS rn
-         |    FROM e CROSS JOIN c1 c
-         |  ) WHERE rn = 1
-         |)
-         |SELECT vec_id, cluster, csim FROM a2 ORDER BY vec_id""".stripMargin
-    }
+    Some(
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cluster, csim FROM a2 ORDER BY vec_id""".stripMargin)
   )
 
   // ------------------------------------------------------------------
@@ -143,44 +153,15 @@ object KMeans {
         .filter(col("cos_sim") >= Dedup.CosTau)
         .orderBy("cluster", "id_a", "id_b")
     },
-    Some {
-      def cos(a: String, b: String) =
-        s"""floor(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
-           |      / (sqrt(list_sum(list_transform($a, x -> x * x)))
-           |         * sqrt(list_sum(list_transform($b, x -> x * x)))) * 1000000 + 0.5) / 1000000""".stripMargin
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-         |), c0 AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cluster, v AS centroid FROM e WHERE vec_id < $K
-         |), a1 AS (
-         |  SELECT vec_id, v, cluster FROM (
-         |    SELECT e.vec_id, e.v, c.cluster,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cluster) AS rn
-         |    FROM e CROSS JOIN c0 c
-         |  ) WHERE rn = 1
-         |), c1 AS (
-         |  SELECT cluster, list(c ORDER BY i) AS centroid FROM (
-         |    SELECT cluster, i, avg(v[i]) AS c
-         |    FROM a1, range(1, $Dim + 1) t(i)
-         |    GROUP BY cluster, i
-         |  ) GROUP BY cluster
-         |), a2 AS (
-         |  SELECT vec_id, v, cluster FROM (
-         |    SELECT e.vec_id, e.v, c.cluster,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cluster) AS rn
-         |    FROM e CROSS JOIN c1 c
-         |  ) WHERE rn = 1
-         |), pairs AS (
+    Some(
+      s"""WITH $kmeansCtes, pairs AS (
          |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-         |         ${cos("a.v", "b.v")} AS cos_sim
+         |         ${cosSql("a.v", "b.v")} AS cos_sim
          |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |)
          |SELECT cluster, id_a, id_b, cos_sim FROM pairs
          |WHERE cos_sim >= ${Dedup.CosTau}
-         |ORDER BY cluster, id_a, id_b""".stripMargin
-    }
+         |ORDER BY cluster, id_a, id_b""".stripMargin)
   )
 
   val queries: Seq[(String, Q)] = Seq(

@@ -269,49 +269,52 @@ object Pipelines {
   )
 
   // ------------------------------------------------------------------
-  // Multilingual temperature-sampling weights (the mC4/XLM-R alpha
-  // rule): upsample low-resource languages by sampling proportional to
-  // p^alpha instead of p. Emitted as the UNNORMALIZED per-language
-  // weight p^(alpha-1) — the multiplier applied to a document's
-  // natural sampling probability — because the normalizing constant is
-  // a cross-language float sum whose accumulation order is
-  // partition-dependent; the unnormalized form keeps every emitted
-  // number a deterministic function of exact integer token counts.
+  // Multilingual temperature-sampling weights (the multilingual-
+  // pretraining alpha rule): upsample low-resource languages by
+  // sampling proportional to p^alpha instead of p. Emitted as the
+  // UNNORMALIZED per-language weight p^(alpha-1) — the multiplier on a
+  // document's natural sampling probability — because the normalizing
+  // constant is a cross-language float sum whose accumulation order is
+  // partition-dependent. alpha = 0.5 (a published setting) is chosen
+  // deliberately: p^(alpha-1) = 1/sqrt(p), and sqrt IS IEEE
+  // correctly-rounded where pow() is not — every emitted number stays
+  // a deterministic function of exact integer token counts, the same
+  // guarantee class as every other oracle recipe here.
+  //
+  // Scale notes: ONE tokenization scan; the corpus total comes from a
+  // global window over the per-language aggregate (a |languages|-row
+  // frame), never a second pass over documents.
   // ------------------------------------------------------------------
-  val SampleAlpha = 0.3
+  val SampleAlpha = 0.5
 
   val langMix: Q = Q(
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = s.read.parquet(s"$d/documents.parquet")
       val perLang = docs
-        .select(col("doc_id"), col("lang"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .select(col("lang"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-      val total = docs
-        .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
-        .agg(sum(col("n")).as("total_tokens"))
-      perLang.crossJoin(broadcast(total))
-        .withColumn("token_share",
-          roundPortable(col("n_tokens").cast(DoubleType) / col("total_tokens"), 6))
-        .withColumn("sample_weight",
-          roundPortable(pow(col("n_tokens").cast(DoubleType) / col("total_tokens"),
-            SampleAlpha - 1), 4))
-        .select("lang", "n_docs", "n_tokens", "token_share", "sample_weight")
+        // global window over the tiny per-lang aggregate — not a second corpus scan
+        .withColumn("total_tokens", sum(col("n_tokens")).over(Window.partitionBy()))
+      val share = col("n_tokens").cast(DoubleType) / col("total_tokens")
+      perLang
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          roundPortable(share, 6).as("token_share"),
+          roundPortable(lit(1.0) / sqrt(share), 4).as("sample_weight"))
         .orderBy("lang")
     },
-    Some(s"""WITH t AS (
-            |  SELECT lang, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
-            |  FROM documents
-            |), per AS (
-            |  SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM t GROUP BY 1
-            |), tot AS (
-            |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t
-            |)
-            |SELECT lang, n_docs, per.n_tokens,
-            |       floor(CAST(per.n_tokens AS DOUBLE) / tot.total_tokens * 1000000 + 0.5) / 1000000 AS token_share,
-            |       floor(power(CAST(per.n_tokens AS DOUBLE) / tot.total_tokens, ${SampleAlpha - 1}) * 10000 + 0.5) / 10000 AS sample_weight
-            |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin)
+    Some("""WITH per AS (
+           |  SELECT lang, count(*) AS n_docs,
+           |         CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1
+           |), tot AS (
+           |  SELECT lang, n_docs, n_tokens, sum(n_tokens) OVER () AS total_tokens FROM per
+           |)
+           |SELECT lang, n_docs, n_tokens,
+           |       floor(CAST(n_tokens AS DOUBLE) / total_tokens * 1000000 + 0.5) / 1000000 AS token_share,
+           |       floor(1.0 / sqrt(CAST(n_tokens AS DOUBLE) / total_tokens) * 10000 + 0.5) / 10000 AS sample_weight
+           |FROM tot ORDER BY lang""".stripMargin)
   )
 
   val queries: Seq[(String, Q)] = Seq(

@@ -203,6 +203,16 @@ class ExtSpec extends SparkSpec {
   test("spherical k-means: total assignment, valid clusters, Lloyd step does not regress") {
     val e = spark.read.parquet(s"$d/embeddings.parquet")
     val n = e.count()
+    // precondition made explicit: the monotonicity claim below holds
+    // for UNIT-NORM inputs (for raw vectors the per-dim mean is not
+    // the spherical-objective maximizer). Fails loudly here — not in
+    // the assertion below — if the fixture is ever regenerated
+    // without L2 normalization.
+    val norms = e.select(sqrt(graft.functions.DotProduct(col("embedding"), col("embedding"))).as("nm"))
+      .agg(min("nm"), max("nm")).head()
+    assert(math.abs(norms.getDouble(0) - 1.0) < 1e-5 && math.abs(norms.getDouble(1) - 1.0) < 1e-5,
+      s"embeddings fixture is not unit-norm (${norms.getDouble(0)}..${norms.getDouble(1)}); " +
+        "the Lloyd monotonicity assertion below assumes it")
     val init = e.filter(col("vec_id") < KMeans.K)
       .select(col("vec_id").cast("int").as("cluster"),
         transform(col("embedding"), x => x.cast(org.apache.spark.sql.types.DoubleType)).as("centroid"))
