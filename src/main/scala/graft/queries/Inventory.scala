@@ -615,6 +615,47 @@ object Inventory {
            |FROM lagd ORDER BY event_type, week""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Extension (§2.4 beyond reference): exact second-moment statistics.
+  // Built-in stddev/variance accumulate doubles in partition order —
+  // non-deterministic across cluster layouts and unverifiable against
+  // a single-node engine. This computes Σx and Σx² EXACTLY in decimal
+  // (2-dp money squares to 4-dp — both fit easily in DECIMAL(38,4)),
+  // then derives mean and sample stddev in double from those exact
+  // sums: bit-identical on any partitioning, any engine. The partial
+  // sums are associative, so map-side combine still applies — the
+  // usual scale property of algebraic aggregates is kept, determinism
+  // is gained.
+  // ------------------------------------------------------------------
+  val aggStatsExact: Q = Q(
+    (s, d) => {
+      val x = col("l_extendedprice").cast(DecimalType(18, 2))
+      val grouped = t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(x * x).cast(DoubleType).as("sx2"))
+      val variance =
+        (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+      grouped.select(
+        col("l_returnflag"), col("n"),
+        roundPortable(col("sx") / col("n"), 4).as("mean_price"),
+        roundPortable(sqrt(variance), 4).as("stddev_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH t AS (
+           |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS x FROM lineitem
+           |), g AS (
+           |  SELECT l_returnflag, count(*) AS n,
+           |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x * x) AS DOUBLE) AS sx2
+           |  FROM t GROUP BY 1
+           |)
+           |SELECT l_returnflag, n,
+           |       floor(sx / n * 10000 + 0.5) / 10000 AS mean_price,
+           |       floor(sqrt((sx2 - sx * sx / n) / (n - 1)) * 10000 + 0.5) / 10000 AS stddev_price
+           |FROM g ORDER BY l_returnflag""".stripMargin)
+  )
+
   val setOps: Q = Q(
     (s, d) => {
       val custNations = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
@@ -661,6 +702,7 @@ object Inventory {
     "join_revenue_by_nation" -> joinRevenueByNation,
     "join_semi_anti" -> joinSemiAnti,
     "agg_rollup" -> aggRollup,
+    "agg_stats_exact" -> aggStatsExact,
     "set_ops" -> setOps,
     "window_wow_change" -> windowWowChange
   )
