@@ -190,6 +190,20 @@ class EngineSpec extends SparkSpec {
     assert(new TableSink.ParquetUpsert(dir, Map.empty).write("t", batch).count() === 2)
   }
 
+  test("upsert refuses to write when a previous swap was interrupted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-guard").toString
+    val sink = new TableSink.ParquetUpsert(dir, Map("t" -> Seq("id")))
+    val base = Seq((1L, "a")).toDF("id", "v")
+    sink.write("t", base)
+    // simulate a crash between rename-aside and swap-in: backup
+    // present, target gone — the merge history is in the backup
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/t"),
+      new org.apache.hadoop.fs.Path(s"$dir/t__backup")))
+    val e = intercept[java.io.IOException] { sink.write("t", base) }
+    assert(e.getMessage.contains("interrupted"))
+  }
+
   test("snapshot (SCD2 timestamp strategy) opens, closes, and preserves intervals") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
