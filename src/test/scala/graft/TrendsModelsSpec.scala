@@ -133,6 +133,21 @@ class TrendsModelsSpec extends SparkSpec {
     }
   }
 
+  test("manifest reports lineage, materializations, and test inventory per model") {
+    val m = graft.engine.Manifest.manifest(spark, TrendsModels.all).collect()
+    assert(m.length === 7)
+    val byName = m.map(r => r.getString(0) -> r).toMap
+    // staging at depth 0 as views over sources; marts at depth 1 as tables
+    assert(byName("stg_top_terms").getString(1) === "view")
+    assert(byName("stg_top_terms").getInt(2) === 0)
+    assert(byName("stg_top_terms").getSeq[String](4) === Seq("top_terms"))
+    assert(byName("weekly_trends_summary").getString(1) === "table")
+    assert(byName("weekly_trends_summary").getInt(2) === 1)
+    assert(byName("weekly_trends_summary").getSeq[String](3).length === 4)
+    // the 68 data tests are all inventoried
+    assert(m.map(_.getSeq[String](5).length).sum === 68)
+  }
+
   test("round is HALF_UP like BigQuery ROUND, not banker's (SURVEY §4 trap 1)") {
     import spark.implicits._
     val got = Seq(2.005, 2.015, 2.025).toDF("v")
