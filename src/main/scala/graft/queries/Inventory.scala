@@ -616,6 +616,40 @@ object Inventory {
   )
 
   // ------------------------------------------------------------------
+  // Extension (§2.3 beyond reference): NON-EQUI range join — bucketing
+  // facts into a dimension of value bands (`lo <= v < hi`). Spark
+  // plans this as a BroadcastNestedLoopJoin with the tiny band table
+  // broadcast: each fact row tests a handful of band predicates
+  // map-side, no shuffle of the fact table at all. That is the right
+  // plan while the band dimension is small; a large interval dimension
+  // instead bins arithmetically (floor(v/width)) to recover an
+  // equi-join — both shapes documented, this query exercises the
+  // non-equi planner path.
+  // ------------------------------------------------------------------
+  val joinRangeBands: Q = Q(
+    (s, d) => {
+      val bands = Seq(
+        ("p00_20", 0.0, 20.0), ("p20_50", 20.0, 50.0), ("p50_100", 50.0, 100.0),
+        ("p100_150", 100.0, 150.0), ("p150_up", 150.0, Double.MaxValue))
+      val bandDf = s.createDataFrame(bands).toDF("band", "lo", "hi")
+      events(s, d)
+        .join(broadcast(bandDf), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_events"),
+          roundPortable(avgExact(col("value")), 2).as("avg_value"))
+        .orderBy("band")
+    },
+    Some("""WITH bands(band, lo, hi) AS (
+           |  VALUES ('p00_20', 0.0, 20.0), ('p20_50', 20.0, 50.0), ('p50_100', 50.0, 100.0),
+           |         ('p100_150', 100.0, 150.0), ('p150_up', 150.0, 1e308)
+           |)
+           |SELECT band, count(*) AS n_events,
+           |       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS avg_value
+           |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+           |GROUP BY 1 ORDER BY band""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // Extension (§2.4 beyond reference): exact second-moment statistics.
   // Built-in stddev/variance accumulate doubles in partition order —
   // non-deterministic across cluster layouts and unverifiable against
@@ -701,6 +735,7 @@ object Inventory {
     "mart_weekly_events_summary" -> martWeeklyEventsSummary,
     "join_revenue_by_nation" -> joinRevenueByNation,
     "join_semi_anti" -> joinSemiAnti,
+    "join_range_bands" -> joinRangeBands,
     "agg_rollup" -> aggRollup,
     "agg_stats_exact" -> aggStatsExact,
     "set_ops" -> setOps,
