@@ -26,11 +26,22 @@ object Manifest {
     import spark.implicits._
     val names = models.map(_.name).toSet
     val depth = scala.collection.mutable.Map.empty[String, Int]
+    // DagRunner validates cycles before running, but manifest() is
+    // callable on its own — guard the recursion so a cyclic deps
+    // declaration is a named error, not a StackOverflowError.
+    val visiting = scala.collection.mutable.LinkedHashSet.empty[String]
     def depthOf(m: Model): Int =
-      depth.getOrElseUpdate(m.name,
-        m.deps.filter(names.contains)
-          .map(d => depthOf(models.find(_.name == d).get) + 1)
-          .maxOption.getOrElse(0))
+      depth.getOrElse(m.name, {
+        if (!visiting.add(m.name))
+          throw new IllegalArgumentException(
+            s"dependency cycle: ${(visiting.toSeq.dropWhile(_ != m.name) :+ m.name).mkString(" -> ")}")
+        val d = m.deps.filter(names.contains)
+          .map(dep => depthOf(models.find(_.name == dep).get) + 1)
+          .maxOption.getOrElse(0)
+        visiting.remove(m.name)
+        depth.update(m.name, d)
+        d
+      })
     models.map { m =>
       ModelInfo(
         name = m.name,

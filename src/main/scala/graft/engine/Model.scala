@@ -67,6 +67,16 @@ object Model {
         .map(_._2.sparkSession)
         .getOrElse(org.apache.spark.sql.SparkSession.active)
       sqlAnalysisLock.synchronized {
+        // Registering deps would silently REPLACE (and the finally-drop
+        // then permanently destroy) any session temp view sharing a dep
+        // name — fail fast instead of eating user state.
+        val clashes = inputs.keys.filter { dep =>
+          spark.catalog.tableExists(dep) && spark.catalog.getTable(dep).isTemporary
+        }
+        require(
+          clashes.isEmpty,
+          s"SQL model '$name': session temp view(s) ${clashes.mkString(", ")} " +
+            "already exist and collide with dependency names; drop or rename them first")
         inputs.foreach { case (dep, df) => df.createOrReplaceTempView(dep) }
         try spark.sql(sqlText)
         finally inputs.keys.foreach(spark.catalog.dropTempView(_))

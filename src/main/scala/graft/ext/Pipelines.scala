@@ -262,7 +262,7 @@ object Pipelines {
             |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
             |  FROM t
             |)
-            |SELECT lang, (cum - n_tokens) // $PackBudget AS pack_id, count(*) AS n_docs,
+            |SELECT lang, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS pack_id, count(*) AS n_docs,
             |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
             |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
             |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin)

@@ -630,7 +630,9 @@ object Inventory {
     (s, d) => {
       val bands = Seq(
         ("p00_20", 0.0, 20.0), ("p20_50", 20.0, 50.0), ("p50_100", 50.0, 100.0),
-        ("p100_150", 100.0, 150.0), ("p150_up", 150.0, Double.MaxValue))
+        // 1e308 matches the oracle's literal exactly — Double.MaxValue
+        // (~1.798e308) would band values in [1e308, MaxValue) here only.
+        ("p100_150", 100.0, 150.0), ("p150_up", 150.0, 1e308))
       val bandDf = s.createDataFrame(bands).toDF("band", "lo", "hi")
       events(s, d)
         .join(broadcast(bandDf), col("value") >= col("lo") && col("value") < col("hi"))

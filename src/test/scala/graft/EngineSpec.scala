@@ -284,4 +284,30 @@ class EngineSpec extends SparkSpec {
     // the load_source_data gate disables the whole set
     assert(Seeds.loadJaffle(spark, dir, enabled = false).isEmpty)
   }
+
+  test("manifest names the cycle instead of overflowing the stack") {
+    val a = m("a", Seq("b"))(in => in("b"))
+    val b = m("b", Seq("a"))(in => in("a"))
+    val ex = intercept[IllegalArgumentException](
+      Manifest.manifest(spark, Seq(a, b)).collect())
+    assert(ex.getMessage.contains("cycle"))
+    assert(ex.getMessage.contains("a") && ex.getMessage.contains("b"))
+  }
+
+  test("SQL model refuses to clobber a pre-existing session temp view") {
+    val src = Seq((1, "x")).toDF("id", "name")
+    // user state that shares a dependency's name
+    Seq(99).toDF("precious").createOrReplaceTempView("src")
+    try {
+      val sqlModel = Model.sql("m_sql", Seq("src"), View, "SELECT id FROM src")
+      val ex = intercept[IllegalArgumentException](
+        sqlModel.transform(Map("src" -> src)))
+      assert(ex.getMessage.contains("src"))
+      // the colliding view is untouched — not replaced, not dropped
+      assert(spark.table("src").columns.toSeq === Seq("precious"))
+    } finally spark.catalog.dropTempView("src")
+    // and with the collision gone the same model runs fine
+    val sqlModel = Model.sql("m_sql", Seq("src"), View, "SELECT id FROM src")
+    assert(sqlModel.transform(Map("src" -> src)).collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
 }
