@@ -42,8 +42,13 @@ object Clusters {
       vertices: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // cache the VERIFIED pair list before mirroring it: the union's two
+    // branches would otherwise each re-run the (expensive) upstream
+    // candidate-generation + verification pipeline on first
+    // materialization — pair verification is the dominant cost of the
+    // whole operator, and it must run exactly once.
+    val directed = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
+    val edges = directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
     // only vertices that appear in an edge can ever change label: the
     // iteration carries the PAIR-GRAPH vertex set (tiny after dedup
@@ -81,6 +86,7 @@ object Clusters {
       iter += 1
     }
     edges.unpersist()
+    directed.unpersist()
     // singletons (no edges) label themselves
     vertices.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
