@@ -146,5 +146,72 @@ object Clusters {
            |ORDER BY l.doc_id""".stripMargin)
   )
 
-  val queries: Seq[(String, Q)] = Seq("dedup_components" -> dedupComponents)
+  // ------------------------------------------------------------------
+  // Registry query: representative SELECTION — the step after
+  // clustering that emits the final keep list. Policy: keep the
+  // LONGEST document per near-dup cluster (n_chars, doc_id tiebreak) —
+  // the standard "keep the most complete copy" heuristic; any scoring
+  // column slots into the same argmax. One row per cluster:
+  // representative, its length, cluster size, and how many documents
+  // the cluster drops.
+  //
+  // Scale notes: on top of the components cost this adds only a
+  // row_number window and a count aggregate, both partitioned on
+  // cluster_id over the (tiny) labeled vertex table. In a production
+  // DAG the labels table is a materialized model consumed by both the
+  // assignment report and this keep list — here each registry query
+  // is standalone by contract, so the pair graph is rebuilt.
+  // ------------------------------------------------------------------
+  val dedupKeepBest: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "n_chars")
+      val pairs = Dedup.jaccardPairs.build(s, d).select("doc_a", "doc_b")
+      val labels = connectedComponents(docs.select("doc_id"), pairs)
+      val sized = labels.join(docs, Seq("doc_id"))
+      val w = Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+      val kept = sized.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc"), col("n_chars").as("kept_chars"))
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      kept.join(sizes, Seq("cluster_id"))
+        .select(col("cluster_id"), col("kept_doc"), col("kept_chars"),
+          col("cluster_size"), (col("cluster_size") - lit(1L)).as("n_dropped"))
+        .orderBy("cluster_id")
+    },
+    // same reachability CTE as dedup_components, then argmax-by-window
+    Some(s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+           |           i -> array_to_string(toks[i:i+2], ' '))) AS s
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+           |), pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh a, sh b
+           |  WHERE a.doc_id < b.doc_id
+           |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= ${Dedup.JaccardTau}
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM pairs
+           |), walk(v, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.v
+           |), labels AS (
+           |  SELECT v AS doc_id, min(label) AS cluster_id FROM walk GROUP BY v
+           |), sized AS (
+           |  SELECT l.doc_id, l.cluster_id, d.n_chars,
+           |         row_number() OVER (PARTITION BY l.cluster_id
+           |                            ORDER BY d.n_chars DESC, l.doc_id) AS rn,
+           |         count(*) OVER (PARTITION BY l.cluster_id) AS csize
+           |  FROM labels l JOIN documents d USING (doc_id)
+           |)
+           |SELECT cluster_id, doc_id AS kept_doc, n_chars AS kept_chars,
+           |       CAST(csize AS BIGINT) AS cluster_size,
+           |       CAST(csize - 1 AS BIGINT) AS n_dropped
+           |FROM sized WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
+  )
+
+  val queries: Seq[(String, Q)] = Seq(
+    "dedup_components" -> dedupComponents,
+    "dedup_keep_best" -> dedupKeepBest)
 }

@@ -716,6 +716,251 @@ object Inventory {
            |ORDER BY tag, nationkey""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Extension (§2.4 beyond reference): PIVOT — long-to-wide reshape of
+  // event counts into one column per event type. The value list is
+  // EXPLICIT, which matters twice: Spark skips the extra distinct-scan
+  // it would otherwise run to discover pivot columns, and the output
+  // schema is stable however the data shifts. Physically this is a
+  // single conditional aggregate (one shuffle on the group key) — the
+  // same plan as the mart's 4-way-union rewrite, so it scales exactly
+  // like any hash aggregate.
+  // ------------------------------------------------------------------
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val aggPivot: Q = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      ev.groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        // absent (week, type) cells come back NULL from pivot; the
+        // conditional-count oracle says 0 — align, and prefix names so
+        // no column collides with a SQL keyword
+        .select(col("week") +: EventTypes.map(e => coalesce(col(e), lit(0L)).as(s"n_$e")): _*)
+        .orderBy("week")
+    },
+    Some("""SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           |       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+           |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           |       count(*) FILTER (WHERE event_type = 'view') AS n_view
+           |FROM events GROUP BY 1 ORDER BY week""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Extension (§2.4): UNPIVOT/MELT — wide-to-long, the inverse
+  // reshape. Runs on a per-flag aggregate, so the melt itself touches
+  // |groups|·|measures| rows (an Expand over a tiny input — zero
+  // shuffle after the aggregate). Value columns share one type
+  // (DOUBLE), the precondition Spark's unpivot enforces.
+  // ------------------------------------------------------------------
+  val aggUnpivot: Q = Q(
+    (s, d) => {
+      val base = t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+          sum(col("l_discount").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_disc"))
+      base.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    },
+    Some("""WITH base AS (
+           |  SELECT l_returnflag,
+           |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+           |  FROM lineitem GROUP BY 1
+           |)
+           |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM base
+           |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM base
+           |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM base
+           |ORDER BY l_returnflag, measure""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Extension (§2.4): CUBE — all 2^k grouping combinations in ONE
+  // pass (Expand + a single hash aggregate), vs 4 separate scans
+  // unioned. grouping_id() disambiguates which NULLs are subtotal
+  // markers vs data; sort keys coalesce them out (house null rule).
+  // ------------------------------------------------------------------
+  val aggCube: Q = Q(
+    (s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), coalesce(col("l_returnflag"), lit("")),
+          coalesce(col("l_linestatus"), lit(""))),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |       GROUPING(l_returnflag, l_linestatus) AS gid
+           |FROM lineitem
+           |GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY gid, coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Extension (§2.5): distribution-rank window suite — ntile /
+  // percent_rank / cume_dist, the ranking functions the wow/top-k
+  // queries don't cover. The window ORDER BY carries a unique
+  // tiebreak (c_custkey), so every rank is a deterministic function
+  // of the data — percent_rank and cume_dist are then identical IEEE
+  // divisions of identical integers on both engines (rounded anyway,
+  // house rule for derived doubles).
+  //
+  // Scale notes: one shuffle on the partition key; each nation's
+  // customers sort within their partition. Skewed partitions fall
+  // back to the same salting guidance as any keyed window (SCALING.md).
+  // ------------------------------------------------------------------
+  val windowRankSuite: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          roundPortable(percent_rank().over(w), 6).as("pct_rank"),
+          roundPortable(cume_dist().over(w), 6).as("cume"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+           |       CAST(ntile(4) OVER w AS INT) AS quartile,
+           |       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           |       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+           |ORDER BY c_custkey""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Extension (§2.5): top-k per group via row_number — the classic
+  // "3 biggest events per type". Spark ≥3.5 rewrites the
+  // rank-then-filter shape into WindowGroupLimit: each map task keeps
+  // only k rows per key BEFORE the shuffle, so the exchange carries
+  // k·partitions rows per key instead of the whole table — the same
+  // bounded-shuffle property TopKPairs gives the ANN queries
+  // (asserted in PlanSpec).
+  // ------------------------------------------------------------------
+  val windowTopkPerGroup: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+      events(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+        .orderBy("event_type", "rn")
+    },
+    Some("""SELECT event_type, rn, event_id, value FROM (
+           |  SELECT event_type, event_id, value,
+           |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+           |  FROM events
+           |) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Extension (§2.5): rolling RANGE-frame window — trailing 7-day
+  // totals per event type. Two-level shape: aggregate to DAILY grain
+  // first (the only full-data shuffle), then the rolling frame runs
+  // over |keys|·|days| rows — at 100 TB the window input is a few
+  // thousand rows however big the raw stream is. The frame is
+  // RANGE-based on an integer day number, so gap days are handled by
+  // VALUE distance (a rows-frame would silently span gaps). Money
+  // stays DECIMAL through both the daily and the rolling sum — exact,
+  // order-independent — and only the final column drops to DOUBLE.
+  // ------------------------------------------------------------------
+  val windowRollingRange: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).cast(DateType).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+        .withColumn("day_n", datediff(col("day"), lit("1970-01-01").cast(DateType)))
+      val w = Window.partitionBy("event_type").orderBy("day_n").rangeBetween(-6, 0)
+      daily
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_events"),
+          sum(col("n_events")).over(w).as("roll_events"),
+          sum(col("sv")).over(w).cast(DoubleType).as("roll_value"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           |         count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sv
+           |  FROM events GROUP BY 1, 2
+           |), d2 AS (
+           |  SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS day_n FROM daily
+           |)
+           |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+           |       CAST(sum(n_events) OVER w AS BIGINT) AS roll_events,
+           |       CAST(sum(sv) OVER w AS DOUBLE) AS roll_value
+           |FROM d2
+           |WINDOW w AS (PARTITION BY event_type ORDER BY day_n
+           |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_type, day""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Extension (§2.7): semi-structured JSON extraction — `props` is a
+  // JSON string column; get_json_object is a codegen'd Catalyst
+  // expression (no UDF), so parse + cast fuse into the scan's
+  // whole-stage pipeline and the aggregate sees plain longs. At scale
+  // the rule stands: extract ONCE into typed columns at ingest, carry
+  // typed columns thereafter — this query is that ingest step fused
+  // with its first consumer.
+  // ------------------------------------------------------------------
+  val eventsJsonProps: Q = Q(
+    (s, d) =>
+      events(s, d)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          roundPortable(sum(col("k")).cast(DoubleType) / count(lit(1)), 4).as("avg_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n_events,
+           |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           |       min(CAST(props->>'k' AS BIGINT)) AS min_k,
+           |       max(CAST(props->>'k' AS BIGINT)) AS max_k,
+           |       floor(CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_k
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Extension (§2.4 A5, the scale path): HyperLogLog++ approximate
+  // distinct. Exact countDistinct is the correctness default (and
+  // what the oracle gate uses elsewhere), but it costs an Expand plus
+  // a second shuffle keyed on (group, value) — at 100 TB with
+  // high-cardinality keys THAT is the bottleneck, and a fixed-size
+  // HLL sketch (one shuffle, kilobytes per group, register-max merge
+  // so the result is partition-order independent) is the standard
+  // trade. Emitted next to the exact count so the error is visible.
+  // No DuckDB oracle: sketch implementations differ by engine —
+  // driver applies the rows-only check, and the SPEC asserts the
+  // 2%-rsd contract against the exact count.
+  // ------------------------------------------------------------------
+  val aggApproxDistinct: Q = Q(
+    (s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type"),
+    None
+  )
+
   /** Insertion-ordered registry: name → Q. */
   val all: Seq[(String, Q)] = Seq(
     "s1_scan" -> s1Scan,
@@ -741,6 +986,14 @@ object Inventory {
     "agg_rollup" -> aggRollup,
     "agg_stats_exact" -> aggStatsExact,
     "set_ops" -> setOps,
-    "window_wow_change" -> windowWowChange
+    "window_wow_change" -> windowWowChange,
+    "agg_pivot" -> aggPivot,
+    "agg_unpivot" -> aggUnpivot,
+    "agg_cube" -> aggCube,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "window_rank_suite" -> windowRankSuite,
+    "window_topk_per_group" -> windowTopkPerGroup,
+    "window_rolling_range" -> windowRollingRange,
+    "events_json_props" -> eventsJsonProps
   )
 }

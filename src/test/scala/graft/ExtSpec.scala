@@ -424,4 +424,38 @@ class ExtSpec extends SparkSpec {
     val total = hourly.agg(sum("n_events")).head.getLong(0)
     assert(total === graft.queries.Inventory.events(spark, d).count())
   }
+
+  test("keep-best selects the longest doc per cluster and accounts for every document") {
+    val labels = Clusters.dedupComponents.build(spark, d)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Clusters.dedupKeepBest.build(spark, d).collect()
+    // one row per cluster, sizes sum back to the corpus
+    assert(kept.map(_.getLong(0)).distinct.length === kept.length)
+    assert(kept.map(_.getLong(3)).sum === labels.size)
+    kept.foreach { r =>
+      val (cluster, keptDoc, keptChars, size) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val members = labels.collect { case (doc, c) if c == cluster => doc }.toSeq
+      assert(members.size.toLong === size)
+      assert(members.contains(keptDoc))
+      // representative = argmax n_chars, min doc_id on ties
+      val best = members.map(m => (chars(m), m)).maxBy { case (n, id) => (n, -id) }
+      assert((keptChars, keptDoc) === best)
+      assert(r.getLong(4) === size - 1)
+    }
+  }
+
+  test("approximate distinct stays within the configured error of the exact count") {
+    graft.queries.Inventory.aggApproxDistinct.build(spark, d).collect().foreach { r =>
+      val exact = r.getLong(2).toDouble
+      val approx = r.getLong(3).toDouble
+      // rsd 0.02 requested; allow 5 sigma before failing
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
 }

@@ -146,4 +146,40 @@ class PlanSpec extends SparkSpec {
     val p = plan(Similarity.bruteForceTopK.build(spark, d))
     assert(p.contains("Broadcast"), p)
   }
+
+  test("top-k per group prunes map-side via WindowGroupLimit (bounded shuffle)") {
+    val p = plan(Inventory.windowTopkPerGroup.build(spark, d))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("pivot with explicit values scans the fact table exactly once") {
+    // an implicit pivot would run a separate distinct job to discover
+    // the column values — the explicit list keeps it to one pass
+    val p = plan(Inventory.aggPivot.build(spark, d))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1, p)
+  }
+
+  test("cube computes all grouping combinations in one pass (Expand, single scan)") {
+    val p = plan(Inventory.aggCube.build(spark, d))
+    assert(p.contains("Expand"), p)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1, p)
+  }
+
+  test("rolling window runs a RANGE frame over the daily aggregate, not raw events") {
+    val p = plan(Inventory.windowRollingRange.build(spark, d))
+    assert(p.contains("RangeFrame, -6"), p)
+    // window sits ABOVE the aggregate: daily rollup shuffles the full
+    // data once, the frame then runs over |keys|x|days| rows
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx, p)
+  }
+
+  test("JSON extraction is a native projected expression, not a UDF") {
+    // get_json_object sits in the Project fused under the scan —
+    // a codegen'd Catalyst expression, no eval break in the pipeline
+    val p = plan(Inventory.eventsJsonProps.build(spark, d))
+    assert(p.contains("get_json_object"), p)
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
+  }
 }
