@@ -37,6 +37,30 @@ object Streams {
         date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("n_events"), col("avg_value"))
 
+  /** SLIDING-window twin of `Inventory.windowRollingRange`: trailing
+    * totals per event_type, one window per (slide) step. A sliding
+    * window assigns each event to duration/slide windows (here 3h/1h
+    * → 3), so state per key is bounded by windows-in-watermark ×
+    * slide-multiplicity — the streaming analogue of the batch query's
+    * RANGE frame over the daily aggregate. Watermark closes windows
+    * whose end passed; output is append-clean on close.
+    */
+  def slidingTotals(
+      events: DataFrame,
+      duration: String = "3 hours",
+      slide: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:00").as("win_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:00").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Streaming high-value alert filter (stateless — pure pushdown). */
   def highValueEvents(events: DataFrame, threshold: Double = 150.0): DataFrame =
     events.filter(col("value") >= threshold)

@@ -162,4 +162,32 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
     assert(got.length === rows.length) // left join keeps every event
   }
+
+  test("streaming sliding-window totals equal the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = Streams.slidingTotals(mem.toDF())
+      .writeStream.format("memory").queryName("slide_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slide_stream")
+      .orderBy("win_start", "event_type").collect().map(_.toString).toSeq
+    // batch twin: same sliding-window expressions, no watermark operator
+    val expected = rows.toDF()
+      .groupBy(window(col("ts"), "3 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("win_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:00").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type").collect().map(_.toString).toSeq
+    assert(got === expected)
+    // each event lands in duration/slide = 3 windows
+    val total = spark.table("slide_stream").agg(sum("n_events")).head.getLong(0)
+    assert(total === rows.length * 3L)
+  }
 }
