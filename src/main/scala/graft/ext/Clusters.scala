@@ -42,12 +42,15 @@ object Clusters {
       vertices: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    // cache the VERIFIED pair list before mirroring it: the union's two
-    // branches would otherwise each re-run the (expensive) upstream
-    // candidate-generation + verification pipeline on first
-    // materialization — pair verification is the dominant cost of the
-    // whole operator, and it must run exactly once.
+    // cache the VERIFIED pair list before mirroring it, and FORCE the
+    // materialization with a count(): cache() alone is lazy, so the
+    // union's two branches would race to populate it in the same stage
+    // and the loser could re-run the (expensive) upstream
+    // candidate-generation + verification pipeline — pair verification
+    // is the dominant cost of the whole operator, and the eager count
+    // is what actually guarantees it runs exactly once.
     val directed = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
+    directed.count()
     val edges = directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
     // only vertices that appear in an edge can ever change label: the
@@ -64,30 +67,41 @@ object Clusters {
     // values in the loop are these scalars)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0) // 0 for an edgeless graph
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = false
-    while (!converged) {
-      if (iter >= maxIter)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds; " +
-            "graph diameter exceeds the bound — raise maxIter or use a star-contraction variant")
-      val viaNeighbor = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
-        .select(col("src").as("doc_id"), col("label"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .cache()
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels.unpersist()
-      labels = next
-      iter += 1
+    // any failure inside the loop (including the non-convergence
+    // throw) must not leak the cached intermediates into a long-lived
+    // session that will retry with a higher maxIter
+    try {
+      var prevSum = labelSum(labels)
+      var iter = 0
+      var converged = false
+      while (!converged) {
+        if (iter >= maxIter)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIter rounds; " +
+              "graph diameter exceeds the bound — raise maxIter or use a star-contraction variant")
+        val viaNeighbor = edges
+          .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+          .select(col("src").as("doc_id"), col("label"))
+        val next = labels.union(viaNeighbor)
+          .groupBy("doc_id").agg(min("label").as("label"))
+          .cache()
+        val nextSum = labelSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+    } catch {
+      case e: Throwable =>
+        labels.unpersist()
+        throw e
+    } finally {
+      edges.unpersist()
+      directed.unpersist()
     }
-    edges.unpersist()
-    directed.unpersist()
-    // singletons (no edges) label themselves
+    // singletons (no edges) label themselves; the final `labels` cache
+    // stays alive on the success path because the returned plan reads it
     vertices.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))

@@ -430,13 +430,21 @@ object Dedup {
   // scale the same exact scorer runs AFTER a candidate generator —
   // `Similarity.bucketed` hyperplane buckets (near-dup τ≥0.85 regimes,
   // where sign-LSH recall is high) or IVF cells as blocking keys — so
-  // cost is O(candidates), and this query is the verify stage.
+  // cost is O(candidates), and this query is the verify stage. To keep
+  // that contract visible in the registry itself, the standalone query
+  // is CAPPED to one fixed verify-block (`vec_id < VerifyBlockCap`,
+  // deterministic, oracle-replayed): ≤ 1000 vectors → ≤ ~500k scored
+  // pairs no matter how big the corpus grows. The UNcapped full-corpus
+  // role belongs to `dedup_embedding_lsh` below — there is no uncapped
+  // cartesian left in the registry.
   // ------------------------------------------------------------------
   val CosTau = 0.4
+  val VerifyBlockCap = 1000
 
   val embeddingPairs: Q = Q(
     (s, d) => {
       val e = s.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < VerifyBlockCap)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       val sim = roundPortable(
@@ -448,7 +456,8 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH e AS (
-            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |  FROM embeddings WHERE vec_id < $VerifyBlockCap
             |), s AS (
             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             |    floor(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))

@@ -233,6 +233,63 @@ object TextAnalysis {
   )
 
   // ------------------------------------------------------------------
+  // Scale twin of [[lengthQuantiles]]: `percentile_approx` (Greenwald-
+  // Khanna / KLL-style mergeable sketch) next to the exact sort-based
+  // percentile. At 100 TB the exact aggregate must buffer every value
+  // per group; the sketch is fixed-size and merges associatively, so
+  // it's the only viable corpus-wide path. The sketch VALUE is
+  // engine-specific (it returns an observed order statistic, not an
+  // interpolation, and DuckDB's approx_quantile is a different
+  // t-digest), so — same trick as `agg_approx_distinct` — the
+  // oracle-able surface is the error contract: `approx_within_tol` = 1
+  // iff every approx percentile is within ApproxQuantileTol of its
+  // exact twin. DuckDB replays the exact columns plus a literal 1.
+  // ------------------------------------------------------------------
+  /** Relative tolerance for the approx-percentile contract. Accuracy
+    * 1000 bounds the RANK error at 0.1% of the group; the VALUE error
+    * that induces depends on the local density of the distribution —
+    * for the synthetic token-length data the worst observed drift is
+    * the p99 of small groups landing one order statistic away from the
+    * interpolated exact value, well inside 10%.
+    */
+  val ApproxQuantileTol = 0.10
+  val ApproxQuantileAccuracy = 1000
+
+  val lengthQuantilesApprox: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val n = size(tokens(col("text")))
+      def within(approx: Column, exact: Column): Column =
+        abs(approx.cast(DoubleType) - exact) <= lit(ApproxQuantileTol) * abs(exact)
+      docs.select(col("lang"), n.as("n_tokens"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          roundPortable(percentile(col("n_tokens"), lit(0.5)), 4).as("p50"),
+          roundPortable(percentile(col("n_tokens"), lit(0.9)), 4).as("p90"),
+          roundPortable(percentile(col("n_tokens"), lit(0.99)), 4).as("p99"),
+          percentile_approx(col("n_tokens"), lit(0.5), lit(ApproxQuantileAccuracy)).as("ap50"),
+          percentile_approx(col("n_tokens"), lit(0.9), lit(ApproxQuantileAccuracy)).as("ap90"),
+          percentile_approx(col("n_tokens"), lit(0.99), lit(ApproxQuantileAccuracy)).as("ap99"))
+        .select(col("lang"), col("n_docs"), col("p50"), col("p90"), col("p99"),
+          (within(col("ap50"), col("p50")) &&
+            within(col("ap90"), col("p90")) &&
+            within(col("ap99"), col("p99"))).cast("long").as("approx_within_tol"))
+        .orderBy("lang")
+    },
+    Some("""WITH t AS (
+           |  SELECT lang, len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+           |  FROM documents
+           |)
+           |SELECT lang, count(*) AS n_docs,
+           |  floor(quantile_cont(n_tokens, 0.5) * 10000 + 0.5) / 10000 AS p50,
+           |  floor(quantile_cont(n_tokens, 0.9) * 10000 + 0.5) / 10000 AS p90,
+           |  floor(quantile_cont(n_tokens, 0.99) * 10000 + 0.5) / 10000 AS p99,
+           |  CAST(1 AS BIGINT) AS approx_within_tol
+           |FROM t GROUP BY lang ORDER BY lang""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // Top bigrams per language — the n-gram frequency table feeding
   // language-model stats and boilerplate detection. Explode bigrams
   // (window `lead`, codegen'd — not an interpreted HOF), count per
@@ -444,6 +501,7 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint,
     "text_bpe_tokens" -> bpeTokens,
     "text_length_quantiles" -> lengthQuantiles,
+    "text_length_quantiles_approx" -> lengthQuantilesApprox,
     "text_top_bigrams" -> topBigrams,
     "text_winnow_fingerprints" -> winnowFingerprints,
     "text_tfidf_top_terms" -> tfidfTopTerms,

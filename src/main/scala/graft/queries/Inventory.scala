@@ -497,6 +497,40 @@ object Inventory {
   )
 
   // ------------------------------------------------------------------
+  // Extension (§2.3, runtime filtering): fact⋈fact join where one side
+  // carries a selective predicate — the shape where Spark's runtime
+  // bloom filter earns its keep at 100 TB. `orders` is filtered to
+  // one status (~1/3 selective; in production think "last day's
+  // orders", 1e-3); the optimizer builds a bloom filter over the
+  // surviving o_orderkey set and injects `might_contain(l_orderkey)`
+  // into the LINEITEM scan, so ~2/3 of the big fact's rows die at the
+  // scan instead of travelling through the shuffle. Semantically a
+  // no-op (the join would drop them anyway) — which is why the DuckDB
+  // oracle is just the plain filtered join — so the driver gate proves
+  // the rewrite preserves values while PlanSpec (with the size
+  // thresholds lowered, since sf0.1 is below the 10 GB default) pins
+  // the BloomFilterMightContain injection itself.
+  // ------------------------------------------------------------------
+  val joinRuntimeFiltered: Q = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)).as("rev"))
+      val ord = t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_orderstatus")
+        .filter(col("o_orderstatus") === "F")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("rev")).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           |       count(*) AS n_items
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_orderstatus = 'F'
+           |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // Extension (§2.3 note made concrete): LEFT SEMI / LEFT ANTI joins —
   // existence tests without join fan-out. Customers with vs without
   // orders, per market segment. Semi/anti never duplicate left rows
@@ -945,10 +979,14 @@ object Inventory {
   // high-cardinality keys THAT is the bottleneck, and a fixed-size
   // HLL sketch (one shuffle, kilobytes per group, register-max merge
   // so the result is partition-order independent) is the standard
-  // trade. Emitted next to the exact count so the error is visible.
-  // No DuckDB oracle: sketch implementations differ by engine —
-  // driver applies the rows-only check, and the SPEC asserts the
-  // 2%-rsd contract against the exact count.
+  // trade. The raw sketch value is engine-specific (DuckDB's HLL and
+  // Spark's HLL++ disagree), so the oracle-able surface is the ERROR
+  // BOUND, not the estimate: emit `approx_within_rsd` = 1 iff
+  // |approx − exact| / exact ≤ 3×rsd (rsd = 0.02 requested → 0.06
+  // allowed, a 3-sigma band on the sketch's standard error). DuckDB
+  // replays the exact columns and a literal 1 — so a sketch drifting
+  // out of contract flips the hash and FAILS the driver gate. The
+  // spec asserts the same 0.06 bound per group.
   // ------------------------------------------------------------------
   val aggApproxDistinct: Q = Q(
     (s, d) =>
@@ -957,8 +995,47 @@ object Inventory {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .select(col("event_type"), col("n_events"), col("exact_users"),
+          (abs(col("approx_users").cast(DoubleType) - col("exact_users").cast(DoubleType)) /
+            col("exact_users").cast(DoubleType) <= lit(0.06))
+            .cast("long").as("approx_within_rsd"))
         .orderBy("event_type"),
-    None
+    Some("""SELECT event_type, count(*) AS n_events,
+           |       count(DISTINCT user_id) AS exact_users,
+           |       CAST(1 AS BIGINT) AS approx_within_rsd
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Extension (§2.4-adjacent, skew): salted two-level aggregation on a
+  // deliberately skewed key. `events.event_type` has ~5 values over
+  // millions of rows — at 100 TB a plain groupBy sends each hot key to
+  // ONE reducer and the stage runs at the speed of the hottest key.
+  // AQE never splits an aggregation key (it splits join partitions),
+  // so salting is the tool: phase 1 aggregates on (key, salt) — the
+  // hot key's load spreads over `SkewSalts` reducers — phase 2 merges
+  // the salt partials per key. The salt is derived from `user_id`
+  // (deterministic, retry-safe — a rand() salt re-rolls under
+  // speculative execution), and the result is EXACTLY the plain
+  // groupBy's because count/decimal-sum are algebraic: the DuckDB
+  // oracle runs the plain aggregation, so the driver gate proves the
+  // salted rewrite is value-identical, not just shaped right.
+  // PlanSpec pins the two-exchange (salt, then key) physical shape.
+  // ------------------------------------------------------------------
+  val SkewSalts = 16
+
+  val aggSaltedSkew: Q = Q(
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("user_id"), col("value"))
+      graft.engine.Joins.saltedAgg(ev, "event_type", salts = SkewSalts, saltSource = col("user_id"))(
+        Seq(count(lit(1)).as("c"), sum(col("value").cast(DecimalType(18, 2))).as("sv")),
+        Seq(sum(col("c")).as("n_events"),
+          sum(col("sv")).cast(DoubleType).as("sum_value")))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
   )
 
   /** Insertion-ordered registry: name → Q. */
@@ -982,6 +1059,7 @@ object Inventory {
     "mart_weekly_events_summary" -> martWeeklyEventsSummary,
     "join_revenue_by_nation" -> joinRevenueByNation,
     "join_semi_anti" -> joinSemiAnti,
+    "join_runtime_filtered" -> joinRuntimeFiltered,
     "join_range_bands" -> joinRangeBands,
     "agg_rollup" -> aggRollup,
     "agg_stats_exact" -> aggStatsExact,
@@ -991,6 +1069,7 @@ object Inventory {
     "agg_unpivot" -> aggUnpivot,
     "agg_cube" -> aggCube,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_salted_skew" -> aggSaltedSkew,
     "window_rank_suite" -> windowRankSuite,
     "window_topk_per_group" -> windowTopkPerGroup,
     "window_rolling_range" -> windowRollingRange,

