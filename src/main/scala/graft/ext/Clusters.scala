@@ -113,17 +113,25 @@ object Clusters {
   // per-document cluster assignment plus each cluster's size and
   // representative — the final keep/drop table of the dedup funnel.
   // ------------------------------------------------------------------
+  /** Per-document assignment report over a (doc_id, cluster_id) labels
+    * relation — size and representative flag per cluster. DataFrame-level
+    * so a materialized labels table ([[graft.models.DedupFunnel]]) feeds
+    * it without re-running the pair graph.
+    */
+  def componentReport(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_representative"))
+      .orderBy("doc_id")
+  }
+
   val dedupComponents: Q = Q(
     (s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
       val pairs = Dedup.jaccardPairs.build(s, d).select("doc_a", "doc_b")
-      val labels = connectedComponents(docs, pairs)
-      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, Seq("cluster_id"))
-        .select(col("doc_id"), col("cluster_id"),
-          col("cluster_size"),
-          (col("doc_id") === col("cluster_id")).as("is_representative"))
-        .orderBy("doc_id")
+      componentReport(connectedComponents(docs, pairs))
     },
     // DuckDB replays the pair graph (same shingle-set Jaccard CTE as
     // dedup_jaccard_pairs) and the component labels as a recursive
@@ -173,24 +181,32 @@ object Clusters {
   // row_number window and a count aggregate, both partitioned on
   // cluster_id over the (tiny) labeled vertex table. In a production
   // DAG the labels table is a materialized model consumed by both the
-  // assignment report and this keep list — here each registry query
-  // is standalone by contract, so the pair graph is rebuilt.
+  // assignment report and this keep list — [[graft.models.DedupFunnel]]
+  // demonstrates exactly that; here each registry query is standalone
+  // by contract, so the pair graph is rebuilt.
   // ------------------------------------------------------------------
+
+  /** Keep-best selection over a labels relation + (doc_id, n_chars)
+    * docs relation — DataFrame-level for the materialized-DAG path.
+    */
+  def keepBest(labels: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = labels.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    val kept = sized.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"), col("n_chars").as("kept_chars"))
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    kept.join(sizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("kept_doc"), col("kept_chars"),
+        col("cluster_size"), (col("cluster_size") - lit(1L)).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   val dedupKeepBest: Q = Q(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "n_chars")
       val pairs = Dedup.jaccardPairs.build(s, d).select("doc_a", "doc_b")
-      val labels = connectedComponents(docs.select("doc_id"), pairs)
-      val sized = labels.join(docs, Seq("doc_id"))
-      val w = Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
-      val kept = sized.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id").as("kept_doc"), col("n_chars").as("kept_chars"))
-      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      kept.join(sizes, Seq("cluster_id"))
-        .select(col("cluster_id"), col("kept_doc"), col("kept_chars"),
-          col("cluster_size"), (col("cluster_size") - lit(1L)).as("n_dropped"))
-        .orderBy("cluster_id")
+      keepBest(connectedComponents(docs.select("doc_id"), pairs), docs)
     },
     // same reachability CTE as dedup_components, then argmax-by-window
     Some(s"""WITH RECURSIVE sh AS (

@@ -69,10 +69,17 @@ object Dedup {
     * replaces.
     */
   def shinglePosts(s: SparkSession, d: String,
+      shingleHash: Column => Column = xxhash64(_)): DataFrame =
+    shinglePostsDf(s.read.parquet(s"$d/documents.parquet"), shingleHash)
+
+  /** DataFrame-level variant for DAG models ([[graft.models.DedupFunnel]])
+    * and any caller that already holds the documents relation.
+    */
+  def shinglePostsDf(docs: DataFrame,
       shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    s.read.parquet(s"$d/documents.parquet")
+    docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
       .withColumn("t1", lead("t", 1).over(w))
       .withColumn("t2", lead("t", 2).over(w))
@@ -115,25 +122,30 @@ object Dedup {
   // ------------------------------------------------------------------
   val JaccardTau = 0.3
 
+  /** DataFrame-level Jaccard pair graph — the body of [[jaccardPairs]],
+    * reusable by DAG models over an already-resolved documents relation.
+    */
+  def jaccardPairsDf(docs: DataFrame): DataFrame = {
+    val posts = shinglePostsDf(docs)
+    val a = posts.select(col("hs"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val b = posts.select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val jac = col("overlap").cast(DoubleType) /
+      (col("sz_a") + col("sz_b") - col("overlap"))
+    // size-ratio prefilter: J(A,B) ≤ min/max of the set sizes, so
+    // J ≥ τ pairs must satisfy the ratio bound — prunes join output
+    // before the pair aggregation ever sees it
+    a.join(b, Seq("hs"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("sz_a") >= col("sz_b") * JaccardTau && col("sz_b") >= col("sz_a") * JaccardTau)
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(jac >= JaccardTau) // unrounded, matching the oracle's filter
+      .select(col("doc_a"), col("doc_b"), roundPortable(jac, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val jaccardPairs: Q = Q(
-    (s, d) => {
-      val posts = shinglePosts(s, d)
-      val a = posts.select(col("hs"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-      val b = posts.select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-      val jac = col("overlap").cast(DoubleType) /
-        (col("sz_a") + col("sz_b") - col("overlap"))
-      // size-ratio prefilter: J(A,B) ≤ min/max of the set sizes, so
-      // J ≥ τ pairs must satisfy the ratio bound — prunes join output
-      // before the pair aggregation ever sees it
-      a.join(b, Seq("hs"))
-        .filter(col("doc_a") < col("doc_b") &&
-          col("sz_a") >= col("sz_b") * JaccardTau && col("sz_b") >= col("sz_a") * JaccardTau)
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(count(lit(1)).as("overlap"))
-        .filter(jac >= JaccardTau) // unrounded, matching the oracle's filter
-        .select(col("doc_a"), col("doc_b"), roundPortable(jac, 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, d) => jaccardPairsDf(s.read.parquet(s"$d/documents.parquet")),
     Some("""WITH s AS (
            |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
            |           i -> array_to_string(toks[i:i+2], ' '))) AS sh

@@ -310,4 +310,29 @@ class EngineSpec extends SparkSpec {
     val sqlModel = Model.sql("m_sql", Seq("src"), View, "SELECT id FROM src")
     assert(sqlModel.transform(Map("src" -> src)).collect().map(_.getInt(0)).toSeq === Seq(1))
   }
+
+  test("dedup funnel DAG materializes pairs/labels once and consumers read parquet, not the pair graph") {
+    val d = sf("0.001")
+    val wh = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val r = graft.models.DedupFunnel.run(spark, d, new TableSink.Parquet(wh))
+    assert(r.allTestsPassed, r.tests.filterNot(_.passed).mkString(", "))
+    assert(r.skipped.isEmpty)
+    // outputs match the standalone registry queries row-for-row
+    val report = r("dedup_cluster_report").orderBy("doc_id").collect().toSeq
+    val standalone = graft.ext.Clusters.dedupComponents.build(spark, d).collect().toSeq
+    assert(report === standalone)
+    val keep = r("dedup_keep_list").orderBy("cluster_id").collect().toSeq
+    val keepStandalone = graft.ext.Clusters.dedupKeepBest.build(spark, d).collect().toSeq
+    assert(keep === keepStandalone)
+    // the SCALING.md claim, pinned: downstream consumers read the
+    // MATERIALIZED labels table — their plans scan the sink's parquet
+    // and contain none of the pair-graph machinery (shingle window /
+    // posting-list join would show up as posexplode + xxhash64)
+    val consumerPlan = graft.ext.Clusters
+      .keepBest(r("dedup_labels"), spark.read.parquet(s"$d/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(consumerPlan.contains(wh), consumerPlan)
+    assert(!consumerPlan.contains("posexplode") && !consumerPlan.contains("xxhash64"),
+      s"keep list recomputes the pair graph:\n$consumerPlan")
+  }
 }
