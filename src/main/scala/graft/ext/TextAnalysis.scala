@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.engine.Functions.roundPortable
 import graft.queries.Inventory.Q
@@ -494,6 +494,78 @@ object TextAnalysis {
             |ORDER BY t.doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // BM25 retrieval scoring — rank the corpus against a fixed query
+  // term set (the curation shape: score documents for topical
+  // relevance, keep the top slice; also the evaluation shape behind
+  // "retrieve supporting docs for a benchmark prompt"). Okapi BM25
+  // with k1=1.2, b=0.75 and the +1 idf smoothing (Robertson/Sparck
+  // Jones; the Lucene variant).
+  //
+  // Determinism contract: per-(doc,term) scores are scalar IEEE
+  // expressions of exact integers (tf, dl, df, N) plus one shared
+  // double (avg_dl, itself exact-integer-sum / count) — identical
+  // operand order on both engines; each term score is rounded to 6 dp
+  // and summed in DECIMAL so the per-doc Σ is associative-exact
+  // (double Σ would be partition-order dependent).
+  //
+  // Scale notes: the explode is filtered to the query terms BEFORE
+  // any shuffle (the filter fuses into the scan projection — a
+  // |terms|-column corpus pass, not a full posting list); df and the
+  // corpus stats are kilobyte-scale broadcasts; the final top-k is
+  // TakeOrderedAndProject (map-side partial top-k, plan-asserted) —
+  // never a global sort of the scored corpus.
+  // ------------------------------------------------------------------
+  val Bm25QueryTerms = Seq("join", "vector", "stream", "query")
+  val Bm25TopK = 20
+
+  val bm25TopK: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avg_dl"))
+      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isInCollection(Bm25QueryTerms))
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      val termScore = idf * (col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avg_dl"))))
+      tf.join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          roundPortable(termScore, 6).cast(DecimalType(18, 6)).as("term_score"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).cast(DoubleType).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(Bm25TopK)
+        .orderBy(col("bm25").desc, col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+            |), stats AS (
+            |  SELECT count(*) AS n_docs, CAST(sum(len(t)) AS DOUBLE) / count(*) AS avg_dl FROM toks
+            |), tf AS (
+            |  SELECT doc_id, dl, tok, count(*) AS tf
+            |  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks)
+            |  WHERE tok IN (${Bm25QueryTerms.map(t => s"'$t'").mkString(", ")})
+            |  GROUP BY 1, 2, 3
+            |), dfreq AS (
+            |  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+            |), scored AS (
+            |  SELECT t.doc_id,
+            |         CAST(floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+            |           * (t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avg_dl)))
+            |           * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS term_score
+            |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN stats s
+            |)
+            |SELECT doc_id, count(*) AS n_terms, CAST(sum(term_score) AS DOUBLE) AS bm25
+            |FROM scored GROUP BY doc_id
+            |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -505,6 +577,7 @@ object TextAnalysis {
     "text_top_bigrams" -> topBigrams,
     "text_winnow_fingerprints" -> winnowFingerprints,
     "text_tfidf_top_terms" -> tfidfTopTerms,
+    "text_bm25_topk" -> bm25TopK,
     "text_repetition" -> repetition
   )
 }

@@ -216,6 +216,11 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 2, s"want 2 hash exchanges (salted then merge), got $exchanges:\n$p")
   }
 
+  test("BM25 top-k is TakeOrderedAndProject (map-side partial top-k), never a global sort") {
+    val p = plan(graft.ext.TextAnalysis.bm25TopK.build(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("JSON extraction is a native projected expression, not a UDF") {
     // get_json_object sits in the Project fused under the scan —
     // a codegen'd Catalyst expression, no eval break in the pipeline
