@@ -580,12 +580,76 @@ object Dedup {
     }
   )
 
+  // ------------------------------------------------------------------
+  // INCREMENTAL dedup — the daily-ingest shape: a small new BATCH is
+  // checked against the standing CORPUS, asking of each batch document
+  // "is it a near-dup of something we already have?". The harness
+  // split is deterministic (odd doc_id = batch, even = corpus,
+  // standing in for today's ingest vs yesterday's lake).
+  //
+  // Scale asymmetry is the whole point: the corpus posting list is
+  // 100 TB-side and must NOT shuffle for a few-GB batch. The batch's
+  // posting list broadcasts; the corpus side is a map-side hash-join
+  // probe fused onto its scan. Only candidate (batch, corpus, shingle)
+  // hits — bounded by batch size × df — reach the pair aggregation.
+  // Same exact-Jaccard semantics as jaccardPairs (J from |A∩B| via the
+  // posting join, |A∪B| by inclusion-exclusion), so the output is the
+  // exact set of batch docs with a corpus near-dup — not probabilistic.
+  // Every batch doc is emitted with its verdict (is_dup, match count,
+  // smallest matching corpus doc; -1 sentinel keeps the column
+  // non-null for cross-engine hashing).
+  // ------------------------------------------------------------------
+  val incremental: Q = Q(
+    (s, d) => {
+      val posts = shinglePostsDf(s.read.parquet(s"$d/documents.parquet"))
+      val corpus = posts.filter(col("doc_id") % 2 === 0)
+        .select(col("hs"), col("doc_id").as("corpus_doc"), col("sz").as("sz_c"))
+      val batch = posts.filter(col("doc_id") % 2 === 1)
+        .select(col("hs"), col("doc_id").as("batch_doc"), col("sz").as("sz_b"))
+      val jac = col("overlap").cast(DoubleType) /
+        (col("sz_b") + col("sz_c") - col("overlap"))
+      val matches = corpus.join(broadcast(batch), Seq("hs"))
+        .filter(col("sz_b") >= col("sz_c") * JaccardTau && col("sz_c") >= col("sz_b") * JaccardTau)
+        .groupBy("batch_doc", "corpus_doc", "sz_b", "sz_c")
+        .agg(count(lit(1)).as("overlap"))
+        .filter(jac >= JaccardTau)
+        .groupBy("batch_doc")
+        .agg(count(lit(1)).as("n_matches"), min(col("corpus_doc")).as("first_dup"))
+      s.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+        .join(matches, col("doc_id") === col("batch_doc"), "left")
+        .select(col("doc_id"),
+          col("batch_doc").isNotNull.cast("long").as("is_dup"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("first_dup"), lit(-1L)).as("first_dup"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            |           i -> array_to_string(toks[i:i+2], ' '))) AS s
+            |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+            |), m AS (
+            |  SELECT b.doc_id AS batch_doc, count(*) AS n_matches, min(c.doc_id) AS first_dup
+            |  FROM sh b JOIN sh c ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+            |   AND CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / len(list_distinct(b.s || c.s)) >= $JaccardTau
+            |  GROUP BY 1
+            |)
+            |SELECT d.doc_id,
+            |       CAST(CASE WHEN m.batch_doc IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+            |       coalesce(m.n_matches, 0) AS n_matches,
+            |       coalesce(m.first_dup, -1) AS first_dup
+            |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+            |LEFT JOIN m ON m.batch_doc = d.doc_id
+            |ORDER BY d.doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhashFingerprints,
     "dedup_embedding_pairs" -> embeddingPairs,
-    "dedup_embedding_lsh" -> embeddingLsh
+    "dedup_embedding_lsh" -> embeddingLsh,
+    "dedup_incremental" -> incremental
   )
 }

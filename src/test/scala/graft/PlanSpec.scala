@@ -216,6 +216,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 2, s"want 2 hash exchanges (salted then merge), got $exchanges:\n$p")
   }
 
+  test("incremental dedup broadcasts the batch posting list (corpus never shuffles for the probe)") {
+    val p = plan(Dedup.incremental.build(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("BM25 top-k is TakeOrderedAndProject (map-side partial top-k), never a global sort") {
     val p = plan(graft.ext.TextAnalysis.bm25TopK.build(spark, d))
     assert(p.contains("TakeOrderedAndProject"), p)
