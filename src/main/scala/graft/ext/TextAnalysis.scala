@@ -566,6 +566,87 @@ object TextAnalysis {
             |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Robust outlier statistics per language: median + MAD (median
+  // absolute deviation), the filter pair that survives the heavy-tailed
+  // length distributions of web corpora where mean/stddev gates are
+  // dragged by the very outliers they should catch. A doc is flagged
+  // when |n_tokens − median| > 3·MAD (≈ 2σ on normal data). Two
+  // aggregation passes by construction (the second pass needs the
+  // first's median); both shuffle only (lang, n_tokens) pairs. The
+  // outlier predicate compares against the 4 dp-ROUNDED median/MAD so
+  // both engines threshold on identical values.
+  // ------------------------------------------------------------------
+  val MadK = 3.0
+
+  val outliersMad: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val med = docs.groupBy("lang")
+        .agg(roundPortable(percentile(col("n_tokens"), lit(0.5)), 4).as("median_tokens"))
+      val withMed = docs.join(med, Seq("lang"))
+        .withColumn("adev", abs(col("n_tokens") - col("median_tokens")))
+      val mad = withMed.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          first(col("median_tokens")).as("median_tokens"),
+          roundPortable(percentile(col("adev"), lit(0.5)), 4).as("mad_tokens"))
+      withMed.join(mad.select("lang", "mad_tokens"), Seq("lang"))
+        .groupBy("lang")
+        .agg(sum((col("adev") > lit(MadK) * col("mad_tokens")).cast("long")).as("n_outliers"))
+        .join(mad, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("median_tokens"), col("mad_tokens"), col("n_outliers"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT lang, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+            |  FROM documents
+            |), med AS (
+            |  SELECT lang, floor(quantile_cont(n_tokens, 0.5) * 10000 + 0.5) / 10000 AS median_tokens
+            |  FROM t GROUP BY lang
+            |), dev AS (
+            |  SELECT t.lang, t.n_tokens, m.median_tokens, abs(t.n_tokens - m.median_tokens) AS adev
+            |  FROM t JOIN med m USING (lang)
+            |), mad AS (
+            |  SELECT lang, count(*) AS n_docs, min(median_tokens) AS median_tokens,
+            |         floor(quantile_cont(adev, 0.5) * 10000 + 0.5) / 10000 AS mad_tokens
+            |  FROM dev GROUP BY lang
+            |)
+            |SELECT d.lang, m.n_docs, m.median_tokens, m.mad_tokens,
+            |       sum(CAST(d.adev > $MadK * m.mad_tokens AS BIGINT)) AS n_outliers
+            |FROM dev d JOIN mad m USING (lang)
+            |GROUP BY 1, 2, 3, 4
+            |ORDER BY d.lang""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Token-length histogram per language — the distribution profile
+  // behind curriculum/length-filter threshold choices. Fixed-width
+  // buckets from explicit arithmetic (`least(⌊n/50⌋, 15)` — NOT an
+  // engine-specific width_bucket, so both engines bin identically and
+  // the top bucket is an overflow catch-all). One pass, one shuffle of
+  // (lang, bucket) pairs; at 100 TB the partial aggregation collapses
+  // each partition to ≤ |langs|·16 rows before the exchange.
+  // ------------------------------------------------------------------
+  val HistBucketWidth = 50
+  val HistMaxBucket = 15
+
+  val lengthHistogram: Q = Q(
+    (s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .select(col("lang"),
+          least(floor(col("n_tokens") / HistBucketWidth), lit(HistMaxBucket.toLong))
+            .cast("long").as("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "bucket"),
+    Some(s"""SELECT lang,
+            |       CAST(least(floor(len(string_split_regex(lower(trim(text)), '\\s+')) / $HistBucketWidth), $HistMaxBucket) AS BIGINT) AS bucket,
+            |       count(*) AS n_docs
+            |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -578,6 +659,8 @@ object TextAnalysis {
     "text_winnow_fingerprints" -> winnowFingerprints,
     "text_tfidf_top_terms" -> tfidfTopTerms,
     "text_bm25_topk" -> bm25TopK,
+    "text_outliers_mad" -> outliersMad,
+    "text_length_histogram" -> lengthHistogram,
     "text_repetition" -> repetition
   )
 }

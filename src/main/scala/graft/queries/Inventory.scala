@@ -1038,6 +1038,59 @@ object Inventory {
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Extension (data-quality profiling): per-column completeness and
+  // cardinality profile of the events table in ONE scan — the "what is
+  // this dataset" pass that precedes any pipeline onboarding, and the
+  // generalization of the dbt test predicates (not_null/unique count
+  // the same things pass/fail instead of reporting them).
+  // Wide-then-stack: one aggregate row (count + per-column null-sum +
+  // exact distinct), unpivoted to a tall (col_name, metrics) table by
+  // `stack` — an Expand over four already-aggregated values, zero extra
+  // shuffle. Scale note: multiple exact countDistincts in one pass cost
+  // an Expand ×4 on the shuffle; the 100 TB variant swaps them for
+  // approx_count_distinct sketches under the same bounded-error
+  // contract as `agg_approx_distinct`.
+  // ------------------------------------------------------------------
+  val profileColumns: Q = Q(
+    (s, d) =>
+      events(s, d)
+        .agg(count(lit(1)).as("rows_total"),
+          sum(col("user_id").isNull.cast("long")).as("null_user_id"),
+          countDistinct(col("user_id")).as("dist_user_id"),
+          sum(col("event_type").isNull.cast("long")).as("null_event_type"),
+          countDistinct(col("event_type")).as("dist_event_type"),
+          sum(col("value").isNull.cast("long")).as("null_value"),
+          countDistinct(col("value")).as("dist_value"),
+          sum(col("props").isNull.cast("long")).as("null_props"),
+          countDistinct(col("props")).as("dist_props"))
+        .select(expr(
+          """stack(4,
+            |  'event_type', rows_total, null_event_type, dist_event_type,
+            |  'props',      rows_total, null_props,      dist_props,
+            |  'user_id',    rows_total, null_user_id,    dist_user_id,
+            |  'value',      rows_total, null_value,      dist_value
+            |) AS (col_name, n_rows, n_null, n_distinct)""".stripMargin))
+        .orderBy("col_name"),
+    Some("""WITH s AS (
+           |  SELECT count(*) AS rows_total,
+           |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+           |         count(DISTINCT user_id) AS dist_user_id,
+           |         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+           |         count(DISTINCT event_type) AS dist_event_type,
+           |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+           |         count(DISTINCT value) AS dist_value,
+           |         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+           |         count(DISTINCT props) AS dist_props
+           |  FROM events
+           |)
+           |SELECT 'event_type' AS col_name, rows_total AS n_rows, null_event_type AS n_null, dist_event_type AS n_distinct FROM s
+           |UNION ALL SELECT 'props', rows_total, null_props, dist_props FROM s
+           |UNION ALL SELECT 'user_id', rows_total, null_user_id, dist_user_id FROM s
+           |UNION ALL SELECT 'value', rows_total, null_value, dist_value FROM s
+           |ORDER BY col_name""".stripMargin)
+  )
+
   /** Insertion-ordered registry: name → Q. */
   val all: Seq[(String, Q)] = Seq(
     "s1_scan" -> s1Scan,
@@ -1073,6 +1126,7 @@ object Inventory {
     "window_rank_suite" -> windowRankSuite,
     "window_topk_per_group" -> windowTopkPerGroup,
     "window_rolling_range" -> windowRollingRange,
-    "events_json_props" -> eventsJsonProps
+    "events_json_props" -> eventsJsonProps,
+    "profile_columns" -> profileColumns
   )
 }
