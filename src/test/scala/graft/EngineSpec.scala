@@ -335,4 +335,51 @@ class EngineSpec extends SparkSpec {
     assert(!consumerPlan.contains("posexplode") && !consumerPlan.contains("xxhash64"),
       s"keep list recomputes the pair graph:\n$consumerPlan")
   }
+
+  test("corpus pipeline DAG: stages compose doc-level, agree with registry metrics, and checkpoint") {
+    import graft.engine.Functions.{avgExact, roundPortable}
+    val d = sf("0.001")
+    val wh = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val r = graft.models.CorpusPipeline.run(spark, d, new TableSink.Parquet(wh))
+    assert(r.allTestsPassed, r.tests.filterNot(_.passed).mkString(", "))
+    assert(r.skipped.isEmpty)
+    // stage 1 equals the registry query's published per-lang metrics:
+    // the doc-level clean stage re-aggregated must reproduce
+    // pipeline_clean_corpus exactly (shared gate expressions)
+    val cleanedSummary = r("corpus_cleaned")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        roundPortable(avgExact(col("n_tokens")), 4).as("avg_tokens"))
+      .orderBy("lang").collect().toSeq
+    val registry = graft.ext.Pipelines.cleanCorpus.build(spark, d).collect().toSeq
+    assert(cleanedSummary === registry)
+    // stage 2 agrees with the registry contamination verdicts: nothing
+    // the registry flags survives, and no benchmark doc leaks through
+    val flagged = graft.ext.Pipelines.decontaminate.build(spark, d)
+      .filter(col("contaminated")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val surviving = r("corpus_decontaminated").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving.intersect(flagged).isEmpty)
+    assert(!surviving.exists(_ < graft.ext.Pipelines.BenchmarkDocs))
+    // stage 3: hard cap per language
+    r("corpus_capped").groupBy("lang").count().collect()
+      .foreach(row => assert(row.getLong(1) <= graft.ext.Pipelines.DomainCap))
+    // stage 4: every doc's pack is its starting-offset bucket (docs are
+    // never split, so a pack may spill past the budget by the last
+    // doc's tail — the invariant is the START offsets, not the sum)
+    val budget = graft.ext.Pipelines.PackBudget
+    r("corpus_packed").orderBy("lang", "doc_id").collect()
+      .groupBy(_.getString(1)).foreach { case (_, docs) =>
+        var cum = 0L
+        docs.sortBy(_.getLong(0)).foreach { row =>
+          assert(row.getLong(3) === cum / budget,
+            s"pack_id mismatch at doc ${row.getLong(0)}: start=$cum")
+          cum += row.getLong(2)
+        }
+      }
+    // each stage consumes the previous stage's PARQUET checkpoint —
+    // tokenization/scoring never re-runs downstream
+    val p = r("corpus_decontaminated").queryExecution.executedPlan.toString
+    assert(p.contains(wh), p)
+    assert(!p.contains("regexp_replace"), s"downstream stage re-scores the corpus:\n$p")
+  }
 }
