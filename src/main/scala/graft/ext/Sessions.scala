@@ -130,9 +130,114 @@ object Sessions {
            |ORDER BY cohort_week, weeks_since""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Conversion funnel — the ordered-stage analytics every product
+  // pipeline runs: of the users who VIEWed, how many went on to CLICK
+  // (strictly at-or-after their first view), and of those, how many
+  // PURCHASEd after that click. Each stage anchors on the previous
+  // stage's first qualifying timestamp, so out-of-order events (a
+  // purchase before ever viewing) never count — the semantics that a
+  // naive "has all three types" set-intersection gets wrong.
+  //
+  // Scale notes: three aggregations and two joins, ALL keyed on
+  // user_id — the per-stage anchor tables are |users| rows, and since
+  // every operator shares the user_id partitioning, the planner reuses
+  // one exchange per input rather than reshuffling between stages.
+  // Integer microsecond comparisons end-to-end (no timestamp
+  // arithmetic ambiguity between engines).
+  // ------------------------------------------------------------------
+  val funnel: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val viewed = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t_view"))
+      val clicked = ev.filter(col("event_type") === "click")
+        .join(viewed, Seq("user_id"))
+        .filter(col("us") >= col("t_view"))
+        .groupBy("user_id").agg(min(col("us")).as("t_click"))
+      val purchased = ev.filter(col("event_type") === "purchase")
+        .join(clicked, Seq("user_id"))
+        .filter(col("us") >= col("t_click"))
+        .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
+      viewed.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(clicked.agg(count(lit(1)).as("n_clicked_after_view")))
+        .crossJoin(purchased.agg(count(lit(1)).as("n_purchased_after_click")))
+        .select(col("n_viewed"), col("n_clicked_after_view"), col("n_purchased_after_click"),
+          roundPortable(col("n_clicked_after_view").cast("double") / col("n_viewed"), 4)
+            .as("view_to_click"),
+          roundPortable(col("n_purchased_after_click").cast("double") / col("n_clicked_after_view"), 4)
+            .as("click_to_purchase"))
+    },
+    Some("""WITH v AS (
+           |  SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+           |  WHERE event_type = 'view' GROUP BY 1
+           |), c AS (
+           |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+           |  FROM events e JOIN v ON v.user_id = e.user_id
+           |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t_view
+           |  GROUP BY 1
+           |), p AS (
+           |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+           |  FROM events e JOIN c ON c.user_id = e.user_id
+           |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+           |  GROUP BY 1
+           |)
+           |SELECT (SELECT count(*) FROM v) AS n_viewed,
+           |       (SELECT count(*) FROM c) AS n_clicked_after_view,
+           |       (SELECT count(*) FROM p) AS n_purchased_after_click,
+           |       floor(CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM v) * 10000 + 0.5) / 10000 AS view_to_click,
+           |       floor(CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM c) * 10000 + 0.5) / 10000 AS click_to_purchase""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Event debounce — collapse bursts of the same (user, event_type)
+  // key: keep the FIRST event of every burst, where a burst chains
+  // raw inter-event gaps ≤ the throttle window (the dedup rule for
+  // retry storms / double-clicks; the batch twin of a rate limiter).
+  // This burst-start rule — rather than "window since the last KEPT
+  // event", whose chained recurrence needs a sequential per-key scan —
+  // is what production systems implement at scale, and it reduces to
+  // one `lag` window: an event is kept iff its gap from the previous
+  // RAW event exceeds the window (same recurrence as sessionize).
+  // One shuffle on (user, type); per-key timelines sort locally.
+  // ------------------------------------------------------------------
+  val DebounceSeconds = 300L
+
+  val debounce: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val prev = lag(us, 1).over(w)
+      val kept = when(prev.isNull || (us - prev) > DebounceSeconds * 1000000L, 1L).otherwise(0L)
+      ev.withColumn("kept", kept)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("kept")).as("n_kept"),
+          (count(lit(1)) - sum(col("kept"))).as("n_debounced"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH marked AS (
+            |  SELECT event_type,
+            |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+            |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $DebounceSeconds * 1000000
+            |         THEN 1 ELSE 0 END AS kept
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+            |)
+            |SELECT event_type, count(*) AS n_events,
+            |       CAST(sum(kept) AS BIGINT) AS n_kept,
+            |       CAST(count(*) - sum(kept) AS BIGINT) AS n_debounced
+            |FROM marked GROUP BY 1 ORDER BY event_type""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_sessionize" -> sessionize,
     "events_hourly_window" -> hourly,
-    "events_cohort_retention" -> cohortRetention
+    "events_cohort_retention" -> cohortRetention,
+    "events_funnel" -> funnel,
+    "events_debounce" -> debounce
   )
 }

@@ -425,6 +425,24 @@ class ExtSpec extends SparkSpec {
     assert(total === graft.queries.Inventory.events(spark, d).count())
   }
 
+  test("funnel stages are monotone non-increasing and rates lie in [0,1]") {
+    val r = Sessions.funnel.build(spark, d).head()
+    val (viewed, clicked, purchased) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(viewed >= clicked && clicked >= purchased && purchased >= 0L)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
+  test("debounce partitions every event into kept or suppressed, keeping at least one per burst key") {
+    val rows = Sessions.debounce.build(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept, dropped) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept + dropped === n)
+      assert(kept >= 1L && kept <= n) // first event of any timeline is always kept
+    }
+  }
+
   test("keep-best selects the longest doc per cluster and accounts for every document") {
     val labels = Clusters.dedupComponents.build(spark, d)
       .select("doc_id", "cluster_id").collect()
