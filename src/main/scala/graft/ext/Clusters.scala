@@ -85,7 +85,14 @@ object Clusters {
         val next = labels.union(viaNeighbor)
           .groupBy("doc_id").agg(min("label").as("label"))
           .cache()
-        val nextSum = labelSum(next)
+        // materialize next BEFORE dropping the old cache (next's
+        // lineage reads `labels`; unpersisting first would recompute
+        // the whole chain) — but if the action itself throws, `labels`
+        // still points at the previous round, so the outer catch would
+        // miss the frame just cached: unpersist it here
+        val nextSum =
+          try labelSum(next)
+          catch { case e: Throwable => next.unpersist(); throw e }
         converged = nextSum == prevSum
         prevSum = nextSum
         labels.unpersist()

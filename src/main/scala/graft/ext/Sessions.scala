@@ -164,10 +164,13 @@ object Sessions {
         .crossJoin(clicked.agg(count(lit(1)).as("n_clicked_after_view")))
         .crossJoin(purchased.agg(count(lit(1)).as("n_purchased_after_click")))
         .select(col("n_viewed"), col("n_clicked_after_view"), col("n_purchased_after_click"),
-          roundPortable(col("n_clicked_after_view").cast("double") / col("n_viewed"), 4)
-            .as("view_to_click"),
-          roundPortable(col("n_purchased_after_click").cast("double") / col("n_clicked_after_view"), 4)
-            .as("click_to_purchase"))
+          // nullif guards degenerate corpora: Spark's non-ANSI /0 is
+          // NULL while DuckDB's IEEE double /0 is inf/NaN — an
+          // explicit NULL denominator makes both engines emit NULL
+          roundPortable(col("n_clicked_after_view").cast("double") /
+            nullif(col("n_viewed"), lit(0L)), 4).as("view_to_click"),
+          roundPortable(col("n_purchased_after_click").cast("double") /
+            nullif(col("n_clicked_after_view"), lit(0L)), 4).as("click_to_purchase"))
     },
     Some("""WITH v AS (
            |  SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
@@ -186,8 +189,8 @@ object Sessions {
            |SELECT (SELECT count(*) FROM v) AS n_viewed,
            |       (SELECT count(*) FROM c) AS n_clicked_after_view,
            |       (SELECT count(*) FROM p) AS n_purchased_after_click,
-           |       floor(CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM v) * 10000 + 0.5) / 10000 AS view_to_click,
-           |       floor(CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM c) * 10000 + 0.5) / 10000 AS click_to_purchase""".stripMargin)
+           |       floor(CAST((SELECT count(*) FROM c) AS DOUBLE) / nullif((SELECT count(*) FROM v), 0) * 10000 + 0.5) / 10000 AS view_to_click,
+           |       floor(CAST((SELECT count(*) FROM p) AS DOUBLE) / nullif((SELECT count(*) FROM c), 0) * 10000 + 0.5) / 10000 AS click_to_purchase""".stripMargin)
   )
 
   // ------------------------------------------------------------------

@@ -613,7 +613,7 @@ object TextAnalysis {
             |  FROM dev GROUP BY lang
             |)
             |SELECT d.lang, m.n_docs, m.median_tokens, m.mad_tokens,
-            |       sum(CAST(d.adev > $MadK * m.mad_tokens AS BIGINT)) AS n_outliers
+            |       CAST(sum(CAST(d.adev > $MadK * m.mad_tokens AS BIGINT)) AS BIGINT) AS n_outliers
             |FROM dev d JOIN mad m USING (lang)
             |GROUP BY 1, 2, 3, 4
             |ORDER BY d.lang""".stripMargin)

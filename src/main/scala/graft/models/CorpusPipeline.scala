@@ -42,13 +42,18 @@ object CorpusPipeline {
     Model("corpus_cleaned", Seq("documents"), Materialization.Table,
       tests = Seq(Unique("doc_id"), NotNull("lang"))) { in =>
       val qc = TextAnalysis.qualityCols(col("text"))
+      // gate on the RAW score (same predicate as the registry
+      // cleanCorpus query — the 6dp-rounded `quality` is for
+      // output/ranking only, so the DAG cannot fork from the
+      // published metrics on a score inside the rounding epsilon)
       val scored = in("documents")
         .select(col("doc_id"), col("lang"), col("source"), col("text"),
           qc.nTokens.cast("long").as("n_tokens"),
+          qc.score.as("quality_raw"),
           roundPortable(qc.score, 6).as("quality"),
           qc.stopRatio.as("stop_ratio"),
           md5(encode(col("text"), "UTF-8")).as("text_hash"))
-        .filter(col("quality") >= QualityMin && col("stop_ratio") > 0)
+        .filter(col("quality_raw") >= QualityMin && col("stop_ratio") > 0)
       // exact dedup: keep the smallest doc_id per content hash
       val w = Window.partitionBy("text_hash").orderBy("doc_id")
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
