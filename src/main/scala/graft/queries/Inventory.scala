@@ -1091,6 +1091,70 @@ object Inventory {
            |ORDER BY col_name""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Extension (data-quality profiling, scale variant): the 100 TB shape
+  // of `profile_columns` promised by its scaladoc — cardinality via
+  // approx_count_distinct (HLL++) sketches instead of exact
+  // countDistinct. Exact distincts in one aggregate cost an Expand ×N
+  // (the scan is replicated once per distinct column on the shuffle);
+  // sketches aggregate all columns in a SINGLE pass with kilobyte
+  // state, so the profile of a 100 TB table costs one scan + one
+  // 1-row shuffle regardless of column count. Oracle contract follows
+  // `agg_approx_distinct`: the sketch estimate itself is
+  // engine-specific, so the query emits the exact distinct plus a
+  // bounded-error boolean (|approx−exact|/exact ≤ 3×rsd = 0.06) the
+  // oracle replays as a literal — a sketch out of contract fails the
+  // gate. The exact columns exist ONLY to verify the contract; the
+  // production profiling pass drops them (and with them the Expand).
+  // ------------------------------------------------------------------
+  val profileColumnsApprox: Q = Q(
+    (s, d) => {
+      def ok(c: String) =
+        (abs(col(s"apx_$c").cast(DoubleType) - col(s"dist_$c").cast(DoubleType)) /
+          col(s"dist_$c").cast(DoubleType) <= lit(0.06)).cast("long").as(s"ok_$c")
+      events(s, d)
+        .agg(count(lit(1)).as("rows_total"),
+          sum(col("user_id").isNull.cast("long")).as("null_user_id"),
+          countDistinct(col("user_id")).as("dist_user_id"),
+          approx_count_distinct(col("user_id"), 0.02).as("apx_user_id"),
+          sum(col("event_type").isNull.cast("long")).as("null_event_type"),
+          countDistinct(col("event_type")).as("dist_event_type"),
+          approx_count_distinct(col("event_type"), 0.02).as("apx_event_type"),
+          sum(col("value").isNull.cast("long")).as("null_value"),
+          countDistinct(col("value")).as("dist_value"),
+          approx_count_distinct(col("value"), 0.02).as("apx_value"),
+          sum(col("props").isNull.cast("long")).as("null_props"),
+          countDistinct(col("props")).as("dist_props"),
+          approx_count_distinct(col("props"), 0.02).as("apx_props"))
+        .select(col("*"), ok("user_id"), ok("event_type"), ok("value"), ok("props"))
+        .select(expr(
+          """stack(4,
+            |  'event_type', rows_total, null_event_type, dist_event_type, ok_event_type,
+            |  'props',      rows_total, null_props,      dist_props,      ok_props,
+            |  'user_id',    rows_total, null_user_id,    dist_user_id,    ok_user_id,
+            |  'value',      rows_total, null_value,      dist_value,      ok_value
+            |) AS (col_name, n_rows, n_null, n_distinct, approx_within_rsd)""".stripMargin))
+        .orderBy("col_name")
+    },
+    Some("""WITH s AS (
+           |  SELECT count(*) AS rows_total,
+           |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+           |         count(DISTINCT user_id) AS dist_user_id,
+           |         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+           |         count(DISTINCT event_type) AS dist_event_type,
+           |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+           |         count(DISTINCT value) AS dist_value,
+           |         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+           |         count(DISTINCT props) AS dist_props
+           |  FROM events
+           |)
+           |SELECT 'event_type' AS col_name, rows_total AS n_rows, null_event_type AS n_null, dist_event_type AS n_distinct, CAST(1 AS BIGINT) AS approx_within_rsd FROM s
+           |UNION ALL SELECT 'props', rows_total, null_props, dist_props, CAST(1 AS BIGINT) FROM s
+           |UNION ALL SELECT 'user_id', rows_total, null_user_id, dist_user_id, CAST(1 AS BIGINT) FROM s
+           |UNION ALL SELECT 'value', rows_total, null_value, dist_value, CAST(1 AS BIGINT) FROM s
+           |ORDER BY col_name""".stripMargin)
+  )
+
   /** Insertion-ordered registry: name → Q. */
   val all: Seq[(String, Q)] = Seq(
     "s1_scan" -> s1Scan,
@@ -1127,6 +1191,7 @@ object Inventory {
     "window_topk_per_group" -> windowTopkPerGroup,
     "window_rolling_range" -> windowRollingRange,
     "events_json_props" -> eventsJsonProps,
-    "profile_columns" -> profileColumns
+    "profile_columns" -> profileColumns,
+    "profile_columns_approx" -> profileColumnsApprox
   )
 }

@@ -479,4 +479,19 @@ class ExtSpec extends SparkSpec {
         s"${r.getString(0)}: approx outside 0.06 rsd band (exact=${r.getLong(2)})")
     }
   }
+
+  test("approximate column profile stays within the sketch error contract per column") {
+    // Same 3-sigma contract as agg_approx_distinct, applied per profiled
+    // column: approx_within_rsd must be 1 for every row, and the
+    // profile's exact side must agree with profile_columns row-for-row.
+    val approx = graft.queries.Inventory.profileColumnsApprox.build(spark, d).collect()
+    val exact = graft.queries.Inventory.profileColumns.build(spark, d).collect()
+    assert(approx.length === 4)
+    approx.foreach { r =>
+      assert(r.getLong(4) === 1L,
+        s"${r.getString(0)}: sketch cardinality outside 0.06 rsd band (exact=${r.getLong(3)})")
+    }
+    assert(approx.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      exact.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+  }
 }
