@@ -195,6 +195,16 @@ object TableSink {
         }
         fs.delete(backup, true)
       }
+      // The rename swap mutates the path BEHIND Spark's back (a normal
+      // insert command invalidates caches over its output path; a
+      // filesystem rename does not). Any cached plan whose lineage
+      // scans this path — e.g. the label cache a previous DAG run's
+      // connectedComponents left alive — would otherwise keep serving
+      // PRE-SWAP data: InMemoryFileIndex equality is by rootPath only,
+      // so the cache manager considers old and new scans of the path
+      // the same plan. Invalidate them all before handing out the
+      // post-swap relation.
+      spark.catalog.refreshByPath(path)
       spark.read.parquet(path)
     }
   }

@@ -125,10 +125,29 @@ object Dedup {
   /** DataFrame-level Jaccard pair graph — the body of [[jaccardPairs]],
     * reusable by DAG models over an already-resolved documents relation.
     */
-  def jaccardPairsDf(docs: DataFrame): DataFrame = {
-    val posts = shinglePostsDf(docs)
+  def jaccardPairsDf(docs: DataFrame): DataFrame =
+    pairsFromPosts(shinglePostsDf(docs))
+
+  /** The pair-join half of the set-similarity join, over an
+    * already-built posting list `(doc_id, hs, sz)` — split out so DAG
+    * models can MATERIALIZE the posting list once
+    * ([[graft.models.CorpusPipeline]] `corpus_postings`) and feed both
+    * pair generation and decontamination from the checkpoint instead
+    * of re-shingling the corpus per consumer.
+    *
+    * `probe`, when set, restricts the b-side to a (small) subset of
+    * postings and BROADCASTS it — the incremental-ingest shape: the
+    * standing corpus posting list streams map-side off its scan (no
+    * corpus shuffle), only candidate hits reach the pair aggregation.
+    * With batch doc_ids strictly greater than standing ones, the
+    * `doc_a < doc_b` guard makes the output exactly the edges incident
+    * to the batch — the delta that upserts onto the standing pair table.
+    */
+  def pairsFromPosts(posts: DataFrame, probe: Option[DataFrame] = None): DataFrame = {
     val a = posts.select(col("hs"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-    val b = posts.select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val b0 = probe.getOrElse(posts)
+      .select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val b = if (probe.isDefined) broadcast(b0) else b0
     val jac = col("overlap").cast(DoubleType) /
       (col("sz_a") + col("sz_b") - col("overlap"))
     // size-ratio prefilter: J(A,B) ≤ min/max of the set sizes, so

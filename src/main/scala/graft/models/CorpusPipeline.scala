@@ -1,76 +1,146 @@
 package graft.models
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.engine.{Catalog, DagRunner, Materialization, Model, NotNull, ParquetCatalog, RunResult, TableSink, Unique}
 import graft.engine.Functions.roundPortable
-import graft.ext.{Dedup, Pipelines, TextAnalysis}
+import graft.ext.{Clusters, Dedup, Pipelines, TextAnalysis}
 
-/** The corpus-curation pipeline as a materialized DAG — the DOC-LEVEL
-  * composition of the per-stage registry queries (which each report a
-  * summary over the raw corpus by the standalone-query contract):
+/** The corpus-curation pipeline as ONE materialized DAG — the full
+  * training-data story, fusing the clean/decontaminate/cap/pack chain
+  * with the near-dup funnel (previously the sibling [[DedupFunnel]]
+  * shape, which still demonstrates the funnel standalone over raw
+  * documents):
   *
   * {{{
-  *   documents ─> corpus_cleaned (Table) ─> corpus_decontaminated (Table)
-  *                      ─> corpus_capped (Table) ─> corpus_packed (Table)
+  *   documents ─> corpus_cleaned ─> corpus_postings ─> corpus_pairs
+  *                      │                 │                 v
+  *                      │                 │          corpus_labels ─> corpus_keep_list
+  *                      │                 │                                 v
+  *                      └────────────────────────────────────────────> corpus_neardup
+  *                                        │                                 v
+  *                                        └──────────────────> corpus_decontaminated
+  *                                                       ─> corpus_capped ─> corpus_packed
   * }}}
   *
   * Stage semantics reuse the SAME shared building blocks as the
   * registry queries — `TextAnalysis.qualityCols` for the gate,
-  * `Dedup.shinglePostsDf` for contamination shingles, the
-  * `Pipelines.DomainCap`/`PackBudget` constants — so the funnel cannot
-  * silently fork from the published per-stage metrics.
+  * `Dedup.shinglePostsDf`/`pairsFromPosts` for shingles and the pair
+  * join, `Clusters.connectedComponents`/`keepBest` for the funnel, the
+  * `Pipelines.DomainCap`/`PackBudget` constants — so the pipeline
+  * cannot silently fork from the published per-stage metrics.
   *
   * Why materialize every stage: each Table write is the checkpoint the
-  * next stage scans — tokenization/scoring runs ONCE over the corpus
-  * (in `corpus_cleaned`) instead of once per downstream stage, and a
-  * failed stage test (duplicate doc, leaked benchmark doc) gates the
-  * descendants instead of shipping a corrupt training set. At 100 TB
-  * each stage is one bounded pass: clean is scan+window, decontaminate
-  * broadcasts the benchmark shingles, cap is one per-lang window,
-  * pack is one per-shard running sum.
+  * next stage scans — tokenization runs ONCE (`corpus_cleaned` scores,
+  * `corpus_postings` shingles) and BOTH pair generation and
+  * decontamination read the postings checkpoint instead of
+  * re-shingling; pair verification runs once and both the labels and
+  * every downstream consumer read kilobyte-scale parquet. A failed
+  * stage test (duplicate doc, missing label, leaked benchmark doc)
+  * gates the descendants instead of shipping a corrupt training set.
+  * At 100 TB each stage is one bounded pass: clean is scan+window,
+  * postings one shingle pass, pairs a posting-list equi-join, labels
+  * vertex-set-only propagation, keep/near-dup one window + semi-join,
+  * decontaminate broadcasts the benchmark shingles, cap is one
+  * per-lang window, pack one per-shard running sum.
   */
 object CorpusPipeline {
 
   /** Quality gate threshold shared with `Pipelines.cleanCorpus`. */
   val QualityMin = 0.5
 
+  /** Columns of the cleaned corpus; the delta variant must emit the
+    * same set for the upsert union.
+    */
+  private val CleanedCols =
+    Seq("doc_id", "lang", "source", "text", "n_tokens", "quality")
+
+  /** Clean + score + exact-dedup a documents relation (per-doc work +
+    * one content-hash window). `text_hash` is retained so the
+    * incremental path can drop batch docs whose content already exists
+    * in the standing corpus; [[cleaned]] drops it at the end.
+    */
+  private def cleanBody(docs: DataFrame): DataFrame = {
+    val qc = TextAnalysis.qualityCols(col("text"))
+    // gate on the RAW score (same predicate as the registry
+    // cleanCorpus query — the 6dp-rounded `quality` is for
+    // output/ranking only, so the DAG cannot fork from the
+    // published metrics on a score inside the rounding epsilon)
+    val scored = docs
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        qc.nTokens.cast("long").as("n_tokens"),
+        qc.score.as("quality_raw"),
+        roundPortable(qc.score, 6).as("quality"),
+        qc.stopRatio.as("stop_ratio"),
+        md5(encode(col("text"), "UTF-8")).as("text_hash"))
+      .filter(col("quality_raw") >= QualityMin && col("stop_ratio") > 0)
+    // exact dedup: keep the smallest doc_id per content hash
+    val w = Window.partitionBy("text_hash").orderBy("doc_id")
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("text_hash") +: CleanedCols.map(col): _*)
+  }
+
   val cleaned: Model =
     Model("corpus_cleaned", Seq("documents"), Materialization.Table,
       tests = Seq(Unique("doc_id"), NotNull("lang"))) { in =>
-      val qc = TextAnalysis.qualityCols(col("text"))
-      // gate on the RAW score (same predicate as the registry
-      // cleanCorpus query — the 6dp-rounded `quality` is for
-      // output/ranking only, so the DAG cannot fork from the
-      // published metrics on a score inside the rounding epsilon)
-      val scored = in("documents")
-        .select(col("doc_id"), col("lang"), col("source"), col("text"),
-          qc.nTokens.cast("long").as("n_tokens"),
-          qc.score.as("quality_raw"),
-          roundPortable(qc.score, 6).as("quality"),
-          qc.stopRatio.as("stop_ratio"),
-          md5(encode(col("text"), "UTF-8")).as("text_hash"))
-        .filter(col("quality_raw") >= QualityMin && col("stop_ratio") > 0)
-      // exact dedup: keep the smallest doc_id per content hash
-      val w = Window.partitionBy("text_hash").orderBy("doc_id")
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("doc_id", "lang", "source", "text", "n_tokens", "quality")
+      cleanBody(in("documents")).select(CleanedCols.map(col): _*)
+    }
+
+  val postings: Model =
+    Model("corpus_postings", Seq("corpus_cleaned"), Materialization.Table,
+      tests = Seq(NotNull("hs"))) { in =>
+      Dedup.shinglePostsDf(in("corpus_cleaned"))
+    }
+
+  val pairs: Model =
+    Model("corpus_pairs", Seq("corpus_postings"), Materialization.Table,
+      tests = Seq(NotNull("doc_a"), NotNull("doc_b"))) { in =>
+      Dedup.pairsFromPosts(in("corpus_postings"))
+    }
+
+  val labels: Model =
+    Model("corpus_labels", Seq("corpus_cleaned", "corpus_pairs"), Materialization.Table,
+      tests = Seq(Unique("doc_id"), NotNull("cluster_id"))) { in =>
+      Clusters.connectedComponents(
+        in("corpus_cleaned").select("doc_id"),
+        in("corpus_pairs").select("doc_a", "doc_b"))
+    }
+
+  val keepList: Model =
+    Model("corpus_keep_list", Seq("corpus_labels", "documents"), Materialization.Table,
+      tests = Seq(Unique("cluster_id"), NotNull("kept_doc"))) { in =>
+      Clusters.keepBest(in("corpus_labels"), in("documents"))
+    }
+
+  val neardup: Model =
+    Model("corpus_neardup", Seq("corpus_cleaned", "corpus_keep_list"), Materialization.Table,
+      tests = Seq(Unique("doc_id"))) { in =>
+      // one row per near-dup cluster survives: keep exactly the
+      // cluster representatives (keep list is one row per cluster, so
+      // the semi-join drops every non-representative member)
+      in("corpus_cleaned").join(
+        in("corpus_keep_list").select(col("kept_doc").as("doc_id")),
+        Seq("doc_id"), "left_semi")
     }
 
   val decontaminated: Model =
-    Model("corpus_decontaminated", Seq("corpus_cleaned", "documents"), Materialization.Table,
+    Model("corpus_decontaminated",
+      Seq("corpus_neardup", "corpus_postings", "documents"), Materialization.Table,
       tests = Seq(Unique("doc_id"))) { in =>
       // benchmark = the harness eval stand-in (same split as the
-      // pipeline_decontaminate registry query); its shingles broadcast
+      // pipeline_decontaminate registry query); its shingles broadcast.
+      // Corpus shingles come from the postings CHECKPOINT (semi-joined
+      // down to the near-dup survivors), not a re-shingle of the text.
       val bench = Dedup.shinglePostsDf(
         in("documents").filter(col("doc_id") < Pipelines.BenchmarkDocs))
         .select(col("hs"), col("doc_id").as("bench_id"))
-      val corpusDocs = in("corpus_cleaned")
+      val corpusDocs = in("corpus_neardup")
         .filter(col("doc_id") >= Pipelines.BenchmarkDocs)
-      val posts = Dedup.shinglePostsDf(corpusDocs)
+      val posts = in("corpus_postings")
+        .join(corpusDocs.select("doc_id"), Seq("doc_id"), "left_semi")
       val frac = col("shared").cast(DoubleType) / col("sz")
       val contaminated = posts.join(broadcast(bench), Seq("hs"))
         .groupBy("doc_id", "bench_id", "sz")
@@ -102,7 +172,85 @@ object CorpusPipeline {
         .select("doc_id", "lang", "n_tokens", "pack_id")
     }
 
-  val all: Seq[Model] = Seq(cleaned, decontaminated, capped, packed)
+  val all: Seq[Model] = Seq(cleaned, postings, pairs, labels, keepList,
+    neardup, decontaminated, capped, packed)
+
+  // ------------------------------------------------------------------
+  // Incremental refresh — the daily-ingest shape. The three
+  // TEXT-BEARING stages (clean/score, shingle, pair-gen) are replaced
+  // by batch-delta variants; paired with a [[TableSink.ParquetUpsert]]
+  // keyed by [[incrementalKeys]], each delta merges onto the standing
+  // table and every downstream stage recomputes from the merged
+  // checkpoints (cheap: they shuffle ids and metadata, never text).
+  //
+  // Only the batch shuffles: the clean delta scans batch documents
+  // only; the postings delta shingles the batch's new docs only; the
+  // pair delta BROADCASTS the batch postings so the standing posting
+  // list streams map-side off its parquet scan. Labels then re-run
+  // global propagation over the merged edge set — which is what makes
+  // the refresh EXACT: a batch doc that bridges two standing clusters
+  // merges them, same as a full rebuild (`EngineSpec` pins
+  // row-identity of every table against a from-scratch run).
+  //
+  // Exactness preconditions, asserted in [[incremental]]: batch
+  // doc_ids strictly greater than every standing doc_id (append-only
+  // ingest — gives keep-smallest exact-dedup and the `doc_a < doc_b`
+  // delta-edge completeness), and `batchFrom > Pipelines.BenchmarkDocs`
+  // so the benchmark stand-in is stable across refreshes.
+  // ------------------------------------------------------------------
+
+  /** Upsert keys for the standing tables; stages absent here fully
+    * recompute (and overwrite) from the merged checkpoints.
+    */
+  val incrementalKeys: Map[String, Seq[String]] = Map(
+    "corpus_cleaned" -> Seq("doc_id"),
+    "corpus_postings" -> Seq("doc_id"),
+    "corpus_pairs" -> Seq("doc_a", "doc_b"))
+
+  /** Catalog name for the pre-refresh cleaned table (the standing
+    * corpus the clean delta anti-joins for cross-batch exact dedup).
+    */
+  val BaseCleaned = "corpus_cleaned__base"
+
+  /** The DAG with batch-delta variants of the text-bearing stages:
+    * docs with `doc_id >= batchFrom` are the new ingest.
+    */
+  def incremental(batchFrom: Long): Seq[Model] = {
+    require(batchFrom > Pipelines.BenchmarkDocs,
+      s"batchFrom=$batchFrom would move the benchmark stand-in (doc_id < ${Pipelines.BenchmarkDocs})")
+
+    val cleanedDelta =
+      Model("corpus_cleaned", Seq("documents", BaseCleaned), Materialization.Table,
+        tests = Seq(Unique("doc_id"), NotNull("lang"))) { in =>
+        // clean the batch alone, then drop batch docs whose content
+        // already exists in the standing corpus — with batch ids above
+        // all standing ids, the merged table equals a global
+        // keep-smallest exact dedup
+        cleanBody(in("documents").filter(col("doc_id") >= batchFrom))
+          .join(in(BaseCleaned).select(md5(encode(col("text"), "UTF-8")).as("text_hash")),
+            Seq("text_hash"), "left_anti")
+          .select(CleanedCols.map(col): _*)
+      }
+
+    val postingsDelta =
+      Model("corpus_postings", Seq("corpus_cleaned"), Materialization.Table,
+        tests = Seq(NotNull("hs"))) { in =>
+        // in("corpus_cleaned") is POST-merge; the batch's survivors are
+        // exactly its rows at or above the threshold
+        Dedup.shinglePostsDf(in("corpus_cleaned").filter(col("doc_id") >= batchFrom))
+      }
+
+    val pairsDelta =
+      Model("corpus_pairs", Seq("corpus_postings"), Materialization.Table,
+        tests = Seq(NotNull("doc_a"), NotNull("doc_b"))) { in =>
+        val posts = in("corpus_postings") // post-merge: standing + batch
+        Dedup.pairsFromPosts(posts,
+          probe = Some(posts.filter(col("doc_id") >= batchFrom)))
+      }
+
+    Seq(cleanedDelta, postingsDelta, pairsDelta, labels, keepList,
+      neardup, decontaminated, capped, packed)
+  }
 
   def run(spark: SparkSession, dir: String,
           sink: TableSink = new TableSink.Cached): RunResult =
