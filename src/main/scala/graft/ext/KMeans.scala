@@ -62,17 +62,27 @@ object KMeans {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("cluster"), transform(col("pc"), p => p.getField("c")).as("centroid"))
 
-  /** Two unrolled Lloyd iterations from first-K-vector seeds. */
-  def assignments(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
+  /** The TRAINED coarse quantizer: centroids after one Lloyd round
+    * from first-K-vector seeds (the oracle's `c1`). Exposed separately
+    * so the IVF index (`ann_ivf_kmeans_topk`) can use the exact
+    * centroids the final assignment used — quantizer and partitioner
+    * cannot drift apart.
+    */
+  def trained(e: DataFrame): DataFrame = {
     val init = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cluster"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("centroid"))
-    assign(e, recompute(assign(e, init)))
+    recompute(assign(e, init))
+  }
+
+  /** Two unrolled Lloyd iterations from first-K-vector seeds. */
+  def assignments(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    assign(e, trained(e))
   }
 
   /** The cosine-with-portable-rounding SQL fragment. */
-  private def cosSql(a: String, b: String) =
+  private[ext] def cosSql(a: String, b: String) =
     s"""floor(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
        |      / (sqrt(list_sum(list_transform($a, x -> x * x)))
        |         * sqrt(list_sum(list_transform($b, x -> x * x)))) * 1000000 + 0.5) / 1000000""".stripMargin
@@ -83,7 +93,7 @@ object KMeans {
     * recipe (K, rounding, tiebreak, seeding) cannot drift between
     * them.
     */
-  private def kmeansCtes: String =
+  private[ext] def kmeansCtes: String =
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
        |), c0 AS (

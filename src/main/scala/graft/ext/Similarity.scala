@@ -449,11 +449,72 @@ object Similarity {
             |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // IVF with a TRAINED quantizer: k-means is the IVF trainer (the
+  // FAISS `IVF<k>,Flat` recipe). Cells are [[KMeans]] clusters — the
+  // learned structure — instead of the data's `label` column;
+  // crucially the cell-ranking centroids are the SAME `c1` centroids
+  // the assignment maximized against, so the probe order agrees with
+  // the partitioner (a drifted quantizer mis-ranks cells and recall
+  // collapses). At scale: train on a sample, broadcast k centroids,
+  // write the corpus bucketed by cluster; a probe reads nprobe/k of
+  // the data via partition pruning, exactly as ann_ivf_topk but with
+  // cells that adapt to corpus geometry (no curated label needed).
+  // ------------------------------------------------------------------
+  val ivfKmeansTopK: Q = Q(
+    (s, d) => {
+      val e = emb(s, d)
+      val cents = KMeans.trained(e) // (cluster, centroid), k rows
+      val assigned = KMeans.assign(e, cents)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // nprobe nearest cells per query, ranked against the trained
+      // centroids (rounded + cluster tiebreak — the ann_ivf_topk
+      // determinism recipe)
+      val wCell = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("q_emb"), col("cluster"),
+          roundPortable(cosine(col("q_emb"), col("centroid")), 6).as("csim"))
+        .withColumn("cr", row_number().over(wCell))
+        .filter(col("cr") <= NProbe)
+        .select("q_id", "q_emb", "cluster")
+      val sim = roundPortable(cosine(col("q_emb"), col("embedding")), 6)
+      rankTopK(assigned.join(broadcast(probes), Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim")))
+    },
+    // DuckDB replays the whole chain: the shared kmeans CTEs (seed →
+    // assign → recompute → assign), then cell ranking against c1,
+    // nprobe cut, exact re-rank within probed cells.
+    Some(s"""WITH ${KMeans.kmeansCtes}, q AS (
+            |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries
+            |), cellrank AS (
+            |  SELECT q.q_id, q.qv, c.cluster,
+            |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+            |      ${KMeans.cosSql("q.qv", "c.centroid")} DESC, c.cluster) AS cr
+            |  FROM q CROSS JOIN c1 c
+            |), probes AS (
+            |  SELECT q_id, qv, cluster FROM cellrank WHERE cr <= $NProbe
+            |), s AS (
+            |  SELECT p.q_id, a.vec_id AS neighbor_id,
+            |    ${KMeans.cosSql("p.qv", "a.v")} AS sim
+            |  FROM a2 a JOIN probes p ON a.cluster = p.cluster
+            |  WHERE a.vec_id <> p.q_id
+            |), r AS (
+            |  SELECT q_id, neighbor_id, sim,
+            |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+            |  FROM s
+            |)
+            |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "ann_cosine_topk" -> bruteForceTopK,
     "ann_dot_topk" -> dotTopK,
     "ann_lsh_topk" -> lshTopK,
     "ann_ivf_topk" -> ivfTopK,
+    "ann_ivf_kmeans_topk" -> ivfKmeansTopK,
     "ann_quantized_topk" -> quantizedTopK
   )
 }

@@ -480,6 +480,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("kmeans-trained IVF recalls more true neighbors than label-cell IVF") {
+    // the advisor contract for ann_ivf_kmeans_topk: the trained coarse
+    // quantizer must recall at least as much of the brute-force truth
+    // as the curated label cells (measured: 0.88 vs 0.36 at sf0.001,
+    // 0.92 vs 0.42 at sf0.01 — learned cells track corpus geometry)
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = neighbors(Similarity.bruteForceTopK.build(spark, d))
+    val labelRecall = neighbors(Similarity.ivfTopK.build(spark, d))
+      .intersect(truth).size.toDouble / truth.size
+    val kmeansRecall = neighbors(Similarity.ivfKmeansTopK.build(spark, d))
+      .intersect(truth).size.toDouble / truth.size
+    assert(kmeansRecall >= labelRecall,
+      s"trained quantizer recall $kmeansRecall below label-cell $labelRecall")
+    assert(kmeansRecall >= 0.8, s"kmeans IVF recall collapsed: $kmeansRecall")
+  }
+
   test("approximate column profile stays within the sketch error contract per column") {
     // Same 3-sigma contract as agg_approx_distinct, applied per profiled
     // column: approx_within_rsd must be 1 for every row, and the
