@@ -1112,20 +1112,30 @@ object Inventory {
       def ok(c: String) =
         (abs(col(s"apx_$c").cast(DoubleType) - col(s"dist_$c").cast(DoubleType)) /
           col(s"dist_$c").cast(DoubleType) <= lit(0.06)).cast("long").as(s"ok_$c")
-      events(s, d)
-        .agg(count(lit(1)).as("rows_total"),
-          sum(col("user_id").isNull.cast("long")).as("null_user_id"),
-          countDistinct(col("user_id")).as("dist_user_id"),
-          approx_count_distinct(col("user_id"), 0.02).as("apx_user_id"),
-          sum(col("event_type").isNull.cast("long")).as("null_event_type"),
-          countDistinct(col("event_type")).as("dist_event_type"),
-          approx_count_distinct(col("event_type"), 0.02).as("apx_event_type"),
-          sum(col("value").isNull.cast("long")).as("null_value"),
-          countDistinct(col("value")).as("dist_value"),
-          approx_count_distinct(col("value"), 0.02).as("apx_value"),
-          sum(col("props").isNull.cast("long")).as("null_props"),
-          countDistinct(col("props")).as("dist_props"),
-          approx_count_distinct(col("props"), 0.02).as("apx_props"))
+      val ev = events(s, d)
+      // the PRODUCTION pass: all sketches in one un-expanded scan
+      // (this aggregate alone is the 100 TB profile)
+      val sketch = ev.agg(
+        approx_count_distinct(col("user_id"), 0.02).as("apx_user_id"),
+        approx_count_distinct(col("event_type"), 0.02).as("apx_event_type"),
+        approx_count_distinct(col("value"), 0.02).as("apx_value"),
+        approx_count_distinct(col("props"), 0.02).as("apx_props"))
+      // the ORACLE pass: exact counts the contract is checked against.
+      // Kept as a SEPARATE aggregate: mixing countDistinct (which
+      // rewrites through an Expand ×N_distinct) with the HLL
+      // aggregates drags the sketches through the expanded rows —
+      // measured 2.4 s for the fused aggregate vs 0.45+0.85 s for the
+      // two passes at sf0.1. Both sides are 1-row, so the join is free.
+      val exact = ev.agg(count(lit(1)).as("rows_total"),
+        sum(col("user_id").isNull.cast("long")).as("null_user_id"),
+        countDistinct(col("user_id")).as("dist_user_id"),
+        sum(col("event_type").isNull.cast("long")).as("null_event_type"),
+        countDistinct(col("event_type")).as("dist_event_type"),
+        sum(col("value").isNull.cast("long")).as("null_value"),
+        countDistinct(col("value")).as("dist_value"),
+        sum(col("props").isNull.cast("long")).as("null_props"),
+        countDistinct(col("props")).as("dist_props"))
+      exact.crossJoin(sketch)
         .select(col("*"), ok("user_id"), ok("event_type"), ok("value"), ok("props"))
         .select(expr(
           """stack(4,
