@@ -600,6 +600,56 @@ object Dedup {
   )
 
   // ------------------------------------------------------------------
+  // CONTAINMENT dedup — the case symmetric Jaccard MISSES: a short
+  // document quoted wholesale inside a long one (boilerplate, licence
+  // headers, quoted answers in scraped forums). J(A,B) = |A∩B|/|A∪B|
+  // collapses toward |A|/|B| however perfectly A is contained, so a
+  // tweet inside an article never crosses a Jaccard τ; containment
+  // C(A→B) = |A∩B|/|A| is size-asymmetric and catches exactly this.
+  //
+  // Same inverted-index candidate generation as [[jaccardPairsDf]]
+  // (any pair with C > 0 shares a shingle, so the posting equi-join is
+  // a complete candidate set) but WITHOUT the size-ratio prefilter —
+  // the whole point is pairs of very different sizes. Fan-out stays
+  // df-bounded; at zipfian df the stop-shingle guard is the same
+  // MaxBucket-style cut as the LSH paths. Direction: emit the smaller
+  // doc as `inner_doc` (ties broken by id) so each containment
+  // relation appears once, oriented.
+  // ------------------------------------------------------------------
+  val ContainTau = 0.9
+
+  val containment: Q = Q(
+    (s, d) => {
+      val posts = shinglePostsDf(s.read.parquet(s"$d/documents.parquet"))
+      val a = posts.select(col("hs"), col("doc_id").as("inner_doc"), col("sz").as("sz_a"))
+      val b = posts.select(col("hs"), col("doc_id").as("outer_doc"), col("sz").as("sz_b"))
+      val contain = col("overlap").cast(DoubleType) / col("sz_a")
+      a.join(b, Seq("hs"))
+        .filter(col("inner_doc") =!= col("outer_doc") &&
+          (col("sz_a") < col("sz_b") ||
+            (col("sz_a") === col("sz_b") && col("inner_doc") < col("outer_doc"))))
+        .groupBy("inner_doc", "outer_doc", "sz_a")
+        .agg(count(lit(1)).as("overlap"))
+        .filter(contain >= ContainTau)
+        .select(col("inner_doc"), col("outer_doc"),
+          roundPortable(contain, 6).as("containment"))
+        .orderBy("inner_doc", "outer_doc")
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            |           i -> array_to_string(toks[i:i+2], ' '))) AS s
+            |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+            |)
+            |SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+            |  floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) * 1000000 + 0.5) / 1000000 AS containment
+            |FROM sh a, sh b
+            |WHERE a.doc_id <> b.doc_id
+            |  AND (len(a.s) < len(b.s) OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id))
+            |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= $ContainTau
+            |ORDER BY inner_doc, outer_doc""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // INCREMENTAL dedup — the daily-ingest shape: a small new BATCH is
   // checked against the standing CORPUS, asking of each batch document
   // "is it a near-dup of something we already have?". The harness
@@ -669,6 +719,7 @@ object Dedup {
     "dedup_simhash" -> simhashFingerprints,
     "dedup_embedding_pairs" -> embeddingPairs,
     "dedup_embedding_lsh" -> embeddingLsh,
+    "dedup_containment" -> containment,
     "dedup_incremental" -> incremental
   )
 }

@@ -317,12 +317,89 @@ object Pipelines {
            |FROM tot ORDER BY lang""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Blocklist redaction — the scrubbing pass of a curation pipeline
+  // (PII patterns, sensitive terms, canary strings): replace every
+  // whole-word blocklist hit with a mask token and report per-doc hit
+  // counts, so downstream stages consume scrubbed text and an audit
+  // table records what was removed where. Pure projection — the regex
+  // (codegen'd `regexp_replace`/`regexp_count`, no UDF) fuses into the
+  // scan, ZERO shuffle at any corpus size; the blocklist compiles into
+  // the pattern once (a long list becomes an Aho-Corasick-style
+  // alternation or a broadcast term join — same plan shape).
+  // The scrubbed text is emitted as its md5 so the oracle hash-checks
+  // the full redacted CONTENT without shipping it twice.
+  // ------------------------------------------------------------------
+  val BlockPattern = "\\b(customer|supplier)\\b"
+  val MaskToken = "[REDACTED]"
+
+  val blocklistScrub: Q = Q(
+    (s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(BlockPattern)).cast("long").as("n_hits"),
+          md5(encode(regexp_replace(col("text"), BlockPattern, MaskToken), "UTF-8")).as("clean_hash"))
+        .filter(col("n_hits") > 0)
+        .orderBy("doc_id"),
+    // DuckDB needs the explicit 'g' flag (Spark's regexp_replace is
+    // global by default); \b word boundaries behave identically in
+    // RE2 and Java regex for this alternation.
+    Some(s"""SELECT doc_id,
+            |  CAST(len(regexp_extract_all(text, '\\b(customer|supplier)\\b')) AS BIGINT) AS n_hits,
+            |  md5(regexp_replace(text, '\\b(customer|supplier)\\b', '$MaskToken', 'g')) AS clean_hash
+            |FROM documents
+            |WHERE regexp_matches(text, '\\b(customer|supplier)\\b')
+            |ORDER BY doc_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Deterministic per-language downsampling — mixture rebalancing:
+  // dominant languages are sampled down toward a target mix by a
+  // per-group KEEP RATE, decided per document by its content hash
+  // (not rand(): retry-safe, re-executable, stable across cluster
+  // sizes and row order — the reproducibility contract a 100 TB
+  // training mix needs). The sampling decision is a pure projection
+  // fused into the scan; only the tiny audit aggregate shuffles.
+  // Complements `pipeline_lang_mix` (which WEIGHTS all docs) by
+  // physically dropping rows where weighting is not an option.
+  // ------------------------------------------------------------------
+  /** Keep-percentage per language: the dominant language keeps 25%,
+    * the rest 75% (harness mix: en ≈ 44% of docs).
+    */
+  val SampleRates: Map[String, Int] = Map("en" -> 25).withDefaultValue(75)
+
+  val samplePerLang: Q = Q(
+    (s, d) => {
+      val rate = when(col("lang") === "en", lit(SampleRates("en")))
+        .otherwise(lit(SampleRates("other")))
+      val kept = (hash60(col("text")) % 100) < rate
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"), kept.cast("long").as("keep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+          min(when(col("keep") === 1, col("doc_id"))).as("first_kept"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH b AS (
+            |  SELECT doc_id, lang,
+            |    CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 <
+            |      (CASE WHEN lang = 'en' THEN ${SampleRates("en")} ELSE ${SampleRates("other")} END)
+            |    THEN 1 ELSE 0 END AS keep
+            |  FROM documents
+            |)
+            |SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+            |       min(CASE WHEN keep = 1 THEN doc_id END) AS first_kept
+            |FROM b GROUP BY 1 ORDER BY lang""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,
     "pipeline_decontaminate" -> decontaminate,
     "pipeline_domain_cap" -> domainCap,
     "pipeline_pack_sequences" -> packSequences,
-    "pipeline_lang_mix" -> langMix
+    "pipeline_lang_mix" -> langMix,
+    "pipeline_blocklist_scrub" -> blocklistScrub,
+    "pipeline_sample_per_lang" -> samplePerLang
   )
 }

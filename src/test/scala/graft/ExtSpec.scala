@@ -480,6 +480,50 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("containment dedup catches every symmetric near-dup and orients inner->outer") {
+    // every Jaccard pair at tau=0.3 with overlap/|smaller| >= ContainTau
+    // must appear, oriented smaller-first; and containment is in (0,1]
+    val rows = Dedup.containment.build(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= Dedup.ContainTau && c <= 1.0, s"containment out of range: $r")
+    }
+    // orientation: the emitted pair never repeats mirrored
+    val keys = rows.map(r => Set(r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length === keys.length, "mirrored containment pair emitted")
+  }
+
+  test("blocklist scrub removes every blocklist hit and counts match a recount") {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val scrubbed = docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(Pipelines.BlockPattern)).cast("long").as("n_hits"),
+      regexp_replace(col("text"), Pipelines.BlockPattern, Pipelines.MaskToken).as("clean"))
+      .filter(col("n_hits") > 0)
+    assert(scrubbed.count() > 0, "fixture has no blocklist hits — scrub untested")
+    // nothing on the blocklist survives the scrub
+    assert(scrubbed.filter(regexp_count(col("clean"), lit(Pipelines.BlockPattern)) > 0).isEmpty)
+    // mask token count equals the reported hit count per doc
+    assert(scrubbed.filter(
+      regexp_count(col("clean"), lit("\\[REDACTED\\]")) =!= col("n_hits")).isEmpty)
+  }
+
+  test("per-lang sampling keeps the configured fraction deterministically") {
+    val r = Pipelines.samplePerLang.build(spark, d).collect()
+    assert(r.map(_.getString(0)).contains("en"))
+    r.foreach { row =>
+      val (lang, n, kept) = (row.getString(0), row.getLong(1), row.getLong(2))
+      val rate = Pipelines.SampleRates(lang) / 100.0
+      // hash-bucket sampling is Bernoulli(rate): allow a wide band at
+      // harness n, but the dominant language must be truly downsampled
+      assert(kept >= 0 && kept <= n)
+      assert(math.abs(kept.toDouble / n - rate) < 0.25,
+        s"$lang kept ${kept}/$n vs rate $rate")
+    }
+    // determinism: a second run is bit-identical
+    assert(Pipelines.samplePerLang.build(spark, d).collect().toSeq === r.toSeq)
+  }
+
   test("kmeans-trained IVF recalls more true neighbors than label-cell IVF") {
     // the advisor contract for ann_ivf_kmeans_topk: the trained coarse
     // quantizer must recall at least as much of the brute-force truth

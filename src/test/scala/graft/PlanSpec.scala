@@ -227,6 +227,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("approx column profile keeps the sketch pass un-expanded (one Expand total, exact side only)") {
+    // the whole point of the sketch variant: HLL aggregates must NOT
+    // ride through the multi-distinct Expand (measured 2.4 s fused vs
+    // 0.85 s clean at sf0.1). The exact oracle side contributes the
+    // single allowed Expand; the sketch side is a plain two-phase agg.
+    val p = plan(Inventory.profileColumnsApprox.build(spark, d))
+    assert(p.linesIterator.count(_.contains("Expand [")) === 1, p)
+    assert(p.contains("approx_count_distinct"), p)
+  }
+
+  test("kmeans-IVF probes via broadcasts: centroids and probe set never shuffle the corpus") {
+    val p = plan(Similarity.ivfKmeansTopK.build(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p) // probe → corpus on cluster
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_topk_pairs"), p) // bounded map-side top-k
+  }
+
   test("JSON extraction is a native projected expression, not a UDF") {
     // get_json_object sits in the Project fused under the scan —
     // a codegen'd Catalyst expression, no eval break in the pipeline
