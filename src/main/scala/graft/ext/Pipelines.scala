@@ -392,6 +392,71 @@ object Pipelines {
             |FROM b GROUP BY 1 ORDER BY lang""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Training-mixture planning — compare the corpus's actual per-lang
+  // token distribution against a TARGET mixture (the sampling weights
+  // a pretraining run wants), emitting per-lang KL(target‖actual)
+  // terms and the epoch multiplier target/actual. `sample_epochs > 1`
+  // means that language must be repeated (upsampled) to hit the
+  // target; `< 1` means it is downsampled. The KL total (sum of
+  // kl_term) is the single scalar "how far is this corpus from my
+  // mixture" — derivable from the output, deliberately not a second
+  // aggregate. The target lives in ONE Scala constant interpolated
+  // into both the Spark CASE and the oracle CASE, so the two engines
+  // cannot fork.
+  //
+  // Scale: one corpus scan → per-lang partial agg (map-side combine
+  // collapses each partition to ≤ |langs| rows before the exchange);
+  // the global-total window runs over the tiny aggregate, never the
+  // corpus. Same profile as `pipeline_lang_mix`.
+  // ------------------------------------------------------------------
+  val TargetMix: Seq[(String, Double)] =
+    Seq("en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+  val mixtureKl: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val perLang = docs
+        .select(col("lang"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("total_tokens", sum(col("n_tokens")).over(Window.partitionBy()))
+      val share = col("n_tokens").cast(DoubleType) / col("total_tokens")
+      val target = TargetMix.tail.foldLeft(
+        when(col("lang") === TargetMix.head._1, lit(TargetMix.head._2))) {
+        case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
+      }.otherwise(lit(0.0))
+      perLang
+        .select(col("lang"), col("n_tokens"),
+          roundPortable(share, 6).as("token_share"),
+          target.as("target_share"),
+          roundPortable(target * log(target / share), 6).as("kl_term"),
+          roundPortable(target / share, 4).as("sample_epochs"))
+        .orderBy("lang")
+    }, {
+      val caseArms = TargetMix
+        .map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
+        .mkString(" ")
+      Some(s"""WITH per AS (
+              |  SELECT lang,
+              |         CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY 1
+              |), tot AS (
+              |  SELECT lang, n_tokens,
+              |         CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share,
+              |         CASE $caseArms ELSE 0.0 END AS target
+              |  FROM per
+              |)
+              |SELECT lang, n_tokens,
+              |       floor(share * 1000000 + 0.5) / 1000000 AS token_share,
+              |       target AS target_share,
+              |       floor(target * ln(target / share) * 1000000 + 0.5) / 1000000 AS kl_term,
+              |       floor(target / share * 10000 + 0.5) / 10000 AS sample_epochs
+              |FROM tot ORDER BY lang""".stripMargin)
+    }
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,
@@ -400,6 +465,7 @@ object Pipelines {
     "pipeline_pack_sequences" -> packSequences,
     "pipeline_lang_mix" -> langMix,
     "pipeline_blocklist_scrub" -> blocklistScrub,
-    "pipeline_sample_per_lang" -> samplePerLang
+    "pipeline_sample_per_lang" -> samplePerLang,
+    "pipeline_mixture_kl" -> mixtureKl
   )
 }

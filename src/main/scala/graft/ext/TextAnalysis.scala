@@ -647,6 +647,123 @@ object TextAnalysis {
             |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Gopher-style document quality gates (Rae et al. 2021, "Scaling
+  // Language Models", table A1) — the rule-based pre-filter every
+  // large-corpus curation pipeline runs before any model-based
+  // scoring. Four of the word-level rules, adapted to this corpus:
+  // token count in [GopherMinTokens, GopherMaxTokens], mean word
+  // length in [3, 10], ≥ 80% of words contain an alphabetic
+  // character, ≥ 2 stopword hits. (The line-level Gopher rules —
+  // bullet/ellipsis fractions — are omitted: this corpus is
+  // single-line by construction, so they would be constant columns.)
+  //
+  // Every rule is raw-value (never the rounded display column), the
+  // same lesson the CorpusPipeline quality gate learned: a gate that
+  // thresholds a rounded copy silently forks from the published
+  // metric. Pure projection pass — zero shuffle; at 100 TB this is
+  // embarrassingly parallel and the booleans prune before any
+  // downstream exchange.
+  // ------------------------------------------------------------------
+  val GopherMinTokens = 50
+  val GopherMaxTokens = 100000
+
+  val gopherRules: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val toks = tokens(col("text"))
+      val nTokens = size(toks)
+      val meanWordLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
+        .cast(DoubleType) / nTokens
+      val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
+        .cast(DoubleType) / nTokens
+      val stopHits = hits(toks, StopEn)
+      val passLen = nTokens.between(GopherMinTokens, GopherMaxTokens)
+      val passWordLen = meanWordLen >= 3.0 && meanWordLen <= 10.0
+      val passAlpha = alphaFrac >= 0.8
+      val passStop = stopHits >= 2
+      docs.select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        roundPortable(meanWordLen, 4).as("mean_word_len"),
+        roundPortable(alphaFrac, 4).as("alpha_word_frac"),
+        stopHits.as("stop_hits"),
+        passLen.as("pass_len"),
+        passWordLen.as("pass_word_len"),
+        passAlpha.as("pass_alpha"),
+        passStop.as("pass_stop"),
+        (passLen && passWordLen && passAlpha && passStop).as("gopher_pass"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH m AS (
+            |  SELECT doc_id,
+            |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+            |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+            |      / len(string_split_regex(lower(trim(text)), '\\s+')) AS mwl,
+            |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            |           x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+            |      / len(string_split_regex(lower(trim(text)), '\\s+')) AS af,
+            |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            |           x -> x IN ('the','of','and','to','in','is','it','a'))) AS stop_hits
+            |  FROM documents
+            |)
+            |SELECT doc_id, n_tokens,
+            |  floor(mwl * 10000 + 0.5) / 10000 AS mean_word_len,
+            |  floor(af * 10000 + 0.5) / 10000 AS alpha_word_frac,
+            |  stop_hits,
+            |  n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens AS pass_len,
+            |  mwl >= 3.0 AND mwl <= 10.0 AS pass_word_len,
+            |  af >= 0.8 AS pass_alpha,
+            |  stop_hits >= 2 AS pass_stop,
+            |  (n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens)
+            |    AND mwl >= 3.0 AND mwl <= 10.0 AND af >= 0.8 AND stop_hits >= 2 AS gopher_pass
+            |FROM m ORDER BY doc_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Zipf slope per language — fit log(freq) ~ log(rank) over the top
+  // K terms with the regr_slope/regr_r2 aggregates. Natural text sits
+  // near slope ≈ -1 (Zipf's law); a corpus slice that deviates hard
+  // (synthetic spam, boilerplate, key-value dumps) shows up as a
+  // shallow slope or a poor r², making this a cheap per-source corpus
+  // health metric. Rank ties broken by term (freq DESC, term ASC) so
+  // both engines rank identically. Scale: the term-frequency agg
+  // shuffles (lang, term) — the same profile as tfidf — then the
+  // window + regression run on ≤ |langs|·K rows, i.e. driver-trivial.
+  // ------------------------------------------------------------------
+  val ZipfTopK = 100
+
+  val zipfSlope: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val tf = docs.select(col("lang"), explode(tokens(col("text"))).as("t"))
+        .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("lang").orderBy(col("c").desc, col("t").asc)
+      tf.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= ZipfTopK)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_terms"),
+          roundPortable(regr_slope(log(col("c")), log(col("rank"))), 4).as("zipf_slope"),
+          roundPortable(regr_r2(log(col("c")), log(col("rank"))), 4).as("zipf_r2"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH tf AS (
+            |  SELECT lang, t, count(*) AS c
+            |  FROM (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            |        FROM documents)
+            |  GROUP BY 1, 2
+            |), ranked AS (
+            |  SELECT lang, c, row_number() OVER (PARTITION BY lang ORDER BY c DESC, t ASC) AS rank
+            |  FROM tf
+            |)
+            |SELECT lang, count(*) AS n_terms,
+            |  floor(regr_slope(ln(c), ln(rank)) * 10000 + 0.5) / 10000 AS zipf_slope,
+            |  floor(regr_r2(ln(c), ln(rank)) * 10000 + 0.5) / 10000 AS zipf_r2
+            |FROM ranked WHERE rank <= $ZipfTopK GROUP BY 1 ORDER BY lang""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -661,6 +778,8 @@ object TextAnalysis {
     "text_bm25_topk" -> bm25TopK,
     "text_outliers_mad" -> outliersMad,
     "text_length_histogram" -> lengthHistogram,
-    "text_repetition" -> repetition
+    "text_repetition" -> repetition,
+    "text_gopher_rules" -> gopherRules,
+    "text_zipf_slope" -> zipfSlope
   )
 }

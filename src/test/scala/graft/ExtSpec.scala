@@ -556,4 +556,49 @@ class ExtSpec extends SparkSpec {
     assert(approx.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
       exact.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
   }
+
+  test("gopher gates are raw-value conjunctions and actually discriminate") {
+    val r = TextAnalysis.gopherRules.build(spark, d).collect()
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    assert(r.length === docs.count())
+    r.foreach { row =>
+      val pass = row.getBoolean(9)
+      val conj = row.getBoolean(5) && row.getBoolean(6) && row.getBoolean(7) && row.getBoolean(8)
+      assert(pass === conj, s"doc ${row.getLong(0)}: gopher_pass != AND of rule flags")
+    }
+    // the corpus mixes short and long docs, so the length gate must
+    // split it — a gate that passes (or fails) everything tests nothing
+    val passed = r.count(_.getBoolean(9))
+    assert(passed > 0 && passed < r.length,
+      s"gopher gate degenerate: $passed of ${r.length} pass")
+  }
+
+  test("zipf fit: slope is negative and rank ties are deterministic") {
+    val r = TextAnalysis.zipfSlope.build(spark, d).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (lang, n, slope, r2) =
+        (row.getString(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+      assert(n > 1 && n <= TextAnalysis.ZipfTopK)
+      assert(slope < 0.0, s"$lang: zipf slope $slope not negative")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$lang: r2 $r2 outside [0,1]")
+    }
+    // freq-desc/term-asc tie-break makes the whole fit deterministic
+    assert(TextAnalysis.zipfSlope.build(spark, d).collect().toSeq === r.toSeq)
+  }
+
+  test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
+    assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
+    val r = Pipelines.mixtureKl.build(spark, d).collect()
+    assert(r.map(_.getString(0)).toSet === Pipelines.TargetMix.map(_._1).toSet)
+    val klTotal = r.map(_.getDouble(4)).sum
+    assert(klTotal >= -1e-6, s"KL total $klTotal negative — Gibbs violated")
+    r.foreach { row =>
+      val (share, target, epochs) =
+        (row.getDouble(2), row.getDouble(3), row.getDouble(5))
+      assert(share > 0 && share < 1)
+      assert(math.abs(epochs - target / share) < 1e-2,
+        s"${row.getString(0)}: epochs $epochs != target/share ${target / share}")
+    }
+  }
 }
