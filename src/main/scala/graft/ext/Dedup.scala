@@ -712,6 +712,50 @@ object Dedup {
             |ORDER BY d.doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // N-gram novelty — per document, the fraction of its distinct
+  // 3-shingles whose FIRST corpus occurrence (min doc_id) is this
+  // document. The streaming-ingest view of near-duplication: an exact
+  // re-post scores 0.0, templated boilerplate scores low, genuinely
+  // new content scores ~1.0 — the signal an ingest pipeline uses to
+  // drop recycled content before any pairwise dedup runs (first-
+  // occurrence attribution needs no pair join at all).
+  //
+  // Scale: two shuffles, both map-side combinable — min(doc_id) per
+  // shingle hash (longs, not strings, on the wire via shinglePosts),
+  // then the per-doc ratio agg. No pair enumeration, no candidate
+  // blowup: cost is O(total shingles), the same as one MinHash
+  // signature pass. The oracle intersects string shingles directly,
+  // so the xxhash64 join key stays an opaque engine-side choice
+  // (collision odds 2^-64·n² are irrelevant at any corpus size).
+  // ------------------------------------------------------------------
+  val ngramNovelty: Q = Q(
+    (s, d) => {
+      val posts = shinglePosts(s, d)
+      val first = posts.groupBy("hs").agg(min("doc_id").as("first_doc"))
+      posts.join(first, "hs")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          roundPortable(col("n_novel").cast(DoubleType) / col("n_shingles"), 6)
+            .as("novelty_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH s AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+           |           i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+           |), f AS (
+           |  SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY 1
+           |)
+           |SELECT s.doc_id, count(*) AS n_shingles,
+           |  CAST(sum(CAST(s.doc_id = f.first_doc AS BIGINT)) AS BIGINT) AS n_novel,
+           |  floor(CAST(sum(CAST(s.doc_id = f.first_doc AS BIGINT)) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS novelty_ratio
+           |FROM s JOIN f USING (sh)
+           |GROUP BY 1 ORDER BY s.doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
@@ -720,6 +764,7 @@ object Dedup {
     "dedup_embedding_pairs" -> embeddingPairs,
     "dedup_embedding_lsh" -> embeddingLsh,
     "dedup_containment" -> containment,
-    "dedup_incremental" -> incremental
+    "dedup_incremental" -> incremental,
+    "dedup_ngram_novelty" -> ngramNovelty
   )
 }

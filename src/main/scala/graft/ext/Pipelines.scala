@@ -457,6 +457,81 @@ object Pipelines {
     }
   )
 
+  // ------------------------------------------------------------------
+  // Token-budget selection — "take the best documents until the token
+  // budget is spent", the final cut every pretraining data plan makes.
+  // A naive global ORDER BY quality + running sum is a single-
+  // partition window — the one shape that cannot scale. This is the
+  // two-level waterline formulation instead:
+  //
+  //   1. quantize quality into BudgetBins fixed bins (pure projection);
+  //   2. per-bin token totals (tiny agg) + a prefix sum over the ≤
+  //      BudgetBins+1 bin rows (the ONLY unpartitioned window, driver-
+  //      trivial at any corpus size);
+  //   3. per-doc prefix sum WITHIN its bin (window partitioned by
+  //      qbin — parallel across bins), added to the better-bins total.
+  //
+  // selected = prior_tokens + n_tokens ≤ TokenBudget: docs in bins
+  // above the waterline are all in, the boundary bin fills greedily by
+  // doc_id, bins below are all out. Bin width (1/BudgetBins) is the
+  // approximation knob vs the unscalable exact global order — with
+  // 1000 bins the boundary bin holds ~0.1% of mass. The gate
+  // thresholds the RAW score (the CorpusPipeline lesson) before
+  // quantizing, and every arithmetic op is exact IEEE (+,*,/,least),
+  // so both engines quantize bit-identically.
+  // ------------------------------------------------------------------
+  val TokenBudget = 15000L
+  val BudgetBins = 1000
+
+  val tokenBudget: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val qc = TextAnalysis.qualityCols(col("text"))
+      val base = docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        floor(qc.score * BudgetBins).cast("long").as("qbin"))
+      val bins = base.groupBy("qbin").agg(sum("n_tokens").as("bin_tokens"))
+        .withColumn("better_tokens",
+          coalesce(sum(col("bin_tokens")).over(
+            Window.orderBy(col("qbin").desc).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("qbin", "better_tokens")
+      val wDoc = Window.partitionBy("qbin").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.join(bins, "qbin")
+        .withColumn("prior_tokens",
+          col("better_tokens") + coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
+        .select(col("doc_id"), col("qbin"), col("n_tokens"), col("prior_tokens"),
+          (col("prior_tokens") + col("n_tokens") <= TokenBudget).as("selected"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+            |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+            |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            |         x -> x IN ('the','of','and','to','in','is','it','a'))) AS DOUBLE)
+            |      / len(string_split_regex(lower(trim(text)), '\\s+')) AS stop_ratio,
+            |    least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) AS length_score
+            |  FROM documents
+            |), base AS (
+            |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            |    CAST(floor((length_score * 0.5 + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.2) * $BudgetBins) AS BIGINT) AS qbin
+            |  FROM t
+            |), bins AS (
+            |  SELECT qbin, CAST(coalesce(sum(bin_tokens) OVER (ORDER BY qbin DESC
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS better_tokens
+            |  FROM (SELECT qbin, sum(n_tokens) AS bin_tokens FROM base GROUP BY 1)
+            |)
+            |SELECT b.doc_id, b.qbin, b.n_tokens,
+            |  CAST(bins.better_tokens + coalesce(sum(b.n_tokens) OVER (PARTITION BY b.qbin
+            |         ORDER BY b.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior_tokens,
+            |  bins.better_tokens + coalesce(sum(b.n_tokens) OVER (PARTITION BY b.qbin
+            |         ORDER BY b.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + b.n_tokens <= $TokenBudget AS selected
+            |FROM base b JOIN bins USING (qbin)
+            |ORDER BY b.doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,
@@ -466,6 +541,7 @@ object Pipelines {
     "pipeline_lang_mix" -> langMix,
     "pipeline_blocklist_scrub" -> blocklistScrub,
     "pipeline_sample_per_lang" -> samplePerLang,
-    "pipeline_mixture_kl" -> mixtureKl
+    "pipeline_mixture_kl" -> mixtureKl,
+    "pipeline_token_budget" -> tokenBudget
   )
 }

@@ -587,6 +587,50 @@ class ExtSpec extends SparkSpec {
     assert(TextAnalysis.zipfSlope.build(spark, d).collect().toSeq === r.toSeq)
   }
 
+  test("ngram novelty: near-dups bounded by 1-J, novel counts partition the shingle space") {
+    val r = Dedup.ngramNovelty.build(spark, d).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1),
+        s"doc ${row.getLong(0)}: n_novel > n_shingles")
+    }
+    // each distinct shingle is novel in exactly one document, so the
+    // novel counts must sum to the global distinct-shingle count
+    val totalNovel = r.map(_.getLong(2)).sum
+    val distinctShingles = Dedup.shinglePosts(spark, d).select("hs").distinct().count()
+    assert(totalNovel === distinctShingles)
+    // planted near-dups bound novelty: for a pair with Jaccard j, the
+    // later doc's shingles overlap the earlier one in ≥ j·|union| ≥
+    // j·|B| elements, so novelty_ratio(B) ≤ 1 − j
+    val pairs = Dedup.jaccardPairs.build(spark, d)
+      .filter(col("jaccard") >= 0.5).collect()
+    assert(pairs.nonEmpty, "fixture should contain planted near-dups")
+    val novelty = r.map(row => row.getLong(0) -> row.getDouble(3)).toMap
+    pairs.foreach { p =>
+      val (later, j) = (math.max(p.getLong(0), p.getLong(1)), p.getDouble(2))
+      assert(novelty(later) <= 1.0 - j + 1e-6,
+        s"doc $later: novelty ${novelty(later)} exceeds 1-J bound ${1.0 - j}")
+    }
+  }
+
+  test("token budget: selection respects the budget and is quality-biased") {
+    val r = Pipelines.tokenBudget.build(spark, d).collect()
+    val selected = r.filter(_.getBoolean(4))
+    val rejected = r.filterNot(_.getBoolean(4))
+    assert(selected.nonEmpty && rejected.nonEmpty, "waterline must split the corpus")
+    val spent = selected.map(_.getLong(2)).sum
+    assert(spent <= Pipelines.TokenBudget, s"selected $spent tokens > budget")
+    // waterline property: every doc STRICTLY above the boundary bin is
+    // selected, every doc strictly below is rejected
+    val boundaryBin = selected.map(_.getLong(1)).min
+    assert(rejected.forall(_.getLong(1) <= boundaryBin))
+    assert(r.filter(_.getLong(1) > boundaryBin).forall(_.getBoolean(4)))
+    // quality bias: mean bin of the selected side dominates
+    val meanBin = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(_.getLong(1)).sum.toDouble / rs.length
+    assert(meanBin(selected) > meanBin(rejected))
+  }
+
   test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
     assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
     val r = Pipelines.mixtureKl.build(spark, d).collect()

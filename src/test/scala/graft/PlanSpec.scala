@@ -251,4 +251,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("get_json_object"), p)
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("gopher gates are a pure projection: the only exchange is the output sort's") {
+    // every rule boolean is computed in the scan's fused Project; the
+    // sole Exchange in the plan is the rangepartitioning for the
+    // deterministic ORDER BY doc_id (which production consumers drop)
+    val p = plan(graft.ext.TextAnalysis.gopherRules.build(spark, d))
+    assert(parquetScans(p) === 1, p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1 && p.contains("rangepartitioning"),
+      s"expected only the sort's range exchange, got $exchanges:\n$p")
+  }
+
+  test("mixture KL windows over the per-lang aggregate, never the corpus") {
+    // the sum-over-() total must sit ABOVE the HashAggregate pair:
+    // scan -> partial agg -> exchange -> final agg -> window(5 rows)
+    val p = plan(graft.ext.Pipelines.mixtureKl.build(spark, d))
+    assert(parquetScans(p) === 1, p)
+    val lines = p.linesIterator.toSeq
+    val winAt = lines.indexWhere(_.contains("Window"))
+    val aggAt = lines.indexWhere(_.contains("HashAggregate"))
+    assert(winAt >= 0 && aggAt >= 0 && winAt < aggAt,
+      s"window must consume the aggregate, not the corpus:\n$p")
+  }
 }
