@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -483,27 +484,44 @@ object Pipelines {
   val TokenBudget = 15000L
   val BudgetBins = 1000
 
+  /** Budget for the [[graft.models.CorpusPipeline]] `corpus_budget`
+    * stage — smaller than [[TokenBudget]] because the stage runs on
+    * the post-clean/dedup/cap corpus, and it must actually bite at
+    * harness scale for the stage tests to test anything.
+    */
+  val CorpusBudget = 8000L
+
+  /** The waterline selection core shared by the `pipeline_token_budget`
+    * registry query and the `corpus_budget` DAG stage. `base` must
+    * carry (doc_id, n_tokens: long, qbin: long); returns base +
+    * (prior_tokens, selected). See [[tokenBudget]] for the shape's
+    * scale rationale.
+    */
+  def budgetWaterline(base: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = base.groupBy("qbin").agg(sum("n_tokens").as("bin_tokens"))
+      .withColumn("better_tokens",
+        coalesce(sum(col("bin_tokens")).over(
+          Window.orderBy(col("qbin").desc).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("qbin", "better_tokens")
+    val wDoc = Window.partitionBy("qbin").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(bins, "qbin")
+      .withColumn("prior_tokens",
+        col("better_tokens") + coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
+      .withColumn("selected", col("prior_tokens") + col("n_tokens") <= budget)
+  }
+
   val tokenBudget: Q = Q(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = s.read.parquet(s"$d/documents.parquet")
       val qc = TextAnalysis.qualityCols(col("text"))
       val base = docs.select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
         floor(qc.score * BudgetBins).cast("long").as("qbin"))
-      val bins = base.groupBy("qbin").agg(sum("n_tokens").as("bin_tokens"))
-        .withColumn("better_tokens",
-          coalesce(sum(col("bin_tokens")).over(
-            Window.orderBy(col("qbin").desc).rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-        .select("qbin", "better_tokens")
-      val wDoc = Window.partitionBy("qbin").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      base.join(bins, "qbin")
-        .withColumn("prior_tokens",
-          col("better_tokens") + coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
-        .select(col("doc_id"), col("qbin"), col("n_tokens"), col("prior_tokens"),
-          (col("prior_tokens") + col("n_tokens") <= TokenBudget).as("selected"))
+      budgetWaterline(base, TokenBudget)
+        .select("doc_id", "qbin", "n_tokens", "prior_tokens", "selected")
         .orderBy("doc_id")
     },
     Some(s"""WITH t AS (

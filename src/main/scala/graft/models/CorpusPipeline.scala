@@ -23,7 +23,7 @@ import graft.ext.{Clusters, Dedup, Pipelines, TextAnalysis}
   *                      └────────────────────────────────────────────> corpus_neardup
   *                                        │                                 v
   *                                        └──────────────────> corpus_decontaminated
-  *                                                       ─> corpus_capped ─> corpus_packed
+  *                              ─> corpus_capped ─> corpus_budget ─> corpus_packed
   * }}}
   *
   * Stage semantics reuse the SAME shared building blocks as the
@@ -45,7 +45,9 @@ import graft.ext.{Clusters, Dedup, Pipelines, TextAnalysis}
   * postings one shingle pass, pairs a posting-list equi-join, labels
   * vertex-set-only propagation, keep/near-dup one window + semi-join,
   * decontaminate broadcasts the benchmark shingles, cap is one
-  * per-lang window, pack one per-shard running sum.
+  * per-lang window, budget the two-level waterline (bin aggregate +
+  * per-bin running sum — never a global ordered window), pack one
+  * per-shard running sum.
   */
 object CorpusPipeline {
 
@@ -160,12 +162,31 @@ object CorpusPipeline {
         .drop("rnk")
     }
 
+  val budgeted: Model =
+    Model("corpus_budget", Seq("corpus_capped"), Materialization.Table,
+      tests = Seq(Unique("doc_id"))) { in =>
+      // the final cut: spend Pipelines.CorpusBudget tokens on the
+      // best-quality survivors via the shared waterline building block
+      // (`pipeline_token_budget`'s core). Binning here quantizes the
+      // 6dp-rounded `quality` column the checkpoint carries (raw score
+      // would mean re-tokenizing text downstream — the one thing this
+      // DAG never does); bin width 1e-3 dwarfs the 1e-6 rounding, and
+      // within-bin order is doc_id, so the rounding cannot reorder the
+      // waterline, only relabel a score sitting exactly on a bin edge.
+      val base = in("corpus_capped").select(col("doc_id"), col("n_tokens"),
+        floor(col("quality") * Pipelines.BudgetBins).cast("long").as("qbin"))
+      in("corpus_capped").join(
+        Pipelines.budgetWaterline(base, Pipelines.CorpusBudget)
+          .filter(col("selected")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+
   val packed: Model =
-    Model("corpus_packed", Seq("corpus_capped"), Materialization.Table,
+    Model("corpus_packed", Seq("corpus_budget"), Materialization.Table,
       tests = Seq(NotNull("pack_id"))) { in =>
       val w = Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      in("corpus_capped")
+      in("corpus_budget")
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .withColumn("pack_id", expr(s"(cum - n_tokens) div ${Pipelines.PackBudget}"))
@@ -173,7 +194,7 @@ object CorpusPipeline {
     }
 
   val all: Seq[Model] = Seq(cleaned, postings, pairs, labels, keepList,
-    neardup, decontaminated, capped, packed)
+    neardup, decontaminated, capped, budgeted, packed)
 
   // ------------------------------------------------------------------
   // Incremental refresh — the daily-ingest shape. The three
@@ -249,7 +270,7 @@ object CorpusPipeline {
       }
 
     Seq(cleanedDelta, postingsDelta, pairsDelta, labels, keepList,
-      neardup, decontaminated, capped, packed)
+      neardup, decontaminated, capped, budgeted, packed)
   }
 
   def run(spark: SparkSession, dir: String,

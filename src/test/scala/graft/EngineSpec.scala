@@ -363,6 +363,25 @@ class EngineSpec extends SparkSpec {
     // stage 3: hard cap per language
     r("corpus_capped").groupBy("lang").count().collect()
       .foreach(row => assert(row.getLong(1) <= graft.ext.Pipelines.DomainCap))
+    // budget stage: the waterline must bite at harness scale, spend at
+    // most CorpusBudget tokens, and keep a quality-dominant subset
+    val cappedRows = r("corpus_capped")
+      .select("doc_id", "n_tokens", "quality").collect()
+    val budgetIds = r("corpus_budget").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(budgetIds.size < cappedRows.length,
+      "corpus budget did not bite — stage is untested at this scale")
+    val spentTokens = cappedRows.filter(row => budgetIds(row.getLong(0)))
+      .map(_.getLong(1)).sum
+    assert(spentTokens <= graft.ext.Pipelines.CorpusBudget,
+      s"budget stage spent $spentTokens > ${graft.ext.Pipelines.CorpusBudget}")
+    val binOf = (q: Double) => math.floor(q * graft.ext.Pipelines.BudgetBins).toLong
+    val minSelBin = cappedRows.filter(row => budgetIds(row.getLong(0)))
+      .map(row => binOf(row.getDouble(2))).min
+    cappedRows.filterNot(row => budgetIds(row.getLong(0))).foreach { row =>
+      assert(binOf(row.getDouble(2)) <= minSelBin,
+        s"rejected doc ${row.getLong(0)} sits in a bin above the waterline")
+    }
     // stage 4: every doc's pack is its starting-offset bucket (docs are
     // never split, so a pack may spill past the budget by the last
     // doc's tail — the invariant is the START offsets, not the sum)
@@ -408,7 +427,7 @@ class EngineSpec extends SparkSpec {
     val batchFrom = docs.agg(max("doc_id")).head.getLong(0) / 2
     val tables = Seq("corpus_cleaned", "corpus_postings", "corpus_pairs",
       "corpus_labels", "corpus_keep_list", "corpus_neardup",
-      "corpus_decontaminated", "corpus_capped", "corpus_packed")
+      "corpus_decontaminated", "corpus_capped", "corpus_budget", "corpus_packed")
 
     // day 1: standing corpus from the base half
     val wh = java.nio.file.Files.createTempDirectory("graft-inc").toString
