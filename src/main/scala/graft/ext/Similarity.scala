@@ -509,12 +509,58 @@ object Similarity {
             |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Embedding hygiene — per-label L2-norm profile. The pre-flight
+  // check before any ANN/dedup pass: near-zero norms (dead encoder
+  // outputs) poison cosine, and a label whose norms are far from 1
+  // signals the normalize-at-ingest step was skipped for that shard.
+  // norm = sqrt(dot(v,v)) via the codegen'd DotProduct (one fused
+  // loop per row, no HOF); per-label aggregation averages the
+  // 6dp-QUANTIZED norm through avgExact's decimal sum, so the result
+  // is independent of partition order — a raw double sum would drift
+  // by ulps between partitionings and flip the 6dp rounding.
+  // Scale: pure scan + one tiny per-label agg; embarrassingly
+  // parallel, no data movement beyond |labels| rows.
+  // ------------------------------------------------------------------
+  val NormTolerance = 0.01
+
+  val normStats: Q = Q(
+    (s, d) => {
+      import graft.engine.Functions.avgExact
+      val norm = sqrt(graft.functions.DotProduct(col("embedding"), col("embedding")))
+      val nq = roundPortable(norm, 6)
+      emb(s, d)
+        .select(col("label"), nq.as("norm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          roundPortable(avgExact(col("norm"), 28, 6), 6).as("avg_norm"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"),
+          sum(when(abs(col("norm") - 1.0) > NormTolerance, 1L).otherwise(0L))
+            .as("n_unnormalized"))
+        .orderBy("label")
+    },
+    Some(s"""WITH n AS (
+            |  SELECT label,
+            |    floor(sqrt(list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+            |      x -> x * x))) * 1000000 + 0.5) / 1000000 AS norm
+            |  FROM embeddings
+            |)
+            |SELECT label, count(*) AS n_vecs,
+            |  floor(CAST(sum(CAST(norm AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_norm,
+            |  min(norm) AS min_norm,
+            |  max(norm) AS max_norm,
+            |  CAST(sum(CAST(abs(norm - 1.0) > $NormTolerance AS BIGINT)) AS BIGINT) AS n_unnormalized
+            |FROM n GROUP BY 1 ORDER BY label""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "ann_cosine_topk" -> bruteForceTopK,
     "ann_dot_topk" -> dotTopK,
     "ann_lsh_topk" -> lshTopK,
     "ann_ivf_topk" -> ivfTopK,
     "ann_ivf_kmeans_topk" -> ivfKmeansTopK,
-    "ann_quantized_topk" -> quantizedTopK
+    "ann_quantized_topk" -> quantizedTopK,
+    "emb_norm_stats" -> normStats
   )
 }

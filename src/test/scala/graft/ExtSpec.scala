@@ -631,6 +631,33 @@ class ExtSpec extends SparkSpec {
     assert(meanBin(selected) > meanBin(rejected))
   }
 
+  test("embedding norm stats: clean corpus all-pass, doctored corpus flagged") {
+    // harness embeddings are normalized at generation: every label
+    // must show norm exactly 1.0 at 6dp and zero unnormalized vectors
+    val clean = Similarity.normStats.build(spark, d).collect()
+    assert(clean.nonEmpty)
+    clean.foreach { row =>
+      assert(row.getDouble(2) === 1.0 && row.getLong(5) === 0L,
+        s"label ${row.getInt(0)}: clean corpus flagged ${row.getLong(5)} of ${row.getLong(1)}")
+    }
+    // the detector must actually discriminate: a doctored table with a
+    // scaled vector and a dead (all-zero) vector flags exactly those
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-norm").toString
+    Seq(
+      (1L, Array(0.6f, 0.8f), 0),
+      (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val doctored = Similarity.normStats.build(spark, tmp).collect()
+      .map(row => row.getInt(0) -> row).toMap
+    assert(doctored(0).getLong(5) === 1L) // the 5.0-norm vector
+    assert(doctored(0).getDouble(4) === 5.0)
+    assert(doctored(1).getLong(5) === 1L) // the dead vector
+    assert(doctored(1).getDouble(3) === 0.0)
+  }
+
   test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
     assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
     val r = Pipelines.mixtureKl.build(spark, d).collect()
