@@ -668,31 +668,49 @@ object TextAnalysis {
   val GopherMinTokens = 50
   val GopherMaxTokens = 100000
 
+  /** ONE definition of the Gopher rule columns, shared by the
+    * [[gopherRules]] registry query and the streaming ingest gate
+    * (`Streams.gatedDocuments`) — same contract as [[qualityCols]]:
+    * the gate cannot silently fork from the published per-rule
+    * booleans. All expressions are stateless projections, so they are
+    * streaming-safe as-is.
+    */
+  final case class GopherCols(
+      nTokens: Column, meanWordLen: Column, alphaFrac: Column, stopHits: Column,
+      passLen: Column, passWordLen: Column, passAlpha: Column, passStop: Column) {
+    def pass: Column = passLen && passWordLen && passAlpha && passStop
+  }
+
+  def gopherCols(text: Column): GopherCols = {
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val meanWordLen = length(regexp_replace(trim(text), "\\s+", ""))
+      .cast(DoubleType) / nTokens
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
+      .cast(DoubleType) / nTokens
+    val stopHits = hits(toks, StopEn)
+    GopherCols(nTokens, meanWordLen, alphaFrac, stopHits,
+      nTokens.between(GopherMinTokens, GopherMaxTokens),
+      meanWordLen >= 3.0 && meanWordLen <= 10.0,
+      alphaFrac >= 0.8,
+      stopHits >= 2)
+  }
+
   val gopherRules: Q = Q(
     (s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
-      val toks = tokens(col("text"))
-      val nTokens = size(toks)
-      val meanWordLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
-        .cast(DoubleType) / nTokens
-      val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
-        .cast(DoubleType) / nTokens
-      val stopHits = hits(toks, StopEn)
-      val passLen = nTokens.between(GopherMinTokens, GopherMaxTokens)
-      val passWordLen = meanWordLen >= 3.0 && meanWordLen <= 10.0
-      val passAlpha = alphaFrac >= 0.8
-      val passStop = stopHits >= 2
+      val gc = gopherCols(col("text"))
       docs.select(
         col("doc_id"),
-        nTokens.as("n_tokens"),
-        roundPortable(meanWordLen, 4).as("mean_word_len"),
-        roundPortable(alphaFrac, 4).as("alpha_word_frac"),
-        stopHits.as("stop_hits"),
-        passLen.as("pass_len"),
-        passWordLen.as("pass_word_len"),
-        passAlpha.as("pass_alpha"),
-        passStop.as("pass_stop"),
-        (passLen && passWordLen && passAlpha && passStop).as("gopher_pass"))
+        gc.nTokens.as("n_tokens"),
+        roundPortable(gc.meanWordLen, 4).as("mean_word_len"),
+        roundPortable(gc.alphaFrac, 4).as("alpha_word_frac"),
+        gc.stopHits.as("stop_hits"),
+        gc.passLen.as("pass_len"),
+        gc.passWordLen.as("pass_word_len"),
+        gc.passAlpha.as("pass_alpha"),
+        gc.passStop.as("pass_stop"),
+        gc.pass.as("gopher_pass"))
         .orderBy("doc_id")
     },
     Some(s"""WITH m AS (

@@ -78,6 +78,22 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming ingest quality gate — the deployment shape of the
+    * Gopher rules: documents stream in, sub-threshold ones never reach
+    * the corpus. Stateless projection + filter (no watermark, no
+    * state), sharing `TextAnalysis.gopherCols` with the
+    * `text_gopher_rules` registry query so the ingest gate and the
+    * published batch metrics cannot fork. Emits the per-rule booleans
+    * alongside the doc for audit sinks that keep the rejects.
+    */
+  def gatedDocuments(docs: DataFrame): DataFrame = {
+    val gc = graft.ext.TextAnalysis.gopherCols(col("text"))
+    docs
+      .withColumn("n_tokens", gc.nTokens)
+      .withColumn("gopher_pass", gc.pass)
+      .filter(col("gopher_pass"))
+  }
+
   /** Streaming sessionization via the built-in session_window: gap-based
     * windows per user, closed by the watermark. State per (user, open
     * session) only — bounded by activity, merged incrementally.

@@ -190,4 +190,29 @@ class StreamingSpec extends SparkSpec {
     val total = spark.table("slide_stream").agg(sum("n_events")).head.getLong(0)
     assert(total === rows.length * 3L)
   }
+
+  test("streaming gopher gate passes exactly the docs the batch query passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real harness documents, so the gate decisions tested here are the
+    // ones the oracle-verified text_gopher_rules query published
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").limit(100)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = Streams.gatedDocuments(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gate_stream").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expected = graft.ext.TextAnalysis.gopherRules.build(spark, sf())
+      .filter(col("gopher_pass") && col("doc_id").isin(docs.map(_._1): _*))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(expected.nonEmpty && expected.size < docs.size,
+      "gate degenerate on the sample")
+    assert(streamed === expected)
+  }
 }
