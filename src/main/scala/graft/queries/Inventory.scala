@@ -1178,6 +1178,120 @@ object Inventory {
   )
 
   /** Insertion-ordered registry: name → Q. */
+  // ------------------------------------------------------------------
+  // Market-basket co-occurrence — which parts ship together. The
+  // within-group self-join is bounded by ORDER SIZE (TPC-H ≤ 7 items),
+  // so pair generation is O(Σ|order|²) ≈ linear in lineitems, never a
+  // corpus cartesian; the pair aggregate shuffles (part_a, part_b)
+  // keys and the top-K lands in TakeOrderedAndProject (map-side
+  // bounded — output is ≤ K rows at ANY scale). Lift joins the two
+  // per-part frequency sides onto the K survivors (broadcast — K and
+  // |parts| are both small), with the 1-row order-count anchor
+  // cross-joined broadcast. Ties at the top are broken (count DESC,
+  // part_a, part_b), so the K-row result is deterministic in both
+  // engines even when co-counts saturate at small values.
+  // ------------------------------------------------------------------
+  val BasketTopK = 20
+
+  val marketBasket: Q = Q(
+    (s, d) => {
+      val items = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      val co = a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("co_count"))
+        .orderBy(col("co_count").desc, col("part_a"), col("part_b"))
+        .limit(BasketTopK)
+      val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+      val totals = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      co
+        .join(broadcast(freq.select(col("l_partkey").as("part_a"), col("n_part").as("n_a"))), Seq("part_a"))
+        .join(broadcast(freq.select(col("l_partkey").as("part_b"), col("n_part").as("n_b"))), Seq("part_b"))
+        .crossJoin(broadcast(totals))
+        .select(col("part_a"), col("part_b"), col("co_count"), col("n_a"), col("n_b"),
+          roundPortable(col("co_count").cast(DoubleType) * col("n_orders")
+            / (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy(col("co_count").desc, col("part_a"), col("part_b"))
+    },
+    Some(s"""WITH i AS (
+            |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            |), co AS (
+            |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS co_count
+            |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            |  GROUP BY 1, 2
+            |  ORDER BY co_count DESC, part_a, part_b
+            |  LIMIT $BasketTopK
+            |), f AS (
+            |  SELECT l_partkey, count(*) AS n_part FROM i GROUP BY 1
+            |), tot AS (
+            |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM i
+            |)
+            |SELECT co.part_a, co.part_b, co.co_count, fa.n_part AS n_a, fb.n_part AS n_b,
+            |       floor(CAST(co.co_count AS DOUBLE) * tot.n_orders
+            |             / (fa.n_part * fb.n_part) * 1000000 + 0.5) / 1000000 AS lift
+            |FROM co
+            |JOIN f fa ON co.part_a = fa.l_partkey
+            |JOIN f fb ON co.part_b = fb.l_partkey
+            |CROSS JOIN tot
+            |ORDER BY co.co_count DESC, co.part_a, co.part_b""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Pareto / ABC analysis — revenue concentration per nation: how many
+  // top suppliers carry 80% of a nation's revenue. Per-supplier
+  // revenue sums in DECIMAL (exact, order-independent); the per-nation
+  // running sum is a window PARTITIONED by nation (parallel across
+  // nations — |suppliers per nation| rows each, never a global ordered
+  // window). The 80% head test stays in exact decimal integer
+  // arithmetic ((cum − own)·10 < total·8), so no double comparison can
+  // flip a boundary row between engines; only the published shares
+  // convert to double, once, in the same op order on both sides.
+  // ------------------------------------------------------------------
+  val paretoShare: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, d, "lineitem")
+        .select(col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)).as("rev"))
+        .groupBy("l_suppkey").agg(sum(col("rev")).as("srev"))
+      val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+      val w = Window.partitionBy("n_name").orderBy(col("srev").desc, col("l_suppkey"))
+      val cum = rev
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("cum_rev", sum(col("srev")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot_rev", sum(col("srev")).over(Window.partitionBy("n_name")))
+      cum.groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          sum(when((col("cum_rev") - col("srev")) * 10 < col("tot_rev") * 8, 1L).otherwise(0L))
+            .as("head_n"),
+          roundPortable(max(col("srev")).cast(DoubleType) / min(col("tot_rev")).cast(DoubleType), 6)
+            .as("top1_share"))
+        .withColumn("head_frac", roundPortable(col("head_n").cast(DoubleType) / col("n_suppliers"), 4))
+        .orderBy("n_name")
+    },
+    Some("""WITH rev AS (
+           |  SELECT l_suppkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS srev
+           |  FROM lineitem GROUP BY 1
+           |), cum AS (
+           |  SELECT n_name, srev,
+           |         sum(srev) OVER (PARTITION BY n_name ORDER BY srev DESC, l_suppkey
+           |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+           |         sum(srev) OVER (PARTITION BY n_name) AS tot_rev
+           |  FROM rev
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |)
+           |SELECT n_name, count(*) AS n_suppliers,
+           |       CAST(sum(CAST((cum_rev - srev) * 10 < tot_rev * 8 AS BIGINT)) AS BIGINT) AS head_n,
+           |       floor(CAST(max(srev) AS DOUBLE) / CAST(min(tot_rev) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS top1_share,
+           |       floor(CAST(sum(CAST((cum_rev - srev) * 10 < tot_rev * 8 AS BIGINT)) AS DOUBLE)
+           |             / count(*) * 10000 + 0.5) / 10000 AS head_frac
+           |FROM cum GROUP BY 1 ORDER BY n_name""".stripMargin)
+  )
+
   val all: Seq[(String, Q)] = Seq(
     "s1_scan" -> s1Scan,
     "p2_projection" -> p2Projection,
@@ -1214,6 +1328,8 @@ object Inventory {
     "window_rolling_range" -> windowRollingRange,
     "events_json_props" -> eventsJsonProps,
     "profile_columns" -> profileColumns,
-    "profile_columns_approx" -> profileColumnsApprox
+    "profile_columns_approx" -> profileColumnsApprox,
+    "agg_market_basket" -> marketBasket,
+    "window_pareto_share" -> paretoShare
   )
 }

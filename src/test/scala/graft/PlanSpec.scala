@@ -252,6 +252,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("market basket bounds top-K map-side and broadcasts the frequency sides") {
+    val p = plan(Inventory.marketBasket.build(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K must be map-side bounded, not a global sort+limit:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must stay within orders:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 3,
+      s"freq sides and the order-count anchor must broadcast:\n$p")
+  }
+
+  test("pareto running sums stay partitioned by nation (no single-partition window)") {
+    val p = plan(Inventory.paretoShare.build(spark, d))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a global ordered window crept in:\n$p")
+    assert(p.contains("windowspecdefinition(n_name"), p)
+  }
+
   test("gopher gates are a pure projection: the only exchange is the output sort's") {
     // every rule boolean is computed in the scan's fused Project; the
     // sole Exchange in the plan is the rangepartitioning for the
