@@ -236,11 +236,64 @@ object Sessions {
             |FROM marked GROUP BY 1 ORDER BY event_type""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Daily-volume anomaly detection per event type — median + MAD over
+  // the per-day counts, flagging days where |n − median| > 3·MAD. The
+  // robust twin of a stddev alert: a traffic spike cannot drag the
+  // threshold that is supposed to catch it (the same median/MAD pair
+  // as `text_outliers_mad`, applied to operational time series). Two
+  // passes by construction (the second needs the first's median), but
+  // both run on the DAILY AGGREGATE (≤ days·|types| rows) — the raw
+  // event scan aggregates map-side to one row per (type, day) before
+  // anything shuffles, so at 100 TB the robust-stats machinery never
+  // touches event-grain data. Thresholds compare 4dp-ROUNDED
+  // median/MAD so both engines gate on identical values.
+  // ------------------------------------------------------------------
+  val AnomalyK = 3.0
+
+  val anomalyDays: Q = Q(
+    (s, d) => {
+      val daily = Inventory.events(s, d)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val med = daily.groupBy("event_type")
+        .agg(roundPortable(percentile(col("n_events"), lit(0.5)), 4).as("median_n"))
+      val withMed = daily.join(med, Seq("event_type"))
+        .withColumn("adev", abs(col("n_events") - col("median_n")))
+      val mad = withMed.groupBy("event_type")
+        .agg(roundPortable(percentile(col("adev"), lit(0.5)), 4).as("mad_n"))
+      withMed.join(mad, Seq("event_type"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("median_n"), col("mad_n"),
+          (col("adev") > lit(AnomalyK) * col("mad_n")).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
+    Some(s"""WITH daily AS (
+            |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+            |  FROM events GROUP BY 1, 2
+            |), med AS (
+            |  SELECT event_type, floor(quantile_cont(n_events, 0.5) * 10000 + 0.5) / 10000 AS median_n
+            |  FROM daily GROUP BY 1
+            |), dev AS (
+            |  SELECT d.event_type, d.day, d.n_events, m.median_n,
+            |         abs(d.n_events - m.median_n) AS adev
+            |  FROM daily d JOIN med m USING (event_type)
+            |), mad AS (
+            |  SELECT event_type, floor(quantile_cont(adev, 0.5) * 10000 + 0.5) / 10000 AS mad_n
+            |  FROM dev GROUP BY 1
+            |)
+            |SELECT d.event_type, d.day, d.n_events, d.median_n, m.mad_n,
+            |       d.adev > $AnomalyK * m.mad_n AS is_anomaly
+            |FROM dev d JOIN mad m USING (event_type)
+            |ORDER BY d.event_type, d.day""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_sessionize" -> sessionize,
     "events_hourly_window" -> hourly,
     "events_cohort_retention" -> cohortRetention,
     "events_funnel" -> funnel,
-    "events_debounce" -> debounce
+    "events_debounce" -> debounce,
+    "events_anomaly_days" -> anomalyDays
   )
 }
