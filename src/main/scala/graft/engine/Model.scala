@@ -178,22 +178,8 @@ object TableSink {
         val merged = spark.read.parquet(path)
           .join(df.select(keyCols: _*).distinct(), key, "left_anti")
           .unionByName(df)
-        val staging = new Path(path + "__staging")
-        val backup = new Path(path + "__backup")
-        merged.write.mode("overwrite").parquet(staging.toString)
-        // swap order matters: the base is RENAMED ASIDE, never deleted
-        // before the new data is in place — a crash mid-swap leaves
-        // either the old table or the new one recoverable, not a
-        // vanished directory that the next write would silently treat
-        // as a first load
-        fs.delete(backup, true)
-        if (!fs.rename(target, backup))
-          throw new java.io.IOException(s"failed to move $path aside before swap")
-        if (!fs.rename(staging, target)) {
-          fs.rename(backup, target) // restore
-          throw new java.io.IOException(s"failed to swap staging dir into $path")
-        }
-        fs.delete(backup, true)
+        merged.write.mode("overwrite").parquet(path + "__staging")
+        TableSink.stagedSwap(fs, path)
       }
       // The rename swap mutates the path BEHIND Spark's back (a normal
       // insert command invalidates caches over its output path; a
@@ -207,5 +193,28 @@ object TableSink {
       spark.catalog.refreshByPath(path)
       spark.read.parquet(path)
     }
+  }
+
+  /** Swap `path`__staging into `path` with crash-recoverable rename
+    * order: the base is RENAMED ASIDE, never deleted before the new
+    * data is in place — a crash mid-swap leaves either the old table
+    * or the new one recoverable, not a vanished directory that the
+    * next write would silently treat as a first load. Shared by
+    * [[TableSink.ParquetUpsert]] and [[Compaction]].
+    */
+  private[engine] def stagedSwap(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val staging = new Path(path + "__staging")
+    val backup = new Path(path + "__backup")
+    fs.delete(backup, true)
+    if (!fs.rename(target, backup))
+      throw new java.io.IOException(s"failed to move $path aside before swap")
+    if (!fs.rename(staging, target)) {
+      fs.rename(backup, target) // restore
+      throw new java.io.IOException(s"failed to swap staging dir into $path")
+    }
+    fs.delete(backup, true)
   }
 }

@@ -478,4 +478,30 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/corpus_cleaned")
       .filter(col("doc_id") >= batchFrom).count() > 0)
   }
+
+  test("compaction collapses a fragmented table without changing a row") {
+    import graft.engine.Compaction
+    val wh = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val path = s"$wh/frag"
+    val src = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    src.repartition(64).write.parquet(path)
+    val before = spark.read.parquet(path)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = new java.io.File(path)
+    def files() = dir.listFiles.count(f => f.getName.endsWith(".parquet"))
+    assert(files() === 64, "fixture should be fragmented")
+    val bytes = dir.listFiles.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target a quarter of the data per file -> exactly 4 output files
+    val r = Compaction.compact(spark, path, targetBytes = (bytes + 3) / 4)
+    assert(r.filesBefore === 64 && r.filesAfter === 4, r)
+    assert(files() === 4)
+    // pure layout change: row-identical content, no leftover swap dirs
+    val after = spark.read.parquet(path)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+    assert(!new java.io.File(path + "__staging").exists())
+    assert(!new java.io.File(path + "__backup").exists())
+    // idempotent at the target size: a second pass keeps 4 files
+    assert(Compaction.compact(spark, path, targetBytes = (bytes + 3) / 4).filesAfter <= 4)
+  }
 }
