@@ -756,6 +756,88 @@ object Dedup {
            |GROUP BY 1 ORDER BY s.doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // MinHash ESTIMATION contract — the question the LSH pipeline's
+  // correctness rests on, made a first-class verified query: does the
+  // k=32 signature actually estimate Jaccard within its statistical
+  // bound on this corpus? For every exact pair (J ≥ 0.3), emit the
+  // signature estimate (#matching mins / k) beside the exact overlap
+  // Jaccard and a bounded-error boolean: |est − J| ≤ 3·√(J(1−J)/k) +
+  // 1/k (the Binomial 3σ envelope plus one quantization step — est is
+  // a multiple of 1/k). Same contract pattern as agg_approx_distinct:
+  // the sketch is not oracled by value (it would always match — the
+  // oracle replays the same hashes) but by whether it HOLDS ITS
+  // ERROR CONTRACT against the exact value, computed from the same
+  // 6dp-rounded J in both engines so the boolean cannot diverge.
+  //
+  // Scale: the signature aggregate is the lshBands shuffle (one pass,
+  // k min() columns); pairs come from the prefiltered posting join;
+  // the estimate itself is a 32-term codegen'd comparison on the
+  // joined signature rows — candidates only, never all pairs.
+  // ------------------------------------------------------------------
+  val minhashEstimate: Q = Q(
+    (s, d) => {
+      val posts = shinglePosts(s, d, hash60)
+      val x = col("hs") % P
+      val mins = (0 until NumHashes).map(i =>
+        min((lit(coefA(i)) * x + lit(coefB(i))) % P).as(s"m$i"))
+      val sig = posts.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val sigA = sig.toDF("doc_a" +: (0 until NumHashes).map(i => s"a$i"): _*)
+      val sigB = sig.toDF("doc_b" +: (0 until NumHashes).map(i => s"b$i"): _*)
+      val matches = (0 until NumHashes)
+        .map(i => (col(s"a$i") === col(s"b$i")).cast("long"))
+        .reduce(_ + _)
+      val est = matches.cast(DoubleType) / NumHashes
+      val bound = lit(3.0) * sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) / NumHashes) +
+        lit(1.0 / NumHashes)
+      pairsFromPosts(posts)
+        .join(sigA, Seq("doc_a"))
+        .join(sigB, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          roundPortable(est, 6).as("est_jaccard"),
+          (abs(est - col("jaccard")) <= bound).as("within_bound"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val minCols = (0 until NumHashes)
+        .map(i => s"    min((${coefA(i)} * x + ${coefB(i)}) % $P) AS m$i")
+        .mkString(",\n")
+      val matchTerms = (0 until NumHashes)
+        .map(i => s"CAST(sa.m$i = sb.m$i AS INT)")
+        .mkString(" + ")
+      s"""WITH sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' ')))) AS s
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hs FROM sh0
+         |), sig AS (
+         |  SELECT doc_id,
+         |$minCols
+         |  FROM (SELECT doc_id, hs % $P AS x FROM sh) GROUP BY doc_id
+         |), sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)) * 1000000 + 0.5) / 1000000 AS jaccard
+         |  FROM sets a, sets b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= $JaccardTau
+         |)
+         |SELECT p.doc_a, p.doc_b, p.jaccard,
+         |  floor(CAST($matchTerms AS DOUBLE) / $NumHashes * 1000000 + 0.5) / 1000000 AS est_jaccard,
+         |  abs(CAST($matchTerms AS DOUBLE) / $NumHashes - p.jaccard)
+         |    <= 3.0 * sqrt(p.jaccard * (1.0 - p.jaccard) / $NumHashes) + ${1.0 / NumHashes} AS within_bound
+         |FROM pairs p
+         |JOIN sig sa ON p.doc_a = sa.doc_id
+         |JOIN sig sb ON p.doc_b = sb.doc_id
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin
+    }
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
@@ -765,6 +847,7 @@ object Dedup {
     "dedup_embedding_lsh" -> embeddingLsh,
     "dedup_containment" -> containment,
     "dedup_incremental" -> incremental,
-    "dedup_ngram_novelty" -> ngramNovelty
+    "dedup_ngram_novelty" -> ngramNovelty,
+    "dedup_minhash_estimate" -> minhashEstimate
   )
 }

@@ -658,6 +658,19 @@ class ExtSpec extends SparkSpec {
     assert(doctored(1).getDouble(3) === 0.0)
   }
 
+  test("minhash estimate holds its 3-sigma contract and tracks exact Jaccard") {
+    val r = Dedup.minhashEstimate.build(spark, d).collect()
+    assert(r.nonEmpty, "fixture should contain J >= 0.3 pairs")
+    r.foreach { row =>
+      assert(row.getBoolean(4),
+        s"(${row.getLong(0)},${row.getLong(1)}): est ${row.getDouble(3)} " +
+          s"outside the bound around J=${row.getDouble(2)}")
+    }
+    val mae = r.map(row => math.abs(row.getDouble(3) - row.getDouble(2))).sum / r.length
+    assert(mae < 2.0 / math.sqrt(Dedup.NumHashes),
+      s"mean |est - J| = $mae — estimator is biased, not just noisy")
+  }
+
   test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
     assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
     val r = Pipelines.mixtureKl.build(spark, d).collect()
