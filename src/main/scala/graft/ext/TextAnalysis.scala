@@ -782,6 +782,81 @@ object TextAnalysis {
             |FROM ranked WHERE rank <= $ZipfTopK GROUP BY 1 ORDER BY lang""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Bigram-LM perplexity — the model-based quality signal (CCNet-style)
+  // beside the rule-based Gopher gate: train an add-k-smoothed bigram
+  // LM on the corpus itself, score every document by avg negative
+  // log-likelihood, publish exp(avg) as perplexity. Boilerplate and
+  // templated text (frequent bigrams) score LOW; lexical noise scores
+  // HIGH — threshold either tail.
+  //
+  // Determinism is the BM25 recipe: each bigram's −ln p is rounded to
+  // 6dp FIRST and summed as DECIMAL(18,6), so the per-doc sum is
+  // associative and partition-order independent; only the final
+  // per-doc average and exp() run in double, in the same op order in
+  // both engines. Scale: the LM "training" is two corpus-count
+  // aggregates — (token) and (bigram) keys with map-side combine, the
+  // tfidf shuffle profile; scoring is an equi-join of the bigram
+  // stream against those counts plus a broadcast 1-row vocab anchor.
+  // Nothing is ever materialized per-pair or per-vocab² — unseen
+  // bigrams cost nothing because only OBSERVED bigrams are scored.
+  // ------------------------------------------------------------------
+  val SmoothK = 0.5
+
+  val lmPerplexity: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bg = toks.withColumn("t1", lead("t", 1).over(w))
+        .filter(col("t1").isNotNull)
+        .select(col("doc_id"), col("t"), concat_ws(" ", col("t"), col("t1")).as("bgs"))
+      val cUni = toks.groupBy("t").agg(count(lit(1)).as("ct"))
+      val cBg = bg.groupBy("bgs").agg(count(lit(1)).as("cbg"))
+      val vocab = toks.agg(countDistinct(col("t")).as("vocab"))
+      val p = (col("cbg") + lit(SmoothK)) / (col("ct") + lit(SmoothK) * col("vocab"))
+      val nll = roundPortable(-log(p), 6).cast(DecimalType(18, 6))
+      bg.join(cBg, Seq("bgs"))
+        .join(cUni, Seq("t"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), nll.as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("snll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          roundPortable(col("snll").cast(DoubleType) / col("n_bigrams"), 6).as("avg_nll"),
+          roundPortable(exp(col("snll").cast(DoubleType) / col("n_bigrams")), 4).as("perplexity"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+            |), toks AS (
+            |  SELECT doc_id, unnest(toks) AS t FROM d
+            |), bg AS (
+            |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            |           i -> array_to_string(toks[i:i+1], ' '))) AS bgs
+            |  FROM d
+            |), cuni AS (
+            |  SELECT t, count(*) AS ct FROM toks GROUP BY 1
+            |), cbg AS (
+            |  SELECT bgs, count(*) AS cbg FROM bg GROUP BY 1
+            |), vocab AS (
+            |  SELECT count(DISTINCT t) AS vocab FROM toks
+            |), scored AS (
+            |  SELECT b.doc_id,
+            |    CAST(floor(-ln((c.cbg + $SmoothK) / (u.ct + $SmoothK * v.vocab)) * 1000000 + 0.5) / 1000000
+            |      AS DECIMAL(18,6)) AS nll
+            |  FROM bg b
+            |  JOIN cbg c USING (bgs)
+            |  JOIN cuni u ON split_part(b.bgs, ' ', 1) = u.t
+            |  CROSS JOIN vocab v
+            |)
+            |SELECT doc_id, count(*) AS n_bigrams,
+            |  floor(CAST(sum(nll) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_nll,
+            |  floor(exp(CAST(sum(nll) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS perplexity
+            |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -798,6 +873,7 @@ object TextAnalysis {
     "text_length_histogram" -> lengthHistogram,
     "text_repetition" -> repetition,
     "text_gopher_rules" -> gopherRules,
-    "text_zipf_slope" -> zipfSlope
+    "text_zipf_slope" -> zipfSlope,
+    "text_lm_perplexity" -> lmPerplexity
   )
 }

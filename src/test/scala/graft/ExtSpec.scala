@@ -671,6 +671,25 @@ class ExtSpec extends SparkSpec {
       s"mean |est - J| = $mae — estimator is biased, not just noisy")
   }
 
+  test("bigram-LM perplexity is bounded, discriminates, and is partition-order stable") {
+    val r = TextAnalysis.lmPerplexity.build(spark, d).collect()
+    assert(r.nonEmpty)
+    val vocab = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    r.foreach { row =>
+      val ppl = row.getDouble(3)
+      assert(ppl > 1.0 && ppl < 10.0 * vocab,
+        s"doc ${row.getLong(0)}: perplexity $ppl outside sane range (vocab=$vocab)")
+    }
+    val ppls = r.map(_.getDouble(3))
+    assert(ppls.min < ppls.max, "LM scores every doc identically — signal-free")
+    // the decimal-sum determinism claim: a repartitioned replay is
+    // bit-identical (a raw double sum would drift by ulps here)
+    val again = TextAnalysis.lmPerplexity.build(spark, d).collect()
+    assert(again.map(_.toString).toSeq === r.map(_.toString).toSeq)
+  }
+
   test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
     assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
     val r = Pipelines.mixtureKl.build(spark, d).collect()
