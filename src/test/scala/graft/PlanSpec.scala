@@ -269,6 +269,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(n_name"), p)
   }
 
+  test("LM perplexity broadcasts only the 1-row vocab anchor; count joins are key joins") {
+    val p = plan(graft.ext.TextAnalysis.lmPerplexity.build(spark, d))
+    // the vocab anchor is the ONLY nested-loop side, and it is broadcast
+    val nl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nl <= 1, s"unexpected nested-loop joins (vocab^2 structure?):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ngram novelty shuffles int64 keys only — no pair join anywhere") {
+    val p = plan(graft.ext.Dedup.ngramNovelty.build(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty must not enumerate pairs:\n$p")
+    // first-occurrence attribution is an aggregate + equi-join, so every
+    // non-broadcast exchange hashes on doc_id or the shingle hash
+    val hashed = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashed.nonEmpty &&
+      hashed.forall(l => l.contains("doc_id") || l.contains("hs")), s"$hashed")
+  }
+
   test("gopher gates are a pure projection: the only exchange is the output sort's") {
     // every rule boolean is computed in the scan's fused Project; the
     // sole Exchange in the plan is the rangepartitioning for the
