@@ -857,6 +857,79 @@ object TextAnalysis {
             |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Term-distribution drift — Jensen–Shannon divergence between two
+  // corpus slices, per language. The monitoring primitive of a
+  // continuous-ingest pipeline: yesterday's corpus vs today's batch
+  // (here the deterministic doc_id-parity split, which doubles as the
+  // split-half noise floor any real drift must exceed: JSD ≈ 0 when
+  // the slices are exchangeable, → ln 2 on disjoint vocabularies).
+  // JSD handles unseen terms natively (a term in one slice only
+  // contributes p/2·ln 2 via M=(P+Q)/2 — no smoothing constant).
+  //
+  // Determinism is the BM25/perplexity recipe again: each term's
+  // contribution is rounded to 6dp and summed as DECIMAL, so the
+  // per-lang total is associative. Scale: ONE (lang, term, parity)
+  // count aggregate over the corpus (map-side combined), then the
+  // divergence runs on vocabulary-sized data; JSD needs no vocab²
+  // structure and no broadcast beyond the per-lang slice totals.
+  // ------------------------------------------------------------------
+  val termDrift: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val counts = docs
+        .select(col("lang"), (col("doc_id") % 2).as("slice"), explode(tokens(col("text"))).as("t"))
+        .groupBy("lang", "t")
+        .agg(sum(when(col("slice") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("slice") === 1, 1L).otherwise(0L)).as("c1"))
+      val wl = Window.partitionBy("lang")
+      val withTot = counts
+        .withColumn("n0", sum(col("c0")).over(wl))
+        .withColumn("n1", sum(col("c1")).over(wl))
+      val p = col("c0").cast(DoubleType) / col("n0")
+      val q = col("c1").cast(DoubleType) / col("n1")
+      val m = (p + q) / 2
+      val term = when(col("c0") > 0, p * log(p / m) / 2).otherwise(lit(0.0)) +
+        when(col("c1") > 0, q * log(q / m) / 2).otherwise(lit(0.0))
+      withTot
+        .select(col("lang"), col("n0"), col("n1"),
+          roundPortable(term, 6).cast(DecimalType(18, 6)).as("contrib"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_terms"),
+          min(col("n0")).as("tokens_slice0"),
+          min(col("n1")).as("tokens_slice1"),
+          roundPortable(sum(col("contrib")).cast(DoubleType), 6).as("jsd"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (
+           |  SELECT lang, doc_id % 2 AS slice, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           |  FROM documents
+           |), counts AS (
+           |  SELECT lang, t,
+           |         CAST(sum(CAST(slice = 0 AS BIGINT)) AS BIGINT) AS c0,
+           |         CAST(sum(CAST(slice = 1 AS BIGINT)) AS BIGINT) AS c1
+           |  FROM toks GROUP BY 1, 2
+           |), tot AS (
+           |  SELECT lang, t, c0, c1,
+           |         sum(c0) OVER (PARTITION BY lang) AS n0,
+           |         sum(c1) OVER (PARTITION BY lang) AS n1
+           |  FROM counts
+           |), terms AS (
+           |  SELECT lang, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           |    CAST(floor((
+           |      CASE WHEN c0 > 0 THEN (CAST(c0 AS DOUBLE) / n0) * ln((CAST(c0 AS DOUBLE) / n0)
+           |        / ((CAST(c0 AS DOUBLE) / n0 + CAST(c1 AS DOUBLE) / n1) / 2)) / 2 ELSE 0.0 END +
+           |      CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / n1) * ln((CAST(c1 AS DOUBLE) / n1)
+           |        / ((CAST(c0 AS DOUBLE) / n0 + CAST(c1 AS DOUBLE) / n1) / 2)) / 2 ELSE 0.0 END
+           |    ) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS contrib
+           |  FROM tot
+           |)
+           |SELECT lang, count(*) AS n_terms, min(n0) AS tokens_slice0, min(n1) AS tokens_slice1,
+           |       floor(CAST(sum(contrib) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS jsd
+           |FROM terms GROUP BY 1 ORDER BY lang""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -874,6 +947,7 @@ object TextAnalysis {
     "text_repetition" -> repetition,
     "text_gopher_rules" -> gopherRules,
     "text_zipf_slope" -> zipfSlope,
-    "text_lm_perplexity" -> lmPerplexity
+    "text_lm_perplexity" -> lmPerplexity,
+    "text_term_drift" -> termDrift
   )
 }

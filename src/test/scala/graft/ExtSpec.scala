@@ -690,6 +690,29 @@ class ExtSpec extends SparkSpec {
     assert(again.map(_.toString).toSeq === r.map(_.toString).toSeq)
   }
 
+  test("term drift: split-half JSD sits at the noise floor, disjoint vocabularies saturate at ln 2") {
+    val r = TextAnalysis.termDrift.build(spark, d).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val jsd = row.getDouble(4)
+      // exchangeable doc_id-parity slices: tiny but non-negative JSD
+      assert(jsd >= 0.0 && jsd < 0.05,
+        s"${row.getString(0)}: split-half JSD $jsd above the noise floor")
+    }
+    // doctored drift: even docs and odd docs share no vocabulary at
+    // all -> JSD must saturate at ln 2 exactly (up to term rounding)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "aaa bbb aaa ccc" else "xxx yyy zzz yyy", "en", "src", 15L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val drifted = TextAnalysis.termDrift.build(spark, tmp).collect()
+    assert(drifted.length === 1)
+    assert(math.abs(drifted.head.getDouble(4) - math.log(2.0)) < 1e-4,
+      s"disjoint-vocab JSD ${drifted.head.getDouble(4)} != ln 2")
+  }
+
   test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
     assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
     val r = Pipelines.mixtureKl.build(spark, d).collect()
