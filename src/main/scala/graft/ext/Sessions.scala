@@ -288,12 +288,56 @@ object Sessions {
             |ORDER BY d.event_type, d.day""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Event-transition matrix — first-order Markov mining over per-user
+  // timelines: for every (from → to) event-type pair, the transition
+  // count and the row-normalized probability. The sequence-level
+  // complement of the funnel query: the funnel checks ONE prescribed
+  // path, the matrix surfaces every path users actually take (loops
+  // included). Ties in timestamps break on event_id, so the sequence
+  // — and therefore the matrix — is deterministic in both engines.
+  //
+  // Scale: one shuffle on user_id (the same lag-window profile as
+  // sessionize — each user's timeline sorts locally), then the pair
+  // aggregate collapses map-side to ≤ |types|² rows. The row
+  // normalization is a window over that tiny matrix, never the events.
+  // ------------------------------------------------------------------
+  val transitionMatrix: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wRow = Window.partitionBy("from_type")
+      pairs
+        .withColumn("row_total", sum(col("n")).over(wRow))
+        .select(col("from_type"), col("to_type"), col("n"),
+          roundPortable(col("n").cast("double") / col("row_total"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH seq AS (
+           |  SELECT event_type,
+           |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           |  FROM events
+           |), pairs AS (
+           |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+           |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+           |)
+           |SELECT from_type, to_type, n,
+           |       floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) * 1000000 + 0.5) / 1000000 AS p
+           |FROM pairs ORDER BY from_type, to_type""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_sessionize" -> sessionize,
     "events_hourly_window" -> hourly,
     "events_cohort_retention" -> cohortRetention,
     "events_funnel" -> funnel,
     "events_debounce" -> debounce,
-    "events_anomaly_days" -> anomalyDays
+    "events_anomaly_days" -> anomalyDays,
+    "events_transition_matrix" -> transitionMatrix
   )
 }

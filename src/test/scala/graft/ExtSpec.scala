@@ -713,6 +713,23 @@ class ExtSpec extends SparkSpec {
       s"disjoint-vocab JSD ${drifted.head.getDouble(4)} != ln 2")
   }
 
+  test("transition matrix rows are probability distributions over observed successors") {
+    val r = Sessions.transitionMatrix.build(spark, d).collect()
+    assert(r.nonEmpty)
+    val types = spark.read.parquet(s"$d/events.parquet")
+      .select("event_type").distinct().count()
+    assert(r.length <= types * types)
+    r.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val psum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 1e-3, s"$from: row probabilities sum to $psum")
+    }
+    // transition count conservation: total transitions = total events
+    // minus one per user timeline
+    val ev = graft.queries.Inventory.events(spark, d)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(r.map(_.getLong(2)).sum === expected)
+  }
+
   test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
     assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
     val r = Pipelines.mixtureKl.build(spark, d).collect()
