@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.queries.Inventory
-import graft.ext.{AsOf, Clusters, Dedup, KMeans, Multimodal, Pipelines, Sessions, Similarity, TextAnalysis}
+import graft.ext.{AsOf, Clusters, Dedup, Graph, KMeans, Multimodal, Pipelines, Sessions, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,7 +13,7 @@ object SparkEntry {
   private def registry: Seq[(String, Inventory.Q)] =
     Inventory.all ++ TextAnalysis.queries ++ Dedup.queries ++ Clusters.queries ++
       Similarity.queries ++ KMeans.queries ++ Sessions.queries ++ Multimodal.queries ++
-      Pipelines.queries ++ AsOf.queries
+      Pipelines.queries ++ AsOf.queries ++ Graph.queries
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The `weekly_trends_summary` mart shape (the reference's richest
     * model) over the harness `events` table.

@@ -838,6 +838,67 @@ object Dedup {
     }
   )
 
+  // ------------------------------------------------------------------
+  // Exact-substring duplicate spans (the Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better", ACL'22 target —
+  // public paper; their suffix-array finds byte-level duplicate spans,
+  // we express the token-window formulation Spark-natively): hash
+  // every CONSECUTIVE 8-token window positionally (a multiset — every
+  // position counts, unlike the distinct-shingle queries), invert to
+  // a posting list on the window hash, and report per document the
+  // fraction of its windows that also occur in ANOTHER document.
+  // Long verbatim overlaps — boilerplate, licenses, templated spans —
+  // light up as high dup_span_frac even when whole-doc similarity
+  // (MinHash/SimHash) stays low, which is exactly why span-level
+  // dedup is run IN ADDITION to near-dup dedup on LLM corpora.
+  //
+  // Scale shape: tokenize once (posexplode + 7 window leads, all
+  // codegen — no interpreted HOFs), one shuffle on the 64-bit window
+  // hash to count distinct docs per window (posting list), one
+  // broadcast-sized join back. The window hash is md5-derived
+  // ([[hash60]]) so the DuckDB oracle replays the exact keys; the
+  // cross-doc test is `n_docs >= 2` on the posting list, never a
+  // pairwise join — O(corpus) not O(corpus²).
+  // ------------------------------------------------------------------
+  val SpanTokens = 8
+
+  val substringSpans: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val leads = (1 until SpanTokens).map(i => lead("t", i).over(w).as(s"t$i"))
+      val spanCols = col("t") +: (1 until SpanTokens).map(i => col(s"t$i"))
+      val spans = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+        .select(col("doc_id") +: col("t") +: leads: _*)
+        .filter(col(s"t${SpanTokens - 1}").isNotNull)
+        .select(col("doc_id"), hash60(concat_ws(" ", spanCols: _*)).as("hs"))
+      val postings = spans.select("doc_id", "hs").distinct()
+        .groupBy("hs").agg(count(lit(1)).as("n_docs"))
+      spans.join(postings, "hs")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          roundPortable(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 6)
+            .as("dup_span_frac"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sp AS (
+            |  SELECT doc_id,
+            |    ('0x' || substr(md5(array_to_string(toks[i:i+${SpanTokens - 1}], ' ')), 1, 15))::BIGINT AS hs
+            |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+            |       LATERAL unnest(range(1, len(toks) - ${SpanTokens - 2})) AS r(i)
+            |), pl AS (
+            |  SELECT hs, count(DISTINCT doc_id) AS n_docs FROM sp GROUP BY 1
+            |)
+            |SELECT sp.doc_id, count(*) AS n_spans,
+            |  CAST(sum(CAST(pl.n_docs >= 2 AS BIGINT)) AS BIGINT) AS n_dup_spans,
+            |  floor(CAST(sum(CAST(pl.n_docs >= 2 AS BIGINT)) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS dup_span_frac
+            |FROM sp JOIN pl USING (hs)
+            |GROUP BY 1 ORDER BY sp.doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
@@ -848,6 +909,7 @@ object Dedup {
     "dedup_containment" -> containment,
     "dedup_incremental" -> incremental,
     "dedup_ngram_novelty" -> ngramNovelty,
-    "dedup_minhash_estimate" -> minhashEstimate
+    "dedup_minhash_estimate" -> minhashEstimate,
+    "dedup_substring_spans" -> substringSpans
   )
 }

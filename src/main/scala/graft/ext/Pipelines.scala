@@ -550,6 +550,55 @@ object Pipelines {
             |ORDER BY b.doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Weighted priority sampling (Duffield/Lund/Thorup, "Priority
+  // Sampling for Estimation of Arbitrary Subset Sums", JACM'07 —
+  // public algorithm): draw a weight-biased sample WITHOUT
+  // replacement by giving every doc priority u/w (u uniform from a
+  // content hash, w = the doc's weight — here n_chars as the
+  // quality/size proxy) and keeping the k smallest. Heavier docs get
+  // systematically smaller priorities, so the sample tilts toward
+  // them while staying reproducible: u derives from md5(text), NOT
+  // rand(), so task retries, speculative execution, and the DuckDB
+  // oracle all see the same draw — the same retry-safety argument as
+  // the salted-join salt. The data-mix use case: sample a training
+  // subcorpus where P(doc) ∝ quality weight, deterministically.
+  //
+  // Scale shape: one scan computing (hash, priority), then a global
+  // top-k = TakeOrderedAndProject — map-side bounded (each task keeps
+  // its local k), so the coordinator sees tasks×k rows, never the
+  // corpus. u and the u/w division are exact-integer-derived doubles
+  // (single IEEE op each), identical in both engines; doc_id breaks
+  // (impossible-in-practice) priority ties so the k-row result is
+  // deterministic by construction.
+  // ------------------------------------------------------------------
+  val WeightedSampleK = 50
+  private val PriorityMod = 1048576L // 2^20: u stays exactly representable
+
+  val weightedSample: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      docs
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (hash60(col("text")) % PriorityMod).cast(DoubleType).as("u"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("u") / col("n_chars").cast(DoubleType)).as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(WeightedSampleK)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          roundPortable(col("priority"), 6).as("priority"))
+    },
+    Some(s"""WITH p AS (
+            |  SELECT doc_id, lang, n_chars,
+            |    CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % $PriorityMod AS DOUBLE)
+            |      / CAST(n_chars AS DOUBLE) AS priority
+            |  FROM documents
+            |)
+            |SELECT doc_id, lang, n_chars,
+            |       floor(priority * 1000000 + 0.5) / 1000000 AS priority
+            |FROM p ORDER BY p.priority, doc_id LIMIT $WeightedSampleK""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,
@@ -560,6 +609,7 @@ object Pipelines {
     "pipeline_blocklist_scrub" -> blocklistScrub,
     "pipeline_sample_per_lang" -> samplePerLang,
     "pipeline_mixture_kl" -> mixtureKl,
-    "pipeline_token_budget" -> tokenBudget
+    "pipeline_token_budget" -> tokenBudget,
+    "pipeline_weighted_sample" -> weightedSample
   )
 }

@@ -930,6 +930,61 @@ object TextAnalysis {
            |FROM terms GROUP BY 1 ORDER BY lang""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Heavy hitters via sketch candidates + exact re-rank. The corpus
+  // top-k term problem at 100 TB: an exact groupBy over ALL terms
+  // shuffles the full vocabulary (fine here, ruinous at web scale
+  // where the long tail is billions of strings). The sketch answer is
+  // `approx_top_k` (a DataSketches frequent-items sketch: fixed
+  // memory, mergeable across partitions, map-side combinable) — but a
+  // frequency sketch's counts near the k boundary carry error, so the
+  // production pattern is CANDIDATES + VERIFY, same as every dedup
+  // operator here: over-fetch 2k candidates from the sketch (cheap,
+  // bounded memory), then exact-count ONLY the candidate terms with a
+  // broadcast semi-join (a |candidates|-sized shuffle, not a
+  // |vocab|-sized one) and re-rank deterministically. The emitted
+  // `est_within_pct` boolean pins the sketch's estimate to ±1% of the
+  // exact count per kept term (the sketch is operating far under its
+  // maxMapSize here, where its guarantees make error zero — the
+  // boolean FAILS the driver gate if the sketch ever drifts); the
+  // DuckDB oracle replays the exact top-k, so the gate also proves
+  // the candidate set COVERED the true top-k.
+  // ------------------------------------------------------------------
+  val HeavyHittersK = 10
+
+  val heavyHitters: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = s.read.parquet(s"$d/documents.parquet")
+        .select(explode(tokens(col("text"))).as("term"))
+      // sketch pass: 2k candidates, fixed memory, one 1-row aggregate
+      val cand = tok
+        .agg(expr(s"approx_top_k(term, ${2 * HeavyHittersK}, 8192)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("term"), col("e.count").as("est_n"))
+      // verify pass: exact counts of the candidate terms only
+      val exact = tok.join(broadcast(cand.select("term")), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      exact.join(broadcast(cand), Seq("term"))
+        .withColumn("rnk", row_number().over(Window.orderBy(col("n").desc, col("term"))))
+        .filter(col("rnk") <= HeavyHittersK)
+        .select(col("term"), col("n"), col("rnk"),
+          (abs(col("est_n").cast(DoubleType) - col("n").cast(DoubleType)) <=
+            col("n").cast(DoubleType) * 0.01).cast("long").as("est_within_pct"))
+        .orderBy("rnk")
+    },
+    Some(s"""WITH c AS (
+            |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            |  FROM documents
+            |), n AS (
+            |  SELECT term, count(*) AS n FROM c GROUP BY 1
+            |)
+            |SELECT term, n,
+            |       row_number() OVER (ORDER BY n DESC, term) AS rnk,
+            |       CAST(1 AS BIGINT) AS est_within_pct
+            |FROM n ORDER BY n DESC, term LIMIT $HeavyHittersK""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -948,6 +1003,7 @@ object TextAnalysis {
     "text_gopher_rules" -> gopherRules,
     "text_zipf_slope" -> zipfSlope,
     "text_lm_perplexity" -> lmPerplexity,
-    "text_term_drift" -> termDrift
+    "text_term_drift" -> termDrift,
+    "text_heavy_hitters" -> heavyHitters
   )
 }

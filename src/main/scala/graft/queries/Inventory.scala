@@ -1292,6 +1292,156 @@ object Inventory {
            |FROM cum GROUP BY 1 ORDER BY n_name""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Extension (§2.4-adjacent, re-aggregatable sketches): two-level HLL
+  // rollup — the 100 TB distinct-count ARCHITECTURE, not just a single
+  // approx aggregate. Phase 1 builds one DataSketches HLL sketch per
+  // (event_type, day) — at scale these fine-grained sketches are
+  // MATERIALIZED once (kilobytes per cell, vs re-scanning the fact
+  // table) — and phase 2 answers the coarser per-event_type question
+  // by hll_union_agg over the daily sketches, never touching raw rows
+  // again. That union is the property exact countDistinct lacks:
+  // distincts don't add across days (users repeat), but sketches
+  // merge losslessly (register-max), so ANY rollup (weekly, monthly,
+  // all-time) derives from the daily layer. Oracle contract follows
+  // `agg_approx_distinct`: estimates are engine-specific, so the
+  // query emits exact counts plus a bounded-error boolean the oracle
+  // replays as a literal (lgConfigK=14 → rsd ≈ 0.81%, 3σ < 2.5%;
+  // bound at 0.04) — a sketch out of contract fails the driver gate.
+  // ------------------------------------------------------------------
+  val aggSketchMerge: Q = Q(
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      // phase 1: the materializable daily sketch layer
+      val daily = ev.groupBy("event_type", "day")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      // phase 2: rollup by merging sketches — no second fact scan
+      val merged = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(merged, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("exact_users"),
+          (abs(col("approx_users").cast(DoubleType) - col("exact_users").cast(DoubleType)) /
+            col("exact_users").cast(DoubleType) <= lit(0.04))
+            .cast("long").as("approx_within_rsd"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+           |       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           |       count(DISTINCT user_id) AS exact_users,
+           |       CAST(1 AS BIGINT) AS approx_within_rsd
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Extension (§2.3-adjacent, skew): SALTED JOIN — the join-side twin
+  // of `agg_salted_skew`, exercising `Joins.saltedJoin` as a registry
+  // query. `events.event_type` is a 5-value key over the whole fact
+  // table: a plain shuffle join sends each hot key to ONE reducer and
+  // the stage runs at the speed of the hottest key. AQE only splits
+  // skewed SORT-MERGE partitions; a skewed shuffle-HASH join feeding
+  // stateful operators, or one hot key exceeding a single executor,
+  // still needs salting. The fact side salts each row deterministically
+  // (from user_id — retry-safe under speculative execution, where a
+  // rand() salt would re-roll), the dim side explodes `salts`×, and
+  // the join lands on (key, salt) with per-bucket load ≈ hot/salts.
+  // The DuckDB oracle runs the PLAIN join + aggregate, so the gate
+  // proves the salted rewrite value-identical, not just shaped right.
+  // (At this dim size broadcast would win — the query is the pattern's
+  // correctness proof; production reaches for it when the dim is too
+  // big to broadcast AND the fact key is hot.)
+  // ------------------------------------------------------------------
+  val joinSkewSalted: Q = Q(
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("user_id"), col("value"))
+      // dim derived from the fact's own key domain: category = first
+      // letter, so the oracle can rebuild the identical table
+      val dim = ev.select("event_type").distinct()
+        .withColumn("category", upper(substring(col("event_type"), 1, 1)))
+      graft.engine.Joins.saltedJoin(ev, dim, "event_type", salts = SkewSalts,
+          saltSource = col("user_id"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .orderBy("category")
+    },
+    Some("""WITH dim AS (
+           |  SELECT DISTINCT event_type, upper(substr(event_type, 1, 1)) AS category
+           |  FROM events
+           |)
+           |SELECT category, count(*) AS n_events,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events JOIN dim USING (event_type)
+           |GROUP BY 1 ORDER BY category""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Extension (storage layout / data skipping): Z-ORDER clustering key.
+  // Interleaving the bits of two dimension keys makes rows that are
+  // close in EITHER dimension close in the sort order, so sorting (or
+  // range-partitioning) a 100 TB table by the z-value gives parquet
+  // row-group min/max stats that prune on BOTH columns — the layout
+  // trick behind multi-dimensional clustering in modern lakehouse
+  // table formats, expressed here as plain integer arithmetic (bit
+  // ops via div/mod so the oracle replays them exactly; no UDF, fully
+  // codegen). The query computes z = interleave(quantity, discount%)
+  // per lineitem, groups rows into z-range buckets (z div 16 — what a
+  // writer would put in one row group), and emits per-bucket min/max
+  // of BOTH source dimensions: tight per-bucket ranges in the output
+  // ARE the data-skipping claim made measurable (a scan with
+  // `quantity BETWEEN a AND b AND discount = c` skips every bucket
+  // whose [min,max] misses the predicate box).
+  // Domains are fixed by the data dictionary (quantity 1..50 → 6
+  // bits; discount 0.00..0.10 → percent 0..10 → 4 bits, padded to 6),
+  // so bucket ids are sf-independent. floor(x+0.5) — not CAST — maps
+  // the doubles to ints: Spark CAST truncates, DuckDB CAST rounds.
+  // ------------------------------------------------------------------
+  val ZBits = 6
+
+  /** Bit-interleave `Σ_i bit_i(bx)·4^i·(1) + bit_i(by)·4^i·2` as an
+    * arithmetic expression string valid in BOTH Spark SQL (`intDiv`)
+    * and DuckDB (`//`) — the caller passes the dialect's integer-div
+    * operator spelling via `idiv`.
+    */
+  private def zInterleave(bx: String, by: String, idiv: (String, Long) => String): String =
+    (0 until ZBits).map { i =>
+      val (m, px, py) = (1L << i, 1L << (2 * i), 1L << (2 * i + 1))
+      s"((${idiv(bx, m)}) % 2) * $px + ((${idiv(by, m)}) % 2) * $py"
+    }.mkString(" + ")
+
+  val sortZorder: Q = Q(
+    (s, d) => {
+      val sparkZ = zInterleave("qx", "dx", (e, m) => s"$e div $m")
+      t(s, d, "lineitem")
+        .select(floor(col("l_quantity") + lit(0.5)).cast("long").as("qx"),
+          floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("dx"))
+        .withColumn("z", expr(sparkZ))
+        .withColumn("z_bucket", expr("z div 16"))
+        .groupBy("z_bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("qx")).as("min_qty"), max(col("qx")).as("max_qty"),
+          min(col("dx")).as("min_disc"), max(col("dx")).as("max_disc"))
+        .orderBy("z_bucket")
+    },
+    Some {
+      val duckZ = zInterleave("qx", "dx", (e, m) => s"$e // $m")
+      s"""WITH b AS (
+         |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qx,
+         |         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dx
+         |  FROM lineitem
+         |), z AS (
+         |  SELECT qx, dx, ($duckZ) AS z FROM b
+         |)
+         |SELECT z // 16 AS z_bucket, count(*) AS n_rows,
+         |       min(qx) AS min_qty, max(qx) AS max_qty,
+         |       min(dx) AS min_disc, max(dx) AS max_disc
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    }
+  )
+
   val all: Seq[(String, Q)] = Seq(
     "s1_scan" -> s1Scan,
     "p2_projection" -> p2Projection,
@@ -1330,6 +1480,9 @@ object Inventory {
     "profile_columns" -> profileColumns,
     "profile_columns_approx" -> profileColumnsApprox,
     "agg_market_basket" -> marketBasket,
-    "window_pareto_share" -> paretoShare
+    "window_pareto_share" -> paretoShare,
+    "agg_sketch_merge" -> aggSketchMerge,
+    "join_skew_salted" -> joinSkewSalted,
+    "sort_zorder" -> sortZorder
   )
 }

@@ -730,6 +730,105 @@ class ExtSpec extends SparkSpec {
     assert(r.map(_.getLong(2)).sum === expected)
   }
 
+  test("substring spans: span counts are exact and planted full copies duplicate every span") {
+    val spans = Dedup.substringSpans.build(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // per-doc span count = max(0, n_tokens - SpanTokens + 1), doc for doc
+    val toks = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n_toks"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    toks.foreach { case (id, n) =>
+      val expected = math.max(0, n - Dedup.SpanTokens + 1)
+      val got = spans.get(id).map(_.getLong(1)).getOrElse(0L)
+      assert(got === expected.toLong, s"doc $id: $got spans for $n tokens")
+    }
+    // a planted exact duplicate shares EVERY span with its copy; the
+    // disjoint third doc shares none
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    val text = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 12).map(i => s"alt$i").mkString(" ")
+    Seq((1L, text, "en", "src", 60L), (2L, text, "en", "src", 60L),
+      (3L, other, "en", "src", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val planted = Dedup.substringSpans.build(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(planted(1L) === 1.0 && planted(2L) === 1.0, s"$planted")
+    assert(planted(3L) === 0.0, s"$planted")
+  }
+
+  test("weighted priority sample is k-sized, deterministic, and biased toward heavy docs") {
+    val a = Pipelines.weightedSample.build(spark, d).collect()
+    val b = Pipelines.weightedSample.build(spark, d).collect()
+    assert(a.length === Pipelines.WeightedSampleK)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq, "sample must be reproducible")
+    val sampleAvg = a.map(_.getLong(2).toDouble).sum / a.length
+    val corpusAvg = spark.read.parquet(s"$d/documents.parquet")
+      .agg(avg("n_chars")).head.getDouble(0)
+    assert(sampleAvg > corpusAvg,
+      s"weighted sample avg n_chars $sampleAvg not above corpus avg $corpusAvg")
+  }
+
+  test("heavy hitters: sketch candidates + exact re-rank equals the exact top-k") {
+    val got = TextAnalysis.heavyHitters.build(spark, d).collect()
+    val exact = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(TextAnalysis.HeavyHittersK)
+      .collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      exact.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(got.forall(_.getLong(3) === 1L), "sketch estimate outside the ±1% contract")
+  }
+
+  test("pagerank: mass conserved, every node ranked, planted-flow ordering sane") {
+    val r = Graph.pagerank.build(spark, d).collect()
+    val types = spark.read.parquet(s"$d/events.parquet")
+      .select("event_type").distinct().count()
+    assert(r.length === types)
+    val mass = r.map(_.getDouble(1)).sum
+    // teleport conserves mass when every node has out-edges (no
+    // dangling leak on this graph); rounding at 1e-6 per node
+    assert(math.abs(mass - 1.0) < types * 1e-6, s"rank mass $mass drifted from 1")
+    assert(r.forall(_.getDouble(1) > 0))
+    // output is ordered by rank desc
+    assert(r.map(_.getDouble(1)).toSeq === r.map(_.getDouble(1)).toSeq.sorted.reverse)
+  }
+
+  test("sketch-merge rollup: daily-sketch union honors the 3-sigma error contract") {
+    val r = graft.queries.Inventory.aggSketchMerge.build(spark, d).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getLong(3) === 1L), "merged HLL estimate outside 0.04 band")
+  }
+
+  test("salted join aggregate equals the plain join aggregate") {
+    val salted = graft.queries.Inventory.joinSkewSalted.build(spark, d).collect()
+    val ev = graft.queries.Inventory.events(spark, d)
+      .select(col("event_type"), col("value"))
+    val plain = ev
+      .groupBy(upper(substring(col("event_type"), 1, 1)).as("category"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("category").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("z-order buckets are tight in BOTH dimensions (the data-skipping property)") {
+    val r = graft.queries.Inventory.sortZorder.build(spark, d).collect()
+    val totalRows = r.map(_.getLong(1)).sum
+    assert(totalRows === spark.read.parquet(s"$d/lineitem.parquet").count())
+    // z div 16 frees only the 2 low bits of each dimension: every
+    // bucket spans at most 4 adjacent values per dimension — that
+    // tightness is exactly what lets min/max stats prune 2-D predicates
+    r.foreach { row =>
+      assert(row.getLong(3) - row.getLong(2) <= 3,
+        s"bucket ${row.getLong(0)} quantity range too wide")
+      assert(row.getLong(5) - row.getLong(4) <= 3,
+        s"bucket ${row.getLong(0)} discount range too wide")
+    }
+  }
+
   test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
     assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
     val r = Pipelines.mixtureKl.build(spark, d).collect()

@@ -206,6 +206,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("substring spans posting join shuffles the 64-bit window hash, never pairs") {
+    val p = plan(graft.ext.Dedup.substringSpans.build(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must not enumerate pairs:\n$p")
+    val hashed = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashed.nonEmpty &&
+      hashed.forall(l => l.contains("doc_id") || l.contains("hs")), s"$hashed")
+  }
+
+  test("heavy hitters re-ranks sketch candidates via broadcasts (vocab never shuffles twice)") {
+    val p = plan(graft.ext.TextAnalysis.heavyHitters.build(spark, d))
+    // the candidate set reaches both the semi-join filter and the
+    // estimate join as broadcasts
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined,
+      s"candidate filter must be a broadcast semi-join:\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("weighted sample bounds top-k map-side (TakeOrderedAndProject, no global sort)") {
+    val p = plan(graft.ext.Pipelines.weightedSample.build(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort crept in:\n$p")
+  }
+
+  test("salted join lands on (key, salt) — the hot key spreads over the salt space") {
+    val p = plan(Inventory.joinSkewSalted.build(spark, d))
+    assert(p.contains("_salt"), s"salt column missing from the join plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("z-order scan prunes to the two clustered columns") {
+    val p = plan(Inventory.sortZorder.build(spark, d))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_discount:double>"),
+      s"z-order must read only its two dimensions:\n$p")
+  }
+
+  test("pagerank iterations stay equi-joins over |V|-sized state (anchors broadcast)") {
+    val p = plan(graft.ext.Graph.pagerank.build(spark, d))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the broadcast 1-row |V| anchors
+    val nested = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).size
+    assert(nested <= PageRankAnchors, s"unexpected non-anchor nested-loop join:\n$p")
+  }
+
+  private val PageRankAnchors = graft.ext.Graph.PageRankIters + 1
+
   test("salted skew aggregation is two-level: exchange on (key, salt) then on key") {
     val p = plan(Inventory.aggSaltedSkew.build(spark, d))
     // phase 1 spreads the hot key over the salt space...

@@ -3,7 +3,10 @@
 dumps against the DuckDB oracle SQL and diff (dev tool only — the engine
 itself has no Python dependency).
 
-Usage: python3 tools/oracle_check.py <verifyOutDir> <sfDir>
+Usage: python3 tools/oracle_check.py <verifyOutDir> <sfDir> [name ...]
+
+Optional trailing names restrict the check to those queries (matches
+Verify's optional third arg for fast single-query iteration).
 """
 import json
 import sys
@@ -14,12 +17,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, names=()) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if names:
+        oracles = {k: v for k, v in oracles.items() if k in set(names)}
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -56,4 +61,4 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[2], sys.argv[1]))
+    sys.exit(main(sys.argv[2], sys.argv[1], sys.argv[3:]))
