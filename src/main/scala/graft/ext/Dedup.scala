@@ -852,13 +852,18 @@ object Dedup {
   // (MinHash/SimHash) stays low, which is exactly why span-level
   // dedup is run IN ADDITION to near-dup dedup on LLM corpora.
   //
-  // Scale shape: tokenize once (posexplode + 7 window leads, all
-  // codegen — no interpreted HOFs), one shuffle on the 64-bit window
-  // hash to count distinct docs per window (posting list), one
-  // broadcast-sized join back. The window hash is md5-derived
-  // ([[hash60]]) so the DuckDB oracle replays the exact keys; the
-  // cross-doc test is `n_docs >= 2` on the posting list, never a
-  // pairwise join — O(corpus) not O(corpus²).
+  // Scale shape: tokenize + hash ONCE (posexplode + 7 window leads,
+  // all codegen — no interpreted HOFs), then decide cross-doc
+  // duplication with a WINDOW over the 64-bit span hash: a span is
+  // duplicated iff min(doc_id) ≠ max(doc_id) over its hash partition.
+  // That is one extra shuffle on the hash and nothing else — the
+  // aggregate-posting-list + join-back alternative reruns the whole
+  // tokenize/md5 pipeline per join branch (Spark reuses exchanges,
+  // not the operator trees above them) and, worse, its posting list
+  // is CORPUS-sized, so at 100 TB the join back is a second full
+  // shuffle (or an impossible broadcast). The window hash is
+  // md5-derived ([[hash60]]) so the DuckDB oracle replays the exact
+  // keys; no pairwise join anywhere — O(corpus) not O(corpus²).
   // ------------------------------------------------------------------
   val SpanTokens = 8
 
@@ -868,17 +873,17 @@ object Dedup {
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val leads = (1 until SpanTokens).map(i => lead("t", i).over(w).as(s"t$i"))
       val spanCols = col("t") +: (1 until SpanTokens).map(i => col(s"t$i"))
-      val spans = s.read.parquet(s"$d/documents.parquet")
+      val byHash = Window.partitionBy("hs")
+      s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
         .select(col("doc_id") +: col("t") +: leads: _*)
         .filter(col(s"t${SpanTokens - 1}").isNotNull)
         .select(col("doc_id"), hash60(concat_ws(" ", spanCols: _*)).as("hs"))
-      val postings = spans.select("doc_id", "hs").distinct()
-        .groupBy("hs").agg(count(lit(1)).as("n_docs"))
-      spans.join(postings, "hs")
+        .withColumn("dup",
+          (min(col("doc_id")).over(byHash) =!= max(col("doc_id")).over(byHash))
+            .cast("long"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("dup")).as("n_dup_spans"))
         .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
           roundPortable(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 6)
             .as("dup_span_frac"))

@@ -206,10 +206,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("substring spans posting join shuffles the 64-bit window hash, never pairs") {
+  test("substring spans hash the corpus once: window over hs, no join, no second scan") {
     val p = plan(graft.ext.Dedup.substringSpans.build(spark, d))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"span dedup must not enumerate pairs:\n$p")
+    // the one-pass property: a single parquet scan feeds the whole
+    // plan (the posting-list formulation scans + hashes twice)
+    assert(parquetScans(p) === 1, s"tokenize/hash pipeline duplicated:\n$p")
     val hashed = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(hashed.nonEmpty &&
       hashed.forall(l => l.contains("doc_id") || l.contains("hs")), s"$hashed")
