@@ -331,6 +331,73 @@ object Sessions {
            |FROM pairs ORDER BY from_type, to_type""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Session path mining — the top event-type journeys. Builds on the
+  // same gap-based sessionization as `events_sessionize` (session id =
+  // running sum of session starts per user timeline), takes each
+  // session's first `PathLen` events IN ORDER, and counts the
+  // resulting paths corpus-wide: "what do sessions actually do", the
+  // sequence complement of `events_transition_matrix` (which sees
+  // only adjacent pairs) and `events_funnel` (which checks ONE
+  // prescribed path — this query discovers the paths worth
+  // prescribing).
+  //
+  // Scale shape: the per-session head is an aggregate over the
+  // (user, session) key — array_sort(collect_list(struct)) buffers
+  // ONE SESSION's events per group (bounded by session length, never
+  // a user's history or the corpus), sliced to PathLen before any
+  // further movement, so the path aggregate shuffles ≤ PathLen types
+  // per session. The final top-k is count-ordered with a total
+  // (count, path) tiebreak. Ordering inside the collect is pinned by
+  // (ts, event_id) — unique per user — so the path strings are
+  // deterministic under any partitioning; the oracle replays them
+  // with DuckDB's ordered list() aggregate.
+  // ------------------------------------------------------------------
+  val PathLen = 4
+  val TopPaths = 15
+
+  val topPaths: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lagWin = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val prev = lag(us, 1).over(lagWin)
+      val newSession = when(prev.isNull || (us - prev) > GapSeconds * 1000000L, 1L).otherwise(0L)
+      ev
+        .withColumn("sess_no", sum(newSession).over(byUser))
+        .groupBy("user_id", "sess_no")
+        .agg(slice(array_sort(collect_list(struct(us.as("us"), col("event_id"),
+          col("event_type")))), 1, PathLen).as("head"))
+        .select(array_join(col("head.event_type"), ">").as("path"), col("user_id"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(TopPaths)
+    },
+    Some(s"""WITH marked AS (
+            |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+            |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+            |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $GapSeconds * 1000000
+            |         THEN 1 ELSE 0 END AS new_session
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            |), sess AS (
+            |  SELECT user_id, event_id, event_type, us,
+            |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+            |  FROM marked
+            |), paths AS (
+            |  SELECT user_id, sess_no,
+            |         array_to_string((list(event_type ORDER BY us, event_id))[1:$PathLen], '>') AS path
+            |  FROM sess GROUP BY 1, 2
+            |)
+            |SELECT path, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
+            |FROM paths GROUP BY 1
+            |ORDER BY n_sessions DESC, path LIMIT $TopPaths""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_sessionize" -> sessionize,
     "events_hourly_window" -> hourly,
@@ -338,6 +405,7 @@ object Sessions {
     "events_funnel" -> funnel,
     "events_debounce" -> debounce,
     "events_anomaly_days" -> anomalyDays,
-    "events_transition_matrix" -> transitionMatrix
+    "events_transition_matrix" -> transitionMatrix,
+    "events_top_paths" -> topPaths
   )
 }

@@ -37,6 +37,25 @@ object Streams {
         date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("n_events"), col("avg_value"))
 
+  /** Streaming half of the `agg_sketch_merge` architecture: the
+    * stream continuously maintains the per-(event_type, day) HLL
+    * sketch CELLS (DataSketches via `hll_sketch_agg`); any batch
+    * consumer answers coarser distinct-count rollups by
+    * `hll_union_agg` over the materialized cells without ever
+    * replaying the stream. Sketch state per cell is kilobytes and the
+    * merge is register-max (associative + commutative), so update
+    * mode, late data within the watermark, and cross-partition merge
+    * all compose losslessly — the property that makes sketch layers
+    * the 100 TB answer to "distinct users per X, any X, any window".
+    */
+  def sketchCells(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("sk"))
+
   /** SLIDING-window twin of `Inventory.windowRollingRange`: trailing
     * totals per event_type, one window per (slide) step. A sliding
     * window assigns each event to duration/slide windows (here 3h/1h

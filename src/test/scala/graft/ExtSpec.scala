@@ -829,6 +829,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("top paths: session-count conservation, bounded length, deterministic") {
+    val paths = Sessions.topPaths.build(spark, d).collect()
+    assert(paths.nonEmpty && paths.length <= Sessions.TopPaths)
+    paths.foreach { r =>
+      val segs = r.getString(0).split(">")
+      assert(segs.nonEmpty && segs.length <= Sessions.PathLen, r.getString(0))
+      assert(r.getLong(2) <= r.getLong(1), "n_users cannot exceed n_sessions")
+    }
+    // counts are ordered desc and no path can hold more sessions than exist
+    val counts = paths.map(_.getLong(1)).toSeq
+    assert(counts === counts.sorted.reverse)
+    val totalSessions = Sessions.sessionize.build(spark, d)
+      .agg(sum("n_sessions")).head.getLong(0)
+    assert(counts.sum <= totalSessions)
+    val again = Sessions.topPaths.build(spark, d).collect().map(_.toString)
+    assert(again.toSeq === paths.map(_.toString).toSeq)
+  }
+
   test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
     assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
     val r = Pipelines.mixtureKl.build(spark, d).collect()

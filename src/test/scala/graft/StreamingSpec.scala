@@ -48,6 +48,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === expected.toSeq)
   }
 
+  test("streamed HLL cells merge to the exact distinct counts (sketch-layer contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = Streams.sketchCells(mem.toDF())
+      .writeStream.format("memory").queryName("sketch_cells")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    // batch rollup over the STREAM-BUILT cells (never re-reads events)
+    val merged = spark.table("sketch_cells")
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.toDF().groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet === exact.keySet)
+    // at these cardinalities the sketch is in exact (sparse) mode
+    exact.foreach { case (k, n) => assert(merged(k) === n, s"$k: ${merged(k)} != $n") }
+  }
+
   test("streaming session windows split on the 30-minute gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
