@@ -45,15 +45,20 @@ object Bench {
     val total = results.map(_._2).sum
     val blob = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(blob)
-    // The driver captures only the tail of stdout, and log noise has
-    // repeatedly truncated the blob mid-JSON (BENCH_r06 lost the total and
-    // the first ~20 timings). Persist it to a file so the full result
-    // always survives, regardless of what the tail window catches.
+    // The driver captures only a ~3.5 KB TAIL of stdout, and the
+    // 100+-query blob no longer fits in it (BENCH_r06/r07 both landed
+    // with `parsed: null` — the window starts mid-JSON). Two-part fix:
+    // the full blob is persisted to target/bench.json (above the tail
+    // problem entirely), and a COMPACT summary line — small enough to
+    // always sit whole inside any tail window — is printed LAST so a
+    // tail-parser recovers the total even when the full blob scrolls
+    // out. Per-query detail lives in the file and in BENCHNOTES.
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (blob + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"detail":"target/bench.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
