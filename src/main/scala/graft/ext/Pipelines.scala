@@ -599,6 +599,59 @@ object Pipelines {
             |FROM p ORDER BY p.priority, doc_id LIMIT $WeightedSampleK""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Dataset card — the per-language summary a corpus release ships
+  // (docs, uniqueness, duplication rate, token/char volume), computed
+  // in ONE scan via a two-level aggregate: level 1 groups by
+  // (lang, text-hash) — collapsing exact duplicates while counting
+  // them — and level 2 rolls the hash groups up per language. The
+  // same pattern as the salted aggregate (fine partial → coarse
+  // merge), here because the interesting metrics live at BOTH grains:
+  // uniqueness needs the hash grain, the card needs the language
+  // grain, and doing them in sequence means the corpus text is read,
+  // hashed and tokenized exactly once. Per-text metrics (token count,
+  // n_chars) are constant within a hash group, so `max` carries them
+  // upward without a join.
+  // ------------------------------------------------------------------
+  val datasetCard: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val l1 = docs
+        .groupBy(col("lang"), md5(encode(col("text"), "UTF-8")).as("h"))
+        .agg(count(lit(1)).as("n"),
+          max(size(TextAnalysis.tokens(col("text")))).cast("long").as("tok"),
+          max(col("n_chars")).as("chars"))
+      val sumN = sum(col("n"))
+      val cnt = count(lit(1))
+      l1.groupBy("lang")
+        .agg(sumN.as("n_docs"), cnt.as("n_unique_texts"),
+          (sumN - cnt).as("dup_docs"),
+          roundPortable((sumN.cast(DoubleType) - cnt.cast(DoubleType)) /
+            sumN.cast(DoubleType), 6).as("dup_rate"),
+          sum(col("n") * col("tok")).as("total_tokens"),
+          roundPortable(sum(col("n") * col("tok")).cast(DoubleType) /
+            sumN.cast(DoubleType), 2).as("avg_doc_tokens"),
+          sum(col("n") * col("chars")).as("total_chars"))
+        .orderBy("lang")
+    },
+    Some("""WITH l1 AS (
+           |  SELECT lang, md5(text) AS h, count(*) AS n,
+           |         max(len(string_split_regex(lower(trim(text)), '\s+'))) AS tok,
+           |         max(n_chars) AS chars
+           |  FROM documents GROUP BY 1, 2
+           |)
+           |SELECT lang,
+           |  CAST(sum(n) AS BIGINT) AS n_docs,
+           |  count(*) AS n_unique_texts,
+           |  CAST(sum(n) - count(*) AS BIGINT) AS dup_docs,
+           |  floor((CAST(sum(n) AS DOUBLE) - CAST(count(*) AS DOUBLE))
+           |        / CAST(sum(n) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dup_rate,
+           |  CAST(sum(n * tok) AS BIGINT) AS total_tokens,
+           |  floor(CAST(sum(n * tok) AS DOUBLE) / CAST(sum(n) AS DOUBLE) * 100 + 0.5) / 100 AS avg_doc_tokens,
+           |  CAST(sum(n * chars) AS BIGINT) AS total_chars
+           |FROM l1 GROUP BY 1 ORDER BY lang""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,
@@ -610,6 +663,7 @@ object Pipelines {
     "pipeline_sample_per_lang" -> samplePerLang,
     "pipeline_mixture_kl" -> mixtureKl,
     "pipeline_token_budget" -> tokenBudget,
-    "pipeline_weighted_sample" -> weightedSample
+    "pipeline_weighted_sample" -> weightedSample,
+    "pipeline_dataset_card" -> datasetCard
   )
 }

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import scala.util.Random
 
@@ -554,6 +554,55 @@ object Similarity {
             |FROM n GROUP BY 1 ORDER BY label""".stripMargin)
   )
 
+
+  // ------------------------------------------------------------------
+  // Per-DIMENSION variance profile — embedding feature hygiene: a
+  // dimension with ~zero variance is dead weight in every distance
+  // computation (and a candidate for pruning/quantization); one with
+  // an outlier range dominates unnormalized metrics. The complement
+  // of `emb_norm_stats` (per-vector hygiene): this is per-coordinate,
+  // the statistics a PCA/whitening/quantizer-training step starts
+  // from. posexplode is the scale-correct layout (n·d rows shuffled
+  // once on the 64-value dim key, each partial aggregating locally —
+  // never a d×d driver matrix), and determinism follows the
+  // emb_norm_stats recipe: round each coordinate (and its square) to
+  // a portable 6-dp grid, sum in DECIMAL (order-independent), derive
+  // mean/variance in double with the exact op order the oracle
+  // replays.
+  // ------------------------------------------------------------------
+  val dimVariance: Q = Q(
+    (s, d) => {
+      val x = col("x").cast(DoubleType)
+      val l1 = emb(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"), roundPortable(x, 6).as("xq"),
+          roundPortable(x * x, 6).as("x2q"))
+      val n = count(lit(1)).cast(DoubleType)
+      val meanRaw = sum(col("xq").cast(DecimalType(28, 6))).cast(DoubleType) / n
+      val varRaw = sum(col("x2q").cast(DecimalType(28, 6))).cast(DoubleType) / n -
+        meanRaw * meanRaw
+      l1.groupBy("dim")
+        .agg(count(lit(1)).as("n_vals"),
+          roundPortable(meanRaw, 6).as("mean_val"),
+          roundPortable(varRaw, 6).as("var_val"),
+          min(col("xq")).as("min_val"), max(col("xq")).as("max_val"))
+        .orderBy("dim")
+    },
+    Some("""WITH v AS (
+           |  SELECT i - 1 AS dim,
+           |    floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS xq,
+           |    floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS x2q
+           |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+           |)
+           |SELECT dim, count(*) AS n_vals,
+           |  floor(CAST(sum(CAST(xq AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_val,
+           |  floor((CAST(sum(CAST(x2q AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |         - (CAST(sum(CAST(xq AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+           |           * (CAST(sum(CAST(xq AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS var_val,
+           |  min(xq) AS min_val, max(xq) AS max_val
+           |FROM v GROUP BY 1 ORDER BY dim""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "ann_cosine_topk" -> bruteForceTopK,
     "ann_dot_topk" -> dotTopK,
@@ -561,6 +610,7 @@ object Similarity {
     "ann_ivf_topk" -> ivfTopK,
     "ann_ivf_kmeans_topk" -> ivfKmeansTopK,
     "ann_quantized_topk" -> quantizedTopK,
-    "emb_norm_stats" -> normStats
+    "emb_norm_stats" -> normStats,
+    "emb_dim_variance" -> dimVariance
   )
 }

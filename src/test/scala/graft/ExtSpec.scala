@@ -847,6 +847,34 @@ class ExtSpec extends SparkSpec {
     assert(again.toSeq === paths.map(_.toString).toSeq)
   }
 
+  test("dataset card conserves doc/char totals and its dup accounting is exact") {
+    val card = Pipelines.datasetCard.build(spark, d).collect()
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    assert(card.map(_.getLong(1)).sum === docs.count())
+    assert(card.map(_.getLong(7)).sum ===
+      docs.agg(sum("n_chars")).head.getLong(0))
+    card.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2), "dup_docs != n_docs - unique")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+    }
+    // uniqueness per lang matches a direct distinct count
+    val uniq = docs.groupBy("lang").agg(countDistinct(col("text")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    card.foreach(r => assert(r.getLong(2) === uniq(r.getString(0))))
+  }
+
+  test("dim variance: one row per dimension, non-negative variance, mean inside range") {
+    val dims = Similarity.dimVariance.build(spark, d).collect()
+    val nVecs = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(dims.length === 64)
+    dims.foreach { r =>
+      assert(r.getLong(1) === nVecs)
+      assert(r.getDouble(3) >= -1e-9, s"dim ${r.getInt(0)} variance negative")
+      assert(r.getDouble(2) >= r.getDouble(4) - 1e-9 &&
+        r.getDouble(2) <= r.getDouble(5) + 1e-9, "mean outside [min,max]")
+    }
+  }
+
   test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
     assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
     val r = Pipelines.mixtureKl.build(spark, d).collect()
