@@ -255,6 +255,42 @@ class PlanSpec extends SparkSpec {
 
   private val PageRankAnchors = graft.ext.Graph.PageRankIters + 1
 
+  test("AQE splits a skewed sort-merge join at runtime (the free skew path salting complements)") {
+    // One hot key (~3 MB of rows in one partition) against a key-unique
+    // dim, broadcast disabled so the join stays sort-merge: AQE must
+    // mark the hot partition skewed and split it. This is the runtime
+    // half of the skew story — saltedJoin/saltedAgg cover the cases AQE
+    // can't (aggregations, shuffle-hash, stateful consumers).
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      val hot = spark.range(200000).select(lit(0L).as("k"), col("id").as("v"))
+        .union(spark.range(2000).select((col("id") % 50 + 1).as("k"), col("id").as("v")))
+      val dim = spark.range(51).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = hot.join(dim, "k")
+      // collect() executes THIS queryExecution, so its adaptive plan
+      // finalizes (count() would plan a separate execution)
+      assert(joined.collect().length === 202000) // value-correct under the split
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true"), s"AQE did not split the skewed partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("salted skew aggregation is two-level: exchange on (key, salt) then on key") {
     val p = plan(Inventory.aggSaltedSkew.build(spark, d))
     // phase 1 spreads the hot key over the salt space...
