@@ -1293,6 +1293,40 @@ object Inventory {
   )
 
   // ------------------------------------------------------------------
+  // Extension (§2.4-adjacent): explicit GROUPING SETS — the general
+  // form rollup/cube specialize. The sets here are deliberately NOT a
+  // rollup chain ({(flag,status), (status), ()} skips (flag)), which
+  // only GROUPING SETS can express; like `agg_cube` it is ONE pass
+  // over the fact table (a single Expand multiplies rows map-side,
+  // partial aggregation collapses them immediately) where naive UNION
+  // ALL of three aggregates would scan three times. grouping_id
+  // disambiguates "NULL because superaggregate" from a genuinely NULL
+  // key, and the ORDER BY coalesces the nullable keys (Spark sorts
+  // NULLS FIRST, DuckDB LAST — the determinism contract forbids
+  // sorting raw nullable columns).
+  // ------------------------------------------------------------------
+  val aggGroupingSets: Q = Q(
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), coalesce(col("l_returnflag"), lit("")),
+          coalesce(col("l_linestatus"), lit(""))),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |       GROUPING(l_returnflag, l_linestatus) AS gid
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+           |ORDER BY gid, coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // Extension (§2.4-adjacent, re-aggregatable sketches): two-level HLL
   // rollup — the 100 TB distinct-count ARCHITECTURE, not just a single
   // approx aggregate. Phase 1 builds one DataSketches HLL sketch per
@@ -1481,6 +1515,7 @@ object Inventory {
     "profile_columns_approx" -> profileColumnsApprox,
     "agg_market_basket" -> marketBasket,
     "window_pareto_share" -> paretoShare,
+    "agg_grouping_sets" -> aggGroupingSets,
     "agg_sketch_merge" -> aggSketchMerge,
     "join_skew_salted" -> joinSkewSalted,
     "sort_zorder" -> sortZorder

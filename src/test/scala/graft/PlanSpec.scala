@@ -176,6 +176,12 @@ class PlanSpec extends SparkSpec {
     assert(parquetScans(p) === 1, p)
   }
 
+  test("explicit grouping sets stay one pass too (Expand, single scan)") {
+    val p = plan(Inventory.aggGroupingSets.build(spark, d))
+    assert(p.contains("Expand"), p)
+    assert(parquetScans(p) === 1, s"UNION-of-aggregates shape crept in:\n$p")
+  }
+
   test("rolling window runs a RANGE frame over the daily aggregate, not raw events") {
     val p = plan(Inventory.windowRollingRange.build(spark, d))
     assert(p.contains("RangeFrame, -6"), p)
