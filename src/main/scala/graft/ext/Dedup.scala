@@ -43,7 +43,17 @@ object Dedup {
     * (`('0x' || substr(md5(s),1,15))::BIGINT`). Collision odds at
     * 2⁻⁶⁰·n² are irrelevant for dedup candidate generation.
     */
-  def hash60(s: Column): Column =
+  /** Native expression (zero hex round-trip — see
+    * [[graft.functions.Hash60]]); value-identical to
+    * [[hash60Composed]], which the parity spec pins.
+    */
+  def hash60(s: Column): Column = graft.functions.Hash60(s)
+
+  /** The composed built-in formulation the oracle SQL mirrors
+    * (`('0x' || substr(md5(s), 1, 15))::BIGINT` in DuckDB). Kept as
+    * the spec reference for the native expression.
+    */
+  def hash60Composed(s: Column): Column =
     conv(substring(md5(encode(s, "UTF-8")), 1, 15), 16, 10).cast("long")
 
   /** Distinct 3-token-shingle hashes per document: (doc_id, sz, hs)

@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val (dotInfo, dotBuilder) =
       FunctionRegistryBase.build[DotProduct]("dot_product", since = None)
     ext.injectFunction((FunctionIdentifier("dot_product"), dotInfo, dotBuilder))
+    val (h60Info, h60Builder) =
+      FunctionRegistryBase.build[Hash60]("hash60", since = None)
+    ext.injectFunction((FunctionIdentifier("hash60"), h60Info, h60Builder))
   }
 }
