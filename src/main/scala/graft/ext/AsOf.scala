@@ -85,6 +85,48 @@ object AsOf {
         rightPayload.map(c => col(s"_payload.$c").as(c)): _*)
   }
 
+  /** FORWARD as-of join: each left row takes the EARLIEST right row
+    * with the same key and `right.ts >= left.ts` — the mirror of
+    * [[asofJoin]]'s backward fill. This is the labeling direction:
+    * "the next published rate / the first outcome at-or-after this
+    * event", the join a training pipeline runs to attach forward
+    * outcomes to features (and the one you audit for label leakage —
+    * leakage is exactly a backward feature join accidentally built
+    * this way round). Same unified-frame construction, with the
+    * window frame flipped to (current row, unbounded FOLLOWING) and
+    * `first(ignoreNulls)` doing a backward fill; at equal timestamps
+    * the left row sorts BEFORE right rows (side 0 < 1), so an exact
+    * tie matches inclusively, mirroring the backward join's
+    * inclusive `<=`. Rows with no later right match keep NULLs.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    requireSafeNames(left, rightPayload)
+    val lCols = left.columns
+    val payload = struct(rightPayload.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
+    val l = left
+      .withColumn("_ts", col(leftTs)).withColumn("_side", lit(0))
+      .select(Seq(col(key), col("_ts"), col("_side"),
+        lit(null).cast(payloadType).as("_payload")) ++ lCols.filter(_ != key).map(col): _*)
+    val r = right
+      .withColumn("_ts", col(rightTs)).withColumn("_side", lit(1))
+      .select(Seq(col(key), col("_ts"), col("_side"), payload.as("_payload")) ++
+        lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"), col("_payload"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.union(r)
+      .withColumn("_payload", first(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(Seq(col(key)) ++ lCols.filter(_ != key).map(col) ++
+        rightPayload.map(c => col(s"_payload.$c").as(c)): _*)
+  }
+
   /** Skew-hardened as-of join: identical semantics to [[asofJoin]],
     * but the window is sub-keyed by a TIME BUCKET so parallelism is
     * |keys|·|buckets| instead of |keys| — the mitigation for few or
@@ -243,7 +285,51 @@ object AsOf {
     eventsAsofRates.oracle
   )
 
+
+  // ------------------------------------------------------------------
+  // The FORWARD direction as a gated query: every event joined to the
+  // NEXT hourly per-type average published at-or-after its timestamp
+  // (the outcome/label join), reporting per-type deviation from that
+  // future rate. Events in the stream's final partial hour have no
+  // next rate and drop out under inner semantics — both engines agree
+  // because the filter is explicit. DuckDB's native forward ASOF
+  // (`e.ts <= r.rts`) is the oracle.
+  // ------------------------------------------------------------------
+  val eventsAsofNext: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val rates = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("rts"))
+        .agg(roundPortable(avgExact(col("value")), 2).as("hourly_avg"))
+      val joined = asofJoinForward(
+        ev.select("event_type", "ts", "event_id", "value"),
+        rates, key = "event_type", leftTs = "ts", rightTs = "rts",
+        rightPayload = Seq("hourly_avg"))
+        .filter(col("hourly_avg").isNotNull)
+      joined
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          roundPortable(avgExact(col("value") - col("hourly_avg")), 4).as("avg_deviation"),
+          roundPortable(max(abs(col("value") - col("hourly_avg"))), 2).as("max_deviation"))
+        .orderBy("event_type")
+    },
+    Some("""WITH rates AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS rts,
+           |    floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS hourly_avg
+           |  FROM events GROUP BY 1, 2
+           |)
+           |SELECT e.event_type, count(*) AS n_events,
+           |  floor(CAST(sum(CAST(e.value - r.hourly_avg AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_deviation,
+           |  floor(max(abs(e.value - r.hourly_avg)) * 100 + 0.5) / 100 AS max_deviation
+           |FROM events e ASOF JOIN rates r
+           |  ON e.event_type = r.event_type AND e.ts <= r.rts
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_asof_rates" -> eventsAsofRates,
-    "events_asof_rates_bucketed" -> eventsAsofRatesBucketed)
+    "events_asof_rates_bucketed" -> eventsAsofRatesBucketed,
+    "events_asof_next" -> eventsAsofNext)
+
 }

@@ -875,6 +875,20 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("forward as-of join picks the earliest at-or-after right row, inclusive on ties") {
+    import spark.implicits._
+    val left = Seq(("k", 5L, 100L), ("k", 7L, 101L), ("k", 20L, 102L))
+      .toDF("key", "ts", "ev")
+    val right = Seq(("k", 5L, "exact"), ("k", 10L, "later"), ("k", 3L, "past"))
+      .toDF("key", "rts", "label")
+    val got = AsOf.asofJoinForward(left, right, "key", "ts", "rts", Seq("label"))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) null else r.getString(3)))
+    // ts=5 matches the EQUAL rts=5 (inclusive); ts=7 skips past/exact
+    // and takes rts=10; ts=20 has no later right row -> NULL
+    assert(got.toSeq === Seq((5L, "exact"), (7L, "later"), (20L, null)))
+  }
+
   test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
     assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
     val r = Pipelines.mixtureKl.build(spark, d).collect()
