@@ -217,6 +217,80 @@ object AsOf {
         rightPayload.map(c => col(s"_payload.$c").as(c)): _*)
   }
 
+  /** Skew-hardened FORWARD as-of join: [[asofJoinForward]] semantics
+    * with [[asofJoinBucketed]]'s |keys|·|buckets| parallelism. The
+    * mirror image of the backward carry: the per-(key, bucket)
+    * summary keeps the EARLIEST right (min of the (ts, payload)
+    * struct — the same tiebreak order the in-bucket window uses), the
+    * cross-bucket fill looks at STRICTLY LATER buckets (rows 1..∞
+    * following), and the carry pseudo-row sorts at the bucket's LAST
+    * instant with side 2 (left 0 < right 1 < carry 2): an in-bucket
+    * right row at that exact instant still wins — it is earlier than
+    * anything a later bucket can offer. A property test pins
+    * row-for-row equality with the plain forward join across widths.
+    */
+  def asofJoinForwardBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    requireSafeNames(left, rightPayload)
+    val lCols = left.columns
+    val tsType = left.schema(leftTs).dataType
+    def tsLong(c: Column): Column = tsType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _                                        => c.cast("long")
+    }
+    def tsBack(c: Column): Column = tsType match {
+      case org.apache.spark.sql.types.TimestampType => timestamp_micros(c)
+      case other                                    => c.cast(other)
+    }
+    def bucketOf(ts: Column): Column = floor(tsLong(ts) / bucketWidth).cast("long")
+    val payload = struct(rightPayload.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
+
+    val r0 = right.select(col(key), col(rightTs).as("_ts"), payload.as("_payload"))
+      .withColumn("_bucket", bucketOf(col("_ts")))
+
+    val firstPerBucket = r0.groupBy(col(key), col("_bucket"))
+      .agg(min(struct(col("_ts"), col("_payload"))).as("_first"))
+
+    val allBuckets = left.select(col(key), bucketOf(col(leftTs)).as("_bucket"))
+      .union(firstPerBucket.select(col(key), col("_bucket")))
+      .distinct()
+
+    val wCarry = Window.partitionBy(key).orderBy("_bucket")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carries = allBuckets.join(firstPerBucket, Seq(key, "_bucket"), "left")
+      .withColumn("_carry", first(col("_first"), ignoreNulls = true).over(wCarry))
+      .filter(col("_carry").isNotNull)
+      .select(col(key), col("_bucket"),
+        tsBack((col("_bucket") + 1) * bucketWidth - 1).as("_ts"), // ≥ every in-bucket ts
+        col("_carry._payload").as("_payload"))
+
+    def nullLefts: Seq[Column] =
+      lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    val lhs = left.select(Seq(col(key), bucketOf(col(leftTs)).as("_bucket"),
+      col(leftTs).as("_ts"), lit(0).as("_side"),
+      lit(null).cast(payloadType).as("_payload")) ++ lCols.filter(_ != key).map(col): _*)
+    val rhs = r0.select(Seq(col(key), col("_bucket"), col("_ts"), lit(1).as("_side"),
+      col("_payload")) ++ nullLefts: _*)
+    val chs = carries.select(Seq(col(key), col("_bucket"), col("_ts"), lit(2).as("_side"),
+      col("_payload")) ++ nullLefts: _*)
+
+    val w = Window.partitionBy(col(key), col("_bucket"))
+      .orderBy(col("_ts"), col("_side"), col("_payload"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lhs.union(rhs).union(chs)
+      .withColumn("_payload", first(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(Seq(col(key)) ++ lCols.filter(_ != key).map(col) ++
+        rightPayload.map(c => col(s"_payload.$c").as(c)): _*)
+  }
+
   // ------------------------------------------------------------------
   // Registry query: join every event to the hourly per-type average
   // that was current at its timestamp (rts = hour start ≤ ts always,
@@ -327,9 +401,37 @@ object AsOf {
            |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
+  /** The forward report through the skew-hardened path — same oracle
+    * as [[eventsAsofNext]]; both independently hash-match DuckDB's
+    * forward ASOF JOIN.
+    */
+  val eventsAsofNextBucketed: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val rates = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("rts"))
+        .agg(roundPortable(avgExact(col("value")), 2).as("hourly_avg"))
+      val joined = asofJoinForwardBucketed(
+        ev.select("event_type", "ts", "event_id", "value"),
+        rates, key = "event_type", leftTs = "ts", rightTs = "rts",
+        rightPayload = Seq("hourly_avg"),
+        bucketWidth = 24L * 3600 * 1000000) // 1 day of microseconds
+        .filter(col("hourly_avg").isNotNull)
+      joined
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          roundPortable(avgExact(col("value") - col("hourly_avg")), 4).as("avg_deviation"),
+          roundPortable(max(abs(col("value") - col("hourly_avg"))), 2).as("max_deviation"))
+        .orderBy("event_type")
+    },
+    eventsAsofNext.oracle
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_asof_rates" -> eventsAsofRates,
     "events_asof_rates_bucketed" -> eventsAsofRatesBucketed,
-    "events_asof_next" -> eventsAsofNext)
+    "events_asof_next" -> eventsAsofNext,
+    "events_asof_next_bucketed" -> eventsAsofNextBucketed)
 
 }

@@ -406,6 +406,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("bucketed FORWARD as-of join equals the plain forward join on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val lft = (1 to 400).map(i =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "ts", "event_id")
+    val rgt = (1 to 120).map(i =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(1000).toLong,
+        if (rnd.nextInt(5) == 0) null else s"v$i")).toDF("k", "rts", "value")
+    val plain = AsOf.asofJoinForward(lft, rgt, "k", "ts", "rts", Seq("value"))
+      .collect().map(_.toString).sorted.toSeq
+    Seq(7L, 100L, 5000L).foreach { width =>
+      val bucketed = AsOf.asofJoinForwardBucketed(lft, rgt, "k", "ts", "rts", Seq("value"), width)
+        .collect().map(_.toString).sorted.toSeq
+      assert(bucketed === plain, s"bucketWidth=$width diverges from the plain forward as-of")
+    }
+  }
+
   test("as-of join rejects reserved and colliding column names") {
     import spark.implicits._
     val rgt = Seq(("a", 1L, "x")).toDF("k", "rts", "value")
