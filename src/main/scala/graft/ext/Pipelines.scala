@@ -652,6 +652,51 @@ object Pipelines {
            |FROM l1 GROUP BY 1 ORDER BY lang""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Document chunking — fixed-size overlapping token windows (64-token
+  // chunks, stride 48 → 16-token overlap), the context-window prep
+  // step every RAG index and long-document training pipeline runs.
+  // Per-row: tokenize once, explode the chunk-start grid
+  // (`sequence(0, n−1, stride)` — bounded fan-out ⌈n/stride⌉), slice.
+  // No shuffle at all: chunking composes with whatever partitioning
+  // the corpus already has, and output order within a doc is the
+  // deterministic chunk index. At 100 TB this is a pure map stage
+  // whose output row count is ~n_tokens/stride per doc — the explode
+  // factor is bounded by design, never quadratic.
+  // ------------------------------------------------------------------
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  val chunkDocuments: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(ChunkStride)))
+            .as("start"))
+        .select(
+          col("doc_id"),
+          expr(s"start div $ChunkStride").cast("long").as("chunk_id"),
+          size(slice(col("toks"), col("start") + 1, lit(ChunkTokens))).cast("long")
+            .as("n_chunk_tokens"),
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ChunkTokens)))
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+            |), st AS (
+            |  SELECT doc_id, toks,
+            |         unnest(generate_series(0, len(toks) - 1, $ChunkStride)) AS start
+            |  FROM d
+            |)
+            |SELECT doc_id, start // $ChunkStride AS chunk_id,
+            |       len(toks[start + 1 : start + $ChunkTokens]) AS n_chunk_tokens,
+            |       array_to_string(toks[start + 1 : start + $ChunkTokens], ' ') AS chunk_text
+            |FROM st ORDER BY doc_id, chunk_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,
@@ -664,6 +709,7 @@ object Pipelines {
     "pipeline_mixture_kl" -> mixtureKl,
     "pipeline_token_budget" -> tokenBudget,
     "pipeline_weighted_sample" -> weightedSample,
-    "pipeline_dataset_card" -> datasetCard
+    "pipeline_dataset_card" -> datasetCard,
+    "pipeline_chunk_documents" -> chunkDocuments
   )
 }

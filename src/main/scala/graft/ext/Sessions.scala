@@ -398,6 +398,152 @@ object Sessions {
             |ORDER BY n_sessions DESC, path LIMIT $TopPaths""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Rolling 7-day active users (WAU-per-day) — the standard activity
+  // metric, in its SCALABLE formulation. The naive window
+  // (`count(DISTINCT) OVER (RANGE 6 PRECEDING)`) isn't supported by
+  // Spark (distinct window aggregates), and a range join against the
+  // day dimension would compare every presence row against EVERY day
+  // (broadcast-nested-loop — O(|days|) per row; 10 years ≈ 3 650×).
+  // Instead: (1) dedup to the (day, user) presence grid — ONE shuffle
+  // that collapses 100 TB of events to |days|·|users| rows map-side;
+  // (2) fan each presence row out to exactly the 7 anchor days it
+  // supports via `explode(sequence(day, day+6))` — a CONSTANT-bounded
+  // explode, no join needed to find the anchors; (3) equi-join the
+  // anchors onto the (broadcast, calendar-sized) observed-day
+  // dimension to drop anchors past the data's edge; (4) exact
+  // countDistinct per anchor. No step touches the raw event log
+  // twice, and nothing is driver-side.
+  // ------------------------------------------------------------------
+  val RollingDays = 7
+
+  val activeUsers: Q = Q(
+    (s, d) => {
+      val p = Inventory.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = p.select(col("day").as("anchor")).distinct()
+      p.withColumn("anchor",
+          explode(sequence(col("day"), date_add(col("day"), RollingDays - 1))))
+        .join(broadcast(days), Seq("anchor"))
+        .groupBy(col("anchor"))
+        .agg(countDistinct(col("user_id")).as("active_users_7d"))
+        .select(date_format(col("anchor"), "yyyy-MM-dd").as("day"), col("active_users_7d"))
+        .orderBy("day")
+    },
+    Some(s"""WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+            |d AS (SELECT DISTINCT day AS anchor FROM p)
+            |SELECT strftime(anchor, '%Y-%m-%d') AS day,
+            |       count(DISTINCT p.user_id) AS active_users_7d
+            |FROM d JOIN p ON p.day > anchor - $RollingDays AND p.day <= anchor
+            |GROUP BY anchor ORDER BY day""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Gaps-and-islands: per-user consecutive-active-day streaks via the
+  // classic `day - row_number()` island anchor (consecutive days share
+  // an anchor; any gap shifts it). Everything after the presence dedup
+  // is windows/aggregates PARTITIONED BY USER — one shuffle profile,
+  // each user's (≤ |days|) presence rows sort locally. The same shape
+  // computes login streaks, sensor-uptime islands, and contiguous
+  // version ranges at any scale.
+  // ------------------------------------------------------------------
+  val streaks: Q = Q(
+    (s, d) => {
+      val p = Inventory.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      p.withColumn("rn", row_number().over(byUser))
+        .withColumn("anchor", date_sub(col("day"), col("rn")))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"),
+          sum(col("len")).as("active_days"))
+        .orderBy("user_id")
+    },
+    Some("""WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+           |i AS (SELECT user_id,
+           |             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+           |      FROM p),
+           |g AS (SELECT user_id, anchor, count(*) AS len FROM i GROUP BY 1, 2)
+           |SELECT user_id, count(*) AS n_streaks, max(len) AS longest_streak,
+           |       CAST(sum(len) AS BIGINT) AS active_days
+           |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Interval-overlap join, exercised end-to-end: user sessions (the
+  // gap-rule intervals) joined against "incident windows" (hours whose
+  // event volume exceeds 1.25× the per-hour mean — the comparison is
+  // kept in exact integer cross-multiplied form so both engines decide
+  // identically). The join itself is [[Joins.intervalJoin]] — the
+  // bucketed-equi-join rewrite of the inequality predicate; see its
+  // scaladoc for the cost model. DuckDB oracles the PLAIN inequality
+  // join, proving the bucketed rewrite row-identical.
+  // ------------------------------------------------------------------
+  val IncidentFactorPct = 125
+
+  val intervalOverlap: Q = Q(
+    (s, d) => {
+      val e = Inventory.events(s, d)
+        .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("sec"), 1).over(byUser)
+      val sessions = e
+        .withColumn("new_session",
+          when(prev.isNull || col("sec") - prev > GapSeconds, 1L).otherwise(0L))
+        .withColumn("sess_no",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(min(col("sec")).as("s_start"), max(col("sec")).as("s_end"))
+      val hours = e.groupBy(expr("sec div 3600").as("hcell")).agg(count(lit(1)).as("c"))
+      val tot = hours.agg(sum(col("c")).as("total"), count(lit(1)).as("n_hours"))
+      val incidents = hours.crossJoin(broadcast(tot))
+        .filter(col("c") * col("n_hours") * lit(100L) > col("total") * lit(IncidentFactorPct.toLong))
+        .select(col("hcell"),
+          (col("hcell") * 3600L).as("i_start"),
+          (col("hcell") * 3600L + 3599L).as("i_end"))
+      graft.engine.Joins
+        .intervalJoin(sessions, "s_start", "s_end", incidents, "i_start", "i_end", 3600L)
+        .groupBy(col("hcell"))
+        .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+        .select(
+          date_format(timestamp_micros(col("hcell") * lit(3600000000L)), "yyyy-MM-dd HH:00")
+            .as("hour"),
+          col("n_sessions"), col("n_users"))
+        .orderBy("hour")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS sec FROM events
+            |), marked AS (
+            |  SELECT user_id, ts, event_id, sec,
+            |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > $GapSeconds
+            |         THEN 1 ELSE 0 END AS new_session
+            |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            |), sess AS (
+            |  SELECT user_id, sec,
+            |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+            |  FROM marked
+            |), sessions AS (
+            |  SELECT user_id, sess_no, min(sec) AS s_start, max(sec) AS s_end
+            |  FROM sess GROUP BY 1, 2
+            |), hours AS (
+            |  SELECT sec // 3600 AS hcell, count(*) AS c FROM e GROUP BY 1
+            |), tot AS (
+            |  SELECT sum(c) AS total, count(*) AS n_hours FROM hours
+            |), incidents AS (
+            |  SELECT hcell, hcell * 3600 AS i_start, hcell * 3600 + 3599 AS i_end
+            |  FROM hours, tot WHERE c * n_hours * 100 > total * $IncidentFactorPct
+            |)
+            |SELECT strftime(make_timestamp(hcell * 3600000000), '%Y-%m-%d %H:00') AS hour,
+            |       count(*) AS n_sessions, count(DISTINCT s.user_id) AS n_users
+            |FROM incidents i JOIN sessions s ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+            |GROUP BY hcell ORDER BY hour""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_sessionize" -> sessionize,
     "events_hourly_window" -> hourly,
@@ -406,6 +552,9 @@ object Sessions {
     "events_debounce" -> debounce,
     "events_anomaly_days" -> anomalyDays,
     "events_transition_matrix" -> transitionMatrix,
-    "events_top_paths" -> topPaths
+    "events_top_paths" -> topPaths,
+    "events_active_users" -> activeUsers,
+    "events_streaks" -> streaks,
+    "join_interval_overlap" -> intervalOverlap
   )
 }

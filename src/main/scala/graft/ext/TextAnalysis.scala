@@ -985,6 +985,105 @@ object TextAnalysis {
             |FROM n ORDER BY n DESC, term LIMIT $HeavyHittersK""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Readability scoring — Flesch reading ease from the three classic
+  // observables (words, sentences, vowel-group syllables; Flesch 1948,
+  // public formula). Each count is a codegen'd regex/size expression
+  // over the row — no explode, no shuffle, a pure projection pass at
+  // any scale — and the band CASE thresholds on the ALREADY-ROUNDED
+  // score so both engines bucket identically (per-row expression trees
+  // are bit-deterministic; only aggregation order ever isn't).
+  // The syllable regex is the standard heuristic, not a dictionary —
+  // stated so the oracle replays the same approximation.
+  // ------------------------------------------------------------------
+  val readability: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val w = greatest(size(tokens(col("text"))), lit(1)).cast("long")
+      val sn = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long")
+      val syl = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1)).cast("long")
+      val flesch = roundPortable(
+        lit(206.835)
+          - lit(1.015) * (w.cast(DoubleType) / sn.cast(DoubleType))
+          - lit(84.6) * (syl.cast(DoubleType) / w.cast(DoubleType)), 2)
+      docs.select(
+          col("doc_id"),
+          w.as("n_words"), sn.as("n_sentences"), syl.as("n_syllables"),
+          flesch.as("flesch"))
+        .withColumn("band",
+          when(col("flesch") >= 60.0, "easy")
+            .when(col("flesch") >= 30.0, "medium")
+            .otherwise("hard"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id,
+           |    greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS n_words,
+           |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+           |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syllables
+           |  FROM documents
+           |), f AS (
+           |  SELECT doc_id, n_words, n_sentences, n_syllables,
+           |    floor((206.835
+           |           - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+           |           - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) * 100 + 0.5) / 100 AS flesch
+           |  FROM m
+           |)
+           |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+           |       CASE WHEN flesch >= 60.0 THEN 'easy'
+           |            WHEN flesch >= 30.0 THEN 'medium'
+           |            ELSE 'hard' END AS band
+           |FROM f ORDER BY doc_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Per-document token Shannon entropy — the information-density
+  // quality signal (near-zero for boilerplate/repetition spam even
+  // when Gopher's ratio gates pass; maximal for diverse vocabulary).
+  // Formulated as H = ln n − (Σ c·ln c)/n so ONE (doc, token) count
+  // aggregate feeds it: no window, no second pass, and the per-term
+  // c·ln c contributions are 6dp-decimal-summed (the repo's standard
+  // associativity contract — a raw double Σ would be partition-order
+  // dependent). Scale: the (doc_id, token) aggregate map-side combines
+  // within each doc's partition; state is O(doc vocabulary), and the
+  // final per-doc reduce is O(1) per term.
+  // ------------------------------------------------------------------
+  val tokenEntropy: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      val clnc = roundPortable(col("c").cast(DoubleType) * log(col("c").cast(DoubleType)), 6)
+        .cast(DecimalType(28, 6))
+      tf.select(col("doc_id"), col("c"), clnc.as("clnc"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_unique"),
+          sum(col("clnc")).as("sclnc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+          roundPortable(
+            log(col("n_tokens").cast(DoubleType))
+              - col("sclnc").cast(DoubleType) / col("n_tokens"), 4).as("token_entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tf AS (
+           |  SELECT doc_id, t, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           |    FROM documents)
+           |  GROUP BY 1, 2
+           |), terms AS (
+           |  SELECT doc_id, c,
+           |    CAST(floor(c * ln(c) * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6)) AS clnc
+           |  FROM tf
+           |)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_unique,
+           |  floor((ln(CAST(sum(c) AS DOUBLE)) - CAST(sum(clnc) AS DOUBLE) / sum(c)) * 10000 + 0.5) / 10000
+           |    AS token_entropy
+           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -1004,6 +1103,8 @@ object TextAnalysis {
     "text_zipf_slope" -> zipfSlope,
     "text_lm_perplexity" -> lmPerplexity,
     "text_term_drift" -> termDrift,
-    "text_heavy_hitters" -> heavyHitters
+    "text_heavy_hitters" -> heavyHitters,
+    "text_readability" -> readability,
+    "text_token_entropy" -> tokenEntropy
   )
 }

@@ -390,6 +390,42 @@ class PlanSpec extends SparkSpec {
       s"expected only the sort's range exchange, got $exchanges:\n$p")
   }
 
+  test("interval-overlap join runs as a bucketed equi-join, never a nested loop") {
+    // Joins.intervalJoin's whole point: the inequality predicate is
+    // carried by a cell equi-join; a BNLJ/cartesian here is the
+    // O(|L|·|R|) range-join scale killer the rewrite exists to avoid.
+    // (The one nested loop allowed is the broadcast 1-row totals
+    // anchor that derives the incident threshold.)
+    val p = plan(graft.ext.Sessions.intervalOverlap.build(spark, d))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        (l.contains("BroadcastHashJoin") && l.contains("_cell")))
+    assert(joinLine.exists(_.contains("_cell")),
+      s"expected the session-incident join keyed on the grid cell:\n$p")
+  }
+
+  test("rolling active users fans out a bounded explode, then equi-joins broadcast days") {
+    // the anti-pattern is a range join against the day dimension
+    // (O(|days|) comparisons per presence row); the plan must show a
+    // plain BroadcastHashJoin on the anchor instead, and no BNLJ.
+    val p = plan(graft.ext.Sessions.activeUsers.build(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("document chunking is a pure map stage: the only exchange is the output sort's") {
+    // same contract as the gopher gates — tokenize/explode/slice fuse
+    // into the scan's projection; production consumers (which drop the
+    // deterministic ORDER BY) chunk with zero shuffles.
+    val p = plan(graft.ext.Pipelines.chunkDocuments.build(spark, d))
+    assert(parquetScans(p) === 1, p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1 && p.contains("rangepartitioning"),
+      s"expected only the sort's range exchange, got $exchanges:\n$p")
+  }
+
   test("mixture KL windows over the per-lang aggregate, never the corpus") {
     // the sum-over-() total must sit ABOVE the HashAggregate pair:
     // scan -> partial agg -> exchange -> final agg -> window(5 rows)

@@ -84,6 +84,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin equals the naive inequality join, one row per overlapping pair") {
+    // random interval sets, several bucket widths (including widths
+    // far from the typical span, where pairs share MANY cells — the
+    // first-common-cell dedup must still emit exactly one row)
+    val s = spark; import s.implicits._
+    val left = Seq.tabulate(80) { i =>
+      val st = rnd.between(0L, 5000L); (i.toLong, st, st + rnd.between(0L, 900L))
+    }
+    val right = Seq.tabulate(60) { i =>
+      val st = rnd.between(0L, 5000L); (i.toLong, st, st + rnd.between(0L, 900L))
+    }
+    val expected = (for {
+      (li, ls, le) <- left; (ri, rs, re) <- right
+      if ls <= re && rs <= le
+    } yield (li, ri)).toSet
+    val l = left.toDF("lid", "l_start", "l_end")
+    val r = right.toDF("rid", "r_start", "r_end")
+    for (bucket <- Seq(7L, 100L, 1024L, 10000L)) {
+      val got = graft.engine.Joins
+        .intervalJoin(l, "l_start", "l_end", r, "r_start", "r_end", bucket)
+        .select("lid", "rid").collect().map(row => (row.getLong(0), row.getLong(1)))
+      assert(got.length === got.distinct.length,
+        s"bucket=$bucket emitted duplicate pairs")
+      assert(got.toSet === expected, s"bucket=$bucket pair set diverges from naive join")
+    }
+  }
+
   test("rank boundaries land in the reference buckets (golden contract)") {
     val cases = Seq(1L -> "Top 5", 5L -> "Top 5", 6L -> "Top 10", 10L -> "Top 10",
       11L -> "Top 25", 25L -> "Top 25", 26L -> "Other")
