@@ -914,6 +914,76 @@ object Dedup {
             |GROUP BY 1 ORDER BY sp.doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Bloom-filter exact-dedup PREFILTER — the incremental-ingest
+  // membership shape at its cheapest: the standing corpus's content
+  // hashes aggregate into ONE Bloom sketch (mergeable partial states,
+  // tree-reduced; ~1 MiB here) that BROADCASTS to the batch. The
+  // batch probes it row-locally — the corpus never shuffles, no join
+  // state exists, and only flagged candidates would proceed to exact
+  // verification. At 100 TB the corpus side of every naive
+  // batch-vs-corpus join is the cost that matters; this replaces it
+  // with a constant-size binary per executor.
+  //
+  // Verified the sketch-contract way (the agg_approx_distinct
+  // pattern): DuckDB cannot replay Spark's Bloom bits, so the gate
+  // hashes the EXACT facts (batch size, true-dup count) plus two
+  // contract booleans the engine must earn — zero false negatives
+  // (a Bloom guarantee: a miss is definitive) and a false-positive
+  // rate within the sizing bound. An out-of-contract sketch fails
+  // the hash compare.
+  // ------------------------------------------------------------------
+  val BloomExpectedItems = 100000L
+  val BloomNumBits = 1L << 23 // 8 Mbit = 1 MiB → fpp ≪ 1% at 100k items
+  val BloomFpBound = 0.01
+
+  val bloomPrefilter: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val corpus = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
+      val batch = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+      val bf = corpus.agg(
+        graft.functions.BloomFilterOps
+          .bloomAgg(xxhash64(col("text")), BloomExpectedItems, BloomNumBits).as("bf"))
+      val corpusTexts = corpus.distinct().withColumn("in_corpus", lit(true))
+      batch
+        // might_contain requires its filter side be a CONSTANT — the
+        // sketch rides in as a scalar subquery (evaluated once,
+        // inlined into every probe), not a join column
+        .withColumn("flagged",
+          graft.functions.BloomFilterOps.mightContain(
+            org.apache.spark.sql.GraftColumnBridge.scalarSubquery(bf),
+            xxhash64(col("text"))))
+        .join(corpusTexts, Seq("text"), "left")
+        .withColumn("is_dup", coalesce(col("in_corpus"), lit(false)))
+        .agg(
+          count(lit(1)).as("n_batch"),
+          sum(col("is_dup").cast("long")).as("n_exact_dup"),
+          sum(when(col("is_dup") && !col("flagged"), 1L).otherwise(0L)).as("fn_count"),
+          sum(when(!col("is_dup") && col("flagged"), 1L).otherwise(0L)).as("fp_count"),
+          sum((!col("is_dup")).cast("long")).as("n_nondup"))
+        .select(
+          col("n_batch"), col("n_exact_dup"),
+          (col("fn_count") === 0L).as("all_dups_flagged"),
+          (col("fp_count").cast(DoubleType)
+            <= lit(BloomFpBound) * greatest(col("n_nondup"), lit(1L)).cast(DoubleType))
+            .as("fp_rate_within_bound"))
+    },
+    Some("""WITH b AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+           |), c AS (
+           |  SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+           |), m AS (
+           |  SELECT b.doc_id, (c.text IS NOT NULL) AS is_dup
+           |  FROM b LEFT JOIN c ON b.text = c.text
+           |)
+           |SELECT count(*) AS n_batch,
+           |       CAST(sum(CAST(is_dup AS BIGINT)) AS BIGINT) AS n_exact_dup,
+           |       TRUE AS all_dups_flagged,
+           |       TRUE AS fp_rate_within_bound
+           |FROM m""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
@@ -925,6 +995,7 @@ object Dedup {
     "dedup_incremental" -> incremental,
     "dedup_ngram_novelty" -> ngramNovelty,
     "dedup_minhash_estimate" -> minhashEstimate,
-    "dedup_substring_spans" -> substringSpans
+    "dedup_substring_spans" -> substringSpans,
+    "dedup_bloom_prefilter" -> bloomPrefilter
   )
 }

@@ -117,7 +117,58 @@ object Graph {
     }
   )
 
+  // ------------------------------------------------------------------
+  // Triangle enumeration over the undirected co-transition graph —
+  // the clustering-coefficient / community-density primitive. The
+  // classic distributed formulation: ORIENT each undirected edge
+  // low→high (halves the edge set, kills directed double-counting),
+  // then two equi-joins enumerate each triangle exactly once as
+  // a<b<c — never a cartesian product, and the join keys are plain
+  // vertex ids. At scale the orientation step is what bounds the
+  // work: joining oriented edge lists costs Σ d_out(v)², and
+  // ordering by DEGREE instead of id caps d_out at O(√|E|)
+  // (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+  // Last Reducer", WWW 2011 — public algorithm). The harness graph's
+  // id order is stated and replayed by the oracle; the degree
+  // refinement drops in by swapping the orientation comparator.
+  // ------------------------------------------------------------------
+  val triangles: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val und = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("next_type").isNotNull && col("next_type") =!= col("event_type"))
+        .select(
+          least(col("event_type"), col("next_type")).as("a"),
+          greatest(col("event_type"), col("next_type")).as("b"))
+        .distinct()
+      val ab = und
+      val bc = und.select(col("a").as("b2"), col("b").as("c"))
+      val ac = und.select(col("a").as("a3"), col("b").as("c3"))
+      ab.join(bc, col("b") === col("b2"))
+        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+        .orderBy("a", "b", "c")
+    },
+    Some("""WITH seq AS (
+           |  SELECT event_type,
+           |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           |  FROM events
+           |), e AS (
+           |  SELECT DISTINCT least(event_type, next_type) AS a,
+           |                  greatest(event_type, next_type) AS b
+           |  FROM seq WHERE next_type IS NOT NULL AND next_type <> event_type
+           |)
+           |SELECT ab.a, ab.b, bc.b AS c
+           |FROM e ab
+           |JOIN e bc ON ab.b = bc.a
+           |JOIN e ac ON ab.a = ac.a AND bc.b = ac.b
+           |ORDER BY 1, 2, 3""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
-    "graph_pagerank" -> pagerank
+    "graph_pagerank" -> pagerank,
+    "graph_triangles" -> triangles
   )
 }

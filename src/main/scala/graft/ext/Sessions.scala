@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.engine.Functions.{avgExact, roundPortable}
 import graft.queries.Inventory
@@ -544,6 +545,78 @@ object Sessions {
             |GROUP BY hcell ORDER BY hour""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // EWMA-smoothed daily volume per event type — the trend baseline
+  // the MAD anomaly query complements (MAD finds spikes against a
+  // static median; EWMA tracks a drifting level). EWMA is inherently
+  // sequential, so the scalable batch form is the CLOSED-FORM
+  // truncated window: ewma_t = Σᵢ wᵢ·x_{t−i} / Σᵢ wᵢ with
+  // wᵢ = decay^i over a 14-day horizon (weights beyond it are < 1%,
+  // stated truncation). That turns the recursion into a self-join of
+  // the DAILY AGGREGATE with itself — the corpus collapses to
+  // |types|·|days| rows first, and the ≤14× fan-out happens on that
+  // tiny table, never on raw events. Per-term products are
+  // 6dp-decimal-summed (the associativity contract), and the decay
+  // is the LITERAL 0.7 in both engines (1.0−0.3 rounds to a
+  // different double than the 0.7 literal — the PageRank lesson).
+  // ------------------------------------------------------------------
+  val EwmaDecay = 0.7
+  val EwmaWindow = 14
+
+  val ewmaDaily: Q = Q(
+    (s, d) => {
+      val daily = Inventory.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("n"))
+      // the anchor side CARRIES its own count through the join (one
+      // functional-dependency groupBy key more) so no third daily
+      // branch is needed — two events scans total, which is the
+      // standalone-query driver-contract cost (the broadcast side
+      // plans a BroadcastExchange, so ReuseExchange can't serve it
+      // from the shuffle side); production materializes `daily` once
+      // as a Table and both branches read the tiny parquet instead
+      // (the DedupFunnel pattern)
+      val k = datediff(col("adt"), col("dt"))
+      val w = pow(lit(EwmaDecay), k.cast(DoubleType))
+      daily.as("a").join(daily.as("h"),
+          col("a.event_type") === col("h.event_type"))
+        .select(col("a.event_type").as("event_type"), col("a.dt").as("adt"),
+          col("a.n").as("n_events"), col("h.dt").as("dt"), col("h.n").as("n"))
+        .filter(k >= 0 && k < EwmaWindow)
+        .select(col("event_type"), col("adt"), col("n_events"),
+          roundPortable(w * col("n"), 6).cast(DecimalType(28, 6)).as("wn"),
+          roundPortable(w, 6).cast(DecimalType(28, 6)).as("wd"))
+        .groupBy("event_type", "adt", "n_events")
+        .agg(sum(col("wn")).as("swn"), sum(col("wd")).as("swd"))
+        .select(col("event_type"),
+          date_format(col("adt"), "yyyy-MM-dd").as("day"),
+          col("n_events"),
+          roundPortable(col("swn").cast(DoubleType) / col("swd").cast(DoubleType), 4)
+            .as("ewma"))
+        .orderBy("event_type", "day")
+    },
+    Some(s"""WITH daily AS (
+            |  SELECT event_type, CAST(ts AS DATE) AS dt, count(*) AS n
+            |  FROM events GROUP BY 1, 2
+            |), j AS (
+            |  SELECT a.event_type, a.adt,
+            |    CAST(floor(power($EwmaDecay, a.adt - h.dt) * h.n * 1000000 + 0.5) / 1000000
+            |      AS DECIMAL(28,6)) AS wn,
+            |    CAST(floor(power($EwmaDecay, a.adt - h.dt) * 1000000 + 0.5) / 1000000
+            |      AS DECIMAL(28,6)) AS wd
+            |  FROM (SELECT event_type, dt AS adt FROM daily) a
+            |  JOIN daily h ON a.event_type = h.event_type
+            |   AND a.adt - h.dt >= 0 AND a.adt - h.dt < $EwmaWindow
+            |), agg AS (
+            |  SELECT event_type, adt, sum(wn) AS swn, sum(wd) AS swd
+            |  FROM j GROUP BY 1, 2
+            |)
+            |SELECT g.event_type, strftime(g.adt, '%Y-%m-%d') AS day, d.n AS n_events,
+            |       floor(CAST(swn AS DOUBLE) / CAST(swd AS DOUBLE) * 10000 + 0.5) / 10000 AS ewma
+            |FROM agg g JOIN daily d ON d.event_type = g.event_type AND d.dt = g.adt
+            |ORDER BY 1, 2""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_sessionize" -> sessionize,
     "events_hourly_window" -> hourly,
@@ -555,6 +628,7 @@ object Sessions {
     "events_top_paths" -> topPaths,
     "events_active_users" -> activeUsers,
     "events_streaks" -> streaks,
-    "join_interval_overlap" -> intervalOverlap
+    "join_interval_overlap" -> intervalOverlap,
+    "events_ewma_daily" -> ewmaDaily
   )
 }

@@ -12,4 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** A 1-row/1-column DataFrame as a scalar-subquery Column — what
+    * expressions like `BloomFilterMightContain` require their
+    * constant side to be (a correlated-free subquery the optimizer
+    * evaluates once and inlines, exactly like the SQL
+    * `(SELECT agg(...) FROM t)` form).
+    */
+  def scalarSubquery(df: Dataset[Row]): Column =
+    column(catalyst.expressions.ScalarSubquery(df.queryExecution.analyzed))
 }

@@ -426,6 +426,17 @@ class PlanSpec extends SparkSpec {
       s"expected only the sort's range exchange, got $exchanges:\n$p")
   }
 
+  test("bloom prefilter probes in a Project via scalar subquery — no join carries the sketch") {
+    // the 100 TB property: the corpus membership set rides as ONE
+    // subquery-evaluated binary, so the probe is a row-local
+    // projection; the only join in the plan is the exact-dup verify
+    val p = plan(graft.ext.Dedup.bloomPrefilter.build(spark, d))
+    val probeLine = p.linesIterator.find(_.contains("might_contain"))
+    assert(probeLine.exists(l => l.contains("Project") && l.contains("Subquery")),
+      s"expected might_contain inlined as a scalar-subquery projection:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("mixture KL windows over the per-lang aggregate, never the corpus") {
     // the sum-over-() total must sit ABOVE the HashAggregate pair:
     // scan -> partial agg -> exchange -> final agg -> window(5 rows)

@@ -111,6 +111,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom filter never false-negatives and stays under the fp bound at size") {
+    // the two contract booleans dedup_bloom_prefilter's oracle pins,
+    // exercised directly on the wrapped expressions: every built item
+    // MUST probe true; unbuilt probes may collide but only rarely at
+    // this sizing (1000 items in 2^20 bits)
+    val s = spark; import s.implicits._
+    val built = (1 to 1000).map(i => s"item-$i").toDF("v")
+    val bf = built.agg(
+      graft.functions.BloomFilterOps.bloomAgg(xxhash64(col("v")), 10000L, 1L << 20).as("bf"))
+    val probes = (1 to 3000).map(i => s"item-$i").toDF("v")
+    val flagged = probes
+      .withColumn("flagged", graft.functions.BloomFilterOps.mightContain(
+        org.apache.spark.sql.GraftColumnBridge.scalarSubquery(bf), xxhash64(col("v"))))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert((1 to 1000).forall(i => flagged(s"item-$i")), "false negative — impossible for a bloom")
+    val fps = (1001 to 3000).count(i => flagged(s"item-$i"))
+    assert(fps <= 20, s"fp count $fps/2000 exceeds the 1% sizing bound")
+  }
+
   test("rank boundaries land in the reference buckets (golden contract)") {
     val cases = Seq(1L -> "Top 5", 5L -> "Top 5", 6L -> "Top 10", 10L -> "Top 10",
       11L -> "Top 25", 25L -> "Top 25", 26L -> "Other")
