@@ -603,6 +603,151 @@ object Similarity {
            |FROM v GROUP BY 1 ORDER BY dim""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Top principal component by POWER ITERATION — the whitening/
+  // dimensionality-reduction precursor `emb_dim_variance` stops short
+  // of (per-dim variance says WHICH dims are dead; the top eigenvector
+  // says which DIRECTION carries the corpus). Classic distributed
+  // linear algebra, Spark-first:
+  //   1. covariance via the computational formula C = E[xxᵀ] − μμᵀ —
+  //      the d² second moments come from a NESTED posexplode of each
+  //      row against its own array: n·d² product rows generated
+  //      in-place with NO join and NO shuffle (a self-join on vec_id
+  //      computes the same rows but shuffles both sides first —
+  //      measured 10× slower), map-side combined into d² sums; never
+  //      a driver-side matrix,
+  //   2. the d² matrix (fixed-size, data-INDEPENDENT — 32 KB at d=64,
+  //      8 MB at d=1024) is collected to the driver and the three
+  //      power steps v ← C·v/‖C·v‖ run as plain Scala loops — the
+  //      exact architecture of Spark MLlib's own PCA
+  //      (RowMatrix.computePrincipalComponents: distributed Gramian,
+  //      driver-side eigensolve). This split was MEASURED, not
+  //      assumed: keeping the iteration in the engine was tried three
+  //      ways and each lost — per-step lazy composition replicates
+  //      subtrees 2^k times (325 parquet scans at k=3); per-step
+  //      cache+count leaves ~10 tiny jobs whose fixed scheduling
+  //      overhead dominates (21 s for µs of math); and a one-row
+  //      array-HOF formulation hits CollapseProject, which pushes
+  //      Projects THROUGH Repartition barriers and transitively
+  //      inlines each step's lambdas into the next — interpreted
+  //      re-evaluation blows up (d²)^k and a 500-row sf0.001 run
+  //      burned 60 s CPU in a single task before being killed.
+  //      Only d² scales the collect; past d≈4k the iteration would
+  //      return to a distributed join form with per-step caching,
+  //   3. eigenvalue estimate λ = ‖C·v‖ of the last step.
+  // Determinism: coordinates quantize to the 6-dp grid first; the
+  // distributed moment Σs go through DECIMAL (order-free); the
+  // driver steps replay the oracle's op sequence exactly — each
+  // order-sensitive Σ scales its terms to the 1e10 grid as exact
+  // LONGs (matching the oracle's DECIMAL(·,10) sum term-for-term
+  // while |Σ| < 2⁵³), divisions/sqrt are the same IEEE-754 ops in
+  // the same order, and sign is fixed by the dim-0 loading.
+  // ------------------------------------------------------------------
+  val EigenIters = 3
+
+  val topEigen: Q = Q(
+    (s, d) => {
+      val xd = col("x").cast(DoubleType)
+      val coords = emb(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"), roundPortable(xd, 6).as("xq"))
+      val n1 = emb(s, d).agg(count(lit(1)).cast(DoubleType).as("n"))
+      val mu = coords.groupBy("i")
+        .agg(sum(col("xq").cast(DecimalType(28, 6))).as("sx"))
+        .crossJoin(broadcast(n1))
+        .select(col("i"), (col("sx").cast(DoubleType) / col("n")).as("mu"))
+      val sxy = emb(s, d)
+        .select(posexplode(col("embedding")).as(Seq("i", "x")), col("embedding").as("e"))
+        .select(col("i"), roundPortable(xd, 6).as("xq"),
+          posexplode(col("e")).as(Seq("j", "y")))
+        .groupBy("i", "j")
+        .agg(sum(roundPortable(col("xq") * roundPortable(col("y").cast(DoubleType), 6), 8)
+          .cast(DecimalType(28, 8))).as("sxy"))
+      val cov = sxy.crossJoin(broadcast(n1))
+        .join(broadcast(mu), Seq("i"))
+        .join(broadcast(mu.select(col("i").as("j"), col("mu").as("muj"))), Seq("j"))
+        .select(col("i"), col("j"),
+          (col("sxy").cast(DoubleType) / col("n") - col("mu") * col("muj")).as("c"))
+      // distributed work ends here: ONE action collects the d² cells
+      // (data-size-independent); the power steps are driver Scala
+      val cells = cov.collect()
+      val dn = cells.iterator.map(_.getInt(0)).max + 1
+      val m = Array.ofDim[Double](dn, dn)
+      cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      var v = Array.fill(dn)(1.0 / math.sqrt(dn.toDouble))
+      var nrm = 0.0
+      for (_ <- 1 to EigenIters) {
+        // the order-sensitive Σs accumulate exact 1e10-grid LONGs;
+        // S.toDouble / 1e10 equals the oracle's DECIMAL(·,10)→DOUBLE
+        // cast exactly while |S| < 2^53 (both are the correctly-
+        // rounded quotient of the same exact operands)
+        val u = Array.tabulate(dn) { i =>
+          var acc = 0L
+          var j = 0
+          while (j < dn) {
+            acc += math.floor(m(i)(j) * v(j) * 1e10 + 0.5).toLong
+            j += 1
+          }
+          acc.toDouble / 1e10
+        }
+        var na = 0L
+        u.foreach(x => na += math.floor(x * x * 1e10 + 0.5).toLong)
+        nrm = math.sqrt(na.toDouble / 1e10)
+        v = u.map(_ / nrm)
+      }
+      val sgn = if (v(0) < 0) -1.0 else 1.0
+      val eig = math.floor(nrm * 1e4 + 0.5) / 1e4
+      val out = (0 until dn).map(i =>
+        (i, math.floor(v(i) * sgn * 1e6 + 0.5) / 1e6, eig))
+      s.createDataFrame(out).toDF("dim", "loading", "eigenvalue")
+        .orderBy("dim")
+    },
+    Some {
+      val iter = (k: Int) =>
+        s"""u$k AS (
+           |  SELECT cov.i,
+           |    CAST(sum(CAST(floor(cov.c * v.v * 10000000000 + 0.5) / 10000000000 AS DECIMAL(28,10))) AS DOUBLE) AS u
+           |  FROM cov JOIN v${k - 1} v ON v.i = cov.j GROUP BY 1
+           |), nr$k AS (
+           |  SELECT sqrt(CAST(sum(CAST(floor(u * u * 10000000000 + 0.5) / 10000000000 AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
+           |  FROM u$k
+           |), v$k AS (
+           |  SELECT i, u / nrm AS v FROM u$k CROSS JOIN nr$k
+           |)""".stripMargin
+      s"""WITH coords AS (
+         |  SELECT vec_id, i - 1 AS i,
+         |    floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS xq
+         |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+         |), nn AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+         |), mu AS (
+         |  SELECT i, CAST(sum(CAST(xq AS DECIMAL(28,6))) AS DOUBLE) / nn.n AS mu
+         |  FROM coords CROSS JOIN nn GROUP BY i, nn.n
+         |), sxy AS (
+         |  SELECT a.i AS i, b.i AS j,
+         |    sum(CAST(floor(a.xq * b.xq * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS sxy
+         |  FROM coords a JOIN coords b USING (vec_id) GROUP BY 1, 2
+         |), cov AS (
+         |  SELECT s.i, s.j, CAST(s.sxy AS DOUBLE) / nn.n - mi.mu * mj.mu AS c
+         |  FROM sxy s CROSS JOIN nn
+         |  JOIN mu mi ON mi.i = s.i
+         |  JOIN mu mj ON mj.i = s.j
+         |), dimn AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS dn FROM mu
+         |), v0 AS (
+         |  SELECT i, 1.0 / sqrt(dn) AS v FROM mu CROSS JOIN dimn
+         |), ${(1 to EigenIters).map(iter).mkString(", ")}, sgn AS (
+         |  SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+         |  FROM v$EigenIters WHERE i = 0
+         |)
+         |SELECT v.i AS dim,
+         |  floor(v.v * sgn.s * 1000000 + 0.5) / 1000000 AS loading,
+         |  floor(nr$EigenIters.nrm * 10000 + 0.5) / 10000 AS eigenvalue
+         |FROM v$EigenIters v CROSS JOIN sgn CROSS JOIN nr$EigenIters
+         |ORDER BY dim""".stripMargin
+    }
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "ann_cosine_topk" -> bruteForceTopK,
     "ann_dot_topk" -> dotTopK,
@@ -611,6 +756,7 @@ object Similarity {
     "ann_ivf_kmeans_topk" -> ivfKmeansTopK,
     "ann_quantized_topk" -> quantizedTopK,
     "emb_norm_stats" -> normStats,
-    "emb_dim_variance" -> dimVariance
+    "emb_dim_variance" -> dimVariance,
+    "emb_top_eigen" -> topEigen
   )
 }

@@ -906,6 +906,43 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq === Seq((5L, "exact"), (7L, "later"), (20L, null)))
   }
 
+  test("emb_top_eigen matches a plain-Scala replication from the raw vectors") {
+    // Independent path: no posexplode, no groupBy — the covariance is
+    // accumulated naively per raw vector here, so a bug in the
+    // distributed moment layout (i/j transposition, mu join mixup,
+    // decimal-grid drift) would diverge row-for-row.
+    def grid(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    def dec(x: Double, scale: Int) = BigDecimal(x)
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(f => grid(f.toDouble, 1e6)))
+    val n = vecs.length.toDouble
+    val dn = vecs(0).length
+    val mu = Array.tabulate(dn)(i => vecs.map(v => dec(v(i), 6)).sum.toDouble / n)
+    val cov = Array.tabulate(dn, dn) { (i, j) =>
+      vecs.map(v => dec(grid(v(i) * v(j), 1e8), 8)).sum.toDouble / n - mu(i) * mu(j)
+    }
+    var v = Array.fill(dn)(1.0 / math.sqrt(dn.toDouble))
+    var nrm = 0.0
+    for (_ <- 1 to Similarity.EigenIters) {
+      val u = Array.tabulate(dn) { i =>
+        (0 until dn).map(j => math.floor(cov(i)(j) * v(j) * 1e10 + 0.5).toLong)
+          .sum.toDouble / 1e10
+      }
+      nrm = math.sqrt(u.map(x => math.floor(x * x * 1e10 + 0.5).toLong).sum.toDouble / 1e10)
+      v = u.map(_ / nrm)
+    }
+    val sgn = if (v(0) < 0) -1.0 else 1.0
+    val expected = (0 until dn).map(i =>
+      (i, grid(v(i) * sgn, 1e6), grid(nrm, 1e4)))
+    val got = Similarity.topEigen.build(spark, d).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    assert(math.abs(got.map(t => t._2 * t._2).sum - 1.0) < 1e-4,
+      "loadings should be a unit vector up to the 6-dp grid")
+  }
+
   test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
     assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
     val r = Pipelines.mixtureKl.build(spark, d).collect()
