@@ -984,6 +984,77 @@ object Dedup {
            |FROM m""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // SORTED-NEIGHBORHOOD record linkage (Hernández & Stolfo's SNM) —
+  // the third candidate-generation family beside hashing (exact,
+  // MinHash/SimHash bands) and vector blocking (embedding LSH):
+  // sort the corpus by a normalized key and compare each record only
+  // with its w−1 successors. Catches near-dups whose edits fall
+  // INSIDE a hash block key (one char flip changes every shingle that
+  // covers it, but barely moves the record in sort order); production
+  // linkage runs several passes with different keys and unions the
+  // candidates. Cost is O(n·w) comparisons after a global sort.
+  //
+  // Spark-first scale shape: the global sort is a range exchange
+  // (Spark's own scalable ORDER BY), and the global row number comes
+  // from [[graft.engine.Windows.globalRowNumber]]'s two-phase offset
+  // method — NOT a single-partition window. Neighbor pairs then come
+  // from an EQUI-join on floor(rn/w) blocks (each right row fans to
+  // its own and the preceding block — constant 2×), so the candidate
+  // join shuffles on block ids, never compares across more than two
+  // blocks, and stays fully parallel. The 32-char normalized-prefix
+  // key keeps the levenshtein verify O(32²) per pair; non-ASCII is
+  // stripped BEFORE lowercasing because Spark's levenshtein counts
+  // codepoints while DuckDB's counts bytes — on the ASCII projection
+  // the two agree exactly.
+  // ------------------------------------------------------------------
+  val SnmWindow = 4
+  val SnmLevMax = 12
+
+  /** Normalized sort key: ASCII-projected, lowercased, whitespace-
+    * collapsed 32-char prefix.
+    */
+  def snmKey(text: Column): Column =
+    substring(regexp_replace(lower(trim(regexp_replace(text, "[^ -~]", ""))),
+      "\\s+", " "), 1, 32)
+
+  val sortedNeighborhood: Q = Q(
+    (s, d) => {
+      val keyed = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), snmKey(col("text")).as("k"))
+      val rn = graft.engine.Windows.globalRowNumber(keyed, Seq(col("k"), col("doc_id")))
+      val a = rn.select(col("doc_id").as("doc_a"), col("k").as("ka"),
+        col("rn").as("rna"),
+        floor((col("rn") - 1) / SnmWindow).cast("long").as("blk"))
+      val bBase = rn.select(col("doc_id").as("doc_b"), col("k").as("kb"),
+        col("rn").as("rnb"))
+      val blkB = floor((col("rnb") - 1) / SnmWindow).cast("long")
+      val b = bBase.withColumn("blk", blkB)
+        .unionByName(bBase.withColumn("blk", blkB - 1))
+      val lev = levenshtein(col("ka"), col("kb"))
+      a.join(b, Seq("blk"))
+        .filter(col("rnb") > col("rna") && col("rnb") - col("rna") < SnmWindow)
+        .filter(lev <= SnmLevMax)
+        .select(col("doc_a"), col("doc_b"),
+          (col("rnb") - col("rna")).as("gap"), lev.cast("long").as("lev"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH k AS (
+            |  SELECT doc_id,
+            |    substr(regexp_replace(lower(trim(regexp_replace(text, '[^ -~]', '', 'g'))),
+            |           '\\s+', ' ', 'g'), 1, 32) AS k
+            |  FROM documents
+            |), r AS (
+            |  SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM k
+            |)
+            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |       b.rn - a.rn AS gap,
+            |       CAST(levenshtein(a.k, b.k) AS BIGINT) AS lev
+            |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < $SnmWindow
+            |WHERE levenshtein(a.k, b.k) <= $SnmLevMax
+            |ORDER BY doc_a, doc_b""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
@@ -996,6 +1067,7 @@ object Dedup {
     "dedup_ngram_novelty" -> ngramNovelty,
     "dedup_minhash_estimate" -> minhashEstimate,
     "dedup_substring_spans" -> substringSpans,
-    "dedup_bloom_prefilter" -> bloomPrefilter
+    "dedup_bloom_prefilter" -> bloomPrefilter,
+    "dedup_sorted_neighborhood" -> sortedNeighborhood
   )
 }

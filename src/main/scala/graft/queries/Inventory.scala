@@ -1476,6 +1476,126 @@ object Inventory {
     }
   )
 
+  // ------------------------------------------------------------------
+  // RFM customer scoring (recency / frequency / monetary quintiles) —
+  // the classic CRM segmentation, built so the quintiles are EXACT
+  // ntile(5) semantics without ntile's unpartitioned window: each
+  // metric's global rank comes from
+  // [[graft.engine.Windows.globalRowNumber]] (range exchange +
+  // per-partition offsets), and the tile is the closed-form
+  // [[graft.engine.Windows.ntileFromRowNumber]] over (rank, n). Three
+  // ranked metrics → three range exchanges over the |customers|-sized
+  // aggregate — each fully parallel, none ever single-partition. The
+  // monetary sum goes through DECIMAL(18,2) (o_totalprice is 2-dp) so
+  // the value — and therefore the rank order — is partition-order
+  // independent; every ORDER BY ends with o_custkey, making each rank
+  // a total order. The oracle runs DuckDB's native ntile over the
+  // same orders, proving the closed-form distribution identical.
+  // ------------------------------------------------------------------
+  val customerRfm: Q = Q(
+    (s, d) => {
+      import graft.engine.Windows.{globalRowNumber, ntileFromRowNumber}
+      val base = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("monetary"))
+      val n = count(lit(1)).cast("long")
+      val nDf = base.agg(n.as("n_cust"))
+      def tile(df: DataFrame, metric: String, out: String): DataFrame =
+        globalRowNumber(df, Seq(col(metric), col("o_custkey")), rnCol = "__rn")
+          .crossJoin(broadcast(nDf))
+          .withColumn(out, ntileFromRowNumber(col("__rn"), col("n_cust"), 5))
+          .drop("__rn", "n_cust")
+      val tiled = tile(tile(tile(base, "last_order", "r_tile"),
+        "n_orders", "f_tile"), "monetary", "m_tile")
+      tiled
+        .withColumn("segment",
+          when(col("r_tile") >= 4 && col("f_tile") >= 4 && col("m_tile") >= 4, "champion")
+            .when(col("r_tile") <= 2 && col("f_tile") <= 2, "hibernating")
+            .when(col("r_tile") <= 2 && col("f_tile") >= 3, "at_risk")
+            .when(col("f_tile") >= 4, "loyal")
+            .when(col("m_tile") >= 4, "big_spender")
+            .otherwise("regular"))
+        .select(col("o_custkey").as("custkey"), col("last_order"),
+          col("n_orders"), col("monetary"),
+          col("r_tile"), col("f_tile"), col("m_tile"), col("segment"))
+        .orderBy("custkey")
+    },
+    Some("""WITH c AS (
+           |  SELECT o_custkey,
+           |    max(CAST(o_orderdate AS DATE)) AS last_order,
+           |    count(*) AS n_orders,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+           |  FROM orders GROUP BY 1
+           |), t AS (
+           |  SELECT *,
+           |    ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_tile,
+           |    ntile(5) OVER (ORDER BY n_orders, o_custkey) AS f_tile,
+           |    ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_tile
+           |  FROM c
+           |)
+           |SELECT o_custkey AS custkey, last_order, n_orders, monetary,
+           |  r_tile, f_tile, m_tile,
+           |  CASE WHEN r_tile >= 4 AND f_tile >= 4 AND m_tile >= 4 THEN 'champion'
+           |       WHEN r_tile <= 2 AND f_tile <= 2 THEN 'hibernating'
+           |       WHEN r_tile <= 2 AND f_tile >= 3 THEN 'at_risk'
+           |       WHEN f_tile >= 4 THEN 'loyal'
+           |       WHEN m_tile >= 4 THEN 'big_spender'
+           |       ELSE 'regular' END AS segment
+           |FROM t ORDER BY custkey""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Benford first-significant-digit profile over order totals — the
+  // standard fraud/data-quality screen: natural multiplicative data
+  // follows P(d) = log10(1 + 1/d); synthetic or truncated data
+  // doesn't, and the chi-square decomposition says which digit
+  // deviates. One scan, one 9-group aggregate — trivially
+  // map-side-combined at any scale. The first digit is extracted
+  // through the INTEGER-string route (floor → BIGINT → first char),
+  // never floor(x / 10^floor(log10 x)) — the log/pow round-trip
+  // misclassifies exact powers of ten under double rounding. The
+  // expected share ln(1+1/d)/ln(10) is computed with the same IEEE
+  // sequence in both engines; every reported 6-dp rounding sits ≥5e-7
+  // from its tie boundary, far beyond any ulp-level libm divergence.
+  // ------------------------------------------------------------------
+  val ordersBenford: Q = Q(
+    (s, d) => {
+      val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int")
+      val expShare = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+      t(s, d, "orders")
+        .filter(col("o_totalprice") >= 1.0)
+        .groupBy(digit.as("digit"))
+        .agg(count(lit(1)).as("n_orders"))
+        // unpartitioned window over the ≤9-row digit aggregate only
+        .withColumn("n_total", sum(col("n_orders")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("digit"), col("n_orders"),
+          roundPortable(col("n_orders") / col("n_total"), 6).as("obs_share"),
+          roundPortable(expShare, 6).as("exp_share"),
+          roundPortable(
+            (col("n_orders") / col("n_total") - expShare)
+              * (col("n_orders") / col("n_total") - expShare)
+              / expShare * col("n_total"), 6).as("chi2_term"))
+        .orderBy("digit")
+    },
+    Some("""WITH b AS (
+           |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+           |         count(*) AS n_orders
+           |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1
+           |), n AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM b)
+           |SELECT digit, n_orders,
+           |  floor(CAST(n_orders AS DOUBLE) / n_total * 1000000 + 0.5) / 1000000 AS obs_share,
+           |  floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000 + 0.5) / 1000000 AS exp_share,
+           |  floor((CAST(n_orders AS DOUBLE) / n_total - ln(1.0 + 1.0 / digit) / ln(10.0))
+           |        * (CAST(n_orders AS DOUBLE) / n_total - ln(1.0 + 1.0 / digit) / ln(10.0))
+           |        / (ln(1.0 + 1.0 / digit) / ln(10.0)) * n_total * 1000000 + 0.5) / 1000000 AS chi2_term
+           |FROM b CROSS JOIN n ORDER BY digit""".stripMargin)
+  )
+
   val all: Seq[(String, Q)] = Seq(
     "s1_scan" -> s1Scan,
     "p2_projection" -> p2Projection,
@@ -1518,6 +1638,8 @@ object Inventory {
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_sketch_merge" -> aggSketchMerge,
     "join_skew_salted" -> joinSkewSalted,
-    "sort_zorder" -> sortZorder
+    "sort_zorder" -> sortZorder,
+    "customer_rfm" -> customerRfm,
+    "orders_benford" -> ordersBenford
   )
 }

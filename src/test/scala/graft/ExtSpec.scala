@@ -906,6 +906,35 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq === Seq((5L, "exact"), (7L, "later"), (20L, null)))
   }
 
+  test("sorted-neighborhood pairs match a single-pass in-memory replication") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val keyed = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), Dedup.snmKey(col("text")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, k) => (k, id) } // ASCII keys: JVM order == UTF8 binary order
+    val expected = (for {
+      i <- keyed.indices
+      j <- (i + 1) until math.min(i + Dedup.SnmWindow, keyed.length)
+      l = lev(keyed(i)._2, keyed(j)._2) if l <= Dedup.SnmLevMax
+    } yield (keyed(i)._1, keyed(j)._1, (j - i).toLong, l.toLong)).sorted
+    val got = Dedup.sortedNeighborhood.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(expected.nonEmpty, "fixture should yield neighbor pairs")
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("emb_top_eigen matches a plain-Scala replication from the raw vectors") {
     // Independent path: no posexplode, no groupBy — the covariance is
     // accumulated naively per raw vector here, so a bug in the
