@@ -697,6 +697,78 @@ object Pipelines {
             |FROM st ORDER BY doc_id, chunk_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // PII scan + redaction — the compliance pass every training-corpus
+  // pipeline runs before release: detect emails / phone numbers /
+  // IPv4 literals, count them per document, and emit the redacted
+  // text (here as its md5, keeping result rows hash-comparable).
+  // Pure map stage — regex extraction and replacement are codegen'd
+  // expressions whose patterns compile once per operator, so at
+  // 100 TB this composes with the existing corpus partitioning and
+  // shuffles nothing; the scan cost IS the regex cost, which is why
+  // the patterns are anchored character-class forms (no backtracking
+  // blowup on adversarial inputs).
+  //
+  // The fixture corpus contains no PII by construction, so the query
+  // PLANTS a deterministic contact line on the doc_id % 7 == 0 subset
+  // first — both engines replay the identical construction, making
+  // detection and redaction genuinely exercised (nonzero counts, a
+  // changed hash) while remaining an exact-oracle query. The regex
+  // subset used (character classes, bounded repetition, \b) means the
+  // same pattern string parses identically under Java regex (Spark)
+  // and RE2 (DuckDB).
+  // ------------------------------------------------------------------
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  val piiScrub: Q = Q(
+    (s, d) => {
+      val planted = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com ph 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+        .otherwise(col("text"))
+      val redacted =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t2"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>")
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), planted.as("t2"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t2"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+          size(regexp_extract_all(col("t2"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+          md5(redacted).as("redacted_md5"))
+        .withColumn("has_pii", (col("n_emails") + col("n_phones") + col("n_ips")) > 0)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH p AS (
+            |  SELECT doc_id,
+            |    CASE WHEN doc_id % 7 = 0 THEN
+            |      text || ' contact user' || doc_id || '@example.com ph 555-' ||
+            |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+            |      ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+            |    ELSE text END AS t2
+            |  FROM documents
+            |), c AS (
+            |  SELECT doc_id,
+            |    CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT) AS n_emails,
+            |    CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phones,
+            |    CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT) AS n_ips,
+            |    md5(regexp_replace(regexp_replace(regexp_replace(t2,
+            |      '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+            |      '$Ipv4Re', '<IP>', 'g')) AS redacted_md5
+            |  FROM p
+            |)
+            |SELECT doc_id, n_emails, n_phones, n_ips, redacted_md5,
+            |       (n_emails + n_phones + n_ips) > 0 AS has_pii
+            |FROM c ORDER BY doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,
@@ -710,6 +782,7 @@ object Pipelines {
     "pipeline_token_budget" -> tokenBudget,
     "pipeline_weighted_sample" -> weightedSample,
     "pipeline_dataset_card" -> datasetCard,
-    "pipeline_chunk_documents" -> chunkDocuments
+    "pipeline_chunk_documents" -> chunkDocuments,
+    "pipeline_pii_scrub" -> piiScrub
   )
 }

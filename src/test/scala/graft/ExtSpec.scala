@@ -906,6 +906,18 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq === Seq((5L, "exact"), (7L, "later"), (20L, null)))
   }
 
+  test("pii scrub detects exactly the planted subset, once per category") {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val planted = docs.filter(col("doc_id") % 7 === 0).count()
+    val r = Pipelines.piiScrub.build(spark, d)
+    assert(r.count() === docs.count())
+    assert(r.filter(col("has_pii")).count() === planted)
+    assert(r.filter(col("has_pii")).filter(
+      col("n_emails") =!= 1 || col("n_phones") =!= 1 || col("n_ips") =!= 1).isEmpty)
+    assert(r.filter(!col("has_pii")).filter(
+      col("n_emails") + col("n_phones") + col("n_ips") > 0).isEmpty)
+  }
+
   test("sorted-neighborhood pairs match a single-pass in-memory replication") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1)(i => i)
