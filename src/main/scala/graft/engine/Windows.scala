@@ -34,10 +34,15 @@ object Windows {
 
   /** Appends `rnCol` = global 1-based row number by `sortCols` (which
     * must be a total order). `partitions` bounds per-stage memory:
-    * size it so |rows|/partitions fits an executor.
+    * size it so |rows|/partitions fits an executor. With
+    * `keepPid = true` the range-partition id survives as `__pid` —
+    * callers that window WITHIN the established partitioning (e.g.
+    * sorted-neighborhood's `lead` pairs) partition by it and inherit
+    * this sort with no further exchange.
     */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
-      rnCol: String = "rn", partitions: Int = 32): DataFrame = {
+      rnCol: String = "rn", partitions: Int = 32,
+      keepPid: Boolean = false): DataFrame = {
     val ranged = df.repartitionByRange(partitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
@@ -48,11 +53,12 @@ object Windows {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__off"))
     val local = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    ranged
+    val out = ranged
       .withColumn("__lrn", row_number().over(local))
       .join(broadcast(offsets), Seq("__pid"))
       .withColumn(rnCol, col("__off") + col("__lrn"))
-      .drop("__pid", "__lrn", "__off", "__c")
+      .drop("__lrn", "__off", "__c")
+    if (keepPid) out else out.drop("__pid")
   }
 
   /** Closed-form `ntile(buckets)` from a global row number `rn` out

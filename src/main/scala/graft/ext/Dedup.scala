@@ -998,15 +998,20 @@ object Dedup {
   // Spark-first scale shape: the global sort is a range exchange
   // (Spark's own scalable ORDER BY), and the global row number comes
   // from [[graft.engine.Windows.globalRowNumber]]'s two-phase offset
-  // method — NOT a single-partition window. Neighbor pairs then come
-  // from an EQUI-join on floor(rn/w) blocks (each right row fans to
-  // its own and the preceding block — constant 2×), so the candidate
-  // join shuffles on block ids, never compares across more than two
-  // blocks, and stays fully parallel. The 32-char normalized-prefix
-  // key keeps the levenshtein verify O(32²) per pair; non-ASCII is
-  // stripped BEFORE lowercasing because Spark's levenshtein counts
-  // codepoints while DuckDB's counts bytes — on the ASCII projection
-  // the two agree exactly.
+  // method — NOT a single-partition window. Neighbor pairs then need
+  // NO join at all for the overwhelming majority: `lead(·, g)` over
+  // the kept range-partition id emits each in-partition (a, a+g)
+  // pair directly, inheriting the sort the rank already established
+  // (zero additional exchanges — PlanSpec pins it). Only pairs that
+  // STRADDLE a partition boundary can't be seen by the window; both
+  // endpoints of such a pair sit within w−1 rows of an edge, so the
+  // ≤(w−1)·|partitions| edge rows (lead/lag-null flags, no counting
+  // pass) go through a broadcast join filtered on rn distance —
+  // constant-sized however big the corpus. The 32-char
+  // normalized-prefix key keeps the levenshtein verify O(32²) per
+  // pair; non-ASCII is stripped BEFORE lowercasing because Spark's
+  // levenshtein counts codepoints while DuckDB's counts bytes — on
+  // the ASCII projection the two agree exactly.
   // ------------------------------------------------------------------
   val SnmWindow = 4
   val SnmLevMax = 12
@@ -1020,23 +1025,42 @@ object Dedup {
 
   val sortedNeighborhood: Q = Q(
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val keyed = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), snmKey(col("text")).as("k"))
-      val rn = graft.engine.Windows.globalRowNumber(keyed, Seq(col("k"), col("doc_id")))
-      val a = rn.select(col("doc_id").as("doc_a"), col("k").as("ka"),
-        col("rn").as("rna"),
-        floor((col("rn") - 1) / SnmWindow).cast("long").as("blk"))
-      val bBase = rn.select(col("doc_id").as("doc_b"), col("k").as("kb"),
-        col("rn").as("rnb"))
-      val blkB = floor((col("rnb") - 1) / SnmWindow).cast("long")
-      val b = bBase.withColumn("blk", blkB)
-        .unionByName(bBase.withColumn("blk", blkB - 1))
+      val ranked = graft.engine.Windows.globalRowNumber(
+        keyed, Seq(col("k"), col("doc_id")), keepPid = true)
+      val w = Window.partitionBy(col("__pid")).orderBy(col("k"), col("doc_id"))
+      val nbs = array((1 until SnmWindow).map { g =>
+        struct(lead(col("doc_id"), g).over(w).as("doc_b"),
+          lead(col("k"), g).over(w).as("kb"), lit(g.toLong).as("gap"))
+      }: _*)
+      val enriched = ranked
+        .withColumn("nb", nbs)
+        .withColumn("__nearStart", lag(col("k"), SnmWindow - 1).over(w).isNull)
+        .withColumn("__nearEnd",
+          element_at(col("nb"), SnmWindow - 1).getField("kb").isNull)
+      val main = enriched
+        .select(col("doc_id").as("doc_a"), col("k").as("ka"),
+          explode(col("nb")).as("b"))
+        .filter(col("b.kb").isNotNull)
+        .select(col("doc_a"), col("ka"), col("b.doc_b").as("doc_b"),
+          col("b.kb").as("kb"), col("b.gap").as("gap"))
+      val aEdge = enriched.filter(col("__nearEnd"))
+        .select(col("doc_id").as("doc_a"), col("k").as("ka"),
+          col("rn").as("rna"), col("__pid").as("pa"))
+      val bEdge = enriched.filter(col("__nearStart"))
+        .select(col("doc_id").as("doc_b"), col("k").as("kb"),
+          col("rn").as("rnb"), col("__pid").as("pb"))
+      val edge = aEdge.join(broadcast(bEdge),
+          col("pb") =!= col("pa") && col("rnb") > col("rna") &&
+            col("rnb") - col("rna") < SnmWindow)
+        .select(col("doc_a"), col("ka"), col("doc_b"), col("kb"),
+          (col("rnb") - col("rna")).as("gap"))
       val lev = levenshtein(col("ka"), col("kb"))
-      a.join(b, Seq("blk"))
-        .filter(col("rnb") > col("rna") && col("rnb") - col("rna") < SnmWindow)
+      main.unionByName(edge)
         .filter(lev <= SnmLevMax)
-        .select(col("doc_a"), col("doc_b"),
-          (col("rnb") - col("rna")).as("gap"), lev.cast("long").as("lev"))
+        .select(col("doc_a"), col("doc_b"), col("gap"), lev.cast("long").as("lev"))
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""WITH k AS (

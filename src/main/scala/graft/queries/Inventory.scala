@@ -1495,21 +1495,40 @@ object Inventory {
   val customerRfm: Q = Q(
     (s, d) => {
       import graft.engine.Windows.{globalRowNumber, ntileFromRowNumber}
+      // base is read by SEVEN plan branches (3 ranked + 3 offset +
+      // n_cust); cached so orders is scanned and aggregated ONCE —
+      // without it, column pruning specializes each branch's subtree
+      // (different ReadSchema per metric) which defeats AQE exchange
+      // reuse, and the orders aggregation runs 5× (measured). The
+      // per-customer aggregate is |customers|-sized — orders of
+      // magnitude below the fact table — and the cache stays alive on
+      // the success path because the returned plan reads it (the
+      // Clusters.connectedComponents convention).
       val base = t(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(max(to_date(col("o_orderdate"))).as("last_order"),
           count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .cast(DoubleType).as("monetary"))
+        .cache()
       val n = count(lit(1)).cast("long")
       val nDf = base.agg(n.as("n_cust"))
-      def tile(df: DataFrame, metric: String, out: String): DataFrame =
-        globalRowNumber(df, Seq(col(metric), col("o_custkey")), rnCol = "__rn")
+      // Each tile ranks base independently and joins (custkey, tile)
+      // back — flat lineage. The nested alternative
+      // (tile(tile(tile(base)))) doubles the base subtree per level
+      // (each globalRowNumber references its input twice: ranked rows
+      // + offsets) — 2^3 copies of the orders aggregate in the plan,
+      // the same exponential-composition trap the eigen iteration
+      // documented.
+      def tileOf(metric: String, out: String): DataFrame =
+        globalRowNumber(base, Seq(col(metric), col("o_custkey")), rnCol = "__rn")
           .crossJoin(broadcast(nDf))
-          .withColumn(out, ntileFromRowNumber(col("__rn"), col("n_cust"), 5))
-          .drop("__rn", "n_cust")
-      val tiled = tile(tile(tile(base, "last_order", "r_tile"),
-        "n_orders", "f_tile"), "monetary", "m_tile")
+          .select(col("o_custkey"),
+            ntileFromRowNumber(col("__rn"), col("n_cust"), 5).as(out))
+      val tiled = base
+        .join(tileOf("last_order", "r_tile"), Seq("o_custkey"))
+        .join(tileOf("n_orders", "f_tile"), Seq("o_custkey"))
+        .join(tileOf("monetary", "m_tile"), Seq("o_custkey"))
       tiled
         .withColumn("segment",
           when(col("r_tile") >= 4 && col("f_tile") >= 4 && col("m_tile") >= 4, "champion")

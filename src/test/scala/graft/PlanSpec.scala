@@ -437,6 +437,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  /** The adaptive FINAL plan (post-execution, Initial Plan section
+    * stripped) — where AQE's ReusedExchange dedup is visible.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("sorted-neighborhood runs ONE documents scan; pairs come from the window, not a join") {
+    val p = finalPlan(graft.ext.Dedup.sortedNeighborhood.build(spark, d))
+    assert(parquetScans(p) === 1,
+      s"rank pipeline must be exchange-reused across the union branches:\n$p")
+    assert(p.contains("ReusedExchange"), p)
+    assert(p.contains("lead(doc_id"),
+      s"in-partition neighbor pairs must come from window lead():\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("customer_rfm runs ONE orders scan; the cached base feeds every rank branch") {
+    try {
+      val p = finalPlan(graft.queries.Inventory.customerRfm.build(spark, d))
+      assert(parquetScans(p) === 1,
+        s"base must be cached — per-branch pruned subtrees rescan orders:\n$p")
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("mixture KL windows over the per-lang aggregate, never the corpus") {
     // the sum-over-() total must sit ABOVE the HashAggregate pair:
     // scan -> partial agg -> exchange -> final agg -> window(5 rows)
