@@ -162,6 +162,71 @@ object Streams {
       .select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"), col("view_ts"))
   }
 
+  /** One user's open session for [[closedSessions]]. */
+  final case class OpenSession(user_id: Long, session_start: Long,
+      last_ts: Long, n_events: Long)
+
+  /** An emitted (gap-closed) session. */
+  final case class ClosedSession(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  /** Gap-based session CLOSURE with an event-time timeout — the
+    * stateful pattern [[sessionized]]'s built-in session_window can't
+    * express when the consumer needs an explicit "session ended"
+    * record the moment the watermark passes last_event + gap (alerts,
+    * downstream billing, TTL cleanup), not an ever-updating window
+    * row. One `OpenSession` per active user, partitioned on user_id;
+    * `GroupState.setTimeoutTimestamp(last_ts + gap)` arms the
+    * event-time alarm and `hasTimedOut` fires exactly once per closed
+    * session, so state size is bounded by CONCURRENTLY ACTIVE users
+    * and every eviction is explicit. In-batch gaps close inline
+    * (events within a micro-batch are folded in event-time order);
+    * cross-batch gaps close through the timeout path.
+    *
+    * Input: a watermarked stream of (user_id, ts). The watermark must
+    * cover the gap (timeouts only fire once the watermark passes the
+    * armed timestamp).
+    */
+  def closedSessions(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long = 30L * 60 * 1000): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.session_start, s.last_ts, s.n_events))
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last_ts <= gapMs =>
+                  cur = Some(s.copy(last_ts = t, n_events = s.n_events + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(user, s.session_start, s.last_ts, s.n_events)
+                  cur = Some(OpenSession(user, t, t, 1L))
+                case None =>
+                  cur = Some(OpenSession(user, t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_ts + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** One user's running state for [[runningTotals]]. */
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

@@ -238,4 +238,40 @@ class StreamingSpec extends SparkSpec {
       "gate degenerate on the sample")
     assert(streamed === expected)
   }
+
+  test("event-time-timeout session closure: in-batch gaps close inline, idle users close by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val watermarked = mem.toDS()
+      .withWatermark("_2", "5 seconds").as[(Long, Timestamp)]
+    val q = Streams.closedSessions(watermarked)
+      .writeStream.format("memory").queryName("closed_sess")
+      .outputMode("append").start()
+    // batch 1: user 1 twice (one open session), user 2 once
+    mem.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+      (2L, ts("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    // batch 2: user 1 returns after 50 min — closes session 1 INLINE;
+    // also advances the max event time so the NEXT batch's watermark
+    // (01:00 − 5 s) passes user 2's 00:35 alarm
+    mem.addData((1L, ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    // batch 3: unrelated user; user 2's timeout fires this batch
+    mem.addData((3L, ts("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("closed_sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    assert(got === Seq(
+      (1L, t0, t0 + 10 * 60 * 1000, 2L),     // inline gap closure (batch 2)
+      (1L, t0 + 60 * 60 * 1000, t0 + 60 * 60 * 1000, 1L), // timer: the no-data
+      // micro-batch after batch 3 advances the watermark to 01:59:55,
+      // past this session's 01:30 alarm
+      (2L, t0 + 5 * 60 * 1000, t0 + 5 * 60 * 1000, 1L))) // timer (batch 3)
+    // user 3 (alarm 02:30 > final watermark) is still open: not emitted
+  }
 }
