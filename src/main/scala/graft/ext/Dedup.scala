@@ -1023,42 +1023,51 @@ object Dedup {
     substring(regexp_replace(lower(trim(regexp_replace(text, "[^ -~]", ""))),
       "\\s+", " "), 1, 32)
 
+  /** SNM candidate pairs: (doc_a, ka, doc_b, kb, gap) for every pair
+    * within `SnmWindow` positions of each other in (key, doc_id) sort
+    * order. Shared by [[sortedNeighborhood]] (levenshtein verify) and
+    * [[recordLinkage]] (Jaro–Winkler scoring).
+    */
+  def snmCandidates(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), snmKey(col("text")).as("k"))
+    val ranked = graft.engine.Windows.globalRowNumber(
+      keyed, Seq(col("k"), col("doc_id")), keepPid = true)
+    val w = Window.partitionBy(col("__pid")).orderBy(col("k"), col("doc_id"))
+    val nbs = array((1 until SnmWindow).map { g =>
+      struct(lead(col("doc_id"), g).over(w).as("doc_b"),
+        lead(col("k"), g).over(w).as("kb"), lit(g.toLong).as("gap"))
+    }: _*)
+    val enriched = ranked
+      .withColumn("nb", nbs)
+      .withColumn("__nearStart", lag(col("k"), SnmWindow - 1).over(w).isNull)
+      .withColumn("__nearEnd",
+        element_at(col("nb"), SnmWindow - 1).getField("kb").isNull)
+    val main = enriched
+      .select(col("doc_id").as("doc_a"), col("k").as("ka"),
+        explode(col("nb")).as("b"))
+      .filter(col("b.kb").isNotNull)
+      .select(col("doc_a"), col("ka"), col("b.doc_b").as("doc_b"),
+        col("b.kb").as("kb"), col("b.gap").as("gap"))
+    val aEdge = enriched.filter(col("__nearEnd"))
+      .select(col("doc_id").as("doc_a"), col("k").as("ka"),
+        col("rn").as("rna"), col("__pid").as("pa"))
+    val bEdge = enriched.filter(col("__nearStart"))
+      .select(col("doc_id").as("doc_b"), col("k").as("kb"),
+        col("rn").as("rnb"), col("__pid").as("pb"))
+    val edge = aEdge.join(broadcast(bEdge),
+        col("pb") =!= col("pa") && col("rnb") > col("rna") &&
+          col("rnb") - col("rna") < SnmWindow)
+      .select(col("doc_a"), col("ka"), col("doc_b"), col("kb"),
+        (col("rnb") - col("rna")).as("gap"))
+    main.unionByName(edge)
+  }
+
   val sortedNeighborhood: Q = Q(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val keyed = s.read.parquet(s"$d/documents.parquet")
-        .select(col("doc_id"), snmKey(col("text")).as("k"))
-      val ranked = graft.engine.Windows.globalRowNumber(
-        keyed, Seq(col("k"), col("doc_id")), keepPid = true)
-      val w = Window.partitionBy(col("__pid")).orderBy(col("k"), col("doc_id"))
-      val nbs = array((1 until SnmWindow).map { g =>
-        struct(lead(col("doc_id"), g).over(w).as("doc_b"),
-          lead(col("k"), g).over(w).as("kb"), lit(g.toLong).as("gap"))
-      }: _*)
-      val enriched = ranked
-        .withColumn("nb", nbs)
-        .withColumn("__nearStart", lag(col("k"), SnmWindow - 1).over(w).isNull)
-        .withColumn("__nearEnd",
-          element_at(col("nb"), SnmWindow - 1).getField("kb").isNull)
-      val main = enriched
-        .select(col("doc_id").as("doc_a"), col("k").as("ka"),
-          explode(col("nb")).as("b"))
-        .filter(col("b.kb").isNotNull)
-        .select(col("doc_a"), col("ka"), col("b.doc_b").as("doc_b"),
-          col("b.kb").as("kb"), col("b.gap").as("gap"))
-      val aEdge = enriched.filter(col("__nearEnd"))
-        .select(col("doc_id").as("doc_a"), col("k").as("ka"),
-          col("rn").as("rna"), col("__pid").as("pa"))
-      val bEdge = enriched.filter(col("__nearStart"))
-        .select(col("doc_id").as("doc_b"), col("k").as("kb"),
-          col("rn").as("rnb"), col("__pid").as("pb"))
-      val edge = aEdge.join(broadcast(bEdge),
-          col("pb") =!= col("pa") && col("rnb") > col("rna") &&
-            col("rnb") - col("rna") < SnmWindow)
-        .select(col("doc_a"), col("ka"), col("doc_b"), col("kb"),
-          (col("rnb") - col("rna")).as("gap"))
       val lev = levenshtein(col("ka"), col("kb"))
-      main.unionByName(edge)
+      snmCandidates(s, d)
         .filter(lev <= SnmLevMax)
         .select(col("doc_a"), col("doc_b"), col("gap"), lev.cast("long").as("lev"))
         .orderBy("doc_a", "doc_b")
@@ -1079,6 +1088,50 @@ object Dedup {
             |ORDER BY doc_a, doc_b""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Record linkage scoring over the SNM candidates — the same sorted-
+  // neighborhood generation, scored with the native [[graft.functions
+  // .JaroWinkler]] expression instead of levenshtein: JW rewards
+  // shared prefixes (exactly what sorted keys guarantee candidates
+  // have), so it is the classic scorer for this blocking family
+  // (census/MDM practice). Every candidate is emitted with its score
+  // and a decision tier — the human-review queue shape, not just the
+  // auto-match subset. Oracled against DuckDB's native
+  // jaro_winkler_similarity: the expression's byte-level kernel is
+  // bit-identical, so even the raw-double tier comparisons agree.
+  // ------------------------------------------------------------------
+  val recordLinkage: Q = Q(
+    (s, d) => {
+      val jw = graft.functions.JaroWinkler(col("ka"), col("kb"))
+      snmCandidates(s, d)
+        .withColumn("jw", jw)
+        .select(col("doc_a"), col("doc_b"), col("gap"),
+          roundPortable(col("jw"), 6).as("jw_sim"),
+          when(col("jw") === 1.0, "exact")
+            .when(col("jw") >= 0.92, "match")
+            .when(col("jw") >= 0.8, "review")
+            .otherwise("distinct").as("tier"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH k AS (
+            |  SELECT doc_id,
+            |    substr(regexp_replace(lower(trim(regexp_replace(text, '[^ -~]', '', 'g'))),
+            |           '\\s+', ' ', 'g'), 1, 32) AS k
+            |  FROM documents
+            |), r AS (
+            |  SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM k
+            |), p AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.rn - a.rn AS gap,
+            |         jaro_winkler_similarity(a.k, b.k) AS jw
+            |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < $SnmWindow
+            |)
+            |SELECT doc_a, doc_b, gap,
+            |  floor(jw * 1000000 + 0.5) / 1000000 AS jw_sim,
+            |  CASE WHEN jw = 1.0 THEN 'exact' WHEN jw >= 0.92 THEN 'match'
+            |       WHEN jw >= 0.8 THEN 'review' ELSE 'distinct' END AS tier
+            |FROM p ORDER BY doc_a, doc_b""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
@@ -1092,6 +1145,7 @@ object Dedup {
     "dedup_minhash_estimate" -> minhashEstimate,
     "dedup_substring_spans" -> substringSpans,
     "dedup_bloom_prefilter" -> bloomPrefilter,
-    "dedup_sorted_neighborhood" -> sortedNeighborhood
+    "dedup_sorted_neighborhood" -> sortedNeighborhood,
+    "dedup_record_linkage" -> recordLinkage
   )
 }

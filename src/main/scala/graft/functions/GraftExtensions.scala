@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val (h60Info, h60Builder) =
       FunctionRegistryBase.build[Hash60]("hash60", since = None)
     ext.injectFunction((FunctionIdentifier("hash60"), h60Info, h60Builder))
+    val (jwInfo, jwBuilder) =
+      FunctionRegistryBase.build[JaroWinkler]("jaro_winkler", since = None)
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"), jwInfo, jwBuilder))
   }
 }
