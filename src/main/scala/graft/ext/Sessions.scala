@@ -617,6 +617,153 @@ object Sessions {
             |ORDER BY 1, 2""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // GROWTH ACCOUNTING — the canonical product-analytics user-state
+  // machine (new / retained / resurrected / churned per week, Social
+  // Capital's "quick ratio" framing). The classification needs each
+  // user's previous and next active week: one (user, week) presence
+  // grid (the active_users dedup trick — the corpus collapses
+  // map-side before any window), one window over user_id, and churn
+  // rows PROJECTED onto week+7 from the same pass (a user churns at
+  // w+7 when active at w and not at w+7 — no anti-join needed; the
+  // lead() already knows). The week horizon guard (max_week
+  // broadcast) keeps the final, unknowable week out of the churn
+  // denominator. Weeks are Monday-truncated in both engines;
+  // all counts are exact integers, so the only rounded column is the
+  // quick ratio.
+  // ------------------------------------------------------------------
+  val growthAccounting: Q = Q(
+    (s, d) => {
+      val wk = to_date(date_trunc("week", col("ts")))
+      val grid = Inventory.events(s, d)
+        .select(col("user_id"), wk.as("week")).distinct()
+      val byU = Window.partitionBy(col("user_id")).orderBy(col("week"))
+      val g = grid
+        .withColumn("prev", lag(col("week"), 1).over(byU))
+        .withColumn("next", lead(col("week"), 1).over(byU))
+      val maxW = grid.agg(max(col("week")).as("max_week"))
+      val active = g.select(col("week"),
+        when(col("prev").isNull, 1).otherwise(0).as("is_new"),
+        when(col("prev") === date_sub(col("week"), 7), 1).otherwise(0).as("is_retained"),
+        when(col("prev").isNotNull && col("prev") < date_sub(col("week"), 7), 1)
+          .otherwise(0).as("is_resurrected"),
+        lit(0).as("is_churned"))
+      val churn = g.crossJoin(broadcast(maxW))
+        .filter((col("next").isNull || col("next") > date_add(col("week"), 7)) &&
+          date_add(col("week"), 7) <= col("max_week"))
+        .select(date_add(col("week"), 7).as("week"),
+          lit(0).as("is_new"), lit(0).as("is_retained"),
+          lit(0).as("is_resurrected"), lit(1).as("is_churned"))
+      active.unionByName(churn)
+        .groupBy(col("week"))
+        .agg(sum(col("is_new")).as("n_new"),
+          sum(col("is_retained")).as("n_retained"),
+          sum(col("is_resurrected")).as("n_resurrected"),
+          sum(col("is_churned")).as("n_churned"))
+        .withColumn("quick_ratio",
+          when(col("n_churned") === 0, lit(null).cast(DoubleType))
+            .otherwise(roundPortable(
+              (col("n_new") + col("n_resurrected")).cast(DoubleType) / col("n_churned"), 4)))
+        .orderBy(col("week"))
+    },
+    Some("""WITH wk AS (
+           |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+           |), g AS (
+           |  SELECT user_id, week,
+           |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+           |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next
+           |  FROM wk
+           |), mx AS (SELECT max(week) AS max_week FROM wk
+           |), flagged AS (
+           |  SELECT week,
+           |    CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_new,
+           |    CASE WHEN prev = week - 7 THEN 1 ELSE 0 END AS is_retained,
+           |    CASE WHEN prev IS NOT NULL AND prev < week - 7 THEN 1 ELSE 0 END AS is_resurrected,
+           |    0 AS is_churned
+           |  FROM g
+           |  UNION ALL
+           |  SELECT week + 7, 0, 0, 0, 1
+           |  FROM g CROSS JOIN mx
+           |  WHERE (next IS NULL OR next > week + 7) AND week + 7 <= max_week
+           |), agg AS (
+           |  SELECT week,
+           |    CAST(sum(is_new) AS BIGINT) AS n_new,
+           |    CAST(sum(is_retained) AS BIGINT) AS n_retained,
+           |    CAST(sum(is_resurrected) AS BIGINT) AS n_resurrected,
+           |    CAST(sum(is_churned) AS BIGINT) AS n_churned
+           |  FROM flagged GROUP BY week
+           |)
+           |SELECT week, n_new, n_retained, n_resurrected, n_churned,
+           |  CASE WHEN n_churned = 0 THEN NULL
+           |       ELSE floor(CAST(n_new + n_resurrected AS DOUBLE) / n_churned * 10000 + 0.5) / 10000
+           |  END AS quick_ratio
+           |FROM agg ORDER BY week""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Seasonal decomposition of the daily event series — the moving-
+  // average STL precursor: trend = CENTERED 7-day mean (only where
+  // the window is complete, so the series edges stay honestly NULL
+  // rather than biased), day-of-week seasonal = mean detrended value
+  // per weekday, residual = observed − trend − seasonal. The corpus
+  // collapses to |days| rows in the first aggregate; every window
+  // after that is calendar-sized. Weekday is computed ARITHMETICALLY
+  // ((date − Monday-anchor) mod 7) because dayofweek() numbering
+  // disagrees between engines (Spark 1=Sunday, DuckDB 0=Sunday);
+  // detrended terms round to the 6-dp grid and sum in DECIMAL before
+  // the per-weekday mean, keeping the seasonal means
+  // partition-order-free.
+  // ------------------------------------------------------------------
+  val seasonalDecompose: Q = Q(
+    (s, d) => {
+      val daily = Inventory.events(s, d)
+        .groupBy(to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("n"))
+      val byDt = Window.orderBy(col("dt")).rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("w_n", sum(col("n")).over(byDt))
+        .withColumn("w_c", count(col("n")).over(byDt))
+        .withColumn("trend",
+          when(col("w_c") === 7, col("w_n").cast(DoubleType) / 7.0))
+        .withColumn("dow",
+          pmod(datediff(col("dt"), to_date(lit("2024-01-01"))), lit(7)))
+      val seas = t.filter(col("trend").isNotNull)
+        .groupBy(col("dow"))
+        .agg((sum(roundPortable(col("n") - col("trend"), 6).cast(DecimalType(28, 6)))
+          .cast(DoubleType) / count(lit(1))).as("seasonal_raw"))
+      t.join(broadcast(seas), Seq("dow"), "left")
+        .select(col("dt"), col("n"), col("dow"),
+          roundPortable(col("trend"), 4).as("trend"),
+          roundPortable(col("seasonal_raw"), 4).as("seasonal"),
+          roundPortable(col("n") - col("trend") - col("seasonal_raw"), 4).as("residual"))
+        .orderBy(col("dt"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS dt, count(*) AS n FROM events GROUP BY 1
+           |), t AS (
+           |  SELECT dt, n,
+           |    sum(n) OVER (ORDER BY dt ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n,
+           |    count(n) OVER (ORDER BY dt ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_c,
+           |    ((dt - DATE '2024-01-01') % 7 + 7) % 7 AS dow
+           |  FROM daily
+           |), tt AS (
+           |  SELECT dt, n, dow,
+           |    CASE WHEN w_c = 7 THEN CAST(w_n AS DOUBLE) / 7.0 END AS trend
+           |  FROM t
+           |), seas AS (
+           |  SELECT dow,
+           |    CAST(sum(CAST(floor((n - trend) * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6))) AS DOUBLE)
+           |      / count(*) AS seasonal_raw
+           |  FROM tt WHERE trend IS NOT NULL GROUP BY 1
+           |)
+           |SELECT tt.dt, tt.n, tt.dow,
+           |  floor(trend * 10000 + 0.5) / 10000 AS trend,
+           |  floor(seasonal_raw * 10000 + 0.5) / 10000 AS seasonal,
+           |  floor((tt.n - trend - seasonal_raw) * 10000 + 0.5) / 10000 AS residual
+           |FROM tt LEFT JOIN seas ON seas.dow = tt.dow
+           |ORDER BY tt.dt""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_sessionize" -> sessionize,
     "events_hourly_window" -> hourly,
@@ -629,6 +776,8 @@ object Sessions {
     "events_active_users" -> activeUsers,
     "events_streaks" -> streaks,
     "join_interval_overlap" -> intervalOverlap,
-    "events_ewma_daily" -> ewmaDaily
+    "events_ewma_daily" -> ewmaDaily,
+    "events_growth_accounting" -> growthAccounting,
+    "events_seasonal_decompose" -> seasonalDecompose
   )
 }

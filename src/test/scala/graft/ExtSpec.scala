@@ -984,6 +984,37 @@ class ExtSpec extends SparkSpec {
       "loadings should be a unit vector up to the 6-dp grid")
   }
 
+  test("growth accounting: class partition and churn conservation hold") {
+    val r = Sessions.growthAccounting.build(spark, d).collect()
+      .map(x => (x.getDate(0).toLocalDate, x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.nonEmpty)
+    val byWeek = r.map(x => x._1 -> x).toMap
+    r.foreach { case (w, nNew, nRet, nRes, nChurn) =>
+      val actives = nNew + nRet + nRes
+      // churned(w) = actives(w-7) - retained(w) whenever w-7 is observed:
+      // everyone active last week either came back (retained) or churned
+      byWeek.get(w.minusDays(7)).foreach { prev =>
+        val prevActives = prev._2 + prev._3 + prev._4
+        assert(nChurn === prevActives - nRet,
+          s"week $w: churn $nChurn != ${prevActives} - $nRet")
+      }
+      assert(actives >= 0 && nChurn >= 0)
+    }
+  }
+
+  test("seasonal decomposition: residuals center on zero per weekday") {
+    val r = Sessions.seasonalDecompose.build(spark, d).collect()
+      .map(x => (x.getInt(2), Option(x.get(3)).map(_ => x.getDouble(3)),
+        if (x.isNullAt(5)) None else Some(x.getDouble(5))))
+    // trend defined exactly where the 7-day window is complete
+    assert(r.count(_._2.isDefined) === r.length - 6)
+    val resByDow = r.flatMap(x => x._3.map(v => x._1 -> v)).groupBy(_._1)
+    resByDow.foreach { case (dow, vs) =>
+      val mean = vs.map(_._2).sum / vs.length
+      assert(math.abs(mean) < 1e-3, s"dow $dow residual mean $mean")
+    }
+  }
+
   test("mixture KL: targets sum to 1, KL(target||actual) is non-negative, epochs invert shares") {
     assert(math.abs(Pipelines.TargetMix.map(_._2).sum - 1.0) < 1e-12)
     val r = Pipelines.mixtureKl.build(spark, d).collect()
