@@ -92,12 +92,13 @@ object AsOf {
     * event", the join a training pipeline runs to attach forward
     * outcomes to features (and the one you audit for label leakage —
     * leakage is exactly a backward feature join accidentally built
-    * this way round). Same unified-frame construction, with the
-    * window frame flipped to (current row, unbounded FOLLOWING) and
-    * `first(ignoreNulls)` doing a backward fill; at equal timestamps
-    * the left row sorts BEFORE right rows (side 0 < 1), so an exact
-    * tie matches inclusively, mirroring the backward join's
-    * inclusive `<=`. Rows with no later right match keep NULLs.
+    * this way round). Same unified-frame construction, run over the
+    * DESCENDING total order with the incremental running frame (see
+    * the inline note: Spark's unbounded-FOLLOWING frame is O(n²) per
+    * key); at equal timestamps the left row sorts BEFORE right rows
+    * in ascending terms (side 0 < 1), so an exact tie matches
+    * inclusively, mirroring the backward join's inclusive `<=`. Rows
+    * with no later right match keep NULLs.
     */
   def asofJoinForward(
       left: DataFrame,
@@ -118,10 +119,20 @@ object AsOf {
       .withColumn("_ts", col(rightTs)).withColumn("_side", lit(1))
       .select(Seq(col(key), col("_ts"), col("_side"), payload.as("_payload")) ++
         lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"), col("_payload"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // DESCENDING order + running frame, NOT the literal
+    // (currentRow, unboundedFollowing) + first(): Spark evaluates
+    // unbounded-FOLLOWING frames by re-scanning from each row to the
+    // partition end — O(n²) per key (measured: 172 s at sf0.1 where
+    // this mirror runs in ~2 s). Reversing the total order turns
+    // "first non-null at-or-after" into "last non-null at-or-before",
+    // which the UnboundedPreceding frame computes incrementally.
+    // ASC NULLS FIRST reversed is DESC NULLS LAST (Spark's defaults),
+    // so the reversal is exact, ties included.
+    val w = Window.partitionBy(key)
+      .orderBy(col("_ts").desc, col("_side").desc, col("_payload").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(r)
-      .withColumn("_payload", first(col("_payload"), ignoreNulls = true).over(w))
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 0)
       .select(Seq(col(key)) ++ lCols.filter(_ != key).map(col) ++
         rightPayload.map(c => col(s"_payload.$c").as(c)): _*)
@@ -262,10 +273,13 @@ object AsOf {
       .union(firstPerBucket.select(col(key), col("_bucket")))
       .distinct()
 
-    val wCarry = Window.partitionBy(key).orderBy("_bucket")
-      .rowsBetween(1, Window.unboundedFollowing)
+    // desc + (unboundedPreceding, -1) ≡ asc + (1, unboundedFollowing):
+    // "earliest summary of any LATER bucket", via the incremental
+    // running frame instead of the quadratic following frame
+    val wCarry = Window.partitionBy(key).orderBy(col("_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val carries = allBuckets.join(firstPerBucket, Seq(key, "_bucket"), "left")
-      .withColumn("_carry", first(col("_first"), ignoreNulls = true).over(wCarry))
+      .withColumn("_carry", last(col("_first"), ignoreNulls = true).over(wCarry))
       .filter(col("_carry").isNotNull)
       .select(col(key), col("_bucket"),
         tsBack((col("_bucket") + 1) * bucketWidth - 1).as("_ts"), // ≥ every in-bucket ts
@@ -281,11 +295,13 @@ object AsOf {
     val chs = carries.select(Seq(col(key), col("_bucket"), col("_ts"), lit(2).as("_side"),
       col("_payload")) ++ nullLefts: _*)
 
+    // same descending mirror as [[asofJoinForward]] — within a bucket
+    // the quadratic following-frame cost is bounded but still wasted
     val w = Window.partitionBy(col(key), col("_bucket"))
-      .orderBy(col("_ts"), col("_side"), col("_payload"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("_ts").desc, col("_side").desc, col("_payload").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lhs.union(rhs).union(chs)
-      .withColumn("_payload", first(col("_payload"), ignoreNulls = true).over(w))
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 0)
       .select(Seq(col(key)) ++ lCols.filter(_ != key).map(col) ++
         rightPayload.map(c => col(s"_payload.$c").as(c)): _*)

@@ -647,27 +647,34 @@ object Similarity {
 
   val topEigen: Q = Q(
     (s, d) => {
+      // The order-free Σs accumulate exact GRID LONGS, not DECIMALs:
+      // sum(long) is a primitive-specialized aggregate while decimal
+      // sums box and carry 128-bit arithmetic through the n·d² hot
+      // rows. Value-identical to the oracle's DECIMAL sums while
+      // |Σk| < 2⁵³ (terms are ≤1e8-grid units of ≤O(1) products, so
+      // the bound holds to ~10¹⁰ corpus rows; past that the decimal
+      // formulation returns).
       val xd = col("x").cast(DoubleType)
       val coords = emb(s, d)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
         .select(col("vec_id"), col("i"), roundPortable(xd, 6).as("xq"))
       val n1 = emb(s, d).agg(count(lit(1)).cast(DoubleType).as("n"))
       val mu = coords.groupBy("i")
-        .agg(sum(col("xq").cast(DecimalType(28, 6))).as("sx"))
+        .agg(sum(floor(col("xq") * 1e6 + lit(0.5)).cast("long")).as("sx"))
         .crossJoin(broadcast(n1))
-        .select(col("i"), (col("sx").cast(DoubleType) / col("n")).as("mu"))
+        .select(col("i"), (col("sx").cast(DoubleType) / 1e6 / col("n")).as("mu"))
       val sxy = emb(s, d)
         .select(posexplode(col("embedding")).as(Seq("i", "x")), col("embedding").as("e"))
         .select(col("i"), roundPortable(xd, 6).as("xq"),
           posexplode(col("e")).as(Seq("j", "y")))
         .groupBy("i", "j")
-        .agg(sum(roundPortable(col("xq") * roundPortable(col("y").cast(DoubleType), 6), 8)
-          .cast(DecimalType(28, 8))).as("sxy"))
+        .agg(sum(floor(col("xq") * roundPortable(col("y").cast(DoubleType), 6) * 1e8
+          + lit(0.5)).cast("long")).as("sxy"))
       val cov = sxy.crossJoin(broadcast(n1))
         .join(broadcast(mu), Seq("i"))
         .join(broadcast(mu.select(col("i").as("j"), col("mu").as("muj"))), Seq("j"))
         .select(col("i"), col("j"),
-          (col("sxy").cast(DoubleType) / col("n") - col("mu") * col("muj")).as("c"))
+          (col("sxy").cast(DoubleType) / 1e8 / col("n") - col("mu") * col("muj")).as("c"))
       // distributed work ends here: ONE action collects the d² cells
       // (data-size-independent); the power steps are driver Scala
       val cells = cov.collect()
