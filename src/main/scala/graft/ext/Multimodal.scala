@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Functions.roundPortable
 import graft.queries.Inventory.Q
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -167,5 +168,95 @@ object Multimodal {
             |FROM f GROUP BY kind ORDER BY kind""".stripMargin)
   )
 
-  val queries: Seq[(String, Q)] = Seq("multimodal_features" -> features)
+  /** ALL frame hashes of media payloads (step=1, unlike the sampled
+    * view) — the content-ID substrate: (media_id, frame_idx, fh) with
+    * fh = the 60-bit md5 hash of the frame bytes, reproducible in the
+    * oracle as `('0x'||substr(md5(frame),1,15))::BIGINT`.
+    */
+  def frameHashes(items: Dataset[MediaItem],
+      frameBytes: Int = FrameBytes): DataFrame = {
+    implicit val enc =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaLong)
+    items.mapPartitions { it =>
+      it.flatMap { item =>
+        item.payload.grouped(frameBytes).zipWithIndex.map {
+          case (frame, idx) => (item.media_id, idx, hash60Bytes(frame))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "fh")
+  }
+
+  // ------------------------------------------------------------------
+  // Frame-hash media dedup — the content-ID shape (YouTube-style
+  // duplicate detection reduces to exactly this): two payloads are
+  // near-dup candidates when they SHARE a large fraction of distinct
+  // frame hashes. Same posting-list equi-join architecture as the
+  // n-gram shingle dedup (the only shuffle is on the frame hash;
+  // candidate pairs are generated by collision, never by a media
+  // cartesian), demonstrating that the text-dedup stack lifts to
+  // binary media unchanged once frames are hashed — at 100 TB the
+  // per-frame rows dwarf the media count, and both the distinct-set
+  // collapse and the pair aggregation are plain map-side-combined
+  // aggregates. Overlap is containment-normalized by the SMALLER
+  // payload (a clip embedded in a longer cut still scores high).
+  //
+  // Frame size is the query's resolution knob and is set to the
+  // FIXTURE's scale here: payloads are 48–553 bytes with zero exact
+  // duplicates, so 1024-byte frames can never collide (measured: 0
+  // pairs corpus-wide); 64-byte frames expose the planted near-dup
+  // structure (29 colliding pairs, 24 above τ). A real video corpus
+  // uses keyframe-sized chunks — the plumbing is identical.
+  // ------------------------------------------------------------------
+  val FrameOverlapTau = 0.5
+  val DedupFrameBytes = 64
+
+  val frameDedup: Q = Q(
+    (s, d) => {
+      val fh = frameHashes(mediaFromDocuments(s, d), DedupFrameBytes)
+      val sets = fh.groupBy(col("media_id"))
+        .agg(collect_set(col("fh")).as("fhs"))
+        .select(col("media_id"), size(col("fhs")).cast("long").as("nf"),
+          explode(col("fhs")).as("fh"))
+      val pairs = sets.as("a").join(sets.as("b"),
+          col("a.fh") === col("b.fh") && col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("video_a"), col("b.media_id").as("video_b"),
+          col("a.nf").as("nfa"), col("b.nf").as("nfb"))
+        .agg(count(lit(1)).as("shared_frames"))
+      // gate on the RAW ratio (the oracle does too) — gating on the
+      // rounded value would admit ratios that round UP across tau
+      val raw = col("shared_frames") / least(col("nfa"), col("nfb"))
+      pairs
+        .filter(raw >= FrameOverlapTau)
+        .select(col("video_a"), col("video_b"), col("shared_frames"),
+          roundPortable(raw, 4).as("overlap"))
+        .orderBy(col("video_a"), col("video_b"))
+    },
+    Some(s"""WITH media AS (
+            |  SELECT doc_id AS media_id, text FROM documents
+            |), frames AS (
+            |  SELECT DISTINCT media_id,
+            |    ('0x' || substr(md5(substr(text, CAST(k * $DedupFrameBytes + 1 AS BIGINT), $DedupFrameBytes)), 1, 15))::BIGINT AS fh
+            |  FROM media, LATERAL unnest(range(0,
+            |    CAST(ceil(octet_length(encode(text)) / $DedupFrameBytes.0) AS BIGINT))) AS r(k)
+            |), sets AS (
+            |  SELECT media_id, fh,
+            |    count(*) OVER (PARTITION BY media_id) AS nf
+            |  FROM frames
+            |), pairs AS (
+            |  SELECT a.media_id AS video_a, b.media_id AS video_b,
+            |    a.nf AS nfa, b.nf AS nfb, count(*) AS shared_frames
+            |  FROM sets a JOIN sets b ON a.fh = b.fh AND a.media_id < b.media_id
+            |  GROUP BY 1, 2, 3, 4
+            |)
+            |SELECT video_a, video_b, CAST(shared_frames AS BIGINT) AS shared_frames,
+            |  floor(CAST(shared_frames AS DOUBLE) / least(nfa, nfb) * 10000 + 0.5) / 10000 AS overlap
+            |FROM pairs
+            |WHERE CAST(shared_frames AS DOUBLE) / least(nfa, nfb) >= $FrameOverlapTau
+            |ORDER BY video_a, video_b""".stripMargin)
+  )
+
+  val queries: Seq[(String, Q)] = Seq(
+    "multimodal_features" -> features,
+    "multimodal_frame_dedup" -> frameDedup)
 }

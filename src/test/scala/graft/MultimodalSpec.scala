@@ -36,6 +36,30 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.find(_.frame_idx === 2).get.frame_bytes === Multimodal.FrameBytes.toLong)
   }
 
+  test("frame dedup matches a driver-side replication over raw payloads") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8"))
+    val sets = docs.map { case (id, bytes) =>
+      id -> bytes.grouped(Multimodal.DedupFrameBytes)
+        .map(Multimodal.hash60Bytes).toSet
+    }.toMap
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      shared = (sets(a) intersect sets(b)).size
+      if shared > 0
+      ov = shared.toDouble / math.min(sets(a).size, sets(b).size)
+      if ov >= Multimodal.FrameOverlapTau
+    } yield (a, b, shared.toLong)).sorted
+    val got = Multimodal.frameDedup.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(expected.nonEmpty, "fixture should yield frame-sharing pairs")
+    assert(got === expected)
+  }
+
   test("features query aggregates per kind with frame totals") {
     val agg = Multimodal.features.build(spark, d).collect()
     assert(agg.map(_.getString(0)).sorted.toSeq === Seq("audio", "image", "video"))
