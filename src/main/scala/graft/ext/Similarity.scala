@@ -645,63 +645,78 @@ object Similarity {
   // ------------------------------------------------------------------
   val EigenIters = 3
 
+  /** 6-dp-quantized coordinate triples (vec_id, i, xq) — the shared
+    * substrate of the covariance and the projection pass.
+    */
+  private def quantCoords(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        roundPortable(col("x").cast(DoubleType), 6).as("xq"))
+
+  /** The distributed-covariance + driver-power-iteration solve shared
+    * by [[topEigen]] (reports the component) and [[projectTop]]
+    * (uses it): returns (d, v, ‖C·v‖) with the sign NOT yet fixed.
+    */
+  def topEigenSolve(s: SparkSession, d: String): (Int, Array[Double], Double) = {
+    // The order-free Σs accumulate exact GRID LONGS, not DECIMALs:
+    // sum(long) is a primitive-specialized aggregate while decimal
+    // sums box and carry 128-bit arithmetic through the n·d² hot
+    // rows. Value-identical to the oracle's DECIMAL sums while
+    // |Σk| < 2⁵³ (terms are ≤1e8-grid units of ≤O(1) products, so
+    // the bound holds to ~10¹⁰ corpus rows; past that the decimal
+    // formulation returns).
+    val xd = col("x").cast(DoubleType)
+    val n1 = emb(s, d).agg(count(lit(1)).cast(DoubleType).as("n"))
+    val mu = quantCoords(s, d).groupBy("i")
+      .agg(sum(floor(col("xq") * 1e6 + lit(0.5)).cast("long")).as("sx"))
+      .crossJoin(broadcast(n1))
+      .select(col("i"), (col("sx").cast(DoubleType) / 1e6 / col("n")).as("mu"))
+    val sxy = emb(s, d)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")), col("embedding").as("e"))
+      .select(col("i"), roundPortable(xd, 6).as("xq"),
+        posexplode(col("e")).as(Seq("j", "y")))
+      .groupBy("i", "j")
+      .agg(sum(floor(col("xq") * roundPortable(col("y").cast(DoubleType), 6) * 1e8
+        + lit(0.5)).cast("long")).as("sxy"))
+    val cov = sxy.crossJoin(broadcast(n1))
+      .join(broadcast(mu), Seq("i"))
+      .join(broadcast(mu.select(col("i").as("j"), col("mu").as("muj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("sxy").cast(DoubleType) / 1e8 / col("n") - col("mu") * col("muj")).as("c"))
+    // distributed work ends here: ONE action collects the d² cells
+    // (data-size-independent); the power steps are driver Scala
+    val cells = cov.collect()
+    val dn = cells.iterator.map(_.getInt(0)).max + 1
+    val m = Array.ofDim[Double](dn, dn)
+    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var v = Array.fill(dn)(1.0 / math.sqrt(dn.toDouble))
+    var nrm = 0.0
+    for (_ <- 1 to EigenIters) {
+      // the order-sensitive Σs accumulate exact 1e10-grid LONGs;
+      // S.toDouble / 1e10 equals the oracle's DECIMAL(·,10)→DOUBLE
+      // cast exactly while |S| < 2^53 (both are the correctly-
+      // rounded quotient of the same exact operands)
+      val u = Array.tabulate(dn) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dn) {
+          acc += math.floor(m(i)(j) * v(j) * 1e10 + 0.5).toLong
+          j += 1
+        }
+        acc.toDouble / 1e10
+      }
+      var na = 0L
+      u.foreach(x => na += math.floor(x * x * 1e10 + 0.5).toLong)
+      nrm = math.sqrt(na.toDouble / 1e10)
+      v = u.map(_ / nrm)
+    }
+    (dn, v, nrm)
+  }
+
   val topEigen: Q = Q(
     (s, d) => {
-      // The order-free Σs accumulate exact GRID LONGS, not DECIMALs:
-      // sum(long) is a primitive-specialized aggregate while decimal
-      // sums box and carry 128-bit arithmetic through the n·d² hot
-      // rows. Value-identical to the oracle's DECIMAL sums while
-      // |Σk| < 2⁵³ (terms are ≤1e8-grid units of ≤O(1) products, so
-      // the bound holds to ~10¹⁰ corpus rows; past that the decimal
-      // formulation returns).
-      val xd = col("x").cast(DoubleType)
-      val coords = emb(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"), roundPortable(xd, 6).as("xq"))
-      val n1 = emb(s, d).agg(count(lit(1)).cast(DoubleType).as("n"))
-      val mu = coords.groupBy("i")
-        .agg(sum(floor(col("xq") * 1e6 + lit(0.5)).cast("long")).as("sx"))
-        .crossJoin(broadcast(n1))
-        .select(col("i"), (col("sx").cast(DoubleType) / 1e6 / col("n")).as("mu"))
-      val sxy = emb(s, d)
-        .select(posexplode(col("embedding")).as(Seq("i", "x")), col("embedding").as("e"))
-        .select(col("i"), roundPortable(xd, 6).as("xq"),
-          posexplode(col("e")).as(Seq("j", "y")))
-        .groupBy("i", "j")
-        .agg(sum(floor(col("xq") * roundPortable(col("y").cast(DoubleType), 6) * 1e8
-          + lit(0.5)).cast("long")).as("sxy"))
-      val cov = sxy.crossJoin(broadcast(n1))
-        .join(broadcast(mu), Seq("i"))
-        .join(broadcast(mu.select(col("i").as("j"), col("mu").as("muj"))), Seq("j"))
-        .select(col("i"), col("j"),
-          (col("sxy").cast(DoubleType) / 1e8 / col("n") - col("mu") * col("muj")).as("c"))
-      // distributed work ends here: ONE action collects the d² cells
-      // (data-size-independent); the power steps are driver Scala
-      val cells = cov.collect()
-      val dn = cells.iterator.map(_.getInt(0)).max + 1
-      val m = Array.ofDim[Double](dn, dn)
-      cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      var v = Array.fill(dn)(1.0 / math.sqrt(dn.toDouble))
-      var nrm = 0.0
-      for (_ <- 1 to EigenIters) {
-        // the order-sensitive Σs accumulate exact 1e10-grid LONGs;
-        // S.toDouble / 1e10 equals the oracle's DECIMAL(·,10)→DOUBLE
-        // cast exactly while |S| < 2^53 (both are the correctly-
-        // rounded quotient of the same exact operands)
-        val u = Array.tabulate(dn) { i =>
-          var acc = 0L
-          var j = 0
-          while (j < dn) {
-            acc += math.floor(m(i)(j) * v(j) * 1e10 + 0.5).toLong
-            j += 1
-          }
-          acc.toDouble / 1e10
-        }
-        var na = 0L
-        u.foreach(x => na += math.floor(x * x * 1e10 + 0.5).toLong)
-        nrm = math.sqrt(na.toDouble / 1e10)
-        v = u.map(_ / nrm)
-      }
+      val (dn, v, nrm) = topEigenSolve(s, d)
       val sgn = if (v(0) < 0) -1.0 else 1.0
       val eig = math.floor(nrm * 1e4 + 0.5) / 1e4
       val out = (0 until dn).map(i =>
@@ -709,50 +724,122 @@ object Similarity {
       s.createDataFrame(out).toDF("dim", "loading", "eigenvalue")
         .orderBy("dim")
     },
-    Some {
-      val iter = (k: Int) =>
-        s"""u$k AS (
-           |  SELECT cov.i,
-           |    CAST(sum(CAST(floor(cov.c * v.v * 10000000000 + 0.5) / 10000000000 AS DECIMAL(28,10))) AS DOUBLE) AS u
-           |  FROM cov JOIN v${k - 1} v ON v.i = cov.j GROUP BY 1
-           |), nr$k AS (
-           |  SELECT sqrt(CAST(sum(CAST(floor(u * u * 10000000000 + 0.5) / 10000000000 AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
-           |  FROM u$k
-           |), v$k AS (
-           |  SELECT i, u / nrm AS v FROM u$k CROSS JOIN nr$k
-           |)""".stripMargin
-      s"""WITH coords AS (
-         |  SELECT vec_id, i - 1 AS i,
-         |    floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS xq
-         |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
-         |), nn AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
-         |), mu AS (
-         |  SELECT i, CAST(sum(CAST(xq AS DECIMAL(28,6))) AS DOUBLE) / nn.n AS mu
-         |  FROM coords CROSS JOIN nn GROUP BY i, nn.n
-         |), sxy AS (
-         |  SELECT a.i AS i, b.i AS j,
-         |    sum(CAST(floor(a.xq * b.xq * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS sxy
-         |  FROM coords a JOIN coords b USING (vec_id) GROUP BY 1, 2
-         |), cov AS (
-         |  SELECT s.i, s.j, CAST(s.sxy AS DOUBLE) / nn.n - mi.mu * mj.mu AS c
-         |  FROM sxy s CROSS JOIN nn
-         |  JOIN mu mi ON mi.i = s.i
-         |  JOIN mu mj ON mj.i = s.j
-         |), dimn AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS dn FROM mu
-         |), v0 AS (
-         |  SELECT i, 1.0 / sqrt(dn) AS v FROM mu CROSS JOIN dimn
-         |), ${(1 to EigenIters).map(iter).mkString(", ")}, sgn AS (
-         |  SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
-         |  FROM v$EigenIters WHERE i = 0
-         |)
+    Some(s"""$eigenOracleCtes
          |SELECT v.i AS dim,
          |  floor(v.v * sgn.s * 1000000 + 0.5) / 1000000 AS loading,
          |  floor(nr$EigenIters.nrm * 10000 + 0.5) / 10000 AS eigenvalue
          |FROM v$EigenIters v CROSS JOIN sgn CROSS JOIN nr$EigenIters
-         |ORDER BY dim""".stripMargin
-    }
+         |ORDER BY dim""".stripMargin)
+  )
+
+  /** The oracle's replay of [[topEigenSolve]] as a WITH-clause prefix
+    * (through `sgn`), shared by the eigen report and the projection.
+    */
+  private lazy val eigenOracleCtes: String = {
+    val iter = (k: Int) =>
+      s"""u$k AS (
+         |  SELECT cov.i,
+         |    CAST(sum(CAST(floor(cov.c * v.v * 10000000000 + 0.5) / 10000000000 AS DECIMAL(28,10))) AS DOUBLE) AS u
+         |  FROM cov JOIN v${k - 1} v ON v.i = cov.j GROUP BY 1
+         |), nr$k AS (
+         |  SELECT sqrt(CAST(sum(CAST(floor(u * u * 10000000000 + 0.5) / 10000000000 AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
+         |  FROM u$k
+         |), v$k AS (
+         |  SELECT i, u / nrm AS v FROM u$k CROSS JOIN nr$k
+         |)""".stripMargin
+    s"""WITH coords AS (
+       |  SELECT vec_id, i - 1 AS i,
+       |    floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS xq
+       |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+       |), nn AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+       |), mu AS (
+       |  SELECT i, CAST(sum(CAST(xq AS DECIMAL(28,6))) AS DOUBLE) / nn.n AS mu
+       |  FROM coords CROSS JOIN nn GROUP BY i, nn.n
+       |), sxy AS (
+       |  SELECT a.i AS i, b.i AS j,
+       |    sum(CAST(floor(a.xq * b.xq * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS sxy
+       |  FROM coords a JOIN coords b USING (vec_id) GROUP BY 1, 2
+       |), cov AS (
+       |  SELECT s.i, s.j, CAST(s.sxy AS DOUBLE) / nn.n - mi.mu * mj.mu AS c
+       |  FROM sxy s CROSS JOIN nn
+       |  JOIN mu mi ON mi.i = s.i
+       |  JOIN mu mj ON mj.i = s.j
+       |), dimn AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS dn FROM mu
+       |), v0 AS (
+       |  SELECT i, 1.0 / sqrt(dn) AS v FROM mu CROSS JOIN dimn
+       |), ${(1 to EigenIters).map(iter).mkString(", ")}, sgn AS (
+       |  SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+       |  FROM v$EigenIters WHERE i = 0
+       |)""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // USE the eigensolve: project every embedding onto the top
+  // component, distributed — the whitening/feature step PCA exists
+  // for. The d-vector broadcasts as a literal table; the projection
+  // is the coords layout joined to it and grid-long-summed per
+  // vec_id (one shuffle on vec_id, no per-row interpreted HOFs), and
+  // the per-label mean/variance of the projection follow the
+  // portable-stats recipe. Per-label projection statistics are the
+  // "does the dominant direction separate my strata" diagnostic; a
+  // spec pins the unit norm of v and the Rayleigh sandwich
+  // ‖C·v₋‖ ≤ POOLED var(proj) ≤ tr(C) (power-iteration Rayleigh
+  // quotients are monotone for PSD C; a single label's
+  // within-variance carries no such bounds), and replicates the
+  // per-label rows from the raw vectors in plain Scala.
+  // ------------------------------------------------------------------
+  val projectTop: Q = Q(
+    (s, d) => {
+      val (dn, v0, _) = topEigenSolve(s, d)
+      val sgn = if (v0(0) < 0) -1.0 else 1.0
+      val v = v0.map(_ * sgn)
+      val vDf = s.createDataFrame((0 until dn).map(i => (i, v(i)))).toDF("i", "vi")
+      // label rides the explode (it is functionally dependent on
+      // vec_id), so the projection is ONE scan + ONE shuffle — a
+      // join back to the table for the label would re-scan and,
+      // past the broadcast threshold, re-shuffle the whole corpus
+      val proj = emb(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("label"), col("i"),
+          roundPortable(col("x").cast(DoubleType), 6).as("xq"))
+        .join(broadcast(vDf), Seq("i"))
+        .groupBy("vec_id", "label")
+        .agg((sum(floor(col("xq") * col("vi") * 1e8 + lit(0.5)).cast("long"))
+          .cast(DoubleType) / 1e8).as("proj"))
+      proj.select(col("label"), roundPortable(col("proj"), 6).as("pq"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("pq").cast(DecimalType(28, 6))).cast(DoubleType) /
+            count(lit(1))).as("mean_raw"),
+          (sum(roundPortable(col("pq") * col("pq"), 6).cast(DecimalType(28, 6)))
+            .cast(DoubleType) / count(lit(1))).as("m2_raw"))
+        .select(col("label"), col("n_vecs"),
+          roundPortable(col("mean_raw"), 6).as("mean_proj"),
+          roundPortable(col("m2_raw") - col("mean_raw") * col("mean_raw"), 6).as("var_proj"))
+        .orderBy("label")
+    },
+    Some(s"""$eigenOracleCtes, vv AS (
+         |  SELECT v.i, v.v * sgn.s AS v FROM v$EigenIters v CROSS JOIN sgn
+         |), proj AS (
+         |  SELECT c.vec_id,
+         |    CAST(sum(CAST(floor(c.xq * vv.v * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS DOUBLE) AS proj
+         |  FROM coords c JOIN vv ON vv.i = c.i GROUP BY 1
+         |), pq AS (
+         |  SELECT e.label, floor(p.proj * 1000000 + 0.5) / 1000000 AS pq
+         |  FROM proj p JOIN embeddings e ON e.vec_id = p.vec_id
+         |), ag AS (
+         |  SELECT label, count(*) AS n_vecs,
+         |    CAST(sum(CAST(pq AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_raw,
+         |    CAST(sum(CAST(floor(pq * pq * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m2_raw
+         |  FROM pq GROUP BY 1
+         |)
+         |SELECT label, n_vecs,
+         |  floor(mean_raw * 1000000 + 0.5) / 1000000 AS mean_proj,
+         |  floor((m2_raw - mean_raw * mean_raw) * 1000000 + 0.5) / 1000000 AS var_proj
+         |FROM ag ORDER BY label""".stripMargin)
   )
 
   val queries: Seq[(String, Q)] = Seq(
@@ -764,6 +851,7 @@ object Similarity {
     "ann_quantized_topk" -> quantizedTopK,
     "emb_norm_stats" -> normStats,
     "emb_dim_variance" -> dimVariance,
-    "emb_top_eigen" -> topEigen
+    "emb_top_eigen" -> topEigen,
+    "emb_project_top" -> projectTop
   )
 }

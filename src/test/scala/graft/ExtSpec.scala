@@ -984,6 +984,51 @@ class ExtSpec extends SparkSpec {
       "loadings should be a unit vector up to the 6-dp grid")
   }
 
+  test("emb_project_top: per-label stats replicate from raw vectors; Rayleigh sandwich holds") {
+    def grid(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    def dec(x: Double, scale: Int) = BigDecimal(x)
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+    val (dn, v0, nrm) = Similarity.topEigenSolve(spark, d)
+    // the 1e10-grid normalization leaves ‖v‖ = 1 only to ~1e-7
+    assert(math.abs(v0.map(x => x * x).sum - 1.0) < 1e-6, "v should be unit-norm")
+    val sgn = if (v0(0) < 0) -1.0 else 1.0
+    val v = v0.map(_ * sgn)
+    // independent path: raw vectors, no posexplode/join — the same
+    // grid arithmetic accumulated per row in plain Scala
+    val rows = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getInt(1),
+        r.getSeq[Float](2).toArray.map(f => grid(f.toDouble, 1e6))))
+    assert(rows.head._2.length === dn)
+    val pq = rows.map { case (lab, xs) =>
+      val s = (0 until dn).map(i => math.floor(xs(i) * v(i) * 1e8 + 0.5).toLong).sum
+      (lab, grid(s.toDouble / 1e8, 1e6))
+    }
+    val expected = pq.groupBy(_._1).toSeq.map { case (lab, ps) =>
+      val n = ps.length
+      val mean = ps.map(p => dec(p._2, 6)).sum.toDouble / n
+      val m2 = ps.map(p => dec(grid(p._2 * p._2, 1e6), 6)).sum.toDouble / n
+      (lab, n.toLong, grid(mean, 1e6), grid(m2 - mean * mean, 1e6))
+    }.sortBy(_._1)
+    val got = Similarity.projectTop.build(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    // Rayleigh sandwich: pooled var(proj) = vᵀCv with v the NEXT
+    // power iterate, and for PSD C the quotient is monotone —
+    // v₃ᵀCv₃ ≥ ‖Cv₂‖ = nrm (m₂² ≤ m₁m₃ + m₂ ≥ m₁² chains) — while
+    // any unit direction's variance is ≤ λmax ≤ tr(C). The 6-dp
+    // grids perturb both sides, hence the 1e-3 slack.
+    val nTot = got.map(_._2).sum.toDouble
+    val gMean = got.map(t => t._2 * t._3).sum / nTot
+    val pooled = got.map(t => t._2 * (t._4 + (t._3 - gMean) * (t._3 - gMean))).sum / nTot
+    val trC = (0 until dn).map { i =>
+      val xs = rows.map(_._2(i)); val mu = xs.sum / nTot
+      xs.map(x => x * x).sum / nTot - mu * mu
+    }.sum
+    assert(pooled >= nrm - 1e-3, s"pooled var $pooled should be ≥ ‖C·v‖ $nrm")
+    assert(pooled <= trC + 1e-3, s"pooled var $pooled should be ≤ tr(C) $trC")
+  }
+
   test("growth accounting: class partition and churn conservation hold") {
     val r = Sessions.growthAccounting.build(spark, d).collect()
       .map(x => (x.getDate(0).toLocalDate, x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))

@@ -130,6 +130,28 @@ class PropertySpec extends SparkSpec {
     assert(fps <= 20, s"fp count $fps/2000 exceeds the 1% sizing bound")
   }
 
+  test("globalRowNumber/ntile equal the single-partition window on random skewed data") {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark; import s.implicits._
+    // skewed keys (zipf-ish), random sizes, random partition counts —
+    // tie groups larger than whole range partitions included
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(900)
+      val rows = (1 to n).map(i => (math.abs(rnd.nextInt(1 + rnd.nextInt(7))), i.toLong))
+      val df = rows.toDF("k", "id")
+      val parts = Seq(1, 2, 7, 32)(rnd.nextInt(4))
+      val exp = df.withColumn("rn",
+          row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+        .withColumn("t", ntile(5).over(Window.orderBy(col("k"), col("id"))))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted
+      val got = graft.engine.Windows.globalRowNumber(
+          df, Seq(col("k"), col("id")), partitions = parts)
+        .withColumn("t", graft.engine.Windows.ntileFromRowNumber(col("rn"), lit(n.toLong), 5))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted
+      assert(got.toSeq === exp.toSeq, s"trial $trial n=$n parts=$parts")
+    }
+  }
+
   test("rank boundaries land in the reference buckets (golden contract)") {
     val cases = Seq(1L -> "Top 5", 5L -> "Top 5", 6L -> "Top 10", 10L -> "Top 10",
       11L -> "Top 25", 25L -> "Top 25", 26L -> "Other")
