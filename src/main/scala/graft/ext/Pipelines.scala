@@ -769,6 +769,77 @@ object Pipelines {
             |FROM c ORDER BY doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Perplexity-bucketed importance resampling — the CCNet recipe: score
+  // every document with the corpus-trained bigram LM
+  // (`TextAnalysis.perDocNll`), cut each language at its own 1/3 and
+  // 2/3 perplexity quantiles into head/middle/tail, then keep head,
+  // keep middle with probability 1/2, drop tail. The draw is the
+  // weighted-sample recipe — content-hash mod 2²⁰ compared to an
+  // integer cut, never rand() — so retries, re-partitioning, and the
+  // DuckDB oracle all see the same decisions. Both the per-doc
+  // perplexity and the per-lang thresholds are rounded to the same
+  // 4dp grid BEFORE the bucket comparison, so the boundary cases are
+  // decided on identical values in both engines.
+  //
+  // Scale shape: the LM scoring is the perplexity query's profile
+  // (two count aggregates + observed-bigram joins); per-doc scores
+  // join back to the table on doc_id (one shuffle each side at
+  // corpus scale); the thresholds are |langs| rows computed by an
+  // exact per-group percentile and broadcast back. Docs with fewer
+  // than two tokens carry no bigram signal and would drop out of the
+  // inner score join — a production run left-joins them into "head"
+  // (keep: no evidence against) — but the fixture's min doc length
+  // is 10 tokens, so the inner join is lossless here and the oracle
+  // exercises the same shape.
+  // ------------------------------------------------------------------
+  private val MiddleKeepCut = 524288L // of 2^20: P(keep middle) = 1/2
+
+  val qualityResample: Q = Q(
+    (s, d) => {
+      val ppl = TextAnalysis.perDocNll(s, d)
+        .select(col("doc_id"), roundPortable(exp(col("avg_nll_raw")), 4).as("perplexity"))
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val scored = docs.join(ppl, Seq("doc_id"))
+      val th = scored.groupBy("lang").agg(
+        roundPortable(percentile(col("perplexity"), lit(1.0 / 3)), 4).as("p33"),
+        roundPortable(percentile(col("perplexity"), lit(2.0 / 3)), 4).as("p66"))
+      val bucket = when(col("perplexity") <= col("p33"), "head")
+        .when(col("perplexity") <= col("p66"), "middle")
+        .otherwise("tail")
+      val draw = hash60(col("text")) % 1048576L
+      scored.join(broadcast(th), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("perplexity"),
+          bucket.as("ppl_bucket"),
+          when(bucket === "head", 1)
+            .when(bucket === "middle" && draw < MiddleKeepCut, 1)
+            .otherwise(0).as("kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""${TextAnalysis.perDocNllOracleCtes}, ppl AS (
+            |  SELECT doc_id, floor(exp(avg_nll_raw) * 10000 + 0.5) / 10000 AS perplexity
+            |  FROM perdoc
+            |), sc AS (
+            |  SELECT dd.doc_id, dd.lang, dd.text, p.perplexity
+            |  FROM documents dd JOIN ppl p USING (doc_id)
+            |), th AS (
+            |  SELECT lang,
+            |    floor(quantile_cont(perplexity, 1.0/3) * 10000 + 0.5) / 10000 AS p33,
+            |    floor(quantile_cont(perplexity, 2.0/3) * 10000 + 0.5) / 10000 AS p66
+            |  FROM sc GROUP BY 1
+            |)
+            |SELECT s.doc_id, s.lang, s.perplexity,
+            |  CASE WHEN s.perplexity <= t.p33 THEN 'head'
+            |       WHEN s.perplexity <= t.p66 THEN 'middle'
+            |       ELSE 'tail' END AS ppl_bucket,
+            |  CASE WHEN s.perplexity <= t.p33 THEN 1
+            |       WHEN s.perplexity <= t.p66
+            |            AND ('0x' || substr(md5(s.text), 1, 15))::BIGINT % 1048576 < $MiddleKeepCut THEN 1
+            |       ELSE 0 END AS kept
+            |FROM sc s JOIN th t USING (lang) ORDER BY s.doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,
@@ -783,6 +854,7 @@ object Pipelines {
     "pipeline_weighted_sample" -> weightedSample,
     "pipeline_dataset_card" -> datasetCard,
     "pipeline_chunk_documents" -> chunkDocuments,
-    "pipeline_pii_scrub" -> piiScrub
+    "pipeline_pii_scrub" -> piiScrub,
+    "pipeline_quality_resample" -> qualityResample
   )
 }

@@ -803,58 +803,79 @@ object TextAnalysis {
   // ------------------------------------------------------------------
   val SmoothK = 0.5
 
+  /** Per-document bigram-LM scores — (doc_id, n_bigrams, avg_nll_raw)
+    * with avg_nll_raw the UNROUNDED double average of 6dp-gridded
+    * per-bigram −ln p terms. Shared by [[lmPerplexity]] (reports it)
+    * and `Pipelines.qualityResample` (thresholds on it).
+    */
+  def perDocNll(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = toks.withColumn("t1", lead("t", 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), col("t"), concat_ws(" ", col("t"), col("t1")).as("bgs"))
+    val cUni = toks.groupBy("t").agg(count(lit(1)).as("ct"))
+    val cBg = bg.groupBy("bgs").agg(count(lit(1)).as("cbg"))
+    val vocab = toks.agg(countDistinct(col("t")).as("vocab"))
+    val p = (col("cbg") + lit(SmoothK)) / (col("ct") + lit(SmoothK) * col("vocab"))
+    val nll = roundPortable(-log(p), 6).cast(DecimalType(18, 6))
+    bg.join(cBg, Seq("bgs"))
+      .join(cUni, Seq("t"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), nll.as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("snll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("snll").cast(DoubleType) / col("n_bigrams")).as("avg_nll_raw"))
+  }
+
+  /** The oracle's replay of [[perDocNll]] as a WITH-clause prefix:
+    * ends at `perdoc(doc_id, n_bigrams, avg_nll_raw)`. Shared by the
+    * perplexity report and the resampling oracle.
+    */
+  lazy val perDocNllOracleCtes: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+       |), toks AS (
+       |  SELECT doc_id, unnest(toks) AS t FROM d
+       |), bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |           i -> array_to_string(toks[i:i+1], ' '))) AS bgs
+       |  FROM d
+       |), cuni AS (
+       |  SELECT t, count(*) AS ct FROM toks GROUP BY 1
+       |), cbg AS (
+       |  SELECT bgs, count(*) AS cbg FROM bg GROUP BY 1
+       |), vocab AS (
+       |  SELECT count(DISTINCT t) AS vocab FROM toks
+       |), nllterms AS (
+       |  SELECT b.doc_id,
+       |    CAST(floor(-ln((c.cbg + $SmoothK) / (u.ct + $SmoothK * v.vocab)) * 1000000 + 0.5) / 1000000
+       |      AS DECIMAL(18,6)) AS nll
+       |  FROM bg b
+       |  JOIN cbg c USING (bgs)
+       |  JOIN cuni u ON split_part(b.bgs, ' ', 1) = u.t
+       |  CROSS JOIN vocab v
+       |), perdoc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll_raw
+       |  FROM nllterms GROUP BY 1
+       |)""".stripMargin
+
   val lmPerplexity: Q = Q(
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = s.read.parquet(s"$d/documents.parquet")
-      val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val bg = toks.withColumn("t1", lead("t", 1).over(w))
-        .filter(col("t1").isNotNull)
-        .select(col("doc_id"), col("t"), concat_ws(" ", col("t"), col("t1")).as("bgs"))
-      val cUni = toks.groupBy("t").agg(count(lit(1)).as("ct"))
-      val cBg = bg.groupBy("bgs").agg(count(lit(1)).as("cbg"))
-      val vocab = toks.agg(countDistinct(col("t")).as("vocab"))
-      val p = (col("cbg") + lit(SmoothK)) / (col("ct") + lit(SmoothK) * col("vocab"))
-      val nll = roundPortable(-log(p), 6).cast(DecimalType(18, 6))
-      bg.join(cBg, Seq("bgs"))
-        .join(cUni, Seq("t"))
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"), nll.as("nll"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("snll"))
+    (s, d) =>
+      perDocNll(s, d)
         .select(col("doc_id"), col("n_bigrams"),
-          roundPortable(col("snll").cast(DoubleType) / col("n_bigrams"), 6).as("avg_nll"),
-          roundPortable(exp(col("snll").cast(DoubleType) / col("n_bigrams")), 4).as("perplexity"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH d AS (
-            |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
-            |), toks AS (
-            |  SELECT doc_id, unnest(toks) AS t FROM d
-            |), bg AS (
-            |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-            |           i -> array_to_string(toks[i:i+1], ' '))) AS bgs
-            |  FROM d
-            |), cuni AS (
-            |  SELECT t, count(*) AS ct FROM toks GROUP BY 1
-            |), cbg AS (
-            |  SELECT bgs, count(*) AS cbg FROM bg GROUP BY 1
-            |), vocab AS (
-            |  SELECT count(DISTINCT t) AS vocab FROM toks
-            |), scored AS (
-            |  SELECT b.doc_id,
-            |    CAST(floor(-ln((c.cbg + $SmoothK) / (u.ct + $SmoothK * v.vocab)) * 1000000 + 0.5) / 1000000
-            |      AS DECIMAL(18,6)) AS nll
-            |  FROM bg b
-            |  JOIN cbg c USING (bgs)
-            |  JOIN cuni u ON split_part(b.bgs, ' ', 1) = u.t
-            |  CROSS JOIN vocab v
-            |)
-            |SELECT doc_id, count(*) AS n_bigrams,
-            |  floor(CAST(sum(nll) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_nll,
-            |  floor(exp(CAST(sum(nll) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS perplexity
-            |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin)
+          roundPortable(col("avg_nll_raw"), 6).as("avg_nll"),
+          roundPortable(exp(col("avg_nll_raw")), 4).as("perplexity"))
+        .orderBy("doc_id"),
+    Some(s"""$perDocNllOracleCtes
+            |SELECT doc_id, n_bigrams,
+            |  floor(avg_nll_raw * 1000000 + 0.5) / 1000000 AS avg_nll,
+            |  floor(exp(avg_nll_raw) * 10000 + 0.5) / 10000 AS perplexity
+            |FROM perdoc ORDER BY doc_id""".stripMargin)
   )
 
   // ------------------------------------------------------------------
@@ -1084,6 +1105,95 @@ object TextAnalysis {
            |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // BPE merge training, step 0 — the tokenizer-training job. Real BPE
+  // trainers (subword-nmt; HF tokenizers) never pair-count the raw
+  // corpus: they pair-count the DISTINCT-WORD table with corpus
+  // frequencies attached, because pair statistics are a function of
+  // (word, freq) alone. Same split here: the corpus-scaled work is ONE
+  // map-side-combined word count; pair generation then runs on
+  // vocab-sized data — each distinct word of length L emits its L−1
+  // adjacent character pairs via an exploded 1-based index + substring
+  // (positional, no HOFs, no per-word window) — and the top-K
+  // candidate merges come out of a TakeOrderedAndProject (map-side
+  // bounded top-k; ties break on the pair string so the K-row result
+  // is total-ordered). The merge LOOP that consumes these counts is
+  // [[bpeTrain]]: each merge changes the pair statistics, but the
+  // table they change on stays vocab-sized, so the iteration is
+  // driver Scala over the collected word-frequency table — the
+  // eigensolve split again (corpus-scaled statistics distributed
+  // once; fixed-size iteration on the driver).
+  // ------------------------------------------------------------------
+  val BpeTopK = 20
+
+  val bpeMerges: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val words = docs.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      words.filter(length(col("w")) >= 2)
+        .select(col("w"), col("freq"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"), col("freq"))
+        .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(BpeTopK)
+    },
+    Some(s"""WITH words AS (
+            |  SELECT t AS w, count(*) AS freq FROM (
+            |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents
+            |  ) GROUP BY 1
+            |), pairs AS (
+            |  SELECT substring(w, i, 2) AS pair, freq
+            |  FROM words, LATERAL unnest(range(1, length(w))) AS r(i)
+            |)
+            |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+            |FROM pairs GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT $BpeTopK""".stripMargin)
+  )
+
+  /** Iterative BPE trainer over a word-frequency table. Driver-side
+    * BY DESIGN: the (distinct-word, freq) table is vocab-sized —
+    * ~10⁶ rows for a 100 TB corpus, collected once via the
+    * [[bpeMerges]] word-count aggregate — while each of the N merge
+    * steps rewrites symbol sequences and re-counts pairs, which is
+    * a sequential dependency no cluster shuffle can parallelize
+    * usefully at vocab scale (HF tokenizers make the same call).
+    * Ties break on count desc, then (left, right) lexicographic, so
+    * the merge list is deterministic. Returns the ordered merges.
+    */
+  def bpeTrain(wordFreq: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] =
+      wordFreq.groupMapReduce(_._1.split("").toVector)(_._2)(_ + _)
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1) {
+        val key = (syms(i), syms(i + 1))
+        counts(key) = counts.getOrElse(key, 0L) + f
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val joined = best._1 + best._2
+        words = words.toSeq.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += joined; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), f)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -1105,6 +1215,7 @@ object TextAnalysis {
     "text_term_drift" -> termDrift,
     "text_heavy_hitters" -> heavyHitters,
     "text_readability" -> readability,
-    "text_token_entropy" -> tokenEntropy
+    "text_token_entropy" -> tokenEntropy,
+    "text_bpe_merges" -> bpeMerges
   )
 }

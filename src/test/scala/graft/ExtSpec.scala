@@ -11,6 +11,47 @@ class ExtSpec extends SparkSpec {
 
   private val d = sf()
 
+  test("bpeTrain reproduces the classic merge sequence and agrees with the pair-count query") {
+    // Sennrich's worked example: {low:5, lower:2, newest:6, widest:3}.
+    // Pair counts put (e,s) and (s,t) at 9; the (count, left, right)
+    // tie-break picks (e,s), after which (es,t) stands alone at 9.
+    val merges = TextAnalysis.bpeTrain(
+      Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 2)
+    assert(merges === Seq("e" -> "s", "es" -> "t"))
+    // merge #1 on the fixture = the registry query's top pair, fed the
+    // same word-frequency table the query itself aggregates
+    val wf = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val first = TextAnalysis.bpeTrain(wf, 1).head
+    val top = TextAnalysis.bpeMerges.build(spark, d).collect().head
+    assert(first._1 + first._2 === top.getString(0),
+      s"trainer merge #1 ${first} != query top pair ${top.getString(0)}")
+    // ten merges stay deterministic and strictly grow the symbol set
+    val ten = TextAnalysis.bpeTrain(wf, 10)
+    assert(ten.size === 10 && ten.distinct.size === 10)
+  }
+
+  test("quality resample: buckets split each lang ~1/3 and only middle is downsampled") {
+    val r = Pipelines.qualityResample.build(spark, d).collect()
+      .map(x => (x.getString(1), x.getString(3), x.getInt(4)))
+    assert(r.length === 500)
+    r.groupBy(_._1).foreach { case (lang, rows) =>
+      val byB = rows.groupBy(_._2).map { case (b, xs) => b -> xs.length }
+      // exact-percentile cuts at 1/3 and 2/3: each bucket within ±2 of n/3
+      val n = rows.length
+      Seq("head", "middle", "tail").foreach { b =>
+        assert(math.abs(byB.getOrElse(b, 0) - n / 3) <= 2, s"$lang/$b: $byB")
+      }
+      assert(rows.filter(_._2 == "head").forall(_._3 == 1), s"$lang head must keep")
+      assert(rows.filter(_._2 == "tail").forall(_._3 == 0), s"$lang tail must drop")
+      val mid = rows.filter(_._2 == "middle")
+      val keptFrac = mid.count(_._3 == 1).toDouble / mid.length
+      assert(keptFrac > 0.2 && keptFrac < 0.8, s"$lang middle kept $keptFrac not ~1/2")
+    }
+  }
+
   test("exact dedup covers every document exactly once") {
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val deduped = Dedup.exact.build(spark, d)
