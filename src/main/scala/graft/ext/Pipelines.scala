@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.engine.Functions.{avgExact, roundPortable}
 import graft.ext.Dedup.hash60
@@ -840,6 +840,102 @@ object Pipelines {
             |FROM sc s JOIN th t USING (lang) ORDER BY s.doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // DSIR importance weights (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling"): score every document
+  // by how much more likely its tokens are under a TARGET distribution
+  // (here: the high-quality slice, score ≥ 0.8 — the same shared
+  // `qualityCols` definition the cleaning gate uses) than under the
+  // raw corpus. The paper's trick carries the scale story: features
+  // are n-grams HASHED INTO B BUCKETS, so the learned statistics are
+  // two fixed-size B-row tables no matter the vocabulary — small
+  // enough to BROADCAST, so scoring is a map-side join + one per-doc
+  // aggregate, never a vocab-sized shuffle per document. Add-α
+  // smoothing keeps unseen buckets finite; each bucket's log-ratio is
+  // rounded to 6dp and per-doc sums ride DECIMAL (the BM25 recipe), so
+  // results are partition-order independent and oracle-exact.
+  //
+  // Scale shape: one corpus-scaled bucket-count aggregate (map-side
+  // combined into ≤B rows per task), a broadcast of the B-row ratio
+  // table, and one per-doc aggregate. The token stream is generated
+  // twice (stats pass + scoring pass) — at 100 TB that is two scans of
+  // a columnar projection, cheaper than materializing corpus×tokens.
+  // ------------------------------------------------------------------
+  val DsirBuckets = 4096L
+  val DsirAlpha = 0.5
+  private val DsirAlphaB = DsirAlpha * DsirBuckets // 2048.0, same literal both engines
+
+  val dsirWeights: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val qc = TextAnalysis.qualityCols(col("text"))
+      val toks = docs
+        .select(col("doc_id"), (qc.score >= 0.8).as("is_target"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), col("is_target"),
+          (hash60(col("t")) % DsirBuckets).as("b"))
+      val stats = toks.groupBy("b").agg(
+        count(lit(1)).as("cs"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+      // corpus totals via a global window OVER THE B-ROW STATS TABLE —
+      // a separate .agg subtree would re-derive the whole corpus
+      // bucket count (measured: AQE does not ReusedExchange it), while
+      // this single-partition window touches ≤B rows
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val logr = log((col("ct") + lit(DsirAlpha)) / (col("nt") + lit(DsirAlphaB))) -
+        log((col("cs") + lit(DsirAlpha)) / (col("ns") + lit(DsirAlphaB)))
+      val ratios = broadcast(stats
+        .withColumn("ns", sum("cs").over(wAll))
+        .withColumn("nt", sum("ct").over(wAll))
+        .select(col("b"), roundPortable(logr, 6).cast(DecimalType(18, 6)).as("lr")))
+      toks.join(ratios, Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("slr"))
+        .select(col("doc_id"), col("n_tokens"),
+          roundPortable(col("slr").cast(DoubleType), 6).as("dsir_logw"),
+          roundPortable(col("slr").cast(DoubleType) / col("n_tokens"), 6).as("avg_logratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (
+            |  SELECT doc_id,
+            |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+            |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+            |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            |         x -> x IN ('the','of','and','to','in','is','it','a'))) AS DOUBLE)
+            |      / len(string_split_regex(lower(trim(text)), '\\s+')) AS stop_ratio,
+            |    least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) AS length_score
+            |  FROM documents
+            |), tk AS (
+            |  SELECT doc_id, is_target, unnest(toks) AS t FROM (
+            |    SELECT doc_id,
+            |      (length_score * 0.5 + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.2) >= 0.8 AS is_target,
+            |      toks
+            |    FROM base
+            |  )
+            |), tb AS (
+            |  SELECT doc_id, is_target,
+            |    ('0x' || substr(md5(t), 1, 15))::BIGINT % $DsirBuckets AS b
+            |  FROM tk
+            |), stats AS (
+            |  SELECT b, count(*) AS cs, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+            |  FROM tb GROUP BY 1
+            |), tot AS (
+            |  SELECT sum(cs) AS ns, sum(ct) AS nt FROM stats
+            |), lr AS (
+            |  SELECT b,
+            |    CAST(floor((ln((ct + $DsirAlpha) / (nt + $DsirAlphaB))
+            |              - ln((cs + $DsirAlpha) / (ns + $DsirAlphaB))) * 1000000 + 0.5) / 1000000
+            |      AS DECIMAL(18,6)) AS lr
+            |  FROM stats CROSS JOIN tot
+            |)
+            |SELECT t.doc_id, count(*) AS n_tokens,
+            |  floor(CAST(sum(l.lr) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dsir_logw,
+            |  floor(CAST(sum(l.lr) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_logratio
+            |FROM tb t JOIN lr l USING (b)
+            |GROUP BY 1 ORDER BY doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,
@@ -855,6 +951,7 @@ object Pipelines {
     "pipeline_dataset_card" -> datasetCard,
     "pipeline_chunk_documents" -> chunkDocuments,
     "pipeline_pii_scrub" -> piiScrub,
-    "pipeline_quality_resample" -> qualityResample
+    "pipeline_quality_resample" -> qualityResample,
+    "pipeline_dsir_weights" -> dsirWeights
   )
 }

@@ -52,6 +52,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("DSIR weights separate the target slice and stay bucket-bounded") {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val qc = TextAnalysis.qualityCols(col("text"))
+    val target = docs.select(col("doc_id"), (qc.score >= 0.8).as("is_target"))
+    val w = Pipelines.dsirWeights.build(spark, d)
+    val joined = w.join(target, Seq("doc_id")).collect()
+      .map(r => (r.getBoolean(4), r.getDouble(3)))
+    assert(joined.length === 500, "every document must be scored")
+    val (tgt, rest) = joined.partition(_._1)
+    assert(tgt.nonEmpty && rest.nonEmpty, "fixture must have both slices")
+    val mT = tgt.map(_._2).sum / tgt.length
+    val mR = rest.map(_._2).sum / rest.length
+    // importance weights exist to upweight target-like text: the
+    // target slice's own avg log-ratio must exceed the rest's
+    assert(mT > mR, s"target mean $mT should exceed non-target mean $mR")
+    // the statistics table the scoring join broadcasts is ≤ B rows
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select((graft.ext.Dedup.hash60(col("t")) % Pipelines.DsirBuckets).as("b"))
+    assert(toks.distinct().count() <= Pipelines.DsirBuckets)
+  }
+
   test("exact dedup covers every document exactly once") {
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val deduped = Dedup.exact.build(spark, d)
