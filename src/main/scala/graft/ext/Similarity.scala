@@ -842,6 +842,155 @@ object Similarity {
          |FROM ag ORDER BY label""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Hybrid retrieval — BM25 ⊕ dense cosine fused by reciprocal-rank
+  // fusion (RRF, Cormack et al. 2009), the production RAG retrieval
+  // shape: lexical and vector rankers each nominate a top-P pool, and
+  // the fused score Σ 1/(60 + rank) rewards documents BOTH rankers
+  // like without ever comparing their incommensurable raw scores.
+  // "More-like-this" framing: the query is a document (vec_id ≡
+  // doc_id in the harness tables), its distinct tokens are the BM25
+  // query terms, its embedding the dense query.
+  //
+  // Determinism: both pool ranks come from row_number over (score
+  // rounded to 6dp, doc_id) — the rank, the pool membership, and the
+  // RRF doubles (sums of 1/(60+r) over exact integer operands, same
+  // op order both engines) are all engine-portable; doc_id breaks the
+  // symmetric-rank ties RRF produces by construction.
+  //
+  // Scale: each side's pool ranking is a per-query window that
+  // Spark rewrites to WindowGroupLimit (map tasks forward ≤P rows per
+  // query), so the exchanges carry P·partitions rows; the BM25 side
+  // scores only (doc, term ∈ query-vocab) rows via a broadcast semi
+  // join; the cosine side is the broadcast-queries scan; the fusion
+  // join runs on |queries|·P rows. Nothing corpus² anywhere.
+  // ------------------------------------------------------------------
+  val HybridQueries = 3
+  val HybridPoolK = 20
+  val HybridTopK = 10
+  val RrfK = 60
+
+  val hybridRrf: Q = Q(
+    (s, d) => {
+      import graft.ext.TextAnalysis.tokens
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      // ---- lexical side: more-like-this BM25 against each query doc
+      val qterms = docs.filter(col("doc_id") < HybridQueries)
+        .select(col("doc_id").as("q_id"), explode(array_distinct(col("toks"))).as("tok"))
+      val qvocab = qterms.select("tok").distinct()
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avg_dl"))
+      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .join(broadcast(qvocab), Seq("tok"), "left_semi")
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      val termScore = idf * (col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avg_dl"))))
+      val bm25 = tf.join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .join(broadcast(qterms), Seq("tok"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id"),
+          roundPortable(termScore, 6).cast(DecimalType(18, 6)).as("term_score"))
+        .groupBy("q_id", "doc_id")
+        .agg(roundPortable(sum(col("term_score")).cast(DoubleType), 6).as("bm25"))
+      val wLex = Window.partitionBy("q_id").orderBy(col("bm25").desc, col("doc_id"))
+      val lexPool = bm25.withColumn("lex_rank", row_number().over(wLex))
+        .filter(col("lex_rank") <= HybridPoolK)
+        .select(col("q_id"), col("doc_id"), col("lex_rank"))
+      // ---- dense side: cosine against each query doc's embedding
+      val qv = emb(s, d).filter(col("vec_id") < HybridQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val sims = emb(s, d).crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          roundPortable(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+      val wVec = Window.partitionBy("q_id").orderBy(col("sim").desc, col("doc_id"))
+      val vecPool = sims.withColumn("vec_rank", row_number().over(wVec))
+        .filter(col("vec_rank") <= HybridPoolK)
+        .select(col("q_id"), col("doc_id"), col("vec_rank"))
+      // ---- fuse: RRF over the union of the two pools
+      val fusedScore = coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0))
+      val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))
+      lexPool.join(vecPool, Seq("q_id", "doc_id"), "full_outer")
+        .select(col("q_id"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+          fusedScore.as("rrf"))
+        .withColumn("fused_rank", row_number().over(wF))
+        .filter(col("fused_rank") <= HybridTopK)
+        .select(col("q_id"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+          roundPortable(col("rrf"), 6).as("rrf_score"), col("fused_rank"))
+        .orderBy("q_id", "fused_rank")
+    },
+    Some(s"""WITH docs AS (
+            |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+            |), dl AS (
+            |  SELECT doc_id, toks, len(toks) AS dl FROM docs
+            |), qterms AS (
+            |  SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS tok FROM docs
+            |  WHERE doc_id < $HybridQueries
+            |), qvocab AS (
+            |  SELECT DISTINCT tok FROM qterms
+            |), stats AS (
+            |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avg_dl FROM dl
+            |), tf AS (
+            |  SELECT doc_id, dl, tok, count(*) AS tf
+            |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+            |  WHERE tok IN (SELECT tok FROM qvocab)
+            |  GROUP BY 1, 2, 3
+            |), dfreq AS (
+            |  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+            |), bm25 AS (
+            |  SELECT q.q_id, t.doc_id,
+            |    floor(CAST(sum(CAST(floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+            |      * (t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avg_dl)))
+            |      * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bm25
+            |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN stats s JOIN qterms q USING (tok)
+            |  WHERE t.doc_id <> q.q_id
+            |  GROUP BY 1, 2
+            |), lexpool AS (
+            |  SELECT q_id, doc_id, lex_rank FROM (
+            |    SELECT q_id, doc_id,
+            |      row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS lex_rank
+            |    FROM bm25
+            |  ) WHERE lex_rank <= $HybridPoolK
+            |), e AS (
+            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+            |), qe AS (
+            |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $HybridQueries
+            |), sims AS (
+            |  SELECT q.q_id, e.vec_id AS doc_id,
+            |    floor(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]))
+            |      / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+            |         * sqrt(list_sum(list_transform(e.v, x -> x * x)))) * 1000000 + 0.5) / 1000000 AS sim
+            |  FROM qe q, e WHERE e.vec_id <> q.q_id
+            |), vecpool AS (
+            |  SELECT q_id, doc_id, vec_rank FROM (
+            |    SELECT q_id, doc_id,
+            |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS vec_rank
+            |    FROM sims
+            |  ) WHERE vec_rank <= $HybridPoolK
+            |), fused AS (
+            |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+            |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+            |         l.lex_rank, v.vec_rank,
+            |         coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + l.lex_rank), CAST(0.0 AS DOUBLE))
+            |           + coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + v.vec_rank), CAST(0.0 AS DOUBLE)) AS rrf
+            |  FROM lexpool l FULL OUTER JOIN vecpool v
+            |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+            |)
+            |SELECT q_id, doc_id, lex_rank, vec_rank,
+            |  floor(rrf * 1000000 + 0.5) / 1000000 AS rrf_score, fused_rank
+            |FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS fused_rank
+            |  FROM fused
+            |) WHERE fused_rank <= $HybridTopK
+            |ORDER BY q_id, fused_rank""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "ann_cosine_topk" -> bruteForceTopK,
     "ann_dot_topk" -> dotTopK,
@@ -852,6 +1001,7 @@ object Similarity {
     "emb_norm_stats" -> normStats,
     "emb_dim_variance" -> dimVariance,
     "emb_top_eigen" -> topEigen,
-    "emb_project_top" -> projectTop
+    "emb_project_top" -> projectTop,
+    "ann_hybrid_rrf" -> hybridRrf
   )
 }

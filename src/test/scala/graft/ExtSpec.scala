@@ -52,6 +52,44 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF: scores recompute from ranks, ordering is consistent, both-pool docs win") {
+    val rows = Similarity.hybridRrf.build(spark, d).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getDouble(4), r.getInt(5))
+    }
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet === (0L until Similarity.HybridQueries).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._6).sorted.toSeq === (1 to Similarity.HybridTopK))
+      rs.foreach { case (_, _, l, v, score, _) =>
+        val expect = l.map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0) +
+          v.map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0)
+        assert(math.abs(score - math.floor(expect * 1e6 + 0.5) / 1e6) < 1e-9,
+          s"q=$q rrf_score $score != recomputed $expect")
+        assert(l.nonEmpty || v.nonEmpty, "a fused row must come from at least one pool")
+      }
+      // fused_rank order = (raw rrf desc, doc_id) over the returned rows
+      val sorted = rs.sortBy(_._6)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val ra = a._3.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) + a._4.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+          val rb = b._3.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) + b._4.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+          assert(ra > rb || (ra == rb && a._2 < b._2), s"q=$q order violated at ${a._2}->${b._2}")
+        case _ =>
+      }
+      // a doc both rankers nominate at rank r beats any single-pool doc at rank >= r
+      val both = rs.filter(x => x._3.nonEmpty && x._4.nonEmpty)
+      val single = rs.filter(x => x._3.isEmpty ^ x._4.isEmpty)
+      for (b <- both; s <- single) {
+        val br = math.max(b._3.get, b._4.get); val sr = math.min(s._3.getOrElse(99), s._4.getOrElse(99))
+        if (br <= sr) assert(b._6 < s._6,
+          s"q=$q both-pool doc ${b._2} (ranks ${b._3}/${b._4}) should outrank single ${s._2}")
+      }
+    }
+  }
+
   test("DSIR weights separate the target slice and stay bucket-bounded") {
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val qc = TextAnalysis.qualityCols(col("text"))
