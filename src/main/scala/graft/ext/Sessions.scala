@@ -764,6 +764,61 @@ object Sessions {
            |ORDER BY tt.dt""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Exponentially time-decayed counters — the "trending now" statistic:
+  // each event contributes exp(−λ·Δdays) with Δ measured back from the
+  // corpus max timestamp and λ = ln2/HalfLifeDays (7-day half-life), so
+  // yesterday's burst outweighs last month's volume. One corpus
+  // aggregate (map-side combined), with the reference time broadcast as
+  // a 1-row aggregate — at 100 TB the production variant maintains the
+  // counter INCREMENTALLY (old_total · exp(−λ·gap) + batch_total, an
+  // associative fold over batches) instead of rescanning; this query is
+  // that fold's from-scratch ground truth. Time math stays on exact
+  // epoch-micros longs until the one double Δdays division; each weight
+  // is 6dp-gridded and decimal-summed (partition-order independent).
+  // ------------------------------------------------------------------
+  val HalfLifeDays = 7.0
+  private val DecayLambda: Double = math.log(2.0) / HalfLifeDays
+
+  val decayedCounts: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val ref = ev.agg(max(col("us")).as("ref_us"))
+      val dd = (col("ref_us") - col("us")).cast(DoubleType) / lit(86400e6)
+      val w = roundPortable(exp(-(lit(DecayLambda) * dd)), 6).cast(DecimalType(18, 6))
+      val perType = ev.crossJoin(broadcast(ref))
+        .select(col("event_type"), w.as("w"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("w")).as("sw"))
+      val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+      perType
+        .withColumn("tot", sum(col("sw")).over(wAll))
+        .select(col("event_type"), col("n_events"),
+          roundPortable(col("sw").cast(DoubleType), 6).as("decayed_count"),
+          roundPortable(col("sw").cast(DoubleType) / col("tot").cast(DoubleType), 6)
+            .as("decayed_share"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH ev AS (
+            |  SELECT event_type, epoch_us(ts) AS us FROM events
+            |), ref AS (
+            |  SELECT max(us) AS ref_us FROM ev
+            |), wts AS (
+            |  SELECT event_type,
+            |    CAST(floor(exp(-($DecayLambda * (CAST(ref_us - us AS DOUBLE) / 86400000000.0)))
+            |      * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS w
+            |  FROM ev CROSS JOIN ref
+            |), per AS (
+            |  SELECT event_type, count(*) AS n_events, sum(w) AS sw FROM wts GROUP BY 1
+            |)
+            |SELECT event_type, n_events,
+            |  floor(CAST(sw AS DOUBLE) * 1000000 + 0.5) / 1000000 AS decayed_count,
+            |  floor(CAST(sw AS DOUBLE) / CAST(sum(sw) OVER () AS DOUBLE) * 1000000 + 0.5) / 1000000
+            |    AS decayed_share
+            |FROM per ORDER BY event_type""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_sessionize" -> sessionize,
     "events_hourly_window" -> hourly,
@@ -778,6 +833,7 @@ object Sessions {
     "join_interval_overlap" -> intervalOverlap,
     "events_ewma_daily" -> ewmaDaily,
     "events_growth_accounting" -> growthAccounting,
-    "events_seasonal_decompose" -> seasonalDecompose
+    "events_seasonal_decompose" -> seasonalDecompose,
+    "events_decayed_counts" -> decayedCounts
   )
 }

@@ -991,6 +991,82 @@ object Similarity {
             |ORDER BY q_id, fused_rank""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Embedding centroid drift — the VECTOR-SPACE twin of
+  // `text_term_drift`: per label, the cosine between the two
+  // slice-centroids (deterministic vec_id-parity split = the
+  // split-half noise floor) plus the L2 gap. A continuous-ingest
+  // pipeline watches exactly this to catch embedding-model or corpus
+  // drift: cos ≈ 1 when slices are exchangeable, falling as the new
+  // slice's mass moves.
+  //
+  // Determinism: per-(label, slice, i) means are exact-grid-long sums
+  // divided once in double; the d cross-terms per label are 8dp-
+  // gridded and decimal-summed, so every Σ is associative; the final
+  // cos/L2 run the same op order in both engines. Scale: ONE
+  // posexplode aggregate (map-side combined to |labels|·2·d rows),
+  // then label-sized joins — the corpus shuffles nothing but partial
+  // sums.
+  // ------------------------------------------------------------------
+  val centroidDrift: Q = Q(
+    (s, d) => {
+      val c = emb(s, d)
+        .select(col("label"), (col("vec_id") % 2).as("slice"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("label"), col("slice"), col("i"),
+          roundPortable(col("x").cast(DoubleType), 6).as("xq"))
+      val cent = c.groupBy("label", "slice", "i")
+        .agg(sum(floor(col("xq") * 1e6 + lit(0.5)).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("slice"), col("i"),
+          (col("sx").cast(DoubleType) / 1e6 / col("n")).as("m"), col("n"))
+      val c0 = cent.filter(col("slice") === 0)
+        .select(col("label"), col("i"), col("m").as("m0"), col("n").as("n0"))
+      val c1 = cent.filter(col("slice") === 1)
+        .select(col("label"), col("i"), col("m").as("m1"), col("n").as("n1"))
+      val g8 = (x: org.apache.spark.sql.Column) =>
+        roundPortable(x, 8).cast(DecimalType(28, 8))
+      c0.join(c1, Seq("label", "i"))
+        .groupBy("label")
+        .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+          sum(g8(col("m0") * col("m1"))).cast(DoubleType).as("s01"),
+          sum(g8(col("m0") * col("m0"))).cast(DoubleType).as("s00"),
+          sum(g8(col("m1") * col("m1"))).cast(DoubleType).as("s11"),
+          sum(g8((col("m0") - col("m1")) * (col("m0") - col("m1"))))
+            .cast(DoubleType).as("sd"))
+        .select(col("label"), col("n0"), col("n1"),
+          roundPortable(col("s01") / (sqrt(col("s00")) * sqrt(col("s11"))), 6)
+            .as("centroid_cos"),
+          roundPortable(sqrt(col("sd")), 6).as("l2_gap"))
+        .orderBy("label")
+    },
+    Some("""WITH coords AS (
+           |  SELECT label, vec_id % 2 AS slice, i - 1 AS i,
+           |    floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS xq
+           |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+           |), cent AS (
+           |  SELECT label, slice, i,
+           |    CAST(sum(CAST(floor(xq * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / count(*) AS m,
+           |    count(*) AS n
+           |  FROM coords GROUP BY 1, 2, 3
+           |), j AS (
+           |  SELECT a.label, a.i, a.m AS m0, b.m AS m1, a.n AS n0, b.n AS n1
+           |  FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
+           |  WHERE a.slice = 0 AND b.slice = 1
+           |), ag AS (
+           |  SELECT label, max(n0) AS n0, max(n1) AS n1,
+           |    CAST(sum(CAST(floor(m0 * m1 * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS DOUBLE) AS s01,
+           |    CAST(sum(CAST(floor(m0 * m0 * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS DOUBLE) AS s00,
+           |    CAST(sum(CAST(floor(m1 * m1 * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS DOUBLE) AS s11,
+           |    CAST(sum(CAST(floor((m0 - m1) * (m0 - m1) * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS DOUBLE) AS sd
+           |  FROM j GROUP BY 1
+           |)
+           |SELECT label, n0, n1,
+           |  floor(s01 / (sqrt(s00) * sqrt(s11)) * 1000000 + 0.5) / 1000000 AS centroid_cos,
+           |  floor(sqrt(sd) * 1000000 + 0.5) / 1000000 AS l2_gap
+           |FROM ag ORDER BY label""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "ann_cosine_topk" -> bruteForceTopK,
     "ann_dot_topk" -> dotTopK,
@@ -1002,6 +1078,7 @@ object Similarity {
     "emb_dim_variance" -> dimVariance,
     "emb_top_eigen" -> topEigen,
     "emb_project_top" -> projectTop,
-    "ann_hybrid_rrf" -> hybridRrf
+    "ann_hybrid_rrf" -> hybridRrf,
+    "emb_centroid_drift" -> centroidDrift
   )
 }

@@ -90,6 +90,68 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("decayed counts: bounds hold and the incremental advance identity is exact-ish") {
+    val r = Sessions.decayedCounts.build(spark, d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    assert(r.nonEmpty)
+    r.foreach { case (t, n, dc, _) =>
+      assert(dc > 0 && dc <= n + 1e-6, s"$t decayed $dc out of [0, $n]") }
+    assert(math.abs(r.map(_._4).sum - 1.0) < 1e-4, "shares must sum to 1")
+    // the production incremental fold: a counter held at an earlier
+    // reference advances by exp(-lambda*gap). Replicate driver-side on
+    // the raw events for one type and check the scan result agrees.
+    val ev = graft.queries.Inventory.events(spark, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val ref = ev.map(_._2).max
+    val lam = math.log(2.0) / Sessions.HalfLifeDays
+    val byType = ev.groupBy(_._1)
+    r.foreach { case (t, n, dc, _) =>
+      val us = byType(t).map(_._2)
+      assert(us.length.toLong === n)
+      val direct = us.map(u => math.floor(math.exp(-(lam * ((ref - u).toDouble / 86400e6))) * 1e6 + 0.5) / 1e6).sum
+      assert(math.abs(dc - math.floor(direct * 1e6 + 0.5) / 1e6) < 1e-6, s"$t: $dc vs $direct")
+      // advance identity (exact in the ungridded algebra; gridded
+      // weights leave ~1e-6-per-event slack)
+      val mid = us.sorted.apply(us.length / 2)
+      val heldAtMid = us.filter(_ <= mid).map(u => math.exp(-(lam * ((mid - u).toDouble / 86400e6)))).sum
+      val advanced = heldAtMid * math.exp(-(lam * ((ref - mid).toDouble / 86400e6))) +
+        us.filter(_ > mid).map(u => math.exp(-(lam * ((ref - u).toDouble / 86400e6)))).sum
+      assert(math.abs(advanced - dc) < 1e-3 * us.length, s"$t advance identity: $advanced vs $dc")
+    }
+  }
+
+  test("centroid drift: bounds hold and label 0 replicates from raw vectors") {
+    val r = Similarity.centroidDrift.build(spark, d).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))
+    assert(r.map(_._1).toSeq === (0 to 9))
+    val nVecs = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(r.map(x => x._2 + x._3).sum === nVecs, "slice counts must cover the corpus")
+    r.foreach { case (l, n0, n1, cos, l2) =>
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9, s"label $l cos $cos")
+      assert(l2 >= 0.0, s"label $l l2 $l2")
+      assert(n0 > 0 && n1 > 0)
+    }
+    // plain-Scala replication for label 0 with the same grids
+    def grid(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    val vs = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("label") === 0).select("vec_id", "embedding").collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).toArray.map(f => grid(f.toDouble, 1e6))))
+    val (s0, s1) = vs.partition(_._1 % 2 == 0)
+    val dn = vs.head._2.length
+    def mean(xs: Array[(Long, Array[Double])], i: Int) =
+      xs.map(v => math.floor(v._2(i) * 1e6 + 0.5).toLong).sum.toDouble / 1e6 / xs.length
+    def dec8(x: Double) = BigDecimal(grid(x, 1e8)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val (m0, m1) = ((0 until dn).map(mean(s0, _)), (0 until dn).map(mean(s1, _)))
+    val s01 = (0 until dn).map(i => dec8(m0(i) * m1(i))).sum.toDouble
+    val s00 = (0 until dn).map(i => dec8(m0(i) * m0(i))).sum.toDouble
+    val s11 = (0 until dn).map(i => dec8(m1(i) * m1(i))).sum.toDouble
+    val sd = (0 until dn).map(i => dec8((m0(i) - m1(i)) * (m0(i) - m1(i)))).sum.toDouble
+    val row = r.find(_._1 == 0).get
+    assert(row._4 === grid(s01 / (math.sqrt(s00) * math.sqrt(s11)), 1e6), "label 0 cos")
+    assert(row._5 === grid(math.sqrt(sd), 1e6), "label 0 l2")
+  }
+
   test("DSIR weights separate the target slice and stay bucket-bounded") {
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val qc = TextAnalysis.qualityCols(col("text"))
