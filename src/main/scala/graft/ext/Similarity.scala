@@ -1004,9 +1004,10 @@ object Similarity {
   // divided once in double; the d cross-terms per label are 8dp-
   // gridded and decimal-summed, so every Σ is associative; the final
   // cos/L2 run the same op order in both engines. Scale: ONE
-  // posexplode aggregate (map-side combined to |labels|·2·d rows),
-  // then label-sized joins — the corpus shuffles nothing but partial
-  // sums.
+  // posexplode aggregate with conditional slice sums (map-side
+  // combined to |labels|·d rows), then one label-sized aggregate —
+  // the corpus shuffles nothing but partial sums, and no self-join
+  // or second scan exists anywhere.
   // ------------------------------------------------------------------
   val centroidDrift: Q = Q(
     (s, d) => {
@@ -1015,19 +1016,22 @@ object Similarity {
           posexplode(col("embedding")).as(Seq("i", "x")))
         .select(col("label"), col("slice"), col("i"),
           roundPortable(col("x").cast(DoubleType), 6).as("xq"))
-      val cent = c.groupBy("label", "slice", "i")
-        .agg(sum(floor(col("xq") * 1e6 + lit(0.5)).cast("long")).as("sx"),
-          count(lit(1)).as("n"))
-        .select(col("label"), col("slice"), col("i"),
-          (col("sx").cast(DoubleType) / 1e6 / col("n")).as("m"), col("n"))
-      val c0 = cent.filter(col("slice") === 0)
-        .select(col("label"), col("i"), col("m").as("m0"), col("n").as("n0"))
-      val c1 = cent.filter(col("slice") === 1)
-        .select(col("label"), col("i"), col("m").as("m1"), col("n").as("n1"))
+      // BOTH slice centroids from ONE (label, i) aggregate via
+      // conditional sums — a filter-per-slice formulation re-reads
+      // and re-shuffles the corpus twice (this suite's PlanSpec pin
+      // caught exactly that in the first draft)
+      val gl = floor(col("xq") * 1e6 + lit(0.5)).cast("long")
+      val cent = c.groupBy("label", "i")
+        .agg(sum(when(col("slice") === 0, gl).otherwise(0L)).as("sx0"),
+          sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("slice") === 1, gl).otherwise(0L)).as("sx1"),
+          sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n1"))
+        .select(col("label"), col("i"),
+          (col("sx0").cast(DoubleType) / 1e6 / col("n0")).as("m0"), col("n0"),
+          (col("sx1").cast(DoubleType) / 1e6 / col("n1")).as("m1"), col("n1"))
       val g8 = (x: org.apache.spark.sql.Column) =>
         roundPortable(x, 8).cast(DecimalType(28, 8))
-      c0.join(c1, Seq("label", "i"))
-        .groupBy("label")
+      cent.groupBy("label")
         .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
           sum(g8(col("m0") * col("m1"))).cast(DoubleType).as("s01"),
           sum(g8(col("m0") * col("m0"))).cast(DoubleType).as("s00"),
@@ -1044,15 +1048,15 @@ object Similarity {
            |  SELECT label, vec_id % 2 AS slice, i - 1 AS i,
            |    floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS xq
            |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
-           |), cent AS (
-           |  SELECT label, slice, i,
-           |    CAST(sum(CAST(floor(xq * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / count(*) AS m,
-           |    count(*) AS n
-           |  FROM coords GROUP BY 1, 2, 3
            |), j AS (
-           |  SELECT a.label, a.i, a.m AS m0, b.m AS m1, a.n AS n0, b.n AS n1
-           |  FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
-           |  WHERE a.slice = 0 AND b.slice = 1
+           |  SELECT label, i,
+           |    CAST(sum(CASE WHEN slice = 0 THEN CAST(floor(xq * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+           |      / 1000000 / sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS m0,
+           |    sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS n0,
+           |    CAST(sum(CASE WHEN slice = 1 THEN CAST(floor(xq * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+           |      / 1000000 / sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS m1,
+           |    sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS n1
+           |  FROM coords GROUP BY 1, 2
            |), ag AS (
            |  SELECT label, max(n0) AS n0, max(n1) AS n1,
            |    CAST(sum(CAST(floor(m0 * m1 * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS DOUBLE) AS s01,

@@ -475,4 +475,46 @@ class PlanSpec extends SparkSpec {
     assert(winAt >= 0 && aggAt >= 0 && winAt < aggAt,
       s"window must consume the aggregate, not the corpus:\n$p")
   }
+
+  test("BPE merges: one corpus scan; pair count is vocab-sized; top-K bounded map-side") {
+    val p = plan(graft.ext.TextAnalysis.bpeMerges.build(spark, d))
+    assert(parquetScans(p) === 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // pair generation consumes the word AGGREGATE (vocab), not the
+    // token stream: the sequence-explode Generate sits above the
+    // word-count HashAggregate
+    val lines = p.linesIterator.toSeq
+    val seqGen = lines.indexWhere(_.contains("explode(sequence"))
+    val wordAgg = lines.indexWhere(_.contains("HashAggregate(keys=[w#"))
+    assert(seqGen >= 0 && wordAgg >= 0 && seqGen < wordAgg,
+      s"pair explode must run over the vocab aggregate:\n$p")
+  }
+
+  test("hybrid RRF: both pools prune map-side via WindowGroupLimit; no cartesian") {
+    val p = plan(Similarity.hybridRrf.build(spark, d))
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("DSIR scoring reads the corpus twice and never shuffles a vocab-sized side") {
+    val p = plan(graft.ext.Pipelines.dsirWeights.build(spark, d))
+    assert(parquetScans(p) === 2, p)
+    // the B-row ratio table must enter the scoring join as a broadcast
+    // (statically or via AQE) — never as a corpus-sized exchange; the
+    // run-and-strip check is the AQE-safe formulation
+    val df = graft.ext.Pipelines.dsirWeights.build(spark, d)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"), fin)
+  }
+
+  test("centroid drift collapses the corpus map-side on (label, slice, i)") {
+    val p = plan(Similarity.centroidDrift.build(spark, d))
+    assert(parquetScans(p) === 1, p)
+    val lines = p.linesIterator.toSeq
+    val exch = lines.indexWhere(l => l.contains("Exchange hashpartitioning") && l.contains("label"))
+    val partial = lines.indexWhere(l => l.contains("HashAggregate") && l.contains("partial_sum"))
+    assert(exch >= 0 && partial >= 0 && exch < partial,
+      s"partial aggregate must precede the (label, slice, i) exchange:\n$p")
+  }
 }
