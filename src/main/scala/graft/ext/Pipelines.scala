@@ -855,11 +855,13 @@ object Pipelines {
   // rounded to 6dp and per-doc sums ride DECIMAL (the BM25 recipe), so
   // results are partition-order independent and oracle-exact.
   //
-  // Scale shape: one corpus-scaled bucket-count aggregate (map-side
-  // combined into ≤B rows per task), a broadcast of the B-row ratio
-  // table, and one per-doc aggregate. The token stream is generated
-  // twice (stats pass + scoring pass) — at 100 TB that is two scans of
-  // a columnar projection, cheaper than materializing corpus×tokens.
+  // Scale shape: two corpus-scaled bucket-count aggregates (full and
+  // quality-filtered, each map-side combined into ≤B rows per task),
+  // a broadcast of the B-row ratio table, and one per-doc aggregate.
+  // The token stream is generated three times (two stats passes +
+  // scoring) — three cheap columnar scans; the alternative, carrying
+  // the quality flag per token, re-evaluates the quality expression
+  // per token row via CollapseProject (measured 18×, see inline note).
   // ------------------------------------------------------------------
   val DsirBuckets = 4096L
   val DsirAlpha = 0.5
@@ -869,14 +871,23 @@ object Pipelines {
     (s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val qc = TextAnalysis.qualityCols(col("text"))
-      val toks = docs
-        .select(col("doc_id"), (qc.score >= 0.8).as("is_target"),
-          explode(TextAnalysis.tokens(col("text"))).as("t"))
-        .select(col("doc_id"), col("is_target"),
-          (hash60(col("t")) % DsirBuckets).as("b"))
-      val stats = toks.groupBy("b").agg(
-        count(lit(1)).as("cs"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+      def buckets(src: DataFrame): DataFrame = src
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), (hash60(col("t")) % DsirBuckets).as("b"))
+      val toks = buckets(docs)
+      // The target flag must NEVER ride the explode as a projected
+      // column: CollapseProject inlines the whole quality expression
+      // (three tokenizations + an interpreted HOF) ABOVE the Generate,
+      // re-evaluating it per TOKEN row — measured 16.5 s vs 0.9 s at
+      // sf0.1 for this one aggregate. A FILTER on the doc branch stays
+      // below the Generate (evaluated once per doc), so target counts
+      // come from a second, pre-filtered pass and join the full counts
+      // at B-row size.
+      val ct = buckets(docs.filter(qc.score >= 0.8))
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val stats = toks.groupBy("b").agg(count(lit(1)).as("cs"))
+        .join(ct, Seq("b"), "left")
+        .select(col("b"), col("cs"), coalesce(col("ct"), lit(0L)).as("ct"))
       // corpus totals via a global window OVER THE B-ROW STATS TABLE —
       // a separate .agg subtree would re-derive the whole corpus
       // bucket count (measured: AQE does not ReusedExchange it), while

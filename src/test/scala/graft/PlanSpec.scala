@@ -496,9 +496,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("DSIR scoring reads the corpus twice and never shuffles a vocab-sized side") {
+  test("DSIR scoring scans thrice but never evaluates quality per token row") {
     val p = plan(graft.ext.Pipelines.dsirWeights.build(spark, d))
-    assert(parquetScans(p) === 2, p)
+    assert(parquetScans(p) === 3, p)
+    // the quality HOF (filter(..., lambdafunction)) may appear only in
+    // a per-doc Filter, never in a Project — a Project formulation
+    // means CollapseProject inlined it above a Generate, re-evaluating
+    // it per TOKEN row (measured 18× on this query at sf0.1)
+    val lines = p.linesIterator.toSeq
+    assert(lines.exists(l => l.contains("Filter") && l.contains("lambdafunction")), p)
+    assert(!lines.exists(l => l.contains("Project [") && l.contains("lambdafunction")),
+      s"quality HOF must not sit in a per-token Project:\n$p")
     // the B-row ratio table must enter the scoring join as a broadcast
     // (statically or via AQE) — never as a corpus-sized exchange; the
     // run-and-strip check is the AQE-safe formulation
