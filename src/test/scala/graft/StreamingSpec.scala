@@ -274,4 +274,44 @@ class StreamingSpec extends SparkSpec {
       (2L, t0 + 5 * 60 * 1000, t0 + 5 * 60 * 1000, 1L))) // timer (batch 3)
     // user 3 (alarm 02:30 > final watermark) is still open: not emitted
   }
+
+  test("streaming decayed counters audit against the batch query at sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val ev = graft.queries.Inventory.events(spark, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)].collect().sortBy(_._2)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.decayedCounters(mem.toDS())
+      .writeStream.format("memory").queryName("decay_stream")
+      .outputMode("append").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // last state per type, advanced to the GLOBAL reference (each
+    // type's counter is held at its own max event time)
+    val lam = math.log(2.0) / graft.ext.Sessions.HalfLifeDays
+    val globalRef = ev.map(_._2).max
+    val fin = spark.table("decay_stream")
+      .groupBy("event_type")
+      .agg(max(struct(col("ref_us"), col("n_events"), col("decayed"))).as("s"))
+      .select(col("event_type"), col("s.n_events"), col("s.decayed"), col("s.ref_us"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2) * math.exp(-(lam * ((globalRef - r.getLong(3)).toDouble / 86400e6))))))
+      .toMap
+    // the batch query is the from-scratch ground truth (6dp-gridded
+    // weights leave ~1e-6-per-event slack vs the streaming fold)
+    val batch = graft.ext.Sessions.decayedCounts.build(spark, d).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+    assert(batch.nonEmpty)
+    batch.foreach { case (tpe, (n, dc)) =>
+      val (sn, sdc) = fin(tpe)
+      assert(sn === n, s"$tpe: streaming saw $sn events, batch $n")
+      assert(math.abs(sdc - dc) < 1e-3 * n, s"$tpe: streaming $sdc vs batch $dc")
+    }
+  }
 }
