@@ -947,6 +947,58 @@ object Pipelines {
             |GROUP BY 1 ORDER BY doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Curriculum assignment (curriculum learning, Bengio et al. 2009 —
+  // public method): order training data easy→hard. Difficulty is the
+  // Flesch reading-ease score (the SAME `fleschParts`/`flesch2dp`
+  // definition `text_readability` publishes — no fork); each language
+  // is cut into `CurriculumPhases` exact quartiles by ntile over
+  // (flesch DESC, doc_id) — phase 1 = easiest — and every doc gets a
+  // deterministic content-hash SHARD, the parallel-reader unit: at
+  // scale a trainer consumes (phase, shard) files in order, so no
+  // global per-doc position is ever needed (a per-phase global
+  // row_number would be the |phases|-partition window trap;
+  // `customer_rfm`'s two-phase global-order machinery is the drop-in
+  // if one is ever required). Both the ntile and the shard replay
+  // exactly in the oracle: ntile's assignment is a pure function of
+  // the fully-tiebroken order in both engines.
+  // ------------------------------------------------------------------
+  val CurriculumPhases = 4
+  val CurriculumShards = 16L
+
+  val curriculum: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val (w, sn, syl) = TextAnalysis.fleschParts(col("text"))
+      val base = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.flesch2dp(w, sn, syl).as("flesch"),
+        (hash60(col("text")) % CurriculumShards).as("shard"))
+      base
+        .withColumn("phase", ntile(CurriculumPhases).over(
+          Window.partitionBy("lang").orderBy(col("flesch").desc, col("doc_id"))))
+        .select(col("doc_id"), col("lang"), col("flesch"), col("phase"), col("shard"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH m AS (
+            |  SELECT doc_id, lang, text,
+            |    greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) AS w,
+            |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sn,
+            |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS syl
+            |  FROM documents
+            |), f AS (
+            |  SELECT doc_id, lang, text,
+            |    floor((206.835
+            |           - 1.015 * (CAST(w AS DOUBLE) / sn)
+            |           - 84.6 * (CAST(syl AS DOUBLE) / w)) * 100 + 0.5) / 100 AS flesch
+            |  FROM m
+            |)
+            |SELECT doc_id, lang, flesch,
+            |  CAST(ntile($CurriculumPhases) OVER (PARTITION BY lang ORDER BY flesch DESC, doc_id) AS INT) AS phase,
+            |  ('0x' || substr(md5(text), 1, 15))::BIGINT % $CurriculumShards AS shard
+            |FROM f ORDER BY doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,
@@ -963,6 +1015,7 @@ object Pipelines {
     "pipeline_chunk_documents" -> chunkDocuments,
     "pipeline_pii_scrub" -> piiScrub,
     "pipeline_quality_resample" -> qualityResample,
-    "pipeline_dsir_weights" -> dsirWeights
+    "pipeline_dsir_weights" -> dsirWeights,
+    "pipeline_curriculum" -> curriculum
   )
 }

@@ -1017,16 +1017,26 @@ object TextAnalysis {
   // The syllable regex is the standard heuristic, not a dictionary —
   // stated so the oracle replays the same approximation.
   // ------------------------------------------------------------------
+  /** Flesch reading-ease building blocks — ONE definition shared by
+    * [[readability]] and `Pipelines.curriculum` (the same no-fork rule
+    * as [[qualityCols]]): (n_words, n_sentences, n_syllables) floored
+    * at 1, and the 2dp-rounded score.
+    */
+  def fleschParts(text: Column): (Column, Column, Column) = (
+    greatest(size(tokens(text)), lit(1)).cast("long"),
+    greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("long"),
+    greatest(regexp_count(lower(text), lit("[aeiouy]+")), lit(1)).cast("long"))
+
+  def flesch2dp(w: Column, sn: Column, syl: Column): Column = roundPortable(
+    lit(206.835)
+      - lit(1.015) * (w.cast(DoubleType) / sn.cast(DoubleType))
+      - lit(84.6) * (syl.cast(DoubleType) / w.cast(DoubleType)), 2)
+
   val readability: Q = Q(
     (s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
-      val w = greatest(size(tokens(col("text"))), lit(1)).cast("long")
-      val sn = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long")
-      val syl = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1)).cast("long")
-      val flesch = roundPortable(
-        lit(206.835)
-          - lit(1.015) * (w.cast(DoubleType) / sn.cast(DoubleType))
-          - lit(84.6) * (syl.cast(DoubleType) / w.cast(DoubleType)), 2)
+      val (w, sn, syl) = fleschParts(col("text"))
+      val flesch = flesch2dp(w, sn, syl)
       docs.select(
           col("doc_id"),
           w.as("n_words"), sn.as("n_sentences"), syl.as("n_syllables"),

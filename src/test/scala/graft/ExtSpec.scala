@@ -152,6 +152,25 @@ class ExtSpec extends SparkSpec {
     assert(row._5 === grid(math.sqrt(sd), 1e6), "label 0 l2")
   }
 
+  test("curriculum: balanced easy-to-hard phases per lang, shards bounded") {
+    val r = Pipelines.curriculum.build(spark, d).collect()
+      .map(x => (x.getString(1), x.getDouble(2), x.getInt(3), x.getLong(4)))
+    assert(r.length === 500)
+    assert(r.forall(x => x._4 >= 0 && x._4 < Pipelines.CurriculumShards))
+    r.groupBy(_._1).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._3).map { case (p, xs) => p -> xs.length }
+      assert(sizes.keySet === (1 to Pipelines.CurriculumPhases).toSet, s"$lang: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang unbalanced: $sizes")
+      // phases are ordered easy -> hard: no doc in a later phase is
+      // strictly easier than any doc in an earlier one
+      for (p <- 1 until Pipelines.CurriculumPhases) {
+        val minP = rs.filter(_._3 == p).map(_._2).min
+        val maxNext = rs.filter(_._3 == p + 1).map(_._2).max
+        assert(minP >= maxNext, s"$lang phase $p min $minP < phase ${p + 1} max $maxNext")
+      }
+    }
+  }
+
   test("DSIR weights separate the target slice and stay bucket-bounded") {
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val qc = TextAnalysis.qualityCols(col("text"))
