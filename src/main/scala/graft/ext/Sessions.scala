@@ -819,6 +819,82 @@ object Sessions {
             |FROM per ORDER BY event_type""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Multi-touch attribution — the marketing-analytics classic: every
+  // purchase distributes conversion credit over the user's touch
+  // events (view/click/signup) in the preceding `AttrLookbackDays`
+  // window, under the three standard models at once: first-touch
+  // (all credit to the earliest touch), last-touch (the latest), and
+  // linear (1/n each). Published per touch type.
+  //
+  // Shape: ONE equi-join on user_id (purchases ⋈ touches) with the
+  // time window as a post-join range filter — at 100 TB both sides
+  // hash-partition on user_id once, and the per-purchase windows
+  // (rank asc/desc + count over the purchase key) run inside the
+  // same partitioning, so the whole query is one shuffle plus a tiny
+  // per-type rollup. Linear credits are 6dp-gridded and decimal-
+  // summed (the BM25 recipe) so the rollup is partition-order
+  // independent; first/last flags are exact integer sums. Ties on
+  // (ts, event_id) are total, so rank-1 rows are unique.
+  // ------------------------------------------------------------------
+  val AttrLookbackDays = 7
+  val TouchTypes: Seq[String] = Seq("view", "click", "signup")
+
+  val attribution: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"), col("event_id").as("p_id"))
+      val touches = ev.filter(col("event_type").isInCollection(TouchTypes))
+        .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
+      val lookbackUs = AttrLookbackDays * 86400L * 1000000L
+      val joined = purchases.join(touches, Seq("user_id"))
+        .filter(col("us") <= col("p_us") && col("us") > col("p_us") - lookbackUs)
+      val byP = Window.partitionBy("user_id", "p_id")
+      val ranked = joined
+        .withColumn("n_touch", count(lit(1)).over(byP))
+        .withColumn("rn_first", row_number().over(byP.orderBy(col("us"), col("event_id"))))
+        .withColumn("rn_last", row_number().over(byP.orderBy(col("us").desc, col("event_id").desc)))
+      ranked
+        .select(col("event_type"),
+          when(col("rn_first") === 1, 1L).otherwise(0L).as("ft"),
+          when(col("rn_last") === 1, 1L).otherwise(0L).as("lt"),
+          roundPortable(lit(1.0) / col("n_touch"), 6).cast(DecimalType(18, 6)).as("lc"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("ft")).as("first_touch"),
+          sum(col("lt")).as("last_touch"),
+          roundPortable(sum(col("lc")).cast(DoubleType), 6).as("linear_credit"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH ev AS (
+            |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+            |), p AS (
+            |  SELECT user_id, us AS p_us, event_id AS p_id FROM ev WHERE event_type = 'purchase'
+            |), t AS (
+            |  SELECT user_id, event_type, us, event_id FROM ev
+            |  WHERE event_type IN (${TouchTypes.map(x => s"'$x'").mkString(", ")})
+            |), j AS (
+            |  SELECT p.user_id, p.p_id, t.event_type, t.us, t.event_id
+            |  FROM p JOIN t USING (user_id)
+            |  WHERE t.us <= p.p_us AND t.us > p.p_us - ${AttrLookbackDays}::BIGINT * 86400 * 1000000
+            |), r AS (
+            |  SELECT event_type,
+            |    count(*) OVER (PARTITION BY user_id, p_id) AS n_touch,
+            |    row_number() OVER (PARTITION BY user_id, p_id ORDER BY us, event_id) AS rn_first,
+            |    row_number() OVER (PARTITION BY user_id, p_id ORDER BY us DESC, event_id DESC) AS rn_last
+            |  FROM j
+            |)
+            |SELECT event_type, count(*) AS n_touches,
+            |  CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+            |  CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+            |  floor(CAST(sum(CAST(floor(CAST(1.0 AS DOUBLE) / n_touch * 1000000 + 0.5) / 1000000
+            |    AS DECIMAL(18,6))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS linear_credit
+            |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_sessionize" -> sessionize,
     "events_hourly_window" -> hourly,
@@ -834,6 +910,7 @@ object Sessions {
     "events_ewma_daily" -> ewmaDaily,
     "events_growth_accounting" -> growthAccounting,
     "events_seasonal_decompose" -> seasonalDecompose,
-    "events_decayed_counts" -> decayedCounts
+    "events_decayed_counts" -> decayedCounts,
+    "events_attribution" -> attribution
   )
 }

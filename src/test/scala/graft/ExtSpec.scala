@@ -152,6 +152,29 @@ class ExtSpec extends SparkSpec {
     assert(row._5 === grid(math.sqrt(sd), 1e6), "label 0 l2")
   }
 
+  test("attribution: every credited purchase distributes exactly one unit under each model") {
+    val r = Sessions.attribution.build(spark, d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    assert(r.map(_._1).toSeq.sorted === Sessions.TouchTypes.sorted)
+    val (ft, lt, lin) = (r.map(_._3).sum, r.map(_._4).sum, r.map(_._5).sum)
+    // #credited purchases computed independently: purchases with >= 1
+    // touch in the lookback window
+    val ev = graft.queries.Inventory.events(spark, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val look = Sessions.AttrLookbackDays * 86400L * 1000000L
+    val credited = ev.filter(_._2 == "purchase").count { case (u, _, pus) =>
+      byUser(u).exists(t => Sessions.TouchTypes.contains(t._2) && t._3 <= pus && t._3 > pus - look)
+    }
+    assert(ft === credited.toLong, s"first-touch total $ft != credited purchases $credited")
+    assert(lt === credited.toLong, s"last-touch total $lt != credited purchases $credited")
+    // linear credits grid at 6dp per touch: slack scales with touch count
+    assert(math.abs(lin - credited) < 1e-6 * r.map(_._2).sum + 1e-6,
+      s"linear total $lin != credited purchases $credited")
+    r.foreach { case (t, n, f, l, _) => assert(f <= n && l <= n, s"$t: $f/$l vs $n") }
+  }
+
   test("curriculum: balanced easy-to-hard phases per lang, shards bounded") {
     val r = Pipelines.curriculum.build(spark, d).collect()
       .map(x => (x.getString(1), x.getDouble(2), x.getInt(3), x.getLong(4)))
