@@ -289,6 +289,77 @@ object Similarity {
   )
 
   // ------------------------------------------------------------------
+  // Multiprobe LSH (Lv et al., "Multi-Probe LSH", VLDB 2007 — public
+  // method): each query probes its own bucket PLUS the `Bits` buckets
+  // at Hamming distance 1 (one sign bit flipped) in every table —
+  // buying recall WITHOUT more tables, i.e. without growing the
+  // CORPUS index. That asymmetry is the scale story: the corpus side
+  // keeps Tables rows per vector (index size unchanged at 100 TB);
+  // only the tiny query side fans out ×(1+Bits), and the candidate
+  // join stays a bucket equi-join. The probe set is generated by
+  // XOR-ing single-bit masks — no re-hashing.
+  // ------------------------------------------------------------------
+  val multiprobeTopK: Q = Q(
+    (s, d) => {
+      val corpus = bucketed(emb(s, d), "vec_id", "embedding")
+      val qb = bucketed(
+        emb(s, d).filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        "q_id", "q_emb")
+      val masks = array((Seq(lit(0L)) ++ (0 until Bits).map(b => lit(1L << b))): _*)
+      val probes = qb
+        .select(col("q_id"), col("table"), col("bucket"), col("q_emb"),
+          explode(masks).as("mask"))
+        .select(col("q_id"), col("table"),
+          col("bucket").bitwiseXOR(col("mask")).as("bucket"), col("q_emb"))
+      val cand = probes.join(corpus, Seq("table", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+        .dropDuplicates("q_id", "vec_id")
+      val sim = roundPortable(cosine(col("q_emb"), col("embedding")), 6)
+      rankTopK(cand.select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim")))
+    },
+    Some {
+      val planeRows = (for { t <- 0 until Tables; b <- 0 until Bits } yield
+        s"    ($t, $b, [${hyperplanes(t)(b).mkString(", ")}])").mkString(",\n")
+      val maskList = (Seq(0L) ++ (0 until Bits).map(b => 1L << b)).mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), planes(tbl, bit, pv) AS (
+         |  VALUES
+         |$planeRows
+         |), buckets AS (
+         |  SELECT vec_id, tbl,
+         |    sum(CASE WHEN list_sum(list_transform(list_zip(v, pv), p -> p[1] * p[2])) > 0
+         |             THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+         |  FROM e, planes GROUP BY vec_id, tbl
+         |), qb AS (
+         |  SELECT vec_id AS q_id, tbl, bucket FROM buckets WHERE vec_id < $NumQueries
+         |), probes AS (
+         |  SELECT DISTINCT q_id, tbl, xor(bucket, m) AS bucket
+         |  FROM qb, unnest([$maskList]) AS u(m)
+         |), cand AS (
+         |  SELECT DISTINCT p.q_id, c.vec_id
+         |  FROM probes p JOIN buckets c ON p.tbl = c.tbl AND p.bucket = c.bucket
+         |  WHERE c.vec_id <> p.q_id
+         |), s AS (
+         |  SELECT cand.q_id, cand.vec_id AS neighbor_id,
+         |    floor(list_sum(list_transform(list_zip(q.v, e.v), p -> p[1] * p[2]))
+         |      / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+         |         * sqrt(list_sum(list_transform(e.v, x -> x * x)))) * 1000000 + 0.5) / 1000000 AS sim
+         |  FROM cand
+         |  JOIN e q ON q.vec_id = cand.q_id
+         |  JOIN e ON e.vec_id = cand.vec_id
+         |), r AS (
+         |  SELECT q_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM s
+         |)
+         |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+    }
+  )
+
+  // ------------------------------------------------------------------
   // Int8-quantized prefilter + exact re-rank — the storage-bandwidth
   // play: per-vector max-abs scalar quantization stores 1 byte/dim
   // instead of 4 (at 100 TB of embeddings, a 4× scan-bandwidth and
@@ -1083,6 +1154,7 @@ object Similarity {
     "emb_top_eigen" -> topEigen,
     "emb_project_top" -> projectTop,
     "ann_hybrid_rrf" -> hybridRrf,
-    "emb_centroid_drift" -> centroidDrift
+    "emb_centroid_drift" -> centroidDrift,
+    "ann_multiprobe_topk" -> multiprobeTopK
   )
 }
