@@ -793,18 +793,43 @@ object Pipelines {
   // is 10 tokens, so the inner join is lossless here and the oracle
   // exercises the same shape.
   // ------------------------------------------------------------------
-  private val MiddleKeepCut = 524288L // of 2^20: P(keep middle) = 1/2
+  private[graft] val MiddleKeepCut = 524288L // of 2^20: P(keep middle) = 1/2
+
+  /** Per-doc 4dp perplexity joined onto `docs`, plus the per-lang
+    * 1/3- and 2/3-quantile cuts — the shared substrate of the
+    * registry query (reports every decision) and [[resampleKept]]
+    * (the DAG stage that applies it).
+    */
+  private def pplScored(docs: DataFrame): (DataFrame, DataFrame) = {
+    val ppl = TextAnalysis.perDocNllOf(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), roundPortable(exp(col("avg_nll_raw")), 4).as("perplexity"))
+    val scored = docs.join(ppl, Seq("doc_id"))
+    val th = scored.groupBy("lang").agg(
+      roundPortable(percentile(col("perplexity"), lit(1.0 / 3)), 4).as("p33"),
+      roundPortable(percentile(col("perplexity"), lit(2.0 / 3)), 4).as("p66"))
+    (scored, th)
+  }
+
+  /** The head/middle/tail gate as a relation transform: the KEPT
+    * subset of `docs` (columns preserved), with the LM trained on
+    * `docs` itself. Keep head, keep middle on the content-hash coin,
+    * drop tail — same predicate as `pipeline_quality_resample`'s
+    * `kept` column by construction.
+    */
+  def resampleKept(docs: DataFrame): DataFrame = {
+    val (scored, th) = pplScored(docs)
+    scored.join(broadcast(th), Seq("lang"))
+      .filter(col("perplexity") <= col("p33") ||
+        (col("perplexity") <= col("p66") &&
+          hash60(col("text")) % 1048576L < MiddleKeepCut))
+      .select(docs.columns.map(col): _*)
+  }
 
   val qualityResample: Q = Q(
     (s, d) => {
-      val ppl = TextAnalysis.perDocNll(s, d)
-        .select(col("doc_id"), roundPortable(exp(col("avg_nll_raw")), 4).as("perplexity"))
       val docs = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), col("lang"), col("text"))
-      val scored = docs.join(ppl, Seq("doc_id"))
-      val th = scored.groupBy("lang").agg(
-        roundPortable(percentile(col("perplexity"), lit(1.0 / 3)), 4).as("p33"),
-        roundPortable(percentile(col("perplexity"), lit(2.0 / 3)), 4).as("p66"))
+      val (scored, th) = pplScored(docs)
       val bucket = when(col("perplexity") <= col("p33"), "head")
         .when(col("perplexity") <= col("p66"), "middle")
         .otherwise("tail")

@@ -808,9 +808,16 @@ object TextAnalysis {
     * per-bigram −ln p terms. Shared by [[lmPerplexity]] (reports it)
     * and `Pipelines.qualityResample` (thresholds on it).
     */
-  def perDocNll(s: SparkSession, d: String): DataFrame = {
+  def perDocNll(s: SparkSession, d: String): DataFrame =
+    perDocNllOf(s.read.parquet(s"$d/documents.parquet"))
+
+  /** [[perDocNll]] over an arbitrary (doc_id, text, …) relation — the
+    * LM trains on exactly the given corpus slice (used by
+    * `models.CorpusPipeline`'s resample stage, where the corpus is a
+    * mid-DAG checkpoint, not the raw table).
+    */
+  def perDocNllOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = s.read.parquet(s"$d/documents.parquet")
     val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val bg = toks.withColumn("t1", lead("t", 1).over(w))

@@ -23,7 +23,7 @@ import graft.ext.{Clusters, Dedup, Pipelines, TextAnalysis}
   *                      └────────────────────────────────────────────> corpus_neardup
   *                                        │                                 v
   *                                        └──────────────────> corpus_decontaminated
-  *                              ─> corpus_capped ─> corpus_budget ─> corpus_packed
+  *     ─> corpus_resampled ─> corpus_capped ─> corpus_budget ─> corpus_packed
   * }}}
   *
   * Stage semantics reuse the SAME shared building blocks as the
@@ -44,10 +44,12 @@ import graft.ext.{Clusters, Dedup, Pipelines, TextAnalysis}
   * At 100 TB each stage is one bounded pass: clean is scan+window,
   * postings one shingle pass, pairs a posting-list equi-join, labels
   * vertex-set-only propagation, keep/near-dup one window + semi-join,
-  * decontaminate broadcasts the benchmark shingles, cap is one
-  * per-lang window, budget the two-level waterline (bin aggregate +
-  * per-bin running sum — never a global ordered window), pack one
-  * per-shard running sum.
+  * decontaminate broadcasts the benchmark shingles, resample trains
+  * the bigram LM on the surviving checkpoint and gates on per-lang
+  * perplexity thirds (the one post-clean stage that re-reads text,
+  * by design), cap is one per-lang window, budget the two-level
+  * waterline (bin aggregate + per-bin running sum — never a global
+  * ordered window), pack one per-shard running sum.
   */
 object CorpusPipeline {
 
@@ -152,11 +154,24 @@ object CorpusPipeline {
       corpusDocs.join(contaminated, Seq("doc_id"), "left_anti")
     }
 
+  val resampled: Model =
+    Model("corpus_resampled", Seq("corpus_decontaminated"), Materialization.Table,
+      tests = Seq(Unique("doc_id"))) { in =>
+      // the model-scored gate (CCNet shape): train the bigram LM on
+      // the decontaminated checkpoint itself, cut per-lang perplexity
+      // thirds, keep head / coin-flip middle / drop tail — the same
+      // `Pipelines.resampleKept` predicate the registry query
+      // publishes. This is the one stage that re-reads `text` after
+      // cleaning, BY DESIGN: the LM must train on the corpus that
+      // survives decontamination, not on raw ingest.
+      Pipelines.resampleKept(in("corpus_decontaminated"))
+    }
+
   val capped: Model =
-    Model("corpus_capped", Seq("corpus_decontaminated"), Materialization.Table,
+    Model("corpus_capped", Seq("corpus_resampled"), Materialization.Table,
       tests = Seq(Unique("doc_id"))) { in =>
       val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
-      in("corpus_decontaminated")
+      in("corpus_resampled")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= Pipelines.DomainCap)
         .drop("rnk")
@@ -194,7 +209,7 @@ object CorpusPipeline {
     }
 
   val all: Seq[Model] = Seq(cleaned, postings, pairs, labels, keepList,
-    neardup, decontaminated, capped, budgeted, packed)
+    neardup, decontaminated, resampled, capped, budgeted, packed)
 
   // ------------------------------------------------------------------
   // Incremental refresh — the daily-ingest shape. The three
@@ -270,7 +285,7 @@ object CorpusPipeline {
       }
 
     Seq(cleanedDelta, postingsDelta, pairsDelta, labels, keepList,
-      neardup, decontaminated, capped, budgeted, packed)
+      neardup, decontaminated, resampled, capped, budgeted, packed)
   }
 
   def run(spark: SparkSession, dir: String,

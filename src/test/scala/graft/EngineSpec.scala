@@ -360,6 +360,22 @@ class EngineSpec extends SparkSpec {
     val surviving = r("corpus_decontaminated").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(surviving.intersect(flagged).isEmpty)
     assert(!surviving.exists(_ < graft.ext.Pipelines.BenchmarkDocs))
+    // resample stage: the model-scored gate bites (strict subset) and
+    // never invents rows; per-lang it keeps more than the head third
+    // (head is all kept) and at most head+middle
+    val deconIds = surviving
+    val resampledIds = r("corpus_resampled").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(resampledIds.subsetOf(deconIds), "resample invented rows")
+    assert(resampledIds.size < deconIds.size, "resample gate did not bite")
+    val deconByLang = r("corpus_decontaminated").select("lang", "doc_id").collect()
+      .groupBy(_.getString(0)).map { case (l, xs) => l -> xs.map(_.getLong(1)).toSet }
+    r("corpus_resampled").select("lang", "doc_id").collect()
+      .groupBy(_.getString(0)).foreach { case (l, xs) =>
+        val n = deconByLang(l).size
+        val kept = xs.length
+        assert(kept >= n / 3 && kept <= (2 * n) / 3 + 2,
+          s"$l: resample kept $kept of $n — outside the head..head+middle band")
+      }
     // stage 3: hard cap per language
     r("corpus_capped").groupBy("lang").count().collect()
       .foreach(row => assert(row.getLong(1) <= graft.ext.Pipelines.DomainCap))
@@ -427,7 +443,8 @@ class EngineSpec extends SparkSpec {
     val batchFrom = docs.agg(max("doc_id")).head.getLong(0) / 2
     val tables = Seq("corpus_cleaned", "corpus_postings", "corpus_pairs",
       "corpus_labels", "corpus_keep_list", "corpus_neardup",
-      "corpus_decontaminated", "corpus_capped", "corpus_budget", "corpus_packed")
+      "corpus_decontaminated", "corpus_resampled", "corpus_capped",
+      "corpus_budget", "corpus_packed")
 
     // day 1: standing corpus from the base half
     val wh = java.nio.file.Files.createTempDirectory("graft-inc").toString
