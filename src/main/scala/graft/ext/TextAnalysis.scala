@@ -1211,6 +1211,79 @@ object TextAnalysis {
     merges.result()
   }
 
+  // ------------------------------------------------------------------
+  // PMI collocations — association strength beside `text_top_bigrams`'
+  // raw frequency: PMI(a,b) = ln(p(ab)/(p(a)p(b))) surfaces "strong
+  // glue" pairs that frequency ranking buries under common-word
+  // combinations (Church & Hanks 1990 — public method). Per language,
+  // min-count ≥ 5 (the standard noise floor), top-K by PMI.
+  //
+  // Determinism: every count is exact; the PMI operands are cast to
+  // double FIRST (a long product nab·Nu² silently overflows past
+  // ~10⁹-token corpora; the double chain stays exact to 2⁵³ and then
+  // degrades gracefully), the quotient and ln are single IEEE ops in
+  // identical order in both engines, and ranking uses the 6dp-rounded
+  // PMI with the bigram string as tiebreak. Scale: one bigram-type
+  // aggregate (map-side combined), vocab-sized unigram joins, per-lang
+  // totals via windows OVER THE AGGREGATES — the corpus shuffles once.
+  // ------------------------------------------------------------------
+  val PmiTopK = 15
+  val PmiMinCount = 5L
+
+  val collocationPmi: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val wl = Window.partitionBy("lang").rowsBetween(Long.MinValue, Long.MaxValue)
+      val toks = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      val uni = toks.groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
+        .withColumn("nu", sum("cnt").over(wl))
+      val bgc = toks.withColumn("t1", lead("t", 1).over(w))
+        .filter(col("t1").isNotNull)
+        .groupBy("lang", "t", "t1").agg(count(lit(1)).as("nab"))
+        .withColumn("nbg", sum("nab").over(wl))
+        .filter(col("nab") >= PmiMinCount)
+      val pmi = log((col("nab").cast(DoubleType) * col("nu") * col("nu")) /
+        (col("nbg").cast(DoubleType) * col("na") * col("nb")))
+      val wRank = Window.partitionBy("lang").orderBy(col("pmi").desc, col("bigram"))
+      bgc
+        .join(uni.select(col("lang"), col("t"), col("cnt").as("na"), col("nu")), Seq("lang", "t"))
+        .join(uni.select(col("lang"), col("t").as("t1"), col("cnt").as("nb")), Seq("lang", "t1"))
+        .select(col("lang"), concat_ws(" ", col("t"), col("t1")).as("bigram"),
+          col("nab"), roundPortable(pmi, 6).as("pmi"))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= PmiTopK)
+        .orderBy("lang", "rnk")
+    },
+    Some(s"""WITH tk AS (
+            |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+            |), uni AS (
+            |  SELECT lang, t, count(*) AS cnt,
+            |         sum(count(*)) OVER (PARTITION BY lang) AS nu
+            |  FROM (SELECT lang, unnest(toks) AS t FROM tk) GROUP BY 1, 2
+            |), bgc AS (
+            |  SELECT lang, t, t1, nab, nbg FROM (
+            |    SELECT lang, t, t1, count(*) AS nab,
+            |           sum(count(*)) OVER (PARTITION BY lang) AS nbg
+            |    FROM (SELECT lang, toks[i] AS t, toks[i + 1] AS t1
+            |          FROM tk, LATERAL unnest(range(1, len(toks))) AS r(i))
+            |    GROUP BY 1, 2, 3
+            |  ) WHERE nab >= $PmiMinCount
+            |), scored AS (
+            |  SELECT b.lang, b.t || ' ' || b.t1 AS bigram, b.nab,
+            |    floor(ln((CAST(b.nab AS DOUBLE) * a.nu * a.nu)
+            |            / (CAST(b.nbg AS DOUBLE) * a.cnt * c.cnt)) * 1000000 + 0.5) / 1000000 AS pmi
+            |  FROM bgc b
+            |  JOIN uni a ON a.lang = b.lang AND a.t = b.t
+            |  JOIN uni c ON c.lang = b.lang AND c.t = b.t1
+            |)
+            |SELECT lang, bigram, nab, pmi, rnk FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pmi DESC, bigram) AS rnk
+            |  FROM scored
+            |) WHERE rnk <= $PmiTopK ORDER BY lang, rnk""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -1233,6 +1306,7 @@ object TextAnalysis {
     "text_heavy_hitters" -> heavyHitters,
     "text_readability" -> readability,
     "text_token_entropy" -> tokenEntropy,
-    "text_bpe_merges" -> bpeMerges
+    "text_bpe_merges" -> bpeMerges,
+    "text_collocation_pmi" -> collocationPmi
   )
 }

@@ -152,6 +152,34 @@ class ExtSpec extends SparkSpec {
     assert(row._5 === grid(math.sqrt(sd), 1e6), "label 0 l2")
   }
 
+  test("PMI collocations replicate from raw tokens and rank by association, not frequency") {
+    val got = TextAnalysis.collocationPmi.build(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(got.nonEmpty && got.forall(_._3 >= TextAnalysis.PmiMinCount))
+    // plain-Scala replication for one lang
+    val lang = got.head._1
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("lang") === lang)
+      .select("text").collect().map(_.getString(0).trim.toLowerCase.split("\\s+").toSeq)
+    val uni = docs.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val nu = uni.values.sum.toDouble
+    val bg = docs.flatMap(ts => ts.zip(ts.drop(1))).groupBy(identity)
+      .map { case (p, xs) => p -> xs.size.toLong }
+    val nbg = bg.values.sum.toDouble
+    val exp = bg.filter(_._2 >= TextAnalysis.PmiMinCount).map { case ((a, b), nab) =>
+      (s"$a $b", math.floor(math.log(nab.toDouble * nu * nu / (nbg * uni(a) * uni(b)))
+        * 1e6 + 0.5) / 1e6)
+    }
+    val expTop = exp.toSeq.sortBy { case (bgr, p) => (-p, bgr) }.take(TextAnalysis.PmiTopK)
+    val gotLang = got.filter(_._1 == lang).sortBy(_._5).map(x => (x._2, x._4))
+    assert(gotLang.toSeq === expTop)
+    // association ranking must differ from frequency ranking somewhere
+    // (else the query adds nothing over text_top_bigrams)
+    val freqTop = bg.toSeq.sortBy { case ((a, b), n) => (-n, s"$a $b") }
+      .take(TextAnalysis.PmiTopK).map { case ((a, b), _) => s"$a $b" }
+    assert(gotLang.map(_._1).toSeq !== freqTop, "PMI order identical to frequency order")
+  }
+
   test("multiprobe LSH recall dominates single-probe recall and candidates are supersets") {
     def neigh(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1)))
