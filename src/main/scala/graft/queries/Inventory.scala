@@ -1615,8 +1615,70 @@ object Inventory {
            |FROM b CROSS JOIN n ORDER BY digit""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Open-order backlog — interval counting by SWEEP LINE: each order
+  // contributes +1 at its open date and −1 the day after its last
+  // shipment, and the backlog is the running sum of daily deltas.
+  // This is the scale-correct alternative to the interval JOIN for
+  // "how many intervals cover each point": the corpus collapses into
+  // a |days|-row daily aggregate (two map-side-combined counts), and
+  // the cumulative window runs over THOSE rows — thousands, not
+  // millions — so the single-partition ordered window is a
+  // deliberate, bounded choice (the mixture-KL precedent), never a
+  // corpus sort. Orders with no shipped lineitems never close and
+  // stay in the backlog — the real-world semantics, stated so the
+  // oracle replays it. The close day is greatest(last_ship, open)+1:
+  // the harness data ships ~20% of lineitems BEFORE the order date,
+  // and a naive `last_ship+1` close would emit −1 sweep events ahead
+  // of their +1, making the backlog transiently negative (the spec's
+  // direct interval count caught exactly that in the first draft).
+  // ------------------------------------------------------------------
+  val ordersBacklog: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val opens = t(s, d, "orders")
+        .select(to_date(col("o_orderdate")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("opened"))
+      val closes = t(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+        .join(t(s, d, "orders").select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(date_add(greatest(col("last_ship"), col("od")), 1).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("closed"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      opens.join(closes, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("opened"), lit(0L)).as("opened"),
+          coalesce(col("closed"), lit(0L)).as("closed"))
+        .withColumn("backlog", sum(col("opened") - col("closed")).over(w))
+        .orderBy("day")
+    },
+    Some("""WITH opens AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS opened
+           |  FROM orders GROUP BY 1
+           |), lastship AS (
+           |  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+           |  FROM lineitem GROUP BY 1
+           |), closes AS (
+           |  SELECT greatest(ls.last_ship, CAST(o.o_orderdate AS DATE)) + 1 AS day,
+           |         count(*) AS closed
+           |  FROM lastship ls JOIN orders o ON o.o_orderkey = ls.l_orderkey
+           |  GROUP BY 1
+           |), daily AS (
+           |  SELECT coalesce(o.day, c.day) AS day,
+           |         coalesce(o.opened, 0) AS opened, coalesce(c.closed, 0) AS closed
+           |  FROM opens o FULL OUTER JOIN closes c ON o.day = c.day
+           |)
+           |SELECT day, opened, closed,
+           |  CAST(sum(opened - closed) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+           |FROM daily ORDER BY day""".stripMargin)
+  )
+
   val all: Seq[(String, Q)] = Seq(
     "s1_scan" -> s1Scan,
+    "orders_backlog" -> ordersBacklog,
     "p2_projection" -> p2Projection,
     "p3_rename_cast" -> p3RenameCast,
     "p4_scope_union" -> p4ScopeUnion,

@@ -152,6 +152,33 @@ class ExtSpec extends SparkSpec {
     assert(row._5 === grid(math.sqrt(sd), 1e6), "label 0 l2")
   }
 
+  test("orders backlog: sweep-line equals direct interval counting at sampled days") {
+    val r = graft.queries.Inventory.ordersBacklog.build(spark, d).collect()
+      .map(x => (x.getDate(0).toLocalDate, x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.nonEmpty && r.forall(_._4 >= 0L), "backlog must never go negative")
+    assert(r.map(_._2).sum - r.map(_._3).sum === r.last._4,
+      "final backlog = total opened - total closed")
+    // direct interval count at three sampled days
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")).collect()
+      .map(x => x.getLong(0) -> x.getDate(1).toLocalDate).toMap
+    val lastShip = spark.read.parquet(s"$d/lineitem.parquet")
+      .groupBy("l_orderkey").agg(max(to_date(col("l_shipdate"))).as("ls")).collect()
+      .map(x => x.getLong(0) -> x.getDate(1).toLocalDate).toMap
+    for (i <- Seq(r.length / 4, r.length / 2, r.length - 1)) {
+      val (day, _, _, backlog) = r(i)
+      // open on `day` iff od <= day <= greatest(last_ship, od); no
+      // lineitems -> open forever
+      val direct = orders.count { case (k, od) =>
+        !od.isAfter(day) && lastShip.get(k).forall { ls =>
+          val closeBase = if (ls.isBefore(od)) od else ls
+          !closeBase.isBefore(day)
+        }
+      }
+      assert(backlog === direct.toLong, s"day $day: sweep $backlog != direct $direct")
+    }
+  }
+
   test("PMI collocations replicate from raw tokens and rank by association, not frequency") {
     val got = TextAnalysis.collocationPmi.build(spark, d).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
