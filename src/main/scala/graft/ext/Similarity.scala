@@ -1071,14 +1071,24 @@ object Similarity {
   // drift: cos ≈ 1 when slices are exchangeable, falling as the new
   // slice's mass moves.
   //
-  // Determinism: per-(label, slice, i) means are exact-grid-long sums
-  // divided once in double; the d cross-terms per label are 8dp-
-  // gridded and decimal-summed, so every Σ is associative; the final
-  // cos/L2 run the same op order in both engines. Scale: ONE
-  // posexplode aggregate with conditional slice sums (map-side
-  // combined to |labels|·d rows), then one label-sized aggregate —
-  // the corpus shuffles nothing but partial sums, and no self-join
-  // or second scan exists anywhere.
+  // Determinism (round-9 hardening after the driver-side hash miss):
+  // every intermediate is an EXACT integer. With sx = Σ 6dp-grid
+  // longs and n the slice count, m = sx/(1e6·n) is a rational whose
+  // normalizers cancel in the cosine: cos = S01/√(S00·S11) with
+  // S01 = Σᵢ sx0ᵢ·sx1ᵢ (etc.), and l2_gap = √(Σᵢ(sx0ᵢ·n1−sx1ᵢ·n0)²)
+  // / (1e6·n0·n1). No double→decimal cast exists anywhere (the
+  // round-8 formulation 8dp-gridded DOUBLE products into DECIMAL —
+  // the one op class where engines legitimately differ, shortest-repr
+  // vs binary-expansion); the remaining float ops are IEEE-correctly-
+  // rounded mul/div/sqrt on identical inputs plus the final 6dp grid,
+  // whose tie distance CentroidDriftSpec pins ≥1e-4 grid units.
+  // Width budget: factors cast DECIMAL(18,0) → products DECIMAL(36,0)
+  // (DuckDB multiply widths ADD, so 38×38 errors out), sums
+  // DECIMAL(38,0); holds while |sx| < 1e18, i.e. ~1e12 rows/label.
+  // Scale: ONE posexplode aggregate with conditional slice sums
+  // (map-side combined to |labels|·d rows), then one label-sized
+  // aggregate — the corpus shuffles nothing but partial sums, and no
+  // self-join or second scan exists anywhere.
   // ------------------------------------------------------------------
   val centroidDrift: Q = Q(
     (s, d) => {
@@ -1086,59 +1096,55 @@ object Similarity {
         .select(col("label"), (col("vec_id") % 2).as("slice"),
           posexplode(col("embedding")).as(Seq("i", "x")))
         .select(col("label"), col("slice"), col("i"),
-          roundPortable(col("x").cast(DoubleType), 6).as("xq"))
+          floor(col("x").cast(DoubleType) * 1e6 + lit(0.5)).cast("long").as("gl"))
       // BOTH slice centroids from ONE (label, i) aggregate via
       // conditional sums — a filter-per-slice formulation re-reads
       // and re-shuffles the corpus twice (this suite's PlanSpec pin
       // caught exactly that in the first draft)
-      val gl = floor(col("xq") * 1e6 + lit(0.5)).cast("long")
       val cent = c.groupBy("label", "i")
-        .agg(sum(when(col("slice") === 0, gl).otherwise(0L)).as("sx0"),
+        .agg(sum(when(col("slice") === 0, col("gl")).otherwise(0L)).as("sx0"),
           sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n0"),
-          sum(when(col("slice") === 1, gl).otherwise(0L)).as("sx1"),
+          sum(when(col("slice") === 1, col("gl")).otherwise(0L)).as("sx1"),
           sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n1"))
-        .select(col("label"), col("i"),
-          (col("sx0").cast(DoubleType) / 1e6 / col("n0")).as("m0"), col("n0"),
-          (col("sx1").cast(DoubleType) / 1e6 / col("n1")).as("m1"), col("n1"))
-      val g8 = (x: org.apache.spark.sql.Column) =>
-        roundPortable(x, 8).cast(DecimalType(28, 8))
+      val d18 = (x: org.apache.spark.sql.Column) => x.cast(DecimalType(18, 0))
+      val diff = col("sx0") * col("n1") - col("sx1") * col("n0")
       cent.groupBy("label")
         .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
-          sum(g8(col("m0") * col("m1"))).cast(DoubleType).as("s01"),
-          sum(g8(col("m0") * col("m0"))).cast(DoubleType).as("s00"),
-          sum(g8(col("m1") * col("m1"))).cast(DoubleType).as("s11"),
-          sum(g8((col("m0") - col("m1")) * (col("m0") - col("m1"))))
-            .cast(DoubleType).as("sd"))
+          sum(d18(col("sx0")) * d18(col("sx1"))).as("s01"),
+          sum(d18(col("sx0")) * d18(col("sx0"))).as("s00"),
+          sum(d18(col("sx1")) * d18(col("sx1"))).as("s11"),
+          sum(d18(diff) * d18(diff)).as("sd"))
         .select(col("label"), col("n0"), col("n1"),
-          roundPortable(col("s01") / (sqrt(col("s00")) * sqrt(col("s11"))), 6)
+          roundPortable(col("s01").cast(DoubleType) /
+            sqrt(col("s00").cast(DoubleType) * col("s11").cast(DoubleType)), 6)
             .as("centroid_cos"),
-          roundPortable(sqrt(col("sd")), 6).as("l2_gap"))
+          roundPortable(sqrt(col("sd").cast(DoubleType)) /
+            (lit(1e6) * col("n0") * col("n1")), 6).as("l2_gap"))
         .orderBy("label")
     },
     Some("""WITH coords AS (
            |  SELECT label, vec_id % 2 AS slice, i - 1 AS i,
-           |    floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS xq
+           |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS gl
            |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
            |), j AS (
            |  SELECT label, i,
-           |    CAST(sum(CASE WHEN slice = 0 THEN CAST(floor(xq * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
-           |      / 1000000 / sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS m0,
+           |    sum(CASE WHEN slice = 0 THEN gl ELSE 0 END) AS sx0,
            |    sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS n0,
-           |    CAST(sum(CASE WHEN slice = 1 THEN CAST(floor(xq * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
-           |      / 1000000 / sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS m1,
+           |    sum(CASE WHEN slice = 1 THEN gl ELSE 0 END) AS sx1,
            |    sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS n1
            |  FROM coords GROUP BY 1, 2
            |), ag AS (
            |  SELECT label, max(n0) AS n0, max(n1) AS n1,
-           |    CAST(sum(CAST(floor(m0 * m1 * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS DOUBLE) AS s01,
-           |    CAST(sum(CAST(floor(m0 * m0 * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS DOUBLE) AS s00,
-           |    CAST(sum(CAST(floor(m1 * m1 * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS DOUBLE) AS s11,
-           |    CAST(sum(CAST(floor((m0 - m1) * (m0 - m1) * 100000000 + 0.5) / 100000000 AS DECIMAL(28,8))) AS DOUBLE) AS sd
+           |    sum(CAST(sx0 AS DECIMAL(18,0)) * CAST(sx1 AS DECIMAL(18,0))) AS s01,
+           |    sum(CAST(sx0 AS DECIMAL(18,0)) * CAST(sx0 AS DECIMAL(18,0))) AS s00,
+           |    sum(CAST(sx1 AS DECIMAL(18,0)) * CAST(sx1 AS DECIMAL(18,0))) AS s11,
+           |    sum(CAST(sx0 * n1 - sx1 * n0 AS DECIMAL(18,0)) *
+           |        CAST(sx0 * n1 - sx1 * n0 AS DECIMAL(18,0))) AS sd
            |  FROM j GROUP BY 1
            |)
            |SELECT label, n0, n1,
-           |  floor(s01 / (sqrt(s00) * sqrt(s11)) * 1000000 + 0.5) / 1000000 AS centroid_cos,
-           |  floor(sqrt(sd) * 1000000 + 0.5) / 1000000 AS l2_gap
+           |  floor(CAST(s01 AS DOUBLE) / sqrt(CAST(s00 AS DOUBLE) * CAST(s11 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS centroid_cos,
+           |  floor(sqrt(CAST(sd AS DOUBLE)) / (1000000.0 * n0 * n1) * 1000000 + 0.5) / 1000000 AS l2_gap
            |FROM ag ORDER BY label""".stripMargin)
   )
 
