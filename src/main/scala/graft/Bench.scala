@@ -1,5 +1,10 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main (driver contract): run every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
@@ -7,8 +12,60 @@ import org.apache.spark.sql.SparkSession
   * Queries execute through the `noop` sink so the full plan — every
   * column, every operator — actually runs (a bare `count()` would let
   * Catalyst prune projections and undercount the work).
+  *
+  * Beside wall seconds, a task-metrics listener records per-query
+  * shuffle bytes, spill, input bytes, task CPU and GC time. Wall time
+  * on a shared box is contaminated by whatever else runs (the round-8
+  * official bench inflated carried queries 13–23× while a concurrent
+  * session compiled); bytes shuffled/read and rows produced by a fixed
+  * plan are invariant under contention, and task CPU time nearly so —
+  * so round-over-round plan regressions stay adjudicable from the
+  * artifact alone even when the wall numbers are poisoned.
   */
 object Bench {
+
+  /** Sums TaskMetrics across every task that ends between reset() and
+    * snapshot(). Queries run one at a time, so the window attribution
+    * is exact once the listener bus is drained.
+    */
+  private final class TaskMetricsAgg extends SparkListener {
+    private val m = new ConcurrentHashMap[String, AtomicLong]()
+    private def cell(k: String) = m.computeIfAbsent(k, _ => new AtomicLong())
+    def reset(): Unit = m.clear()
+    def snapshot(): Map[String, Long] =
+      m.asScala.map { case (k, v) => k -> v.get }.toMap
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val tm = t.taskMetrics
+      if (tm != null) {
+        cell("tasks").addAndGet(1L)
+        cell("shuffle_read_b").addAndGet(tm.shuffleReadMetrics.totalBytesRead)
+        cell("shuffle_write_b").addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+        cell("shuffle_rows").addAndGet(tm.shuffleWriteMetrics.recordsWritten)
+        cell("spill_mem_b").addAndGet(tm.memoryBytesSpilled)
+        cell("spill_disk_b").addAndGet(tm.diskBytesSpilled)
+        cell("input_b").addAndGet(tm.inputMetrics.bytesRead)
+        cell("input_rows").addAndGet(tm.inputMetrics.recordsRead)
+        cell("cpu_ms").addAndGet(tm.executorCpuTime / 1000000L)
+        cell("run_ms").addAndGet(tm.executorRunTime)
+        cell("gc_ms").addAndGet(tm.jvmGCTime)
+        cell("peak_mem_b").updateAndGet(p => math.max(p, tm.peakExecutionMemory))
+      }
+    }
+  }
+
+  /** Listener events are delivered async; flush them so snapshot() sees
+    * every task of the query that just finished. `listenerBus` is
+    * private[spark] in source but public in bytecode — reflection keeps
+    * this a dev-metrics concern with zero library-API footprint.
+    */
+  private def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").get.invoke(sc)
+      bus.getClass.getMethods
+        .find(x => x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
+        .get.invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(500) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,6 +77,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val agg = new TaskMetricsAgg
+    spark.sparkContext.addSparkListener(agg)
     // Codegen/JIT warmup: every query has its own generated code, and a
     // cold first run is dominated by compiling it (measured 5.3 s cold
     // vs 0.9 s warm for the shingle pipeline alone) — noise that says
@@ -34,14 +93,28 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Self-contained timing: no cached relation (several queries
+      // .cache() by convention — customer_rfm base, components labels,
+      // pagerank ranks) may carry storage or GC pressure into the next
+      // measurement. clearCache sits OUTSIDE the timed window.
+      spark.catalog.clearCache()
+      agg.reset()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
-      name -> dt
+      drainListenerBus(spark.sparkContext)
+      val tm = agg.snapshot()
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s  cpu=${tm.getOrElse("cpu_ms", 0L) / 1000.0}%7.1f s" +
+        f"  shuf=${tm.getOrElse("shuffle_write_b", 0L) / 1048576.0}%8.1f MiB" +
+        f"  spill=${tm.getOrElse("spill_disk_b", 0L) / 1048576.0}%6.1f MiB")
+      (name, dt, tm)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val tmJson = results.map { case (k, _, tm) =>
+      "\"" + k + "\":" + tm.toSeq.sortBy(_._1)
+        .map { case (mk, mv) => "\"" + mk + "\":" + mv }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val blob = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(blob)
@@ -52,11 +125,13 @@ object Bench {
     // problem entirely), and a COMPACT summary line — small enough to
     // always sit whole inside any tail window — is printed LAST so a
     // tail-parser recovers the total even when the full blob scrolls
-    // out. Per-query detail lives in the file and in BENCHNOTES.
+    // out. Per-query detail (seconds + task metrics) lives in the file
+    // and in BENCHNOTES; round close archives it as BENCH_detail_rN.json.
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (blob + "\n").getBytes("UTF-8"))
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"task_metrics":$tmJson,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"detail":"target/bench.json","sf":"$sfDir"}""")
     spark.stop()

@@ -109,15 +109,23 @@ object Multimodal {
 
   /** The harness has no binary table; derive one deterministically
     * from `documents` (payload = UTF-8 bytes, kind by doc_id mod 3).
+    * `asciiOnly` strips non-ASCII codepoints BEFORE encoding — for
+    * consumers whose oracle replays byte offsets with character
+    * functions (`frameDedup`), where a multi-byte codepoint would
+    * silently desynchronize the two chunkings.
     */
-  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaItem] = {
+  def mediaFromDocuments(s: SparkSession, dir: String,
+      asciiOnly: Boolean = false): Dataset[MediaItem] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaItem]
+    val txt =
+      if (asciiOnly) regexp_replace(col("text"), "[^\\x00-\\x7F]", "")
+      else col("text")
     s.read.parquet(s"$dir/documents.parquet")
       .select(
         col("doc_id").as("media_id"),
         element_at(typedLit(Seq("image", "audio", "video")),
           (col("doc_id") % 3).cast("int") + 1).as("kind"),
-        encode(col("text"), "UTF-8").as("payload"))
+        encode(txt, "UTF-8").as("payload"))
       .as[MediaItem]
   }
 
@@ -213,7 +221,11 @@ object Multimodal {
 
   val frameDedup: Q = Q(
     (s, d) => {
-      val fh = frameHashes(mediaFromDocuments(s, d), DedupFrameBytes)
+      // asciiOnly is ENFORCED, not assumed: the oracle chunks with
+      // character substr while the engine chunks encoded bytes, so
+      // both sides project to ASCII first (1 char = 1 byte by
+      // construction; a no-op on the fixtures, which are ASCII)
+      val fh = frameHashes(mediaFromDocuments(s, d, asciiOnly = true), DedupFrameBytes)
       val sets = fh.groupBy(col("media_id"))
         .agg(collect_set(col("fh")).as("fhs"))
         .select(col("media_id"), size(col("fhs")).cast("long").as("nf"),
@@ -233,7 +245,11 @@ object Multimodal {
         .orderBy(col("video_a"), col("video_b"))
     },
     Some(s"""WITH media AS (
-            |  SELECT doc_id AS media_id, text FROM documents
+            |  -- mirror the engine's asciiOnly projection so 1 char = 1 byte
+            |  -- holds by construction on BOTH sides, for any fixture text
+            |  SELECT doc_id AS media_id,
+            |    regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS text
+            |  FROM documents
             |), frames AS (
             |  SELECT DISTINCT media_id,
             |    ('0x' || substr(md5(substr(text, CAST(k * $DedupFrameBytes + 1 AS BIGINT), $DedupFrameBytes)), 1, 15))::BIGINT AS fh

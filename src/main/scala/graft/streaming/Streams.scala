@@ -209,8 +209,17 @@ object Streams {
             var cur = state.getOption
             ts.foreach { t =>
               cur match {
+                // t may precede last_ts when a cross-batch straggler
+                // (late but inside the watermark) lands after newer
+                // events already advanced the state; a negative gap is
+                // always ≤ gapMs, so it merges — fold with min/max so
+                // the session can only WIDEN (never session_end <
+                // session_start, never a timeout re-armed backward)
                 case Some(s) if t - s.last_ts <= gapMs =>
-                  cur = Some(s.copy(last_ts = t, n_events = s.n_events + 1))
+                  cur = Some(s.copy(
+                    session_start = math.min(s.session_start, t),
+                    last_ts = math.max(s.last_ts, t),
+                    n_events = s.n_events + 1))
                 case Some(s) =>
                   closed ::= ClosedSession(user, s.session_start, s.last_ts, s.n_events)
                   cur = Some(OpenSession(user, t, t, 1L))

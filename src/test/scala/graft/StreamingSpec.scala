@@ -275,6 +275,34 @@ class StreamingSpec extends SparkSpec {
     // user 3 (alarm 02:30 > final watermark) is still open: not emitted
   }
 
+  test("session closure folds a cross-batch straggler by widening, never moving the end backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val watermarked = mem.toDS()
+      .withWatermark("_2", "5 seconds").as[(Long, Timestamp)]
+    val q = Streams.closedSessions(watermarked)
+      .writeStream.format("memory").queryName("straggler_sess")
+      .outputMode("append").start()
+    // batch 1 opens the session at 00:20 (watermark after: 00:19:55)
+    mem.addData((7L, ts("2024-01-01 00:20:00")))
+    q.processAllAvailable()
+    // batch 2: a straggler INSIDE the watermark but BEFORE the session
+    // start — must widen session_start, not drag last_ts backward
+    // (the pre-fix fold produced session_end < session_start here)
+    mem.addData((7L, ts("2024-01-01 00:19:57")))
+    q.processAllAvailable()
+    // batch 3: 70 min later — closes the session inline
+    mem.addData((7L, ts("2024-01-01 01:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("straggler_sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (7L, ts("2024-01-01 00:19:57").getTime, ts("2024-01-01 00:20:00").getTime, 2L)))
+  }
+
   test("streaming decayed counters audit against the batch query at sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
