@@ -100,23 +100,34 @@ object Bench {
       spark.catalog.clearCache()
       agg.reset()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      // A failed query must be LOUD in the artifact: round 9 had nine
+      // analysis failures run as ~0.05 s no-ops, which IMPROVED the
+      // headline total while silently dropping ~6 s of real work.
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(2).mkString(" ").take(300))
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       drainListenerBus(spark.sparkContext)
       val tm = agg.snapshot()
       System.err.println(f"[bench] $name%-28s $dt%8.2f s  cpu=${tm.getOrElse("cpu_ms", 0L) / 1000.0}%7.1f s" +
         f"  shuf=${tm.getOrElse("shuffle_write_b", 0L) / 1048576.0}%8.1f MiB" +
-        f"  spill=${tm.getOrElse("spill_disk_b", 0L) / 1048576.0}%6.1f MiB")
-      (name, dt, tm)
+        f"  spill=${tm.getOrElse("spill_disk_b", 0L) / 1048576.0}%6.1f MiB" +
+        err.map(m => s"  ERROR: $m").getOrElse(""))
+      (name, dt, tm, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val tmJson = results.map { case (k, _, tm) =>
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val tmJson = results.map { case (k, _, tm, _) =>
       "\"" + k + "\":" + tm.toSeq.sortBy(_._1)
         .map { case (mk, mv) => "\"" + mk + "\":" + mv }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val failed = results.collect { case (k, _, _, Some(m)) => (k, m) }
+    val errJson = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val blob = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val blob = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"errors":$errJson,"sf":"$sfDir"}"""
     println(blob)
     // The driver captures only a ~3.5 KB TAIL of stdout, and the
     // 100+-query blob no longer fits in it (BENCH_r06/r07 both landed
@@ -130,10 +141,10 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"task_metrics":$tmJson,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"task_metrics":$tmJson,"n_failed":${failed.size},"errors":$errJson,"sf":"$sfDir"}"""
       java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"detail":"target/bench.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

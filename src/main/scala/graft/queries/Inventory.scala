@@ -28,22 +28,34 @@ object Inventory {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The harness `events.ts` is NANOS-precision parquet, which Spark 4
-    * refuses natively; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * and this converts the long back to a (micro-precision) timestamp.
+  /** The harness `events.ts` has shipped in three physical encodings so
+    * far (ns-precision INT64 read as long under
+    * `spark.sql.legacy.parquet.nanosAsLong`, µs TIMESTAMP_NTZ, µs
+    * TIMESTAMP-with-tz). Normalize all of them to session-local
+    * `TimestampType` so every downstream `unix_micros(ts)` /
+    * `cast(ts as bigint)` consumer analyzes regardless of which one the
+    * driver's parquet writer produced.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     // Defensive: the driver's smoke-check session may not carry the flag.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
+    normalizeTs(t(s, dir, "events"))
+  }
+
+  /** Rewrites `ts` to `TimestampType` from any of the three harness
+    * encodings. Under the pinned UTC session the NTZ→LTZ cast is the
+    * identity on the underlying micros value.
+    */
+  def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame =
+    raw.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
         // `div` is integral division on longs — `/` would go through double
         // and round ~2% of epoch-ns values (>2^53) off by 1 µs.
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
 
   // ------------------------------------------------------------------
   // §2.1 S1 — source scan (full table, fixed projection order)

@@ -121,74 +121,43 @@ class ExtSpec extends SparkSpec {
     }
   }
 
-  test("centroid drift: bounds hold and label 0 replicates from raw vectors") {
+  test("centroid drift: integer contract replicates in BigInt and derived monitors are sane") {
+    // The query's hashed contract is pure integers (n0,n1,s01,s00,s11,sd)
+    // — the cosine/L2 monitors are DERIVED here, outside the contract,
+    // so no engine's decimal→double cast can ever hash-flip the row.
     val r = Similarity.centroidDrift.build(spark, d).collect()
-      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        BigInt(x.getDecimal(3).toBigInteger), BigInt(x.getDecimal(4).toBigInteger),
+        BigInt(x.getDecimal(5).toBigInteger), BigInt(x.getDecimal(6).toBigInteger)))
     assert(r.map(_._1).toSeq === (0 to 9))
     val nVecs = spark.read.parquet(s"$d/embeddings.parquet").count()
     assert(r.map(x => x._2 + x._3).sum === nVecs, "slice counts must cover the corpus")
-    r.foreach { case (l, n0, n1, cos, l2) =>
-      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9, s"label $l cos $cos")
-      assert(l2 >= 0.0, s"label $l l2 $l2")
-      assert(n0 > 0 && n1 > 0)
-    }
-    // plain-Scala replication for label 0 with the same exact-integer
-    // algebra (BigInt cross sums; normalizers cancel in the cosine)
-    def grid(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    // full-corpus plain-Scala replication with the same exact-integer
+    // algebra (BigInt cross sums), every label
     val vs = spark.read.parquet(s"$d/embeddings.parquet")
-      .filter(col("label") === 0).select("vec_id", "embedding").collect()
-      .map(x => (x.getLong(0), x.getSeq[Float](1).toArray.map(_.toDouble)))
-    val (s0, s1) = vs.partition(_._1 % 2 == 0)
-    val dn = vs.head._2.length
-    def sx(xs: Array[(Long, Array[Double])], i: Int): BigInt =
-      xs.map(v => BigInt(math.floor(v._2(i) * 1e6 + 0.5).toLong)).sum
-    val (n0, n1) = (s0.length, s1.length)
-    val sS01 = (0 until dn).map(i => sx(s0, i) * sx(s1, i)).sum
-    val sS00 = (0 until dn).map(i => { val a = sx(s0, i); a * a }).sum
-    val sS11 = (0 until dn).map(i => { val a = sx(s1, i); a * a }).sum
-    val sSd = (0 until dn).map { i =>
-      val dd = sx(s0, i) * n1 - sx(s1, i) * n0; dd * dd
-    }.sum
-    val row = r.find(_._1 == 0).get
-    assert(row._2 === n0.toLong && row._3 === n1.toLong)
-    assert(row._4 === grid(sS01.toDouble / math.sqrt(sS00.toDouble * sS11.toDouble), 1e6),
-      "label 0 cos")
-    assert(row._5 === grid(math.sqrt(sSd.toDouble) / (1e6 * n0 * n1), 1e6), "label 0 l2")
-  }
-
-  test("centroid drift: pre-round values sit far from every 6dp tie boundary (sf0.001+sf0.01)") {
-    // The driver's DuckDB may cast wide decimals to double a few ulps
-    // off the JVM's correctly-rounded cast; this pin proves the final
-    // floor(v*1e6+0.5) grid cannot flip under any such ulp-level skew
-    // (orders_benford precedent). Replicates ALL labels' pre-round
-    // values in exact BigInt algebra at both the spec and driver-gate
-    // scale factors and requires ≥1e-4 grid units of tie distance.
-    for (dir <- Seq(sf(), sf("0.01"))) {
-      val vs = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select("label", "vec_id", "embedding").collect()
-        .map(x => (x.getInt(0), x.getLong(1),
-          x.getSeq[Float](2).toArray.map(_.toDouble)))
-      vs.groupBy(_._1).foreach { case (label, rows) =>
-        val (s0, s1) = rows.partition(_._2 % 2 == 0)
-        val dn = rows.head._3.length
-        def sx(xs: Array[(Int, Long, Array[Double])], i: Int): BigInt =
-          xs.map(v => BigInt(math.floor(v._3(i) * 1e6 + 0.5).toLong)).sum
-        val (n0, n1) = (s0.length, s1.length)
-        val sS01 = (0 until dn).map(i => sx(s0, i) * sx(s1, i)).sum
-        val sS00 = (0 until dn).map(i => { val a = sx(s0, i); a * a }).sum
-        val sS11 = (0 until dn).map(i => { val a = sx(s1, i); a * a }).sum
-        val sSd = (0 until dn).map { i =>
-          val dd = sx(s0, i) * n1 - sx(s1, i) * n0; dd * dd
-        }.sum
-        val cos = sS01.toDouble / math.sqrt(sS00.toDouble * sS11.toDouble)
-        val l2 = math.sqrt(sSd.toDouble) / (1e6 * n0 * n1)
-        for ((v, what) <- Seq(cos -> "cos", l2 -> "l2")) {
-          val t = v * 1e6 + 0.5
-          val tieDist = math.abs(t - math.rint(t))
-          assert(tieDist >= 1e-4,
-            s"$dir label $label $what=$v is $tieDist grid units from a 6dp tie")
-        }
-      }
+      .select("label", "vec_id", "embedding").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getSeq[Float](2).toArray.map(_.toDouble)))
+    vs.groupBy(_._1).foreach { case (label, rows) =>
+      val (s0, s1) = rows.partition(_._2 % 2 == 0)
+      val dn = rows.head._3.length
+      def sx(xs: Array[(Int, Long, Array[Double])], i: Int): BigInt =
+        xs.map(v => BigInt(math.floor(v._3(i) * 1e6 + 0.5).toLong)).sum
+      val (n0, n1) = (s0.length, s1.length)
+      val sS01 = (0 until dn).map(i => sx(s0, i) * sx(s1, i)).sum
+      val sS00 = (0 until dn).map(i => { val a = sx(s0, i); a * a }).sum
+      val sS11 = (0 until dn).map(i => { val a = sx(s1, i); a * a }).sum
+      val sSd = (0 until dn).map { i =>
+        val dd = sx(s0, i) * n1 - sx(s1, i) * n0; dd * dd
+      }.sum
+      val row = r.find(_._1 == label).get
+      assert(row._2 === n0.toLong && row._3 === n1.toLong, s"label $label counts")
+      assert(row._4 === sS01 && row._5 === sS00 && row._6 === sS11 && row._7 === sSd,
+        s"label $label cross sums")
+      // derived drift monitors (the view a production pipeline alerts on)
+      val cos = sS01.toDouble / math.sqrt(sS00.toDouble * sS11.toDouble)
+      val l2 = math.sqrt(sSd.toDouble) / (1e6 * n0 * n1)
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9, s"label $label cos $cos")
+      assert(l2 >= 0.0, s"label $label l2 $l2")
     }
   }
 
