@@ -50,8 +50,21 @@ object Clusters {
     // is the dominant cost of the whole operator, and the eager count
     // is what actually guarantees it runs exactly once.
     val directed = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
-    directed.count()
+    val nEdges = directed.count()
+    // Size the ITERATION's partitioning to the measured pair graph, not
+    // the session default: after dedup thresholds the graph is a tiny
+    // fraction of the corpus, and at the default partition count every
+    // propagation round pays (stages × partitions) near-empty tasks —
+    // measured 723 tasks / 3.7 s of pure scheduling overhead for a
+    // few-thousand-edge graph at sf0.1. ~100k edges per partition keeps
+    // each task meaningful at any scale (a billion-edge graph at 100 TB
+    // still fans out to 10k partitions); the count() above already
+    // materialized the cache, so this is free.
+    val p = math.max(1L, math.min(
+      pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toLong,
+      nEdges / 100000L)).toInt
     val edges = directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(p, col("dst"))
       .cache()
     // only vertices that appear in an edge can ever change label: the
     // iteration carries the PAIR-GRAPH vertex set (tiny after dedup
@@ -69,7 +82,14 @@ object Clusters {
       df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0) // 0 for an edgeless graph
     // any failure inside the loop (including the non-convergence
     // throw) must not leak the cached intermediates into a long-lived
-    // session that will retry with a higher maxIter
+    // session that will retry with a higher maxIter.
+    // The shuffle-partitions override below applies only to actions
+    // INSIDE the loop (each round's agg exchanges) — it is restored in
+    // the finally, before the returned corpus-sized join is even built,
+    // so callers' plans still run at the session setting.
+    val sess = pairs.sparkSession
+    val sessionShuffle = sess.conf.get("spark.sql.shuffle.partitions", "200")
+    sess.conf.set("spark.sql.shuffle.partitions", p.toString)
     try {
       var prevSum = labelSum(labels)
       var iter = 0
@@ -104,6 +124,7 @@ object Clusters {
         labels.unpersist()
         throw e
     } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
       edges.unpersist()
       directed.unpersist()
     }
