@@ -272,7 +272,84 @@ object Multimodal {
             |ORDER BY video_a, video_b""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // REAL decode — the round that retires the "decode is a stub"
+  // caveat for the formats a pure JVM can honestly own. Payloads are
+  // complete BMP / WAV FILES (valid headers + body, built by
+  // [[MediaCodec]] from doc_id-seeded parameters), and the decoder
+  // does a REAL byte-level header parse (magic sniff, little-endian
+  // field extraction, RIFF chunk walk) — no md5-derived fake
+  // dimensions anywhere. The oracle replays the GENERATOR's parameter
+  // algebra arithmetically; an encode/decode bug pair that cancels
+  // here is still caught by MultimodalSpec, which round-trips the
+  // parser against the JDK's independent ImageIO/AudioSystem writers.
+  // decodeStub survives only as the documented fallback for formats a
+  // bare JVM cannot parse (JPEG/MP4 — a real deployment plugs a codec
+  // into the same mapPartitions seam).
+  // ------------------------------------------------------------------
+  val WavRates: Seq[Int] = Seq(8000, 16000, 22050, 44100)
+
+  /** Complete BMP/WAV files with doc_id-determined parameters —
+    * even ids are 24bpp BMPs, odd ids 16-bit PCM WAVs.
+    */
+  def syntheticMedia(s: SparkSession, dir: String): Dataset[MediaItem] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaItem]
+    implicit val encL = org.apache.spark.sql.Encoders.scalaLong
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        if (id % 2 == 0) {
+          val w = (id % 31).toInt + 2
+          val h = (id % 17).toInt + 1
+          MediaItem(id, "image",
+            MediaCodec.encodeBmp(w, h, (x, y, c) => ((id * 31 + x * 7 + y * 13 + c) % 256).toByte))
+        } else {
+          val channels = ((id / 2) % 2).toInt + 1
+          val rate = WavRates((((id - 1) / 2) % 4).toInt)
+          val nSamples = (id % 100) + 1
+          MediaItem(id, "audio",
+            MediaCodec.encodeWav(channels, rate, nSamples,
+              i => ((id * 7 + i * 31) % 65536 - 32768).toShort))
+        }
+      }
+  }
+
+  /** Parse every payload's header per partition (the codec-init seam
+    * real decoders need), emit the decoded fields.
+    */
+  def decodeMedia(items: Dataset[MediaItem]): Dataset[MediaCodec.Decoded] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaCodec.Decoded]
+    items.mapPartitions(it => it.map(i => MediaCodec.decode(i.media_id, i.payload)))
+  }
+
+  val decodeQuery: Q = Q(
+    (s, d) =>
+      decodeMedia(syntheticMedia(s, d)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), col("bits_per_pixel"),
+          col("channels"), col("sample_rate"), col("n_samples"))
+        .orderBy("media_id"),
+    // the oracle recomputes the generator's parameter algebra; byte
+    // sizes fold in the real formats' layout constants (54-byte BMP
+    // headers + 4-byte-padded rows, 44-byte WAV headers + 2-byte PCM)
+    Some("""SELECT doc_id AS media_id,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           |  CAST(CASE WHEN doc_id % 2 = 0
+           |    THEN 54 + ((3 * (doc_id % 31 + 2) + 3) // 4 * 4) * (doc_id % 17 + 1)
+           |    ELSE 44 + (doc_id % 100 + 1) * ((doc_id // 2) % 2 + 1) * 2 END AS BIGINT) AS n_bytes,
+           |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 31 + 2 END AS INTEGER) AS width,
+           |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 17 + 1 END AS INTEGER) AS height,
+           |  CAST(CASE WHEN doc_id % 2 = 0 THEN 24 END AS INTEGER) AS bits_per_pixel,
+           |  CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id // 2) % 2 + 1 END AS INTEGER) AS channels,
+           |  CAST(CASE WHEN doc_id % 2 = 1
+           |    THEN [8000, 16000, 22050, 44100][CAST(((doc_id - 1) // 2) % 4 AS INTEGER) + 1]
+           |    END AS INTEGER) AS sample_rate,
+           |  CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 100 + 1 END AS BIGINT) AS n_samples
+           |FROM documents ORDER BY media_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "multimodal_features" -> features,
-    "multimodal_frame_dedup" -> frameDedup)
+    "multimodal_frame_dedup" -> frameDedup,
+    "multimodal_decode" -> decodeQuery)
 }
