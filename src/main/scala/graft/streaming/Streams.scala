@@ -270,6 +270,64 @@ object Streams {
       }
   }
 
+  /** One user's running streak state for [[streakCounters]]. */
+  final case class StreakState(
+      user_id: Long, streak_start_day: Int, last_day: Int,
+      n_streaks: Long, longest_streak: Long, active_days: Long)
+
+  /** The PRODUCTION form of the batch `events_streaks` query
+    * (gaps-and-islands): per-user consecutive-active-day streaks
+    * maintained INCREMENTALLY. Input rows are (user_id, epoch_day);
+    * state is one six-field record per user, hash-partitioned on the
+    * key — never a day set, so state size is O(users) regardless of
+    * history length. Each micro-batch folds its days in sorted order:
+    * a repeated day is a no-op, day = last+1 extends the current
+    * streak, a forward gap closes it and opens a new one, and a
+    * straggler equal to streak_start−1 widens the current island
+    * backward (the same only-widen discipline as [[closedSessions]]).
+    * Stragglers that would MERGE two already-separated islands are the
+    * one case an O(1)-state fold cannot express — they require the
+    * day set — so, as with every twin here, the batch query stays the
+    * from-scratch ground truth and the audit (StreamingSpec) feeds
+    * event-time order, which production achieves with a watermarked
+    * day-grid dedup upstream.
+    */
+  def streakCounters(
+      days: org.apache.spark.sql.Dataset[(Long, Int)])
+      : org.apache.spark.sql.Dataset[StreakState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[StreakState]
+    implicit val longEnc = Encoders.scalaLong
+    days.groupByKey(_._1)
+      .flatMapGroupsWithState[StreakState, StreakState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Int)], state: GroupState[StreakState]) =>
+          var cur = state.getOption.orNull
+          rows.map(_._2).toArray.sorted.foreach { d =>
+            cur =
+              if (cur == null)
+                StreakState(user, d, d, 1L, 1L, 1L)
+              else if (d == cur.last_day || (d >= cur.streak_start_day && d < cur.last_day))
+                cur // repeat of an already-counted day
+              else if (d == cur.last_day + 1) {
+                val len = d - cur.streak_start_day + 1L
+                cur.copy(last_day = d, active_days = cur.active_days + 1,
+                  longest_streak = math.max(cur.longest_streak, len))
+              } else if (d > cur.last_day + 1)
+                cur.copy(streak_start_day = d, last_day = d,
+                  n_streaks = cur.n_streaks + 1, active_days = cur.active_days + 1)
+              else if (d == cur.streak_start_day - 1) {
+                val len = cur.last_day - d + 1L
+                cur.copy(streak_start_day = d, active_days = cur.active_days + 1,
+                  longest_streak = math.max(cur.longest_streak, len))
+              } else cur // pre-island straggler: needs the day set; batch is ground truth
+          }
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
   /** Streaming state for [[decayedCounters]]: the counter VALUE is
     * only meaningful together with the reference time it is held at.
     */

@@ -342,4 +342,42 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(sdc - dc) < 1e-3 * n, s"$tpe: streaming $sdc vs batch $dc")
     }
   }
+
+  test("streaming streak counters audit against the batch query at sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    // (user, epoch_day) presence rows in event-time order — the shape a
+    // watermarked day-grid dedup feeds the counter in production
+    val presence = graft.queries.Inventory.events(spark, d)
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+      .as[(Long, Int)].collect().sortBy(_._2)
+    val (first, second) = presence.splitAt(presence.length / 2)
+    val mem = MemoryStream[(Long, Int)]
+    val q = Streams.streakCounters(mem.toDS())
+      .writeStream.format("memory").queryName("streak_stream")
+      .outputMode("append").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // last emitted state per user (last_day advances monotonically;
+    // ties broken by active_days, which also only grows)
+    val fin = spark.table("streak_stream")
+      .groupBy("user_id")
+      .agg(max(struct(col("last_day"), col("active_days"), col("n_streaks"),
+        col("longest_streak"))).as("s"))
+      .select(col("user_id"), col("s.n_streaks"), col("s.longest_streak"), col("s.active_days"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = graft.ext.Sessions.streaks.build(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(batch.nonEmpty)
+    batch.foreach { case (user, (nStreaks, longest, activeDays)) =>
+      val (sn, sl, sa) = fin(user)
+      assert(sn === nStreaks, s"user $user: streaming $sn streaks, batch $nStreaks")
+      assert(sl === longest, s"user $user: streaming longest $sl, batch $longest")
+      assert(sa === activeDays, s"user $user: streaming $sa active days, batch $activeDays")
+    }
+  }
 }
