@@ -894,7 +894,18 @@ object Pipelines {
 
   val dsirWeights: Q = Q(
     (s, d) => {
-      val docs = s.read.parquet(s"$d/documents.parquet")
+      // Tokenization is the CPU cost here, and a single-row-group
+      // input file would pin all of it to ONE task (parquet can't
+      // split inside a row group — exactly the shape of the harness
+      // fixtures: measured 10 tasks / 5.7 s CPU on one core at sf0.1).
+      // When the scan's natural parallelism is below the cluster's,
+      // rebalance the corpus rows across cores first — cheap (doc
+      // rows, not token rows), reused across all three token passes by
+      // exchange reuse; when the scan is already wide (the 100 TB
+      // case), this is a no-op and adds no shuffle.
+      val raw = s.read.parquet(s"$d/documents.parquet")
+      val docs = if (raw.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        raw.repartition(s.sparkContext.defaultParallelism) else raw
       val qc = TextAnalysis.qualityCols(col("text"))
       def buckets(src: DataFrame): DataFrame = src
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
