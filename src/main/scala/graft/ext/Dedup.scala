@@ -89,7 +89,23 @@ object Dedup {
       shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    docs
+    // Tokenize/explode is the CPU of the whole shingle family, and a
+    // single-row-group input file pins it to ONE task (parquet can't
+    // split inside a row group — the harness fixtures' shape; measured
+    // dedup_jaccard_pairs at 4.0 s CPU / 9 tasks). When the scan's
+    // natural parallelism is below the cluster's, move a doc_id
+    // exchange BELOW the explode: the window needs
+    // hashpartitioning(doc_id) anyway, so no exchange is added, the
+    // shuffle carries raw texts instead of exploded token rows, and
+    // tokenization runs on every core. The partition count is EXPLICIT
+    // (AQE would coalesce a count-less repartition back to one
+    // partition — these rows are tiny in bytes, huge in CPU). On a
+    // wide production scan this is a no-op.
+    val s = docs.sparkSession
+    val par = s.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < par)
+      docs.repartition(par, col("doc_id")) else docs
+    src
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
       .withColumn("t1", lead("t", 1).over(w))
       .withColumn("t2", lead("t", 2).over(w))
