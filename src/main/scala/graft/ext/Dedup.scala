@@ -585,7 +585,9 @@ object Dedup {
 
   val embeddingLsh: Q = Q(
     (s, d) =>
-      embeddingLshPairs(s.read.parquet(s"$d/embeddings.parquet"), CosTau, embPlanes),
+      embeddingLshPairs(
+        graft.queries.Inventory.rebalanced(
+          s.read.parquet(s"$d/embeddings.parquet"), "vec_id"), CosTau, embPlanes),
     // Full oracle: seed-43 planes inlined as literals, same block
     // generation (sign of the dot — norms positive), bucket-size
     // guard, candidate join, and exact cosine verify — the bucketed

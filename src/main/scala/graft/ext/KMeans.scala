@@ -41,7 +41,7 @@ object KMeans {
   val Dim = 64
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/embeddings.parquet")
+    graft.queries.Inventory.rebalanced(s.read.parquet(s"$d/embeddings.parquet"), "vec_id")
 
   /** Nearest-centroid assignment: (vec_id, embedding, cluster, csim). */
   def assign(e: DataFrame, cents: DataFrame): DataFrame = {

@@ -187,7 +187,10 @@ object Pipelines {
   val domainCap: Q = Q(
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = s.read.parquet(s"$d/documents.parquet")
+      // quality scoring (three tokenizations per doc) parallelizes off
+      // a narrow scan; no-op on a wide one
+      val docs = graft.queries.Inventory.rebalanced(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id")
       val qc = TextAnalysis.qualityCols(col("text"))
       val q6 = roundPortable(qc.score, 6)
       val ranked = docs.select(col("doc_id"), col("lang"), q6.as("q"))

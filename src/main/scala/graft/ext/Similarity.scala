@@ -49,7 +49,7 @@ object Similarity {
   }
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/embeddings.parquet")
+    graft.queries.Inventory.rebalanced(s.read.parquet(s"$d/embeddings.parquet"), "vec_id")
 
   val TopK = 5
   val NumQueries = 10

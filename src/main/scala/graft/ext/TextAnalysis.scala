@@ -818,7 +818,12 @@ object TextAnalysis {
     */
   def perDocNllOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    // tokenize at cluster parallelism even off a single-row-group scan;
+    // the bigram window needs hashpartitioning(doc_id) anyway, so on
+    // narrow scans this MOVES the exchange below the explode (texts
+    // shuffle, token rows don't) and on wide scans it is a no-op
+    val src = graft.queries.Inventory.rebalanced(docs, "doc_id")
+    val toks = src.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val bg = toks.withColumn("t1", lead("t", 1).over(w))
       .filter(col("t1").isNotNull)

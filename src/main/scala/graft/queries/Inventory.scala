@@ -42,6 +42,19 @@ object Inventory {
     normalizeTs(t(s, dir, "events"))
   }
 
+  /** Rebalance a relation ahead of CPU-heavy per-row work (tokenize,
+    * vector math, explode) when the scan's natural parallelism is
+    * below the cluster's — the single-row-group fixture shape, which
+    * parquet cannot split, pins such work to one task. The partition
+    * count is explicit because AQE coalesces a count-less repartition
+    * back to one partition for byte-small/CPU-heavy rows. On a wide
+    * production scan this is a no-op: no shuffle is added.
+    */
+  def rebalanced(df: DataFrame, key: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, col(key)) else df
+  }
+
   /** Rewrites `ts` to `TimestampType` from any of the three harness
     * encodings. Under the pinned UTC session the NTZ→LTZ cast is the
     * identity on the underlying micros value.
