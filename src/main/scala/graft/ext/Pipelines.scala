@@ -1038,7 +1038,119 @@ object Pipelines {
             |FROM f ORDER BY doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Learned quality classifier — the fastText/model-based filter shape
+  // (Joulin et al. 2016 fastText; the DCLM / FineWeb-style "train a
+  // cheap classifier on heuristic labels, score everything" gate that
+  // modern pipelines run AFTER the rule-based filters). Multinomial
+  // Naive Bayes over a CAPPED vocabulary: tokens rank by corpus
+  // frequency (ties by token), the top `NbVocabMax` keep their
+  // identity, the tail folds into one UNK feature — the standard
+  // vocab cut that bounds the model at a constant size no matter the
+  // corpus. Labels come from the SHARED `qualityCols` heuristic
+  // (score ≥ 0.8, the same definition the cleaning gate and DSIR
+  // target use — no fork); the classifier generalizes them into a
+  // per-document log-odds score and a keep/drop prediction.
+  //
+  // The decision statistic is the LENGTH-NORMALIZED mean log-ratio
+  // (fastText's mean pooling), not the raw multinomial sum: with 3%
+  // positives the average token leans slightly negative, so the sum
+  // compounds with document length and — the positives being exactly
+  // the long documents — ranks them almost perfectly backwards
+  // (measured train-set AUC 0.04 at sf0.01 for the sum vs 0.91 for
+  // the mean; ExtSpec pins the mean's AUC). The keep/drop compare is
+  // `Σlr > 0` on the exact decimal (n > 0 makes it equivalent to
+  // mean > 0 with no division anywhere near the decision).
+  //
+  // Scale shape: one corpus-scaled token aggregate for the frequency
+  // rank (map-side combined to vocab-sized rows), one for the
+  // per-class counts, then the (≤ NbVocabMax+1)-row log-ratio model
+  // BROADCASTS and scoring is a map-side join + one per-doc aggregate
+  // — the DSIR plumbing with a learned decision on top. Per-feature
+  // log-ratios are 6dp-gridded into DECIMAL(18,6) and per-doc sums
+  // ride DECIMAL (partition-order independent, oracle-exact); the
+  // reported mean divides the exact decimal sum as a double at the
+  // very end (identical IEEE ops both engines, |value|·1e6 ≪ 2^53).
+  // ------------------------------------------------------------------
+  val NbVocabMax = 5000
+  val NbAlpha = 0.5
+  private val NbV = NbVocabMax + 1 // +1: the UNK feature
+
+  val qualityClassifier: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = graft.queries.Inventory.rebalanced(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id")
+      val qc = TextAnalysis.qualityCols(col("text"))
+      val labeled = docs.select(col("doc_id"), (qc.score >= 0.8).as("lab"), col("text"))
+      val tk = labeled.select(col("doc_id"), col("lab"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      // frequency-ranked vocabulary cut; the rank window runs over the
+      // DISTINCT-token table (vocab-sized by Heaps' law, not corpus-
+      // sized), single partition by construction — same contract as
+      // the heavy-hitters rank
+      val vocab = tk.groupBy("t").agg(count(lit(1)).as("c"))
+        .withColumn("rnk", row_number().over(Window.orderBy(col("c").desc, col("t"))))
+        .select(col("t"), when(col("rnk") <= NbVocabMax, col("t")).otherwise(lit("<unk>")).as("feat"))
+      val feats = tk.join(vocab, Seq("t")).select(col("doc_id"), col("lab"), col("feat"))
+      val counts = feats.groupBy("feat").agg(
+        sum(when(col("lab"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("lab"), 1L).otherwise(0L)).as("cn"))
+      val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+      val lrExpr = log((col("cp") + lit(NbAlpha)) / (col("np") + lit(NbAlpha * NbV))) -
+        log((col("cn") + lit(NbAlpha)) / (col("nn") + lit(NbAlpha * NbV)))
+      val model = broadcast(counts
+        .withColumn("np", sum("cp").over(wAll))
+        .withColumn("nn", sum("cn").over(wAll))
+        .select(col("feat"), roundPortable(lrExpr, 6).cast(DecimalType(18, 6)).as("lr")))
+      feats.join(model, Seq("feat"))
+        .groupBy("doc_id", "lab")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("slr"))
+        .select(col("doc_id"), col("lab").as("heur_label"), col("n_tokens"),
+          roundPortable(col("slr").cast(DoubleType) / col("n_tokens"), 6).as("nb_score"),
+          (col("slr") > lit(0)).as("predicted"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (
+            |  SELECT doc_id, text,
+            |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+            |    (least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+            |      + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+            |      + CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            |            x -> x IN ('the','of','and','to','in','is','it','a'))) AS DOUBLE)
+            |        / len(string_split_regex(lower(trim(text)), '\\s+')) * 0.2) >= 0.8 AS lab
+            |  FROM documents
+            |), tk AS (
+            |  SELECT doc_id, lab, unnest(toks) AS t FROM base
+            |), vocab AS (
+            |  SELECT t, CASE WHEN row_number() OVER (ORDER BY count(*) DESC, t) <= $NbVocabMax
+            |                 THEN t ELSE '<unk>' END AS feat
+            |  FROM tk GROUP BY t
+            |), feats AS (
+            |  SELECT tk.doc_id, tk.lab, v.feat FROM tk JOIN vocab v USING (t)
+            |), counts AS (
+            |  SELECT feat,
+            |    sum(CASE WHEN lab THEN 1 ELSE 0 END) AS cp,
+            |    sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS cn
+            |  FROM feats GROUP BY 1
+            |), tot AS (
+            |  SELECT sum(cp) AS np, sum(cn) AS nn FROM counts
+            |), model AS (
+            |  SELECT feat,
+            |    CAST(floor((ln((cp + $NbAlpha) / (np + ${NbAlpha * NbV}))
+            |              - ln((cn + $NbAlpha) / (nn + ${NbAlpha * NbV}))) * 1000000 + 0.5) / 1000000
+            |      AS DECIMAL(18,6)) AS lr
+            |  FROM counts CROSS JOIN tot
+            |)
+            |SELECT f.doc_id, f.lab AS heur_label, count(*) AS n_tokens,
+            |  floor(CAST(sum(m.lr) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS nb_score,
+            |  sum(m.lr) > 0 AS predicted
+            |FROM feats f JOIN model m USING (feat)
+            |GROUP BY f.doc_id, f.lab ORDER BY f.doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "pipeline_quality_classifier" -> qualityClassifier,
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,
     "pipeline_decontaminate" -> decontaminate,

@@ -121,6 +121,62 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier: NB replicates in plain Scala and learns its training labels") {
+    val r = graft.ext.Pipelines.qualityClassifier.build(spark, d).collect()
+      .map(x => (x.getLong(0), x.getBoolean(1), x.getLong(2), x.getDouble(3), x.getBoolean(4)))
+    val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(r.length.toLong === nDocs)
+    r.foreach { case (_, _, n, sc, pred) =>
+      assert(n > 0)
+      assert(pred === (sc > 0.0) || math.abs(sc) < 1e-9,
+        "prediction must follow the sign of the mean log-ratio")
+    }
+    // the learning check is the RANKING: rescoring its own training
+    // set, the mean-pooled score must order positives above negatives
+    // (the raw multinomial SUM inverts on length here — see scaladoc)
+    val pos = r.filter(_._2).map(_._4)
+    val neg = r.filterNot(_._2).map(_._4)
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture must contain both labels")
+    val wins = (for (p <- pos; n <- neg) yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val auc = wins / (pos.length.toLong * neg.length)
+    assert(auc > 0.7, s"train-set AUC $auc should exceed 0.7")
+    // plain-Scala multinomial NB replication (same vocab cut, same
+    // grid) for a sample of documents
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect().map(x => (x.getLong(0), x.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val stop = Set("the", "of", "and", "to", "in", "is", "it", "a")
+    def lab(t: String): Boolean = {
+      val ts = toks(t)
+      val punct = t.toLowerCase.count(c => !c.isLetterOrDigit && !c.isWhitespace).toDouble / t.length
+      val stopR = ts.count(stop).toDouble / ts.length
+      val lenS = math.min(ts.length / 100.0, 1.0)
+      lenS * 0.5 + (1.0 - punct) * 0.3 + stopR * 0.2 >= 0.8
+    }
+    val labels = docs.map { case (id, t) => id -> lab(t) }.toMap
+    val allTok = docs.flatMap { case (id, t) => toks(t).map(tk => (id, labels(id), tk)) }
+    val rank = allTok.groupBy(_._3).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      .map { case ((t, _), i) => t -> (i < graft.ext.Pipelines.NbVocabMax) }.toMap
+    val feats = allTok.map { case (id, l, t) => (id, l, if (rank(t)) t else "<unk>") }
+    val cp = feats.filter(_._2).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cn = feats.filterNot(_._2).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val (np, nn) = (cp.values.sum, cn.values.sum)
+    val v = graft.ext.Pipelines.NbVocabMax + 1
+    val a = graft.ext.Pipelines.NbAlpha
+    def g6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def lr(f: String): BigDecimal = BigDecimal(g6(
+      math.log((cp.getOrElse(f, 0L) + a) / (np + a * v)) -
+        math.log((cn.getOrElse(f, 0L) + a) / (nn + a * v))))
+    for ((id, _, _, sc, pred) <- r.take(25)) {
+      val fs = feats.collect { case (i, _, f) if i == id => f }
+      val slr = fs.map(lr).sum
+      assert(math.abs(sc - g6(slr.toDouble / fs.length)) < 2e-6, s"doc $id score $sc vs $slr/${fs.length}")
+      assert(pred === (slr > 0), s"doc $id prediction")
+    }
+  }
+
   test("centroid drift: integer contract replicates in BigInt and derived monitors are sane") {
     // The query's hashed contract is pure integers (n0,n1,s01,s00,s11,sd)
     // — the cosine/L2 monitors are DERIVED here, outside the contract,
