@@ -516,6 +516,17 @@ class PlanSpec extends SparkSpec {
     assert(fin.contains("BroadcastHashJoin"), fin)
   }
 
+  test("quality classifier scores through a broadcast model join") {
+    // the (≤ vocab+1)-row NB model must reach the corpus-sized scoring
+    // join as a broadcast (statically or via AQE), never as a
+    // corpus-wide exchange; run-and-strip is the AQE-safe check
+    val df = graft.ext.Pipelines.qualityClassifier.build(spark, d)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"), fin)
+    assert(!fin.contains("CartesianProduct"), fin)
+  }
+
   test("centroid drift collapses the corpus map-side on (label, slice, i)") {
     val p = plan(Similarity.centroidDrift.build(spark, d))
     assert(parquetScans(p) === 1, p)
