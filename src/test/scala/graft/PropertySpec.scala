@@ -159,4 +159,28 @@ class PropertySpec extends SparkSpec {
     assert(got === cases.map(_._2))
     assert(overLongs(Functions.rankCategory, Seq(1L)) === Seq("#1 Term"))
   }
+
+  test("MediaCodec encode→decode is the identity on header fields for random parameters") {
+    import graft.ext.MediaCodec
+    for (_ <- 1 to 100) {
+      val (w, h) = (rnd.nextInt(500) + 1, rnd.nextInt(300) + 1)
+      val bmp = MediaCodec.decode(1L,
+        MediaCodec.encodeBmp(w, h, (x, y, c) => ((x * 7 + y * 13 + c) % 256).toByte))
+      assert(bmp.kind === "image" && bmp.width === Some(w) && bmp.height === Some(h) &&
+        bmp.bits_per_pixel === Some(24), s"bmp $w x $h")
+      val ch = rnd.nextInt(4) + 1
+      val rate = Seq(8000, 11025, 16000, 22050, 44100, 48000)(rnd.nextInt(6))
+      val n = rnd.nextInt(2000).toLong
+      val wav = MediaCodec.decode(2L,
+        MediaCodec.encodeWav(ch, rate, n, i => (i % 65536 - 32768).toShort))
+      assert(wav.kind === "audio" && wav.channels === Some(ch) &&
+        wav.sample_rate === Some(rate) && wav.n_samples === Some(n), s"wav $ch/$rate/$n")
+    }
+    // non-media bytes must fall through to the binary row, never throw
+    for (len <- Seq(0, 1, 43, 53, 100)) {
+      val junk = Array.fill[Byte](len)((rnd.nextInt(256) - 128).toByte)
+      val dec = MediaCodec.decode(3L, junk)
+      assert(dec.n_bytes === len.toLong)
+    }
+  }
 }
