@@ -1076,33 +1076,55 @@ object Pipelines {
   val NbAlpha = 0.5
   private val NbV = NbVocabMax + 1 // +1: the UNK feature
 
+  /** (doc_id, lab, feat) rows of `docs` under the frequency-capped
+    * vocabulary (top `NbVocabMax` keep identity, tail → "<unk>").
+    */
+  def nbFeats(labeled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = labeled.select(col("doc_id"), col("lab"),
+      explode(TextAnalysis.tokens(col("text"))).as("t"))
+    // frequency-ranked vocabulary cut; the rank window runs over the
+    // DISTINCT-token table (vocab-sized by Heaps' law, not corpus-
+    // sized), single partition by construction — same contract as
+    // the heavy-hitters rank
+    val vocab = tk.groupBy("t").agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("c").desc, col("t"))))
+      .select(col("t"), when(col("rnk") <= NbVocabMax, col("t")).otherwise(lit("<unk>")).as("feat"))
+    tk.join(vocab, Seq("t")).select(col("doc_id"), col("lab"), col("feat"))
+  }
+
+  /** The trained (feat, lr) model relation — lr the 6dp-gridded
+    * DECIMAL(18,6) class log-ratio. Shared by the registry query and
+    * the streaming gate's trainer ([[graft.streaming.Streams
+    * .classifierGatedDocuments]] broadcasts exactly these rows, in
+    * exact micro-units), so the two deployments cannot fork.
+    */
+  def nbQualityModel(feats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = feats.groupBy("feat").agg(
+      sum(when(col("lab"), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col("lab"), 1L).otherwise(0L)).as("cn"))
+    val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val lrExpr = log((col("cp") + lit(NbAlpha)) / (col("np") + lit(NbAlpha * NbV))) -
+      log((col("cn") + lit(NbAlpha)) / (col("nn") + lit(NbAlpha * NbV)))
+    counts
+      .withColumn("np", sum("cp").over(wAll))
+      .withColumn("nn", sum("cn").over(wAll))
+      .select(col("feat"), roundPortable(lrExpr, 6).cast(DecimalType(18, 6)).as("lr"))
+  }
+
+  /** Heuristic-labeled docs relation shared by trainer and scorer. */
+  def nbLabeled(docs: DataFrame): DataFrame = {
+    val qc = TextAnalysis.qualityCols(col("text"))
+    docs.select(col("doc_id"), (qc.score >= 0.8).as("lab"), col("text"))
+  }
+
   val qualityClassifier: Q = Q(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = graft.queries.Inventory.rebalanced(
         s.read.parquet(s"$d/documents.parquet"), "doc_id")
-      val qc = TextAnalysis.qualityCols(col("text"))
-      val labeled = docs.select(col("doc_id"), (qc.score >= 0.8).as("lab"), col("text"))
-      val tk = labeled.select(col("doc_id"), col("lab"),
-        explode(TextAnalysis.tokens(col("text"))).as("t"))
-      // frequency-ranked vocabulary cut; the rank window runs over the
-      // DISTINCT-token table (vocab-sized by Heaps' law, not corpus-
-      // sized), single partition by construction — same contract as
-      // the heavy-hitters rank
-      val vocab = tk.groupBy("t").agg(count(lit(1)).as("c"))
-        .withColumn("rnk", row_number().over(Window.orderBy(col("c").desc, col("t"))))
-        .select(col("t"), when(col("rnk") <= NbVocabMax, col("t")).otherwise(lit("<unk>")).as("feat"))
-      val feats = tk.join(vocab, Seq("t")).select(col("doc_id"), col("lab"), col("feat"))
-      val counts = feats.groupBy("feat").agg(
-        sum(when(col("lab"), 1L).otherwise(0L)).as("cp"),
-        sum(when(!col("lab"), 1L).otherwise(0L)).as("cn"))
-      val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
-      val lrExpr = log((col("cp") + lit(NbAlpha)) / (col("np") + lit(NbAlpha * NbV))) -
-        log((col("cn") + lit(NbAlpha)) / (col("nn") + lit(NbAlpha * NbV)))
-      val model = broadcast(counts
-        .withColumn("np", sum("cp").over(wAll))
-        .withColumn("nn", sum("cn").over(wAll))
-        .select(col("feat"), roundPortable(lrExpr, 6).cast(DecimalType(18, 6)).as("lr")))
+      val feats = nbFeats(nbLabeled(docs))
+      val model = broadcast(nbQualityModel(feats))
       feats.join(model, Seq("feat"))
         .groupBy("doc_id", "lab")
         .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("slr"))

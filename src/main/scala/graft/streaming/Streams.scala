@@ -162,6 +162,49 @@ object Streams {
       .select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"), col("view_ts"))
   }
 
+  /** One scored streaming document for [[classifierGatedDocuments]]. */
+  final case class ScoredDoc(doc_id: Long, n_tokens: Long, score_micro: Long, keep: Boolean)
+
+  /** Deployment shape of the LEARNED quality gate
+    * (`Pipelines.qualityClassifier`): the NB model is trained
+    * batch-side and shipped to executors as a plain broadcast map of
+    * (feature → log-ratio in exact 1e-6 units — the batch query's
+    * DECIMAL(18,6) grid holds integral micro-values, so the streamed
+    * fold is INTEGER arithmetic and bit-agrees with the batch
+    * decision for any document). Documents stream through a
+    * STATELESS per-row scorer — no state store, no watermark, no
+    * shuffle — tokenizing with the same rule as the batch tokenizer
+    * and folding unseen tokens into the UNK feature exactly as the
+    * vocabulary cap would have (when training never reached the cap
+    * there is no UNK row and unseen tokens score the neutral 0 — no
+    * evidence either way). The model refreshes by re-broadcast
+    * between micro-batch restarts (the standard model-rollout path);
+    * StreamingSpec audits streamed scores against the batch query
+    * row-for-row.
+    */
+  def classifierGatedDocuments(
+      docs: org.apache.spark.sql.Dataset[(Long, String)],
+      modelMicro: Map[String, Long]): org.apache.spark.sql.Dataset[ScoredDoc] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc = Encoders.product[ScoredDoc]
+    val bc = docs.sparkSession.sparkContext.broadcast(modelMicro)
+    val unk = modelMicro.getOrElse("<unk>", 0L)
+    docs.mapPartitions { it =>
+      val m = bc.value
+      it.map { case (id, text) =>
+        // same tokenizer as TextAnalysis.tokens: split(lower(trim), \s+)
+        val toks = text.trim.toLowerCase.split("\\s+")
+        var n = 0L
+        var s = 0L
+        toks.foreach { t =>
+          n += 1
+          s += m.getOrElse(t, unk)
+        }
+        ScoredDoc(id, n, s, s > 0L)
+      }
+    }
+  }
+
   /** One user's open session for [[closedSessions]]. */
   final case class OpenSession(user_id: Long, session_start: Long,
       last_ts: Long, n_events: Long)

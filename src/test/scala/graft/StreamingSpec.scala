@@ -380,4 +380,43 @@ class StreamingSpec extends SparkSpec {
       assert(sa === activeDays, s"user $user: streaming $sa active days, batch $activeDays")
     }
   }
+
+  test("streaming classifier gate bit-agrees with the batch quality classifier at sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val docsDf = spark.read.parquet(s"$d/documents.parquet")
+    // train batch-side, ship as exact micro-units (DECIMAL(18,6) grid)
+    val model = graft.ext.Pipelines.nbQualityModel(
+      graft.ext.Pipelines.nbFeats(graft.ext.Pipelines.nbLabeled(docsDf)))
+      .collect()
+      .map(r => r.getString(0) -> r.getDecimal(1).unscaledValue().longValueExact()).toMap
+    // (at sf0.001 the vocab never reaches the cap, so no <unk> row
+    // exists and unseen tokens score the neutral 0 — irrelevant here,
+    // the audit replays exactly the training corpus)
+    val rows = docsDf.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.classifierGatedDocuments(mem.toDS(), model)
+      .writeStream.format("memory").queryName("nb_gate_stream")
+      .outputMode("append").start()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("nb_gate_stream")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val batch = graft.ext.Pipelines.qualityClassifier.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(batch.length === rows.length && streamed.size === rows.length)
+    def g6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    batch.foreach { case (id, nTok, score, pred) =>
+      val (sn, sMicro, sKeep) = streamed(id)
+      assert(sn === nTok, s"doc $id token count")
+      assert(sKeep === pred, s"doc $id decision")
+      assert(g6(sMicro.toDouble / 1e6 / sn) === score, s"doc $id score")
+    }
+  }
 }
