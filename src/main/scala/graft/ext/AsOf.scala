@@ -444,10 +444,76 @@ object AsOf {
     eventsAsofNext.oracle
   )
 
+  // ------------------------------------------------------------------
+  // NEAREST-in-time as-of: each click matched to the CLOSER of its
+  // latest-preceding and earliest-following purchase by the same user
+  // — the feature-joining / sensor-fusion staple ("the reading nearest
+  // this event", direction unknown a priori). COMPOSED from the two
+  // directed primitives per the build rules: one backward pass
+  // ([[asofJoin]]) carries (prev_id, prev_ts), one forward pass
+  // ([[asofJoinForward]]) carries (next_id, next_ts), and a pure
+  // projection picks the smaller |Δt| (tie → backward: no lookahead
+  // unless strictly closer). delta_us is SIGNED — negative means the
+  // match precedes the click. Harness (user_id, ts) purchase pairs are
+  // unique at µs precision (checked all SFs), so the match is
+  // deterministic without a payload tiebreak.
+  //
+  // Scale: two key-partitioned window passes (the directed joins'
+  // documented one-shuffle cost each; the forward pass reuses the
+  // hash partitioning, adding only its reversed sort) plus a codegen
+  // projection — no range explosion, no broadcast requirement. The
+  // skew-hardened variants slot in identically if the key set is
+  // small.
+  // ------------------------------------------------------------------
+  val eventsAsofNearest: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purch = ev.filter(col("event_type") === "purchase")
+      val withPrev = asofJoin(clicks,
+        purch.select(col("user_id"), col("event_id").as("prev_id"), col("ts").as("prev_ts")),
+        key = "user_id", leftTs = "ts", rightTs = "prev_ts",
+        rightPayload = Seq("prev_id", "prev_ts"))
+      val both = asofJoinForward(withPrev,
+        purch.select(col("user_id"), col("event_id").as("next_id"), col("ts").as("next_ts")),
+        key = "user_id", leftTs = "ts", rightTs = "next_ts",
+        rightPayload = Seq("next_id", "next_ts"))
+      val dPrev = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+      val dNext = unix_micros(col("next_ts")) - unix_micros(col("ts"))
+      val usePrev = col("next_id").isNull || (col("prev_id").isNotNull && dPrev <= dNext)
+      both.select(col("user_id"), col("event_id"),
+        when(usePrev, col("prev_id")).otherwise(col("next_id")).as("nearest_id"),
+        when(usePrev, -dPrev).otherwise(dNext).as("delta_us"),
+        when(col("prev_id").isNull && col("next_id").isNull, lit(null).cast("string"))
+          .when(usePrev, lit("backward")).otherwise(lit("forward")).as("direction"))
+        .orderBy("event_id")
+    },
+    Some("""WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+           |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+           |b AS (SELECT c.user_id, c.event_id, c.ts, p.p_id AS prev_id, p.p_ts AS prev_ts
+           |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts),
+           |f AS (SELECT c.event_id, p.p_id AS next_id, p.p_ts AS next_ts
+           |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.p_ts),
+           |j AS (SELECT b.user_id, b.event_id, b.ts, b.prev_id, b.prev_ts, f.next_id, f.next_ts,
+           |             (f.next_id IS NULL OR (b.prev_id IS NOT NULL AND
+           |               epoch_us(b.ts) - epoch_us(b.prev_ts) <= epoch_us(f.next_ts) - epoch_us(b.ts)))
+           |               AS use_prev
+           |      FROM b JOIN f USING (event_id))
+           |SELECT user_id, event_id,
+           |  CASE WHEN use_prev THEN prev_id ELSE next_id END AS nearest_id,
+           |  CASE WHEN use_prev THEN -(epoch_us(ts) - epoch_us(prev_ts))
+           |       ELSE epoch_us(next_ts) - epoch_us(ts) END AS delta_us,
+           |  CASE WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+           |       WHEN use_prev THEN 'backward' ELSE 'forward' END AS direction
+           |FROM j ORDER BY event_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_asof_rates" -> eventsAsofRates,
     "events_asof_rates_bucketed" -> eventsAsofRatesBucketed,
     "events_asof_next" -> eventsAsofNext,
-    "events_asof_next_bucketed" -> eventsAsofNextBucketed)
+    "events_asof_next_bucketed" -> eventsAsofNextBucketed,
+    "events_asof_nearest" -> eventsAsofNearest)
 
 }
