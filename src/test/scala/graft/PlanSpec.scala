@@ -516,6 +516,19 @@ class PlanSpec extends SparkSpec {
     assert(fin.contains("BroadcastHashJoin"), fin)
   }
 
+  test("nearest as-of composes two window passes with one exchange each") {
+    // backward pass: one hashpartitioning(user_id) exchange over the
+    // union; forward pass: one more over its union — 2 total, no join
+    // machinery, no cartesian; events scans 3× (clicks + 2 purchase
+    // payload branches), the pass-1 result flows without rescanning
+    val df = graft.ext.AsOf.eventsAsofNearest.build(spark, d)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fin.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2, fin)
+    assert(fin.linesIterator.count(_.contains("Scan parquet")) === 3, fin)
+    assert(!fin.contains("CartesianProduct"), fin)
+  }
+
   test("quality classifier scores through a broadcast model join") {
     // the (≤ vocab+1)-row NB model must reach the corpus-sized scoring
     // join as a broadcast (statically or via AQE), never as a
