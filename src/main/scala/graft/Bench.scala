@@ -113,7 +113,11 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(2).mkString(" ").take(300))
+          val cut = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(2).mkString(" ").take(300)
+          // a 300-char cut can split a UTF-16 surrogate pair; trim to
+          // a code-point boundary so the JSON stays encodable
+          Some(if (cut.nonEmpty && Character.isHighSurrogate(cut.last)) cut.dropRight(1) else cut)
         }
       val dt = (System.nanoTime() - t0) / 1e9
       drainListenerBus(spark.sparkContext)
@@ -129,7 +133,17 @@ object Bench {
       "\"" + k + "\":" + tm.toSeq.sortBy(_._1)
         .map { case (mk, mv) => "\"" + mk + "\":" + mv }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escaping: backslash, quote, AND control chars
+    // (< 0x20 as \u00XX) — exception messages carry tabs/CRs that would
+    // otherwise make the errors map technically invalid JSON
+    def jstr(s: String) = s.foldLeft(new StringBuilder("\"")) { (sb, c) =>
+      c match {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+    }.append('"').toString
     val failed = results.collect { case (k, _, _, Some(m)) => (k, m) }
     val errJson = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

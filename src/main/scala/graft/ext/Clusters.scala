@@ -57,9 +57,10 @@ object Clusters {
     // propagation round pays (stages × partitions) near-empty tasks —
     // measured 723 tasks / 3.7 s of pure scheduling overhead for a
     // few-thousand-edge graph at sf0.1. ~100k edges per partition keeps
-    // each task meaningful at any scale (a billion-edge graph at 100 TB
-    // still fans out to 10k partitions); the count() above already
-    // materialized the cache, so this is free.
+    // each task meaningful; p is CLAMPED above by the session shuffle
+    // setting (a billion-edge production graph fans wider by raising
+    // that setting, not through this helper). The count() above already
+    // materialized the cache, so this sizing is free.
     val p = math.max(1L, math.min(
       pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toLong,
       nEdges / 100000L)).toInt
@@ -72,7 +73,8 @@ object Clusters {
     // rejoin as singletons at the end. At 100 TB this is the
     // difference between iterating over megabytes and iterating over
     // the corpus.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    var labels = edges.select(col("src").as("doc_id"))
+      .repartition(p, col("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label")).cache()
     // labels only ever DECREASE, so Σlabel is strictly monotone until
     // the fixpoint — comparing sums detects convergence with one
@@ -83,13 +85,14 @@ object Clusters {
     // any failure inside the loop (including the non-convergence
     // throw) must not leak the cached intermediates into a long-lived
     // session that will retry with a higher maxIter.
-    // The shuffle-partitions override below applies only to actions
-    // INSIDE the loop (each round's agg exchanges) — it is restored in
-    // the finally, before the returned corpus-sized join is even built,
-    // so callers' plans still run at the session setting.
-    val sess = pairs.sparkSession
-    val sessionShuffle = sess.conf.get("spark.sql.shuffle.partitions", "200")
-    sess.conf.set("spark.sql.shuffle.partitions", p.toString)
+    // Loop-internal shuffles are partitioned EXPLICITLY at p
+    // (repartition before each aggregate) rather than by flipping the
+    // session's spark.sql.shuffle.partitions for the loop's duration —
+    // a session-conf mutation races any concurrent query on the same
+    // SparkSession, which would plan at p (possibly 1) partitions.
+    // The explicit hashpartitioning(doc_id, p) is then REUSED by the
+    // groupBy and by the next round's dst-join, so no extra exchange
+    // appears in the per-round plan.
     try {
       var prevSum = labelSum(labels)
       var iter = 0
@@ -103,6 +106,7 @@ object Clusters {
           .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
           .select(col("src").as("doc_id"), col("label"))
         val next = labels.union(viaNeighbor)
+          .repartition(p, col("doc_id"))
           .groupBy("doc_id").agg(min("label").as("label"))
           .cache()
         // materialize next BEFORE dropping the old cache (next's
@@ -124,7 +128,6 @@ object Clusters {
         labels.unpersist()
         throw e
     } finally {
-      sess.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
       edges.unpersist()
       directed.unpersist()
     }

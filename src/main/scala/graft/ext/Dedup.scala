@@ -97,15 +97,12 @@ object Dedup {
     // exchange BELOW the explode: the window needs
     // hashpartitioning(doc_id) anyway, so no exchange is added, the
     // shuffle carries raw texts instead of exploded token rows, and
-    // tokenization runs on every core. The partition count is EXPLICIT
-    // (AQE would coalesce a count-less repartition back to one
-    // partition — these rows are tiny in bytes, huge in CPU). On a
-    // wide production scan this is a no-op.
-    val s = docs.sparkSession
-    val par = s.sparkContext.defaultParallelism
-    val src = if (docs.rdd.getNumPartitions < par)
-      docs.repartition(par, col("doc_id")) else docs
-    src
+    // tokenization runs on every core. Inventory.rebalanced holds the
+    // shared policy: explicit partition count (AQE would coalesce a
+    // count-less repartition back to one partition — these rows are
+    // tiny in bytes, huge in CPU), narrow-plan-only probe, no-op on a
+    // wide production scan.
+    graft.queries.Inventory.rebalanced(docs, "doc_id")
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
       .withColumn("t1", lead("t", 1).over(w))
       .withColumn("t2", lead("t", 2).over(w))

@@ -149,7 +149,8 @@ object MediaCodec {
       var rate = 0
       var bits = 0
       var dataSize = -1L
-      while (off + 8 <= payload.length && dataSize < 0) {
+      var walking = true
+      while (walking && off + 8 <= payload.length && dataSize < 0) {
         val id = new String(payload.slice(off, off + 4), "US-ASCII")
         val sz = le32(payload, off + 4).toLong & 0xffffffffL
         if (id == "fmt " && off + 24 <= payload.length) {
@@ -158,7 +159,16 @@ object MediaCodec {
           bits = le16(payload, off + 22)
         }
         if (id == "data") dataSize = sz
-        else off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+        else {
+          // RIFF chunks are word-aligned; step in LONG — a corrupt or
+          // crafted size like 0xFFFFFFF8 truncated via toInt is -8,
+          // which would advance by 0 and spin the executor task
+          // forever. Any non-forward or out-of-range step ends the
+          // walk; fields parsed so far still describe the header.
+          val next = off.toLong + 8L + sz + (sz & 1L)
+          if (next <= off || next > payload.length.toLong) walking = false
+          else off = next.toInt
+        }
       }
       val blockAlign = channels * (bits / 8)
       Decoded(mediaId, "audio", n,

@@ -9,13 +9,11 @@ import graft.queries.Inventory.Q
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed by per-partition mappers.
   *
-  * The decode step is STUBBED (this environment ships no codec
-  * libraries): `decodeStub` derives deterministic fake dimensions and
-  * features from the payload bytes. Everything around it — the typed
-  * `Dataset[MediaItem]` schema, per-partition batching (decoder state
-  * is initialized once per partition, the shape a real codec needs),
-  * frame sampling, and the downstream relational aggregation — is real
-  * and tested.
+  * The decode step is REAL for the formats a bare JVM can honestly
+  * own: [[MediaCodec]] parses complete BMP and WAV files byte-level
+  * (magic sniff, little-endian fields, RIFF chunk walk). Formats
+  * needing an external codec (JPEG/MP4) plug into the same
+  * `mapPartitions` seam; unknown payloads decode to a "binary" row.
   *
   * Scale notes: `mapPartitions` keeps the decode embarrassingly
   * parallel with zero shuffle; payloads never serialize to the driver.
@@ -27,16 +25,6 @@ object Multimodal {
 
   /** One media object: opaque payload + routing metadata. */
   final case class MediaItem(media_id: Long, kind: String, payload: Array[Byte])
-
-  /** Decoded (stub) per-item features. */
-  final case class MediaFeatures(
-      media_id: Long,
-      kind: String,
-      n_bytes: Long,
-      width: Int,
-      height: Int,
-      n_frames: Int,
-      mean_byte: Double)
 
   /** One sampled frame of a "video" payload. */
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame_bytes: Long, frame_crc: Long)
@@ -58,41 +46,7 @@ object Multimodal {
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 
-  /** STUB decoder — a real implementation would hand `payload` to a
-    * codec (ImageIO / ffmpeg / soundfile); this derives deterministic
-    * fake dimensions from the payload hash so the pipeline is testable
-    * AND oracle-reproducible.
-    */
-  def decodeStub(item: MediaItem): MediaFeatures = {
-    val h = hash60Bytes(item.payload)
-    val mean =
-      if (item.payload.isEmpty) 0.0
-      else item.payload.map(b => (b & 0xff).toLong).sum.toDouble / item.payload.length
-    MediaFeatures(
-      media_id = item.media_id,
-      kind = item.kind,
-      n_bytes = item.payload.length.toLong,
-      width = (h % 1920).toInt + 1,
-      height = ((h >> 16) % 1080).toInt + 1,
-      // ceil(len/FrameBytes): agrees with the count of frames
-      // `sampleFrames` actually materializes (grouped(FrameBytes)),
-      // including 0 frames for an empty payload
-      n_frames =
-        if (item.kind == "video") ((item.payload.length + FrameBytes - 1) / FrameBytes)
-        else 1,
-      mean_byte = mean)
-  }
-
   val FrameBytes = 1024
-
-  /** Decode features, one pass, decoder state per partition. */
-  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
-    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
-    items.mapPartitions { it =>
-      // per-partition init point: a real codec opens its context here
-      it.map(decodeStub)
-    }
-  }
 
   /** Sample every `step`-th fixed-size frame of "video" payloads. */
   def sampleFrames(items: Dataset[MediaItem], step: Int = 2): Dataset[MediaFrame] = {
@@ -129,51 +83,48 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** Decode-stub features aggregated per kind (plus frame counts for
-    * videos), hash-match verified against a DuckDB replay of the stub.
+  /** REAL decoded headers aggregated per kind — the metadata-catalog
+    * query a media lake runs after ingest (how many items, how many
+    * bytes, dimension/sample ranges). Decode is [[MediaCodec]]'s
+    * byte-level parse of complete BMP/WAV payloads; the oracle replays
+    * the GENERATOR's parameter algebra arithmetically, so any decoder
+    * field extraction bug breaks the hash (round-10 retired the
+    * md5-fake-dimension stub this query used to aggregate).
     */
   val features: Q = Q(
-    (s, d) => {
-      val items = mediaFromDocuments(s, d)
-      val feats = extractFeatures(items)
-      val frames = sampleFrames(items)
-        .groupBy(col("media_id")).agg(count(lit(1)).as("frames_sampled"))
-      feats.toDF()
-        .join(frames, Seq("media_id"), "left")
+    (s, d) =>
+      decodeMedia(syntheticMedia(s, d)).toDF()
         .groupBy("kind")
         .agg(
           count(lit(1)).as("n_items"),
           sum(col("n_bytes")).as("total_bytes"),
           min(col("width")).as("min_width"),
           max(col("height")).as("max_height"),
-          sum(col("n_frames")).as("total_frames"),
-          sum(coalesce(col("frames_sampled"), lit(0L))).as("total_frames_sampled"))
-        .orderBy("kind")
-    },
-    // The stub's fake dimensions derive from the md5-based payload
-    // hash, so DuckDB reproduces them exactly. grouped(1024) yields
-    // ceil(len/1024) frames; sampling every 2nd gives ceil(frames/2).
-    Some(s"""WITH m AS (
-            |  SELECT doc_id AS media_id,
-            |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-            |    octet_length(encode(text)) AS n_bytes,
-            |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
-            |  FROM documents
-            |), f AS (
-            |  SELECT media_id, kind, n_bytes,
-            |    CAST(h % 1920 + 1 AS INTEGER) AS width,
-            |    CAST((h >> 16) % 1080 + 1 AS INTEGER) AS height,
-            |    CAST(CASE WHEN kind = 'video' THEN (n_bytes + $FrameBytes - 1) // $FrameBytes ELSE 1 END AS INTEGER) AS n_frames,
-            |    CASE WHEN kind = 'video'
-            |         THEN ((n_bytes + $FrameBytes - 1) // $FrameBytes + 1) // 2
-            |         ELSE 0 END AS frames_sampled
-            |  FROM m
-            |)
-            |SELECT kind, count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-            |       min(width) AS min_width, max(height) AS max_height,
-            |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
-            |       CAST(sum(frames_sampled) AS BIGINT) AS total_frames_sampled
-            |FROM f GROUP BY kind ORDER BY kind""".stripMargin)
+          sum(col("n_samples")).as("total_samples"),
+          max(col("sample_rate")).as("max_sample_rate"))
+        .orderBy("kind"),
+    // generator algebra (see decodeQuery's oracle), aggregated: byte
+    // sizes fold the real layout constants (54-byte BMP header +
+    // 4-byte-padded rows; 44-byte WAV header + 2-byte PCM samples)
+    Some("""WITH f AS (
+           |  SELECT doc_id AS media_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           |    CAST(CASE WHEN doc_id % 2 = 0
+           |      THEN 54 + ((3 * (doc_id % 31 + 2) + 3) // 4 * 4) * (doc_id % 17 + 1)
+           |      ELSE 44 + (doc_id % 100 + 1) * ((doc_id // 2) % 2 + 1) * 2 END AS BIGINT) AS n_bytes,
+           |    CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 31 + 2 END AS INTEGER) AS width,
+           |    CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 17 + 1 END AS INTEGER) AS height,
+           |    CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 100 + 1 END AS BIGINT) AS n_samples,
+           |    CAST(CASE WHEN doc_id % 2 = 1
+           |      THEN [8000, 16000, 22050, 44100][CAST(((doc_id - 1) // 2) % 4 AS INTEGER) + 1]
+           |      END AS INTEGER) AS sample_rate
+           |  FROM documents
+           |)
+           |SELECT kind, count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           |       min(width) AS min_width, max(height) AS max_height,
+           |       CAST(sum(n_samples) AS BIGINT) AS total_samples,
+           |       max(sample_rate) AS max_sample_rate
+           |FROM f GROUP BY kind ORDER BY kind""".stripMargin)
   )
 
   /** ALL frame hashes of media payloads (step=1, unlike the sampled
@@ -283,9 +234,9 @@ object Multimodal {
   // algebra arithmetically; an encode/decode bug pair that cancels
   // here is still caught by MultimodalSpec, which round-trips the
   // parser against the JDK's independent ImageIO/AudioSystem writers.
-  // decodeStub survives only as the documented fallback for formats a
-  // bare JVM cannot parse (JPEG/MP4 — a real deployment plugs a codec
-  // into the same mapPartitions seam).
+  // Formats a bare JVM cannot parse (JPEG/MP4) decode to the "binary"
+  // fallback row — a real deployment plugs a codec into the same
+  // mapPartitions seam.
   // ------------------------------------------------------------------
   val WavRates: Seq[Int] = Seq(8000, 16000, 22050, 44100)
 

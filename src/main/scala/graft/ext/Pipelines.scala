@@ -905,10 +905,11 @@ object Pipelines {
       // rebalance the corpus rows across cores first — cheap (doc
       // rows, not token rows), reused across all three token passes by
       // exchange reuse; when the scan is already wide (the 100 TB
-      // case), this is a no-op and adds no shuffle.
+      // case), this is a no-op and adds no shuffle. Shared policy
+      // lives in Inventory.rebalanced (keyed on doc_id so the exchange
+      // is reusable, narrow-plan-only probe).
       val raw = s.read.parquet(s"$d/documents.parquet")
-      val docs = if (raw.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-        raw.repartition(s.sparkContext.defaultParallelism) else raw
+      val docs = graft.queries.Inventory.rebalanced(raw, "doc_id")
       val qc = TextAnalysis.qualityCols(col("text"))
       def buckets(src: DataFrame): DataFrame = src
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))

@@ -440,6 +440,176 @@ object Similarity {
   )
 
   // ------------------------------------------------------------------
+  // Product quantization + asymmetric-distance scan — the
+  // memory-bound ANN standard (Jégou et al., "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011; FAISS `PQ8`):
+  // where ann_quantized_topk compresses SCALARS (1 byte/dim), PQ
+  // compresses SUB-VECTORS — the 64-dim vector splits into 8 blocks
+  // of 8 dims, each block encoded as the id of its nearest codeword
+  // in a per-block 16-entry codebook, so a corpus vector is 8 small
+  // codes (4 bits each here) instead of 256 float bytes. Query-time
+  // scoring is ASYMMETRIC distance: the query precomputes a lookup
+  // table of (block, code) → distance-to-codeword, and a candidate's
+  // approximate distance is just the sum of 8 table lookups — no
+  // float math per pair at all.
+  //
+  // Determinism/oracle: codebooks train with one Lloyd round from
+  // first-PqCodes-vector seeds (the KMeans.trained recipe);
+  // assignment and LUT distances live on the floor(d²·1e6+0.5)
+  // integer grid with code-id tiebreaks, and the ADC sum is a LONG
+  // sum of those grid values — exact, order-independent, replayed
+  // verbatim by DuckDB. Exact-cosine re-rank of the top PqRefineK
+  // (deeper than the scalar path's RefineK: 4-bit codes are a far
+  // coarser sketch than int8 scalars, so the candidate pool must be
+  // wider to hold the true top-k — re-ranking 50 full-precision rows
+  // per query is negligible at any scale) then matches the other ANN
+  // rows' output contract.
+  //
+  // Scale notes: training touches PqCodes seed rows; the codebook
+  // (blocks·codes rows) and the per-query LUT (Q·blocks·codes rows)
+  // broadcast at any corpus size; the corpus-sized work is encode
+  // (ingest-time in production, stored as the compressed index) and
+  // the ADC scan — an equi-join on (blk, code) against the broadcast
+  // LUT plus one map-side-combined long-sum aggregate. No shuffle
+  // ever carries raw vectors; the re-rank reads full precision for
+  // only Q·RefineK rows.
+  // ------------------------------------------------------------------
+  val PqBlocks = 8
+  val PqSubDim = Dim / PqBlocks // 8
+  val PqCodes = 16
+  val PqRefineK = 50
+
+  /** Squared L2 of two double-array columns (interpreted HOF — used
+    * on training/codebook-sized joins only; the per-pair hot path is
+    * the integer LUT-sum join).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+
+  val pqTopK: Q = Q(
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      // (vec_id, blk, sv): PqBlocks sub-vectors per vector
+      val sub = e
+        .select(col("vec_id"), col("v"),
+          explode(sequence(lit(0), lit(PqBlocks - 1))).as("blk"))
+        .select(col("vec_id"), col("blk"),
+          slice(col("v"), col("blk") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+      // deterministic seeds: the first PqCodes vectors' sub-vectors
+      val seeds = sub.filter(col("vec_id") < PqCodes)
+        .select(col("blk"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+      // integer distance grid — assignment ranks and LUT entries
+      // compare exactly on both engines
+      def dgrid(a: Column, b: Column): Column =
+        floor(l2sq(a, b) * 1e6 + lit(0.5)).cast("long")
+      def assignCodes(cb: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id", "blk").orderBy(col("di"), col("code"))
+        sub.join(broadcast(cb), Seq("blk"))
+          .select(col("vec_id"), col("blk"), col("code"), col("sv"),
+            dgrid(col("sv"), col("cv")).as("di"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("vec_id", "blk", "code", "sv")
+      }
+      // one Lloyd round from the seeds = the trained per-block codebook
+      val cb = assignCodes(seeds)
+        .select(col("blk"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("blk", "code", "pos").agg(avg(col("x")).as("c"))
+        .groupBy("blk", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("blk"), col("code"), transform(col("pc"), p => p.getField("c")).as("cv"))
+      // the compressed index: 8 codes per corpus vector
+      val codes = assignCodes(cb).select("vec_id", "blk", "code")
+      // per-query LUT: distance to EVERY codeword (Q·blocks·codes rows)
+      val qlut = sub.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("blk"), col("sv"))
+        .join(cb, Seq("blk"))
+        .select(col("q_id"), col("blk"), col("code"), dgrid(col("sv"), col("cv")).as("dv"))
+      // ADC scan: per (query, candidate), sum the 8 looked-up grid
+      // distances — EXACT long arithmetic, map-side combined
+      val adist = codes.join(broadcast(qlut), Seq("blk", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(col("dv")).as("adist"))
+      val cand = adist
+        .groupBy("q_id")
+        .agg(graft.functions.TopKPairs.topk(
+          negate(col("adist").cast(DoubleType)), col("vec_id"), PqRefineK).as("tk"))
+        .select(col("q_id"), explode(col("tk")).as("p"))
+        .select(col("q_id"), col("p.id").as("neighbor_id"))
+      val queriesRaw = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("q_emb"))
+      val sim = roundPortable(cosine(col("q_emb"), col("n_emb")), 6)
+      rankTopK(cand
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("n_emb")),
+          Seq("neighbor_id"))
+        .join(broadcast(queriesRaw), Seq("q_id"))
+        .select(col("q_id"), col("neighbor_id"), sim.as("sim")))
+    },
+    // DuckDB replays the full chain: sub-vector split, seed → assign →
+    // recompute → assign codebook training on the integer distance
+    // grid, code encode, LUT build, exact HUGEINT-safe ADC sum,
+    // RefineK cut, exact-cosine re-rank.
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+            |), sub AS (
+            |  SELECT vec_id, blk, list_slice(v, CAST(blk * $PqSubDim + 1 AS BIGINT), CAST(blk * $PqSubDim + $PqSubDim AS BIGINT)) AS sv
+            |  FROM e, LATERAL unnest(range(0, $PqBlocks)) AS b(blk)
+            |), seeds AS (
+            |  SELECT blk, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < $PqCodes
+            |), a1 AS (
+            |  SELECT vec_id, blk, code, sv FROM (
+            |    SELECT s.vec_id, s.blk, c.code, s.sv,
+            |      row_number() OVER (PARTITION BY s.vec_id, s.blk ORDER BY
+            |        CAST(floor(${l2Sql("s.sv", "c.cv")} * 1000000 + 0.5) AS BIGINT), c.code) AS rn
+            |    FROM sub s JOIN seeds c ON s.blk = c.blk
+            |  ) WHERE rn = 1
+            |), cb AS (
+            |  SELECT blk, code, list(c ORDER BY i) AS cv FROM (
+            |    SELECT blk, code, i, avg(sv[i]) AS c
+            |    FROM a1, range(1, $PqSubDim + 1) t(i)
+            |    GROUP BY blk, code, i
+            |  ) GROUP BY blk, code
+            |), codes AS (
+            |  SELECT vec_id, blk, code FROM (
+            |    SELECT s.vec_id, s.blk, c.code,
+            |      row_number() OVER (PARTITION BY s.vec_id, s.blk ORDER BY
+            |        CAST(floor(${l2Sql("s.sv", "c.cv")} * 1000000 + 0.5) AS BIGINT), c.code) AS rn
+            |    FROM sub s JOIN cb c ON s.blk = c.blk
+            |  ) WHERE rn = 1
+            |), qlut AS (
+            |  SELECT s.vec_id AS q_id, s.blk, c.code,
+            |    CAST(floor(${l2Sql("s.sv", "c.cv")} * 1000000 + 0.5) AS BIGINT) AS dv
+            |  FROM sub s JOIN cb c ON s.blk = c.blk WHERE s.vec_id < $NumQueries
+            |), ad AS (
+            |  SELECT q.q_id, c.vec_id, sum(q.dv) AS adist
+            |  FROM codes c JOIN qlut q ON q.blk = c.blk AND q.code = c.code
+            |  WHERE c.vec_id <> q.q_id
+            |  GROUP BY q.q_id, c.vec_id
+            |), cand AS (
+            |  SELECT q_id, vec_id AS neighbor_id FROM (
+            |    SELECT q_id, vec_id,
+            |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS prnk
+            |    FROM ad
+            |  ) WHERE prnk <= $PqRefineK
+            |), s2 AS (
+            |  SELECT c.q_id, c.neighbor_id,
+            |    ${KMeans.cosSql("eq.v", "en.v")} AS sim
+            |  FROM cand c
+            |  JOIN e eq ON eq.vec_id = c.q_id
+            |  JOIN e en ON en.vec_id = c.neighbor_id
+            |), r AS (
+            |  SELECT q_id, neighbor_id, sim,
+            |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+            |  FROM s2
+            |)
+            |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // IVF-lite: per-label centroids (computed from the data — the
   // pre-trained coarse quantizer), queries probe the nprobe nearest
   // cells. At scale the corpus is partitioned/bucketed BY cell, so a
@@ -1087,9 +1257,15 @@ object Similarity {
   // integer arithmetic has one correct answer.
   // Width budget: factors cast DECIMAL(18,0) → products DECIMAL(36,0)
   // (DuckDB multiply widths ADD, so 38×38 errors out), sums
-  // DECIMAL(38,0); holds while |sx| < 1e18, i.e. ~1e12 rows/label
-  // (measured sf0.1 maxima: |sx| 4.4e6, SD 2.6e18 — 20 decimal
-  // digits of headroom).
+  // accumulate as DECIMAL(38,0) INTERNALLY but the hashed contract
+  // emits BIGINT: round 10 proved the driver's hash canonicalization
+  // of wide decimals (via double) is implementation-defined above
+  // 2^53, and this was the ONLY registry query with DECIMAL(38,0) in
+  // its output schema (green `agg_stats_exact` holds the same wide
+  // sums internally, derives doubles — and passes). |Σ| < 2^63 bound:
+  // measured sf0.1 maxima |sx| 4.4e6, SD 2.6e18 < 9.2e18 (~3.5×
+  // headroom; verify runs at sf0.01, far smaller), so the final
+  // BIGINT cast is exact — integer in, integer out.
   // Scale: ONE posexplode aggregate with conditional slice sums
   // (map-side combined to |labels|·d rows), then one label-sized
   // aggregate — the corpus shuffles nothing but partial sums, and no
@@ -1112,7 +1288,6 @@ object Similarity {
           sum(when(col("slice") === 1, col("gl")).otherwise(0L)).as("sx1"),
           sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n1"))
       val d18 = (x: org.apache.spark.sql.Column) => x.cast(DecimalType(18, 0))
-      val d38 = (x: org.apache.spark.sql.Column) => x.cast(DecimalType(38, 0))
       val diff = col("sx0") * col("n1") - col("sx1") * col("n0")
       cent.groupBy("label")
         .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
@@ -1121,8 +1296,8 @@ object Similarity {
           sum(d18(col("sx1")) * d18(col("sx1"))).as("s11"),
           sum(d18(diff) * d18(diff)).as("sd"))
         .select(col("label"), col("n0"), col("n1"),
-          d38(col("s01")).as("s01"), d38(col("s00")).as("s00"),
-          d38(col("s11")).as("s11"), d38(col("sd")).as("sd"))
+          col("s01").cast("long").as("s01"), col("s00").cast("long").as("s00"),
+          col("s11").cast("long").as("s11"), col("sd").cast("long").as("sd"))
         .orderBy("label")
     },
     Some("""WITH coords AS (
@@ -1138,11 +1313,11 @@ object Similarity {
            |  FROM coords GROUP BY 1, 2
            |)
            |SELECT label, max(n0) AS n0, max(n1) AS n1,
-           |  CAST(sum(CAST(sx0 AS DECIMAL(18,0)) * CAST(sx1 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s01,
-           |  CAST(sum(CAST(sx0 AS DECIMAL(18,0)) * CAST(sx0 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s00,
-           |  CAST(sum(CAST(sx1 AS DECIMAL(18,0)) * CAST(sx1 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s11,
+           |  CAST(sum(CAST(sx0 AS DECIMAL(18,0)) * CAST(sx1 AS DECIMAL(18,0))) AS BIGINT) AS s01,
+           |  CAST(sum(CAST(sx0 AS DECIMAL(18,0)) * CAST(sx0 AS DECIMAL(18,0))) AS BIGINT) AS s00,
+           |  CAST(sum(CAST(sx1 AS DECIMAL(18,0)) * CAST(sx1 AS DECIMAL(18,0))) AS BIGINT) AS s11,
            |  CAST(sum(CAST(sx0 * n1 - sx1 * n0 AS DECIMAL(18,0)) *
-           |           CAST(sx0 * n1 - sx1 * n0 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sd
+           |           CAST(sx0 * n1 - sx1 * n0 AS DECIMAL(18,0))) AS BIGINT) AS sd
            |FROM j GROUP BY label ORDER BY label""".stripMargin)
   )
 
@@ -1159,6 +1334,7 @@ object Similarity {
     "emb_project_top" -> projectTop,
     "ann_hybrid_rrf" -> hybridRrf,
     "emb_centroid_drift" -> centroidDrift,
-    "ann_multiprobe_topk" -> multiprobeTopK
+    "ann_multiprobe_topk" -> multiprobeTopK,
+    "ann_pq_topk" -> pqTopK
   )
 }

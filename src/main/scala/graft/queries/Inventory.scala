@@ -49,10 +49,35 @@ object Inventory {
     * count is explicit because AQE coalesces a count-less repartition
     * back to one partition for byte-small/CPU-heavy rows. On a wide
     * production scan this is a no-op: no shuffle is added.
+    *
+    * The partition-count probe runs ONLY on narrow plans (leaf scan +
+    * per-row ops): on a derived input, `.rdd` finalizes the adaptive
+    * plan and eagerly executes any upstream shuffle stages, whose
+    * results the real query then cannot reuse — paying that work
+    * twice. A derived input needs no rebalance anyway: its upstream
+    * exchange already fanned the rows to spark.sql.shuffle.partitions.
     */
   def rebalanced(df: DataFrame, key: String): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par, col(key)) else df
+    if (!narrowScan(df.queryExecution.logical)) df
+    else if (df.rdd.getNumPartitions < par) df.repartition(par, col(key))
+    else df
+  }
+
+  /** True when the plan is a leaf relation under only per-row
+    * (exchange-free) operators, so creating its RDD cannot trigger
+    * upstream stage execution.
+    */
+  private def narrowScan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: LeafNode => true
+      case n: Project => narrowScan(n.child)
+      case n: Filter => narrowScan(n.child)
+      case n: Generate => narrowScan(n.child)
+      case n: SubqueryAlias => narrowScan(n.child)
+      case _ => false
+    }
   }
 
   /** Rewrites `ts` to `TimestampType` from any of the three harness

@@ -3,25 +3,32 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ext.{MediaCodec, Multimodal}
-import graft.ext.Multimodal.{MediaItem, MediaFeatures}
+import graft.ext.Multimodal.MediaItem
 
 /** Multimodal plumbing: typed Dataset schema, per-partition decode,
-  * frame sampling — with the stub decoder.
+  * frame sampling — with the real byte-level codec.
   */
 class MultimodalSpec extends SparkSpec {
 
   private val d = sf()
 
-  test("decode stub is deterministic and total over the media set") {
-    val items = Multimodal.mediaFromDocuments(spark, d)
-    val feats = Multimodal.extractFeatures(items)
-    assert(feats.count() === items.count())
-    val twice = Multimodal.extractFeatures(items).collect().sortBy(_.media_id)
-    assert(twice.toSeq === feats.collect().sortBy(_.media_id).toSeq)
+  test("real decode is deterministic and total over the synthetic media set") {
+    val items = Multimodal.syntheticMedia(spark, d)
+    val dec = Multimodal.decodeMedia(items)
+    assert(dec.count() === items.count())
+    val twice = Multimodal.decodeMedia(items).collect().sortBy(_.media_id)
+    assert(twice.toSeq === dec.collect().sortBy(_.media_id).toSeq)
     twice.foreach { f =>
-      assert(f.width >= 1 && f.height >= 1)
-      assert(f.mean_byte >= 0.0 && f.mean_byte <= 255.0)
       assert(f.n_bytes > 0)
+      f.kind match {
+        case "image" =>
+          assert(f.width.exists(_ >= 1) && f.height.exists(_ >= 1))
+          assert(f.bits_per_pixel === Some(24))
+        case "audio" =>
+          assert(f.channels.exists(_ >= 1) && f.sample_rate.exists(_ > 0))
+          assert(f.n_samples.exists(_ >= 1))
+        case k => fail(s"unexpected kind $k — every synthetic payload must sniff")
+      }
     }
   }
 
@@ -60,14 +67,17 @@ class MultimodalSpec extends SparkSpec {
     assert(got === expected)
   }
 
-  test("features query aggregates per kind with frame totals") {
+  test("features query aggregates real decoded headers per kind") {
     val agg = Multimodal.features.build(spark, d).collect()
-    assert(agg.map(_.getString(0)).sorted.toSeq === Seq("audio", "image", "video"))
-    val video = agg.find(_.getString(0) == "video").get
-    assert(video.getLong(5) >= video.getLong(1)) // total_frames >= n_items
+    assert(agg.map(_.getString(0)).sorted.toSeq === Seq("audio", "image"))
     val image = agg.find(_.getString(0) == "image").get
-    assert(image.getLong(5) === image.getLong(1)) // 1 frame per non-video item
-    assert(image.getLong(6) === 0L)               // no sampled frames for images
+    assert(image.getInt(3) >= 2 && image.getInt(3) <= 32)   // min_width ∈ generator range
+    assert(image.getInt(4) >= 1 && image.getInt(4) <= 17)   // max_height ∈ generator range
+    assert(image.isNullAt(5) && image.isNullAt(6))          // no audio fields for images
+    val audio = agg.find(_.getString(0) == "audio").get
+    assert(audio.getLong(5) >= audio.getLong(1))            // ≥1 sample per clip
+    assert(Multimodal.WavRates.contains(audio.getInt(6)))   // max rate is a real rate
+    assert(audio.isNullAt(3) && audio.isNullAt(4))          // no image fields for audio
   }
 
   // ----------------------------------------------------------------
@@ -121,6 +131,37 @@ class MultimodalSpec extends SparkSpec {
     assert(ais.getFormat.getChannels === 2)
     assert(ais.getFormat.getSampleRate === 16000f)
     assert(ais.getFrameLength === 50L)
+  }
+
+  test("WAV parser terminates on corrupt chunk sizes (no infinite RIFF walk)") {
+    // A crafted chunk size like 0xFFFFFFF8 truncates to -8 via toInt,
+    // so a naive `off += 8 + sz.toInt` advances by 0 forever. decode()
+    // is the seam untrusted payloads reach — it must terminate and
+    // still report whatever header fields it parsed before the junk.
+    def wavWithChunk(id: String, szBytes: Array[Byte]): Array[Byte] = {
+      val base = MediaCodec.encodeWav(1, 8000, 4, i => i.toShort)
+      // insert the junk chunk between `fmt ` and `data` (data starts at 36)
+      val junk = id.getBytes("US-ASCII") ++ szBytes ++ Array.fill[Byte](4)(0)
+      base.take(36) ++ junk ++ base.drop(36)
+    }
+    for (sz <- Seq(
+        Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte), // -8: zero step
+        Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte), // huge: overflow
+        Array[Byte](0x00, 0x00, 0x00, 0x80.toByte))) {                   // 2^31: Int-negative
+      val dec = MediaCodec.decode(9L, wavWithChunk("LIST", sz))
+      assert(dec.kind === "audio") // sniffed before the walk
+      assert(dec.channels === Some(1) && dec.sample_rate === Some(8000),
+        "fmt fields parsed before the corrupt chunk survive")
+    }
+    // and a well-formed odd-sized chunk still word-aligns correctly past it
+    val odd = {
+      val base = MediaCodec.encodeWav(2, 16000, 3, i => i.toShort)
+      val junk = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](3, 0, 0, 0) ++ Array.fill[Byte](4)(0) // size 3 + pad byte
+      base.take(36) ++ junk ++ base.drop(36)
+    }
+    val ok = MediaCodec.decode(10L, odd)
+    assert(ok.n_samples === Some(3L), "walk must skip odd chunks with padding")
   }
 
   test("multimodal_decode parses every payload with no binary fallbacks") {

@@ -50,6 +50,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no registry query emits wide decimals in its hashed output schema") {
+    // Round-10 lesson (emb_centroid_drift, hash-red for three rounds):
+    // the driver's hash canonicalization routes DECIMAL through double,
+    // which is implementation-defined above 2^53. Wide decimals may
+    // exist INTERNALLY (agg_stats_exact does this and is green) but
+    // must never reach the output contract — derive a double, round,
+    // or cast to BIGINT/VARCHAR before the final select.
+    import org.apache.spark.sql.types.DecimalType
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val wide = fn(spark, d).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType]
+          && f.dataType.asInstanceOf[DecimalType].precision > 18 => f.name
+      }
+      assert(wide.isEmpty,
+        s"$name emits DecimalType(p>18) columns ${wide.mkString(",")} — " +
+          "the driver-hash double canonicalization trap; cast to BIGINT/DOUBLE/VARCHAR")
+    }
+  }
+
   test("aggregation queries use hash aggregation (partial+final capable)") {
     Seq(
       "a_group_agg" -> Inventory.aGroupAgg,
@@ -333,6 +352,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // probe → corpus on cluster
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_topk_pairs"), p) // bounded map-side top-k
+  }
+
+  test("PQ ANN: codebook, LUT, and query sides all broadcast; top-k is map-side bounded") {
+    // the ADC scan's scale contract: the only corpus-sized shuffles
+    // are the encode assignment windows and the (q_id, vec_id)
+    // long-sum — codebook/LUT/query joins must never shuffle the
+    // corpus, and the RefineK cut must reduce before exchanging
+    val p = plan(Similarity.pqTopK.build(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("partial_topk_pairs"), p)
   }
 
   test("JSON extraction is a native projected expression, not a UDF") {
