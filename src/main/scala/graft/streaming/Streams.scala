@@ -371,6 +371,79 @@ object Streams {
       }
   }
 
+  /** One tagged input row for [[asofEnrichedClicks]]: `side` 0 =
+    * purchase (the fill side), 1 = click (the probe side) — right
+    * before left at equal timestamps, the backward as-of join's
+    * inclusive `<=` tie rule.
+    */
+  final case class AsOfRow(user_id: Long, ts_us: Long, side: Int, event_id: Long, value: Double)
+
+  /** The held state: ONE latest-purchase record per user. */
+  final case class LastPurchase(user_id: Long, ts_us: Long, event_id: Long, value: Double)
+
+  /** An enriched click — the streaming as-of join's output row;
+    * purchase fields are None for clicks preceding any purchase
+    * (the batch join's NULL-keeping outer semantics).
+    */
+  final case class EnrichedClick(user_id: Long, click_id: Long, click_ts_us: Long,
+      purchase_id: Option[Long], purchase_ts_us: Option[Long], purchase_value: Option[Double])
+
+  /** The STREAMING deployment of the backward as-of join
+    * ([[graft.ext.AsOf.asofJoin]]) — the missing member of the as-of
+    * family's batch/stream story: each click is enriched with the
+    * same user's latest purchase at-or-before it, continuously. A
+    * watermarked interval join can't express "latest preceding over
+    * ALL history" (its state horizon IS the lookback bound), so this
+    * is the [[closedSessions]] pattern instead: per-user state via
+    * flatMapGroupsWithState, holding exactly one LastPurchase record
+    * — O(active users) state regardless of stream lifetime, the
+    * forward-fill frontier made incremental.
+    *
+    * Semantics mirror the batch operator exactly: inclusive at equal
+    * timestamps (purchases fold before clicks), equal-ts purchases
+    * tie-broken toward the larger event_id (the batch window's
+    * payload-struct tiebreak), clicks before any purchase keep None.
+    * Each micro-batch folds in event-time order; cross-batch
+    * stragglers older than the held frontier are the one case the
+    * O(1)-state fold cannot replay (they'd need purchase history) —
+    * as with every twin here, the batch join stays the from-scratch
+    * ground truth and the audit feeds event-time order, which
+    * production achieves with a watermarked reorder upstream. In
+    * production an event-time timeout evicts users idle past the
+    * retention horizon (the [[closedSessions]] eviction discipline).
+    */
+  def asofEnrichedClicks(
+      rows: org.apache.spark.sql.Dataset[AsOfRow])
+      : org.apache.spark.sql.Dataset[EnrichedClick] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[LastPurchase]
+    implicit val outEnc = Encoders.product[EnrichedClick]
+    implicit val keyEnc = Encoders.scalaLong
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastPurchase, EnrichedClick](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[AsOfRow], state: GroupState[LastPurchase]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[EnrichedClick]
+          var st = state.getOption.orNull
+          it.toArray.sortBy(r => (r.ts_us, r.side, r.event_id)).foreach { r =>
+            if (r.side == 0) {
+              if (st == null || r.ts_us > st.ts_us ||
+                  (r.ts_us == st.ts_us && r.event_id > st.event_id))
+                st = LastPurchase(user, r.ts_us, r.event_id, r.value)
+            } else {
+              out += (if (st == null)
+                EnrichedClick(user, r.event_id, r.ts_us, None, None, None)
+              else
+                EnrichedClick(user, r.event_id, r.ts_us,
+                  Some(st.event_id), Some(st.ts_us), Some(st.value)))
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming state for [[decayedCounters]]: the counter VALUE is
     * only meaningful together with the reference time it is held at.
     */

@@ -381,6 +381,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of enrichment audits against the batch asofJoin at sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    // event-time-ordered tagged stream (purchases side 0, clicks side
+    // 1) — the shape a watermarked reorder feeds in production
+    val tagged = graft.queries.Inventory.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("side"),
+        col("event_id"), col("value"))
+      .as[Streams.AsOfRow].collect().sortBy(r => (r.ts_us, r.side, r.event_id))
+    val (first, second) = tagged.splitAt(tagged.length / 2)
+    val mem = MemoryStream[Streams.AsOfRow]
+    val q = Streams.asofEnrichedClicks(mem.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_stream").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(4), r.getDouble(5))))).toMap
+    // batch ground truth: the oracle-verified as-of operator itself
+    val ev = graft.queries.Inventory.events(spark, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    val expected = graft.ext.AsOf.asofJoin(clicks, purchases,
+        key = "user_id", leftTs = "ts", rightTs = "pts",
+        rightPayload = Seq("purchase_id", "pts", "purchase_value"))
+      .select(col("click_id"), col("purchase_id"),
+        unix_micros(col("pts")).as("pus"), col("purchase_value"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getLong(1), r.getLong(2), r.getDouble(3))))).toMap
+    assert(expected.nonEmpty && expected.values.exists(_.isDefined),
+      "fixture must produce at least one enriched click")
+    assert(streamed.size === expected.size,
+      s"streaming emitted ${streamed.size} clicks, batch ${expected.size}")
+    expected.foreach { case (cid, exp) =>
+      assert(streamed(cid) === exp, s"click $cid: streaming ${streamed(cid)} vs batch $exp")
+    }
+  }
+
   test("streaming classifier gate bit-agrees with the batch quality classifier at sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
