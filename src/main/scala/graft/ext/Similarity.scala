@@ -489,65 +489,150 @@ object Similarity {
   private def l2Sql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
 
+  /** Integer distance grid: floor(d²·1e6 + 0.5) as long — assignment
+    * ranks and LUT entries compare exactly on both engines.
+    */
+  private def dgrid(a: Column, b: Column): Column =
+    floor(l2sq(a, b) * 1e6 + lit(0.5)).cast("long")
+
+  /** (vec_id, blk, sv): the PqBlocks sub-vectors of each vector. */
+  private def pqSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(PqBlocks - 1))).as("blk"))
+      .select(col("vec_id"), col("blk"),
+        slice(col("v"), col("blk") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+
+  /** Nearest-codeword assignment per (vector, block); grid-distance
+    * rank with code tiebreak.
+    */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "blk").orderBy(col("di"), col("code"))
+    sub.join(broadcast(cb), Seq("blk"))
+      .select(col("vec_id"), col("blk"), col("code"), col("sv"),
+        dgrid(col("sv"), col("cv")).as("di"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "blk", "code", "sv")
+  }
+
+  /** The trained per-block codebook: one Lloyd round from
+    * first-PqCodes-vector seeds (the KMeans.trained recipe, per block).
+    */
+  private def pqCodebook(sub: DataFrame): DataFrame = {
+    val seeds = sub.filter(col("vec_id") < PqCodes)
+      .select(col("blk"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+    pqAssign(sub, seeds)
+      .select(col("blk"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("blk", "code", "pos").agg(avg(col("x")).as("c"))
+      .groupBy("blk", "code")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("blk"), col("code"), transform(col("pc"), p => p.getField("c")).as("cv"))
+  }
+
+  /** Per-query lookup table: grid distance to EVERY codeword
+    * (Q·blocks·codes rows — broadcast at any corpus size).
+    */
+  private def pqQlut(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("blk"), col("sv"))
+      .join(cb, Seq("blk"))
+      .select(col("q_id"), col("blk"), col("code"), dgrid(col("sv"), col("cv")).as("dv"))
+
+  /** TopKPairs refine cut + exact-cosine re-rank — the shared tail of
+    * the PQ queries. `adist` columns: (q_id, vec_id, adist).
+    */
+  private def pqRefine(e: DataFrame, adist: DataFrame): DataFrame = {
+    val cand = adist
+      .groupBy("q_id")
+      .agg(graft.functions.TopKPairs.topk(
+        negate(col("adist").cast(DoubleType)), col("vec_id"), PqRefineK).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("p"))
+      .select(col("q_id"), col("p.id").as("neighbor_id"))
+    val queriesRaw = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_emb"))
+    val sim = roundPortable(cosine(col("q_emb"), col("n_emb")), 6)
+    rankTopK(cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("n_emb")),
+        Seq("neighbor_id"))
+      .join(broadcast(queriesRaw), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"), sim.as("sim")))
+  }
+
+  /** The shared PQ oracle CTE chain (sub-vector split → seed → assign
+    * → recompute codebook → encode → query LUT), ending in
+    * `codes(vec_id, blk, code)` and `qlut(q_id, blk, code, dv)`.
+    * Requires an `e(vec_id, v)` CTE upstream. Both PQ oracles build on
+    * this one string so the training recipe cannot drift between them.
+    */
+  private def pqCtes: String =
+    s"""sub AS (
+       |  SELECT vec_id, blk, list_slice(v, CAST(blk * $PqSubDim + 1 AS BIGINT), CAST(blk * $PqSubDim + $PqSubDim AS BIGINT)) AS sv
+       |  FROM e, LATERAL unnest(range(0, $PqBlocks)) AS b(blk)
+       |), seeds AS (
+       |  SELECT blk, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < $PqCodes
+       |), pqa1 AS (
+       |  SELECT vec_id, blk, code, sv FROM (
+       |    SELECT s.vec_id, s.blk, c.code, s.sv,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.blk ORDER BY
+       |        CAST(floor(${l2Sql("s.sv", "c.cv")} * 1000000 + 0.5) AS BIGINT), c.code) AS rn
+       |    FROM sub s JOIN seeds c ON s.blk = c.blk
+       |  ) WHERE rn = 1
+       |), cb AS (
+       |  SELECT blk, code, list(c ORDER BY i) AS cv FROM (
+       |    SELECT blk, code, i, avg(sv[i]) AS c
+       |    FROM pqa1, range(1, $PqSubDim + 1) t(i)
+       |    GROUP BY blk, code, i
+       |  ) GROUP BY blk, code
+       |), codes AS (
+       |  SELECT vec_id, blk, code FROM (
+       |    SELECT s.vec_id, s.blk, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.blk ORDER BY
+       |        CAST(floor(${l2Sql("s.sv", "c.cv")} * 1000000 + 0.5) AS BIGINT), c.code) AS rn
+       |    FROM sub s JOIN cb c ON s.blk = c.blk
+       |  ) WHERE rn = 1
+       |), qlut AS (
+       |  SELECT s.vec_id AS q_id, s.blk, c.code,
+       |    CAST(floor(${l2Sql("s.sv", "c.cv")} * 1000000 + 0.5) AS BIGINT) AS dv
+       |  FROM sub s JOIN cb c ON s.blk = c.blk WHERE s.vec_id < $NumQueries
+       |)""".stripMargin
+
+  /** The shared re-rank oracle tail: `ad(q_id, vec_id, adist)` →
+    * RefineK cut → exact-cosine top-k.
+    */
+  private def pqRefineSql: String =
+    s"""cand AS (
+       |  SELECT q_id, vec_id AS neighbor_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS prnk
+       |    FROM ad
+       |  ) WHERE prnk <= $PqRefineK
+       |), s2 AS (
+       |  SELECT c.q_id, c.neighbor_id,
+       |    ${KMeans.cosSql("eq.v", "en.v")} AS sim
+       |  FROM cand c
+       |  JOIN e eq ON eq.vec_id = c.q_id
+       |  JOIN e en ON en.vec_id = c.neighbor_id
+       |), r AS (
+       |  SELECT q_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM s2
+       |)
+       |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
   val pqTopK: Q = Q(
     (s, d) => {
       val e = emb(s, d).select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      // (vec_id, blk, sv): PqBlocks sub-vectors per vector
-      val sub = e
-        .select(col("vec_id"), col("v"),
-          explode(sequence(lit(0), lit(PqBlocks - 1))).as("blk"))
-        .select(col("vec_id"), col("blk"),
-          slice(col("v"), col("blk") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
-      // deterministic seeds: the first PqCodes vectors' sub-vectors
-      val seeds = sub.filter(col("vec_id") < PqCodes)
-        .select(col("blk"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
-      // integer distance grid — assignment ranks and LUT entries
-      // compare exactly on both engines
-      def dgrid(a: Column, b: Column): Column =
-        floor(l2sq(a, b) * 1e6 + lit(0.5)).cast("long")
-      def assignCodes(cb: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id", "blk").orderBy(col("di"), col("code"))
-        sub.join(broadcast(cb), Seq("blk"))
-          .select(col("vec_id"), col("blk"), col("code"), col("sv"),
-            dgrid(col("sv"), col("cv")).as("di"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select("vec_id", "blk", "code", "sv")
-      }
-      // one Lloyd round from the seeds = the trained per-block codebook
-      val cb = assignCodes(seeds)
-        .select(col("blk"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("blk", "code", "pos").agg(avg(col("x")).as("c"))
-        .groupBy("blk", "code")
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("blk"), col("code"), transform(col("pc"), p => p.getField("c")).as("cv"))
+      val sub = pqSub(e)
+      val cb = pqCodebook(sub)
       // the compressed index: 8 codes per corpus vector
-      val codes = assignCodes(cb).select("vec_id", "blk", "code")
-      // per-query LUT: distance to EVERY codeword (Q·blocks·codes rows)
-      val qlut = sub.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("blk"), col("sv"))
-        .join(cb, Seq("blk"))
-        .select(col("q_id"), col("blk"), col("code"), dgrid(col("sv"), col("cv")).as("dv"))
-      // ADC scan: per (query, candidate), sum the 8 looked-up grid
-      // distances — EXACT long arithmetic, map-side combined
-      val adist = codes.join(broadcast(qlut), Seq("blk", "code"))
+      val codes = pqAssign(sub, cb).select("vec_id", "blk", "code")
+      // flat ADC scan: per (query, candidate), sum the 8 looked-up
+      // grid distances — EXACT long arithmetic, map-side combined
+      val adist = codes.join(broadcast(pqQlut(sub, cb)), Seq("blk", "code"))
         .filter(col("vec_id") =!= col("q_id"))
         .groupBy("q_id", "vec_id")
         .agg(sum(col("dv")).as("adist"))
-      val cand = adist
-        .groupBy("q_id")
-        .agg(graft.functions.TopKPairs.topk(
-          negate(col("adist").cast(DoubleType)), col("vec_id"), PqRefineK).as("tk"))
-        .select(col("q_id"), explode(col("tk")).as("p"))
-        .select(col("q_id"), col("p.id").as("neighbor_id"))
-      val queriesRaw = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("q_emb"))
-      val sim = roundPortable(cosine(col("q_emb"), col("n_emb")), 6)
-      rankTopK(cand
-        .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("n_emb")),
-          Seq("neighbor_id"))
-        .join(broadcast(queriesRaw), Seq("q_id"))
-        .select(col("q_id"), col("neighbor_id"), sim.as("sim")))
+      pqRefine(e, adist)
     },
     // DuckDB replays the full chain: sub-vector split, seed → assign →
     // recompute → assign codebook training on the integer distance
@@ -555,58 +640,12 @@ object Similarity {
     // RefineK cut, exact-cosine re-rank.
     Some(s"""WITH e AS (
             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-            |), sub AS (
-            |  SELECT vec_id, blk, list_slice(v, CAST(blk * $PqSubDim + 1 AS BIGINT), CAST(blk * $PqSubDim + $PqSubDim AS BIGINT)) AS sv
-            |  FROM e, LATERAL unnest(range(0, $PqBlocks)) AS b(blk)
-            |), seeds AS (
-            |  SELECT blk, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < $PqCodes
-            |), a1 AS (
-            |  SELECT vec_id, blk, code, sv FROM (
-            |    SELECT s.vec_id, s.blk, c.code, s.sv,
-            |      row_number() OVER (PARTITION BY s.vec_id, s.blk ORDER BY
-            |        CAST(floor(${l2Sql("s.sv", "c.cv")} * 1000000 + 0.5) AS BIGINT), c.code) AS rn
-            |    FROM sub s JOIN seeds c ON s.blk = c.blk
-            |  ) WHERE rn = 1
-            |), cb AS (
-            |  SELECT blk, code, list(c ORDER BY i) AS cv FROM (
-            |    SELECT blk, code, i, avg(sv[i]) AS c
-            |    FROM a1, range(1, $PqSubDim + 1) t(i)
-            |    GROUP BY blk, code, i
-            |  ) GROUP BY blk, code
-            |), codes AS (
-            |  SELECT vec_id, blk, code FROM (
-            |    SELECT s.vec_id, s.blk, c.code,
-            |      row_number() OVER (PARTITION BY s.vec_id, s.blk ORDER BY
-            |        CAST(floor(${l2Sql("s.sv", "c.cv")} * 1000000 + 0.5) AS BIGINT), c.code) AS rn
-            |    FROM sub s JOIN cb c ON s.blk = c.blk
-            |  ) WHERE rn = 1
-            |), qlut AS (
-            |  SELECT s.vec_id AS q_id, s.blk, c.code,
-            |    CAST(floor(${l2Sql("s.sv", "c.cv")} * 1000000 + 0.5) AS BIGINT) AS dv
-            |  FROM sub s JOIN cb c ON s.blk = c.blk WHERE s.vec_id < $NumQueries
-            |), ad AS (
+            |), $pqCtes, ad AS (
             |  SELECT q.q_id, c.vec_id, sum(q.dv) AS adist
             |  FROM codes c JOIN qlut q ON q.blk = c.blk AND q.code = c.code
             |  WHERE c.vec_id <> q.q_id
             |  GROUP BY q.q_id, c.vec_id
-            |), cand AS (
-            |  SELECT q_id, vec_id AS neighbor_id FROM (
-            |    SELECT q_id, vec_id,
-            |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS prnk
-            |    FROM ad
-            |  ) WHERE prnk <= $PqRefineK
-            |), s2 AS (
-            |  SELECT c.q_id, c.neighbor_id,
-            |    ${KMeans.cosSql("eq.v", "en.v")} AS sim
-            |  FROM cand c
-            |  JOIN e eq ON eq.vec_id = c.q_id
-            |  JOIN e en ON en.vec_id = c.neighbor_id
-            |), r AS (
-            |  SELECT q_id, neighbor_id, sim,
-            |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
-            |  FROM s2
-            |)
-            |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin)
+            |), $pqRefineSql""".stripMargin)
   )
 
   // ------------------------------------------------------------------
@@ -749,6 +788,81 @@ object Similarity {
             |)
             |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin)
   )
+
+  // ------------------------------------------------------------------
+  // IVF + PQ — the composite FAISS calls `IVF<k>,PQ<m>` and the
+  // actual 100 TB-standard serving shape: the coarse k-means
+  // quantizer prunes WHICH vectors are scanned (probe the nprobe
+  // nearest cells — at scale the codes table is bucketed by cell, so
+  // this is partition pruning), and PQ compresses WHAT is scanned
+  // (codes + LUT sums instead of float vectors). The composition
+  // reuses the trained coarse quantizer of ann_ivf_kmeans_topk and
+  // the trained codebook/LUT of ann_pq_topk verbatim — both oracle
+  // chains already exist, so the composite's oracle is their
+  // concatenation plus a probed-cell candidate join. Codes are built
+  // on the full vectors rather than cell residuals (classic FAISS
+  // encodes residuals; the non-residual variant keeps the oracle
+  // exact and the plan shape identical — residual refinement would
+  // change constants, not data movement).
+  //
+  // Scale: probes, centroids, codebook, and LUT all broadcast; the
+  // ADC aggregate runs over probed cells only — nprobe/k of the
+  // corpus — and the exact re-rank reads Q·PqRefineK full rows.
+  // ------------------------------------------------------------------
+  val ivfpqTopK: Q = Q(
+    (s, d) => {
+      val raw = emb(s, d)
+      val e = raw.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      // coarse quantizer: trained cells + per-vector assignment
+      val cents = KMeans.trained(raw)
+      val assigned = KMeans.assign(raw, cents).select("vec_id", "cluster")
+      // PQ index: per-block codebook + per-vector codes
+      val sub = pqSub(e)
+      val cb = pqCodebook(sub)
+      val codes = pqAssign(sub, cb).select("vec_id", "blk", "code")
+      // query side: probe the nprobe nearest cells (the
+      // ann_ivf_kmeans_topk determinism recipe) + the ADC LUT
+      val queries = raw.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wCell = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cluster"),
+          roundPortable(cosine(col("q_emb"), col("centroid")), 6).as("csim"))
+        .withColumn("cr", row_number().over(wCell))
+        .filter(col("cr") <= NProbe)
+        .select("q_id", "cluster")
+      // ADC over PROBED cells only: the cell join prunes the corpus
+      // before any distance work; LUT lookups join on (q_id, blk,
+      // code) since each query scores only its own probes
+      val adist = assigned.join(broadcast(probes), Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(pqQlut(sub, cb)), Seq("q_id", "blk", "code"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(col("dv")).as("adist"))
+      pqRefine(e, adist)
+    },
+    // kmeans chain (cells) + PQ chain (codes/LUT) + probed-cell ADC
+    Some(s"""WITH ${KMeans.kmeansCtes}, $pqCtes, q AS (
+            |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries
+            |), cellrank AS (
+            |  SELECT q.q_id, c.cluster,
+            |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+            |      ${KMeans.cosSql("q.qv", "c.centroid")} DESC, c.cluster) AS cr
+            |  FROM q CROSS JOIN c1 c
+            |), probes AS (
+            |  SELECT q_id, cluster FROM cellrank WHERE cr <= $NProbe
+            |), ad AS (
+            |  SELECT p.q_id, a.vec_id, sum(l.dv) AS adist
+            |  FROM probes p
+            |  JOIN a2 a ON a.cluster = p.cluster AND a.vec_id <> p.q_id
+            |  JOIN codes c ON c.vec_id = a.vec_id
+            |  JOIN qlut l ON l.q_id = p.q_id AND l.blk = c.blk AND l.code = c.code
+            |  GROUP BY p.q_id, a.vec_id
+            |), $pqRefineSql""".stripMargin)
+  )
+
 
   // ------------------------------------------------------------------
   // Embedding hygiene — per-label L2-norm profile. The pre-flight
@@ -1335,6 +1449,7 @@ object Similarity {
     "ann_hybrid_rrf" -> hybridRrf,
     "emb_centroid_drift" -> centroidDrift,
     "ann_multiprobe_topk" -> multiprobeTopK,
-    "ann_pq_topk" -> pqTopK
+    "ann_pq_topk" -> pqTopK,
+    "ann_ivfpq_topk" -> ivfpqTopK
   )
 }

@@ -359,10 +359,17 @@ class PlanSpec extends SparkSpec {
     // are the encode assignment windows and the (q_id, vec_id)
     // long-sum — codebook/LUT/query joins must never shuffle the
     // corpus, and the RefineK cut must reduce before exchanging
-    val p = plan(Similarity.pqTopK.build(spark, d))
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
-    assert(p.contains("partial_topk_pairs"), p)
+    Seq("ann_pq_topk" -> Similarity.pqTopK, "ann_ivfpq_topk" -> Similarity.ivfpqTopK)
+      .foreach { case (name, q) =>
+        val p = plan(q.build(spark, d))
+        assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+        assert(p.contains("partial_topk_pairs"), s"$name:\n$p")
+      }
+    // flat PQ has no probe ranking, so not even a broadcast nested
+    // loop may appear (ivfpq keeps the Q×k probe crossJoin, broadcast
+    // small side — the ivfKmeansTopK precedent)
+    assert(!plan(Similarity.pqTopK.build(spark, d)).contains("BroadcastNestedLoop"))
   }
 
   test("JSON extraction is a native projected expression, not a UDF") {
