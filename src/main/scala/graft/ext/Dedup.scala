@@ -289,6 +289,37 @@ object Dedup {
       IndexedSeq.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
+  /** JVM-side replica of the whole signature path — tokenize, 3-gram
+    * shingle, [[hash60]] (the same static digest helper the Catalyst
+    * expression calls), distinct on the HASH (mirroring
+    * shinglePostsDf's collect_set(hs)), then the k affine MinHash
+    * maps. Bit-parity with [[lshBands]] is asserted by StreamingSpec
+    * per document; the streaming near-dup gate
+    * ([[graft.streaming.Streams.nearDupGate]]) scores arriving docs
+    * with exactly the index the batch pipeline builds. Returns an
+    * empty array for docs with fewer than 3 tokens (no shingles —
+    * such docs generate no posting rows batch-side either).
+    */
+  def minhashSignatureJvm(text: String): Array[Long] = {
+    val toks = text.trim.toLowerCase.split("\\s+")
+    if (toks.length < 3) return Array.emptyLongArray
+    val hs = (0 until toks.length - 2)
+      .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+      .map(sh => graft.functions.Hash60.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sh)))
+      .toSet
+    Array.tabulate(NumHashes) { i =>
+      var m = Long.MaxValue
+      hs.foreach { h => val v = (coefA(i) * (h % P) + coefB(i)) % P; if (v < m) m = v }
+      m
+    }
+  }
+
+  /** The 16 packed band keys of a signature (m₂ⱼ·p + m₂ⱼ₊₁). */
+  def bandKeysJvm(sig: Array[Long]): Seq[(Int, Long)] =
+    if (sig.isEmpty) Seq.empty
+    else (0 until Bands).map(j => j -> (sig(2 * j) * P + sig(2 * j + 1)))
+
   /** doc_id → (band, key) pairs, one row per band.
     *
     * Each shingle is hashed ONCE ([[hash60]]), reduced mod p, then the

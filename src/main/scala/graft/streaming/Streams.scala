@@ -444,6 +444,81 @@ object Streams {
       }
   }
 
+  /** One (band, key) posting of an arriving document's MinHash
+    * signature, for [[nearDupGate]].
+    */
+  final case class TaggedBand(band: Int, key: Long, doc_id: Long, sig: Array[Long])
+
+  /** Per-bucket state: the FIRST document that claimed this bucket,
+    * with its signature (needed to score later arrivals).
+    */
+  final case class BucketOwner(doc_id: Long, sig: Array[Long])
+
+  /** A near-dup candidate hit: an arriving doc collided with the
+    * bucket's first claimant in `band`; est_sim is the fraction of
+    * agreeing MinHash components (the dedup_minhash_estimate measure).
+    */
+  final case class NearDupHit(doc_id: Long, first_doc: Long, band: Int, est_sim: Double)
+
+  /** Streaming NEAR-dup ingest gate — the production deployment of
+    * the MinHash-LSH dedup ([[graft.ext.Dedup.minhashLsh]]):
+    * documents stream in, each computes its signature STATELESSLY
+    * (JVM replica of the batch universal-hash pipeline,
+    * [[graft.ext.Dedup.minhashSignatureJvm]] — StreamingSpec asserts
+    * per-doc bit-parity with the Catalyst lshBands), fans out to its
+    * 16 band keys, and each band bucket keeps ONE owner record (the
+    * first claimant + its 32-long signature). Later arrivals in any
+    * bucket emit a candidate hit scored by signature agreement —
+    * `dropDuplicatesWithinWatermark` generalized from exact ids to
+    * near-duplicate content.
+    *
+    * State: one ~300-byte owner record per DISTINCT band bucket seen,
+    * hash-partitioned on (band, key) — at 100 TB-scale ingest the
+    * retention watermark evicts idle buckets (the standard TTL; the
+    * batch pipeline remains the from-scratch ground truth and catches
+    * anything the horizon missed). Unlike the batch path there is no
+    * MaxBucket drop: arrival cost per doc is O(bands), independent of
+    * bucket population, because only the owner is held.
+    */
+  def nearDupGate(
+      docs: org.apache.spark.sql.Dataset[(Long, String)])
+      : org.apache.spark.sql.Dataset[NearDupHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val bandEnc = Encoders.product[TaggedBand]
+    implicit val stateEnc = Encoders.product[BucketOwner]
+    implicit val outEnc = Encoders.product[NearDupHit]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    val k = graft.ext.Dedup.NumHashes
+    val tagged = docs.mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val sig = graft.ext.Dedup.minhashSignatureJvm(text)
+        graft.ext.Dedup.bandKeysJvm(sig).iterator
+          .map { case (b, key) => TaggedBand(b, key, id, sig) }
+      }
+    }
+    tagged.groupByKey(t => (t.band, t.key))
+      .flatMapGroupsWithState[BucketOwner, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bk: (Int, Long), rows: Iterator[TaggedBand], state: GroupState[BucketOwner]) =>
+          val arrivals = rows.toArray.sortBy(_.doc_id)
+          var owner = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+          arrivals.foreach { t =>
+            if (owner == null) {
+              owner = BucketOwner(t.doc_id, t.sig)
+            } else if (t.doc_id != owner.doc_id) {
+              var agree = 0
+              var i = 0
+              while (i < k) { if (t.sig(i) == owner.sig(i)) agree += 1; i += 1 }
+              out += NearDupHit(t.doc_id, owner.doc_id, bk._1, agree.toDouble / k)
+            }
+          }
+          if (owner != null) state.update(owner)
+          out.iterator
+      }
+  }
+
   /** Streaming state for [[decayedCounters]]: the counter VALUE is
     * only meaningful together with the reference time it is held at.
     */

@@ -430,6 +430,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup gate: JVM signatures bit-match lshBands; hits are the first-claimant pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val docsDf = spark.read.parquet(s"$d/documents.parquet")
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    // 1) bit-parity: the JVM signature path must produce EXACTLY the
+    // (band, key) rows the Catalyst lshBands pipeline produces
+    val batchKeys = graft.ext.Dedup.lshBands(
+        graft.ext.Dedup.shinglePostsDf(docsDf, graft.ext.Dedup.hash60))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    val jvmKeys = docs.map { case (id, text) =>
+      id -> graft.ext.Dedup.bandKeysJvm(
+        graft.ext.Dedup.minhashSignatureJvm(text)).toSet
+    }.toMap
+    assert(jvmKeys.filter(_._2.nonEmpty) === batchKeys,
+      "JVM signature path diverged from the Catalyst lshBands pipeline")
+    // 2) gate semantics: feeding doc_id order, hits must be exactly
+    // { (member, min-member) } per batch bucket, deduplicated by band
+    val expected = batchKeys.toSeq
+      .flatMap { case (id, keys) => keys.map(k => (k, id)) }
+      .groupBy(_._1).values
+      .flatMap { members =>
+        val ids = members.map(_._2).sorted
+        ids.tail.map(m => (m, ids.head))
+      }.toSet
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nearDupGate(mem.toDS())
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("neardup_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(expected.nonEmpty, "fixture must produce at least one colliding bucket")
+    assert(hits.map(h => (h._1, h._2)).toSet === expected,
+      "streaming hits must be the batch buckets' first-claimant pairs")
+    // 3) est_sim is the signature-agreement fraction, recomputed here
+    val sigs = docs.map { case (id, t) => id -> graft.ext.Dedup.minhashSignatureJvm(t) }.toMap
+    hits.foreach { case (doc, first0, est) =>
+      val (a, b) = (sigs(doc), sigs(first0))
+      val agree = a.indices.count(i => a(i) == b(i))
+      assert(est === agree.toDouble / graft.ext.Dedup.NumHashes, s"pair ($doc,$first0)")
+      // a band collision means both of that band's components agree
+      assert(est >= 2.0 / graft.ext.Dedup.NumHashes - 1e-9,
+        s"colliding pair ($doc,$first0) must share at least its banding evidence")
+    }
+  }
+
   test("streaming classifier gate bit-agrees with the batch quality classifier at sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
