@@ -73,8 +73,12 @@ object Clusters {
     // rejoin as singletons at the end. At 100 TB this is the
     // difference between iterating over megabytes and iterating over
     // the corpus.
-    var labels = edges.select(col("src").as("doc_id"))
-      .repartition(p, col("doc_id")).distinct()
+    // distinct/aggregate FIRST (keeps the map-side partial pass — a
+    // repartition below the aggregate would shuffle every raw row),
+    // then repartition the REDUCED vertex-sized result to p so the
+    // next round's dst-join co-locates with `edges` at no exchange
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .repartition(p, col("doc_id"))
       .select(col("doc_id"), col("doc_id").as("label")).cache()
     // labels only ever DECREASE, so Σlabel is strictly monotone until
     // the fixpoint — comparing sums detects convergence with one
@@ -85,14 +89,18 @@ object Clusters {
     // any failure inside the loop (including the non-convergence
     // throw) must not leak the cached intermediates into a long-lived
     // session that will retry with a higher maxIter.
-    // Loop-internal shuffles are partitioned EXPLICITLY at p
-    // (repartition before each aggregate) rather than by flipping the
+    // Loop-internal partitioning is set EXPLICITLY at p (a repartition
+    // of each round's REDUCED labels) rather than by flipping the
     // session's spark.sql.shuffle.partitions for the loop's duration —
     // a session-conf mutation races any concurrent query on the same
     // SparkSession, which would plan at p (possibly 1) partitions.
-    // The explicit hashpartitioning(doc_id, p) is then REUSED by the
-    // groupBy and by the next round's dst-join, so no extra exchange
-    // appears in the per-round plan.
+    // Order matters: the min-aggregate runs first at the session
+    // setting WITH its map-side partial pass (repartitioning below
+    // the aggregate would shuffle every raw union row — O(|edges|)
+    // per round instead of the combined O(|vertices|)), and only the
+    // vertex-sized result re-exchanges to hashpartitioning(doc_id, p),
+    // which the next round's dst-join then reuses against `edges`
+    // with no further exchange.
     try {
       var prevSum = labelSum(labels)
       var iter = 0
@@ -106,8 +114,8 @@ object Clusters {
           .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
           .select(col("src").as("doc_id"), col("label"))
         val next = labels.union(viaNeighbor)
-          .repartition(p, col("doc_id"))
           .groupBy("doc_id").agg(min("label").as("label"))
+          .repartition(p, col("doc_id"))
           .cache()
         // materialize next BEFORE dropping the old cache (next's
         // lineage reads `labels`; unpersisting first would recompute

@@ -301,7 +301,14 @@ object Dedup {
     * such docs generate no posting rows batch-side either).
     */
   def minhashSignatureJvm(text: String): Array[Long] = {
-    val toks = text.trim.toLowerCase.split("\\s+")
+    // EXACT batch-tokenizer semantics, not java.lang.String's: SQL
+    // trim strips only the space character (String.trim strips all
+    // chars <= U+0020), SQL lower is UTF8String.toLowerCase, and SQL
+    // split keeps trailing empty tokens (String.split drops them) —
+    // a doc ending in '\n' tokenizes as [a,b,c,""] batch-side and the
+    // shingle "b c " must exist here too or the gate mis-buckets it.
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+    val toks = u.trim().toLowerCase.toString.split("\\s+", -1)
     if (toks.length < 3) return Array.emptyLongArray
     val hs = (0 until toks.length - 2)
       .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")

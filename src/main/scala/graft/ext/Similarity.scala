@@ -1372,14 +1372,17 @@ object Similarity {
   // Width budget: factors cast DECIMAL(18,0) → products DECIMAL(36,0)
   // (DuckDB multiply widths ADD, so 38×38 errors out), sums
   // accumulate as DECIMAL(38,0) INTERNALLY but the hashed contract
-  // emits BIGINT: round 10 proved the driver's hash canonicalization
-  // of wide decimals (via double) is implementation-defined above
-  // 2^53, and this was the ONLY registry query with DECIMAL(38,0) in
-  // its output schema (green `agg_stats_exact` holds the same wide
-  // sums internally, derives doubles — and passes). |Σ| < 2^63 bound:
-  // measured sf0.1 maxima |sx| 4.4e6, SD 2.6e18 < 9.2e18 (~3.5×
-  // headroom; verify runs at sf0.01, far smaller), so the final
-  // BIGINT cast is exact — integer in, integer out.
+  // emits the decimal's exact DIGIT STRING: round 10 proved the
+  // driver's hash canonicalization of wide decimals (via double) is
+  // implementation-defined above 2^53, and this was the ONLY registry
+  // query with DECIMAL(38,0) in its output schema (green
+  // `agg_stats_exact` holds the same wide sums internally, derives
+  // doubles — and passes). A BIGINT cast would NOT be safe here: SD
+  // grows QUARTICALLY with corpus size (sx∝f and n∝f ⇒ diff²∝f⁴;
+  // measured 2.6e18 at sf0.1, so 2^63 falls at only ~1.4× sf0.1 and
+  // Spark's non-ANSI decimal→long cast nulls silently). The digit
+  // string is exact on both engines at any width up to the
+  // DECIMAL(38) budget — overflow there sits at ~10⁴× sf0.1.
   // Scale: ONE posexplode aggregate with conditional slice sums
   // (map-side combined to |labels|·d rows), then one label-sized
   // aggregate — the corpus shuffles nothing but partial sums, and no
@@ -1410,8 +1413,8 @@ object Similarity {
           sum(d18(col("sx1")) * d18(col("sx1"))).as("s11"),
           sum(d18(diff) * d18(diff)).as("sd"))
         .select(col("label"), col("n0"), col("n1"),
-          col("s01").cast("long").as("s01"), col("s00").cast("long").as("s00"),
-          col("s11").cast("long").as("s11"), col("sd").cast("long").as("sd"))
+          col("s01").cast("string").as("s01"), col("s00").cast("string").as("s00"),
+          col("s11").cast("string").as("s11"), col("sd").cast("string").as("sd"))
         .orderBy("label")
     },
     Some("""WITH coords AS (
@@ -1427,11 +1430,11 @@ object Similarity {
            |  FROM coords GROUP BY 1, 2
            |)
            |SELECT label, max(n0) AS n0, max(n1) AS n1,
-           |  CAST(sum(CAST(sx0 AS DECIMAL(18,0)) * CAST(sx1 AS DECIMAL(18,0))) AS BIGINT) AS s01,
-           |  CAST(sum(CAST(sx0 AS DECIMAL(18,0)) * CAST(sx0 AS DECIMAL(18,0))) AS BIGINT) AS s00,
-           |  CAST(sum(CAST(sx1 AS DECIMAL(18,0)) * CAST(sx1 AS DECIMAL(18,0))) AS BIGINT) AS s11,
-           |  CAST(sum(CAST(sx0 * n1 - sx1 * n0 AS DECIMAL(18,0)) *
-           |           CAST(sx0 * n1 - sx1 * n0 AS DECIMAL(18,0))) AS BIGINT) AS sd
+           |  CAST(CAST(sum(CAST(sx0 AS DECIMAL(18,0)) * CAST(sx1 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS s01,
+           |  CAST(CAST(sum(CAST(sx0 AS DECIMAL(18,0)) * CAST(sx0 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS s00,
+           |  CAST(CAST(sum(CAST(sx1 AS DECIMAL(18,0)) * CAST(sx1 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS s11,
+           |  CAST(CAST(sum(CAST(sx0 * n1 - sx1 * n0 AS DECIMAL(18,0)) *
+           |           CAST(sx0 * n1 - sx1 * n0 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sd
            |FROM j GROUP BY label ORDER BY label""".stripMargin)
   )
 

@@ -183,8 +183,8 @@ class ExtSpec extends SparkSpec {
     // so no engine's decimal→double cast can ever hash-flip the row.
     val r = Similarity.centroidDrift.build(spark, d).collect()
       .map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
-        BigInt(x.getLong(3)), BigInt(x.getLong(4)),
-        BigInt(x.getLong(5)), BigInt(x.getLong(6))))
+        BigInt(x.getString(3)), BigInt(x.getString(4)),
+        BigInt(x.getString(5)), BigInt(x.getString(6))))
     assert(r.map(_._1).toSeq === (0 to 9))
     val nVecs = spark.read.parquet(s"$d/embeddings.parquet").count()
     assert(r.map(x => x._2 + x._3).sum === nVecs, "slice counts must cover the corpus")

@@ -449,6 +449,27 @@ class StreamingSpec extends SparkSpec {
     }.toMap
     assert(jvmKeys.filter(_._2.nonEmpty) === batchKeys,
       "JVM signature path diverged from the Catalyst lshBands pipeline")
+    // parity must hold for whitespace the fixtures don't exercise:
+    // SQL trim strips ONLY spaces and SQL split keeps trailing empty
+    // tokens, so a trailing '\n' yields tokens [..., ""] and shingles
+    // like "b c " — a String.trim/split replica would mis-bucket these
+    val nasty = Seq(
+      901L -> "alpha beta gamma delta\n",
+      902L -> "\talpha beta gamma",
+      903L -> "  alpha beta gamma epsilon  ",
+      904L -> "alpha  beta gamma\r\n",
+      905L -> "ALPHA Beta gamma")
+    val nastyBatch = graft.ext.Dedup.lshBands(
+        graft.ext.Dedup.shinglePostsDf(
+          nasty.toDF("doc_id", "text"), graft.ext.Dedup.hash60))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    val nastyJvm = nasty.map { case (id, text) =>
+      id -> graft.ext.Dedup.bandKeysJvm(
+        graft.ext.Dedup.minhashSignatureJvm(text)).toSet
+    }.filter(_._2.nonEmpty).toMap
+    assert(nastyJvm === nastyBatch,
+      "JVM signature path diverged on leading/trailing whitespace edge cases")
     // 2) gate semantics: feeding doc_id order, hits must be exactly
     // { (member, min-member) } per batch bucket, deduplicated by band
     val expected = batchKeys.toSeq

@@ -10,8 +10,10 @@ duplication: a verbatim copy would make every original a near-dup of
 its replicas, quadratically exploding the dedup queries' OUTPUT for
 data reasons and masking any real plan pathology. Text replicas get a
 salt token interleaved every 3 tokens (destroys shingle overlap across
-replicas); embedding replicas get +-0.15 hash-noise per dim (pushes
-replica cosine well below the dedup taus). Events/orders/lineitem keep
+replicas); embedding replicas get a cyclic dimension shift plus
++-0.05 hash-noise per dim (together pushing replica cosine below the
+dedup taus; the r = 0 slice of every table is the source data
+verbatim). Events/orders/lineitem keep
 their key distributions (same users/customers, Nx depth) - the growth
 shape a production corpus actually has.
 
@@ -85,7 +87,9 @@ FROM src, {reps}
 # events: id offset + deterministic sub-hour jitter; same users (Nx depth)
 gen("events", f"""
 SELECT event_id + r * 100000000 AS event_id,
-  ts + to_seconds(r * 37 + CAST(hash(event_id * 7 + r) % 601 AS BIGINT) - 300) AS ts,
+  CASE WHEN r = 0 THEN ts
+    ELSE ts + to_seconds(r * 37 + CAST(hash(event_id * 7 + r) % 601 AS BIGINT) - 300)
+  END AS ts,
   user_id, event_type, value, props
 FROM src, {reps}
 """)
