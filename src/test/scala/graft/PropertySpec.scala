@@ -160,6 +160,28 @@ class PropertySpec extends SparkSpec {
     assert(overLongs(Functions.rankCategory, Seq(1L)) === Seq("#1 Term"))
   }
 
+  test("minhashSignatureJvm band keys equal lshBands on random whitespace-laden text") {
+    // the streaming near-dup gate's bit-parity contract, stressed with
+    // GENERATED text over an alphabet rich in the characters where
+    // java.lang.String and Spark SQL semantics diverge (tabs, newlines,
+    // CR, multiple spaces, mixed case, unicode letters) — one Spark
+    // job for all samples, per this suite's convention
+    val s = spark; import s.implicits._
+    val alphabet = "ab cd\tef\ngh\rij  kl MN Op é ß 0"
+    def randText(): String =
+      (0 until (rnd.nextInt(60) + 1)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (0L until 200L).map(i => i -> randText()) ++
+      Seq(200L -> " ", 201L -> "", 202L -> "\t\n", 203L -> "a b c\n", 204L -> "x  y\tz ")
+    val batch = graft.ext.Dedup.lshBands(
+        graft.ext.Dedup.shinglePostsDf(docs.toDF("doc_id", "text"), graft.ext.Dedup.hash60))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    val jvm = docs.map { case (id, text) =>
+      id -> graft.ext.Dedup.bandKeysJvm(graft.ext.Dedup.minhashSignatureJvm(text)).toSet
+    }.filter(_._2.nonEmpty).toMap
+    assert(jvm === batch, "JVM signature path diverged from lshBands on generated text")
+  }
+
   test("MediaCodec encode→decode is the identity on header fields for random parameters") {
     import graft.ext.MediaCodec
     for (_ <- 1 to 100) {
