@@ -509,11 +509,67 @@ object AsOf {
            |FROM j ORDER BY event_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // TOLERANCE-bounded as-of: the backward join with a staleness cap —
+  // pandas `merge_asof(tolerance=...)` / polars `join_asof(tolerance)`
+  // semantics, the missing member of the directed/bucketed/nearest
+  // family. A preceding match older than the tolerance is DISCARDED
+  // (not replaced by an older one): attribution windows, sensor
+  // staleness gates, feature-freshness SLAs. Composed per the build
+  // rules: the one-shuffle backward primitive carries (id, ts), and a
+  // pure codegen projection gates on Δt — the tolerance adds ZERO
+  // plan cost over the plain as-of. Statuses distinguish "no prior
+  // purchase ever" (none) from "prior purchase too stale" (expired).
+  // Harness (user_id, ts) purchase pairs are unique at µs precision
+  // (the eventsAsofNearest check), so no payload tiebreak is needed.
+  // ------------------------------------------------------------------
+  val TolUs: Long = 6L * 3600 * 1000000 // 6 hours
+
+  val eventsAsofTolerance: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purch = ev.filter(col("event_type") === "purchase")
+      val joined = asofJoin(clicks,
+        purch.select(col("user_id"), col("event_id").as("prev_id"),
+          col("ts").as("prev_ts"), col("value").as("prev_value")),
+        key = "user_id", leftTs = "ts", rightTs = "prev_ts",
+        rightPayload = Seq("prev_id", "prev_ts", "prev_value"))
+      val dPrev = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+      val within = col("prev_id").isNotNull && dPrev <= TolUs
+      joined.select(col("user_id"), col("event_id"),
+        when(within, col("prev_id")).as("purchase_id"),
+        when(within, dPrev).as("delta_us"),
+        when(within, col("prev_value")).as("purchase_value"),
+        when(col("prev_id").isNull, "none").when(within, "matched")
+          .otherwise("expired").as("match_status"))
+        .orderBy("event_id")
+    },
+    Some(s"""WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+            |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts, value AS p_value
+            |      FROM events WHERE event_type = 'purchase'),
+            |b AS (SELECT c.user_id, c.event_id, c.ts, p.p_id, p.p_ts, p.p_value
+            |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts)
+            |SELECT user_id, event_id,
+            |  CASE WHEN p_id IS NOT NULL AND epoch_us(ts) - epoch_us(p_ts) <= $TolUs
+            |       THEN p_id END AS purchase_id,
+            |  CASE WHEN p_id IS NOT NULL AND epoch_us(ts) - epoch_us(p_ts) <= $TolUs
+            |       THEN epoch_us(ts) - epoch_us(p_ts) END AS delta_us,
+            |  CASE WHEN p_id IS NOT NULL AND epoch_us(ts) - epoch_us(p_ts) <= $TolUs
+            |       THEN p_value END AS purchase_value,
+            |  CASE WHEN p_id IS NULL THEN 'none'
+            |       WHEN epoch_us(ts) - epoch_us(p_ts) <= $TolUs THEN 'matched'
+            |       ELSE 'expired' END AS match_status
+            |FROM b ORDER BY event_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "events_asof_rates" -> eventsAsofRates,
     "events_asof_rates_bucketed" -> eventsAsofRatesBucketed,
     "events_asof_next" -> eventsAsofNext,
     "events_asof_next_bucketed" -> eventsAsofNextBucketed,
-    "events_asof_nearest" -> eventsAsofNearest)
+    "events_asof_nearest" -> eventsAsofNearest,
+    "events_asof_tolerance" -> eventsAsofTolerance)
 
 }

@@ -167,8 +167,210 @@ object Graph {
            |ORDER BY 1, 2, 3""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // TextRank keyword extraction (Mihalcea & Tarau, "TextRank: Bringing
+  // Order into Text", EMNLP 2004 — public algorithm): run the same
+  // power method over the word CO-OCCURRENCE graph of the corpus, per
+  // language. Nodes = tokens, edges = adjacent-token pairs within a
+  // document (window 2, the paper's default), undirected — realized as
+  // both directed arcs sharing one weight — with self-loops (`a a`)
+  // excluded. Scores follow the paper's recurrence
+  //   WS(v) = (1-d) + d * Σ_{u→v} (w_uv / Σ_k w_uk) * WS(u)
+  // (classic TextRank teleports to 1-d, NOT (1-d)/N — mass is not
+  // normalized) from the all-ones start, k=3 fixed iterations, and the
+  // top-K tokens per language are the extracted keywords.
+  //
+  // Engine shape vs scale: the edge build is the `text_top_bigrams`
+  // aggregate (per-doc lead() + groupBy), so edge count = distinct
+  // bigram count and node count = vocabulary — both Heaps-law
+  // SUBLINEAR in corpus size, which is what makes corpus-level
+  // TextRank tractable at 100 TB: the iteration state is O(vocab)
+  // rows and each step is one equi-join on (lang, src) reusing the
+  // same shuffle keying, exactly like [[pagerank]]. Ranking happens on
+  // the ROUNDED (1e-6 grid, the repo's standard double contract)
+  // score with a token tie-break, so the published top-K is
+  // deterministic across engines.
+  // ------------------------------------------------------------------
+  val TextRankIters = 3
+  val TextRankK = 10
+
+  val textrankKeywords: Q = Q(
+    (s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val adj = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+        .withColumn("t1", lead("t", 1).over(w))
+        .filter(col("t1").isNotNull && col("t1") =!= col("t"))
+      val und = adj
+        .groupBy(col("lang"),
+          least(col("t"), col("t1")).as("a"),
+          greatest(col("t"), col("t1")).as("b"))
+        .agg(count(lit(1)).as("wgt"))
+      val edges = und.select(col("lang"), col("a").as("src"), col("b").as("dst"), col("wgt"))
+        .unionAll(und.select(col("lang"), col("b").as("src"), col("a").as("dst"), col("wgt")))
+        .withColumn("p", col("wgt").cast(DoubleType) /
+          sum(col("wgt")).over(Window.partitionBy("lang", "src")).cast(DoubleType))
+      val nodes = edges.select(col("lang"), col("src").as("node")).distinct()
+      var ranks: DataFrame = nodes.select(col("lang"), col("node"), lit(1.0).as("r"))
+      for (_ <- 1 to TextRankIters) {
+        val contrib = edges
+          .join(ranks.withColumnRenamed("node", "src"), Seq("lang", "src"))
+          .groupBy(col("lang"), col("dst").as("node"))
+          .agg(sum(col("r") * col("p")).as("c"))
+        ranks = nodes
+          .join(contrib, Seq("lang", "node"), "left")
+          .select(col("lang"), col("node"),
+            (lit(0.15) + lit(Damping) * coalesce(col("c"), lit(0.0))).as("r"))
+      }
+      val wRank = Window.partitionBy("lang").orderBy(col("score").desc, col("term"))
+      ranks
+        .select(col("lang"), col("node").as("term"), roundPortable(col("r"), 6).as("score"))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= TextRankK)
+        .orderBy("lang", "rnk")
+    },
+    Some {
+      val iter = (k: Int) =>
+        s"""r$k AS (
+           |  SELECT nodes.lang, nodes.node, 0.15 + 0.85 * coalesce(c.c, 0) AS r
+           |  FROM nodes
+           |  LEFT JOIN (
+           |    SELECT p.lang, p.dst AS node, sum(r${k - 1}.r * p.p) AS c
+           |    FROM p JOIN r${k - 1} ON r${k - 1}.lang = p.lang AND r${k - 1}.node = p.src
+           |    GROUP BY 1, 2
+           |  ) c ON c.lang = nodes.lang AND c.node = nodes.node
+           |)""".stripMargin
+      s"""WITH tok AS (
+         |  SELECT lang, toks[i] AS t, toks[i + 1] AS t1
+         |  FROM (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |       LATERAL unnest(range(1, len(toks))) AS r(i)
+         |  WHERE toks[i] <> toks[i + 1]
+         |), und AS (
+         |  SELECT lang, least(t, t1) AS a, greatest(t, t1) AS b, count(*) AS wgt
+         |  FROM tok GROUP BY 1, 2, 3
+         |), e AS (
+         |  SELECT lang, a AS src, b AS dst, wgt FROM und
+         |  UNION ALL
+         |  SELECT lang, b AS src, a AS dst, wgt FROM und
+         |), p AS (
+         |  SELECT lang, src, dst,
+         |         CAST(wgt AS DOUBLE) / sum(wgt) OVER (PARTITION BY lang, src) AS p
+         |  FROM e
+         |), nodes AS (
+         |  SELECT DISTINCT lang, src AS node FROM e
+         |), r0 AS (
+         |  SELECT lang, node, 1.0 AS r FROM nodes
+         |), ${(1 to TextRankIters).map(iter).mkString(", ")}, scored AS (
+         |  SELECT lang, node AS term,
+         |         floor(r * 1000000 + 0.5) / 1000000 AS score
+         |  FROM r$TextRankIters
+         |), ranked AS (
+         |  SELECT lang, term, score,
+         |         row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rnk
+         |  FROM scored
+         |)
+         |SELECT lang, term, score, rnk FROM ranked WHERE rnk <= $TextRankK
+         |ORDER BY lang, rnk""".stripMargin
+    }
+  )
+
+  // ------------------------------------------------------------------
+  // Link prediction (Liben-Nowell & Kleinberg, "The Link Prediction
+  // Problem for Social Networks", CIKM 2003 — public algorithm): score
+  // NON-adjacent node pairs of the per-language word co-occurrence
+  // graph (the [[textrankKeywords]] edge build) by the three classic
+  // neighborhood statistics — common-neighbor count, Jaccard overlap
+  // |Γa∩Γb| / |Γa∪Γb|, and Adamic-Adar Σ_z 1/ln(deg z) (rarer shared
+  // neighbors weigh more). "Which words never co-occur but share
+  // context" = distributional-similarity candidates; on a social or
+  // citation graph the identical plan recommends edges.
+  //
+  // Engine shape: candidates come from the 2-hop path join — adjacency
+  // ⋈ adjacency on the shared middle vertex — so the work is
+  // Σ_z deg(z)² (the triangle-count bound; degree-capping the hub
+  // vertices bounds it at scale, Suri & Vassilvitskii's observation),
+  // never |V|² all-pairs. An anti-join removes existing edges, and
+  // the per-pair aggregate sums 1e6-GRID longs for Adamic-Adar so the
+  // addition is order-free (associative) across partitions — the
+  // repo's standard portable-sum contract. deg(z) ≥ 2 for any shared
+  // neighbor of a non-adjacent pair, so ln(deg) > 0 always.
+  // ------------------------------------------------------------------
+  val linkPrediction: Q = Q(
+    (s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val und = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+        .withColumn("t1", lead("t", 1).over(w))
+        .filter(col("t1").isNotNull && col("t1") =!= col("t"))
+        .select(col("lang"),
+          least(col("t"), col("t1")).as("a"),
+          greatest(col("t"), col("t1")).as("b"))
+        .distinct()
+      val adj2 = und.select(col("lang"), col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("lang"), col("b").as("u"), col("a").as("v")))
+      val deg = adj2.groupBy(col("lang"), col("u")).agg(count(lit(1)).as("deg"))
+      val paths = adj2.select(col("lang"), col("u").as("a"), col("v").as("z"))
+        .join(adj2.select(col("lang"), col("u").as("z"), col("v").as("b")), Seq("lang", "z"))
+        .filter(col("a") < col("b"))
+      val nonEdge = paths.join(und, Seq("lang", "a", "b"), "left_anti")
+      val scored = nonEdge
+        .join(deg.select(col("lang"), col("u").as("z"), col("deg").as("degz")), Seq("lang", "z"))
+        .groupBy(col("lang"), col("a"), col("b"))
+        .agg(count(lit(1)).as("common_neighbors"),
+          sum(floor(lit(1e6) / log(col("degz").cast(DoubleType)) + lit(0.5)).cast("long")).as("aa6"))
+      scored
+        .join(deg.select(col("lang"), col("u").as("a"), col("deg").as("dega")), Seq("lang", "a"))
+        .join(deg.select(col("lang"), col("u").as("b"), col("deg").as("degb")), Seq("lang", "b"))
+        .select(col("lang"), col("a"), col("b"), col("common_neighbors"),
+          roundPortable(col("common_neighbors").cast(DoubleType) /
+            (col("dega") + col("degb") - col("common_neighbors")).cast(DoubleType), 6)
+            .as("jaccard"),
+          (col("aa6").cast(DoubleType) / 1e6).as("adamic_adar"))
+        .orderBy("lang", "a", "b")
+    },
+    Some("""WITH tok AS (
+           |  SELECT lang, toks[i] AS t, toks[i + 1] AS t1
+           |  FROM (SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+           |       LATERAL unnest(range(1, len(toks))) AS r(i)
+           |  WHERE toks[i] <> toks[i + 1]
+           |), und AS (
+           |  SELECT DISTINCT lang, least(t, t1) AS a, greatest(t, t1) AS b FROM tok
+           |), adj AS (
+           |  SELECT lang, a AS u, b AS v FROM und
+           |  UNION ALL
+           |  SELECT lang, b AS u, a AS v FROM und
+           |), deg AS (
+           |  SELECT lang, u, count(*) AS deg FROM adj GROUP BY 1, 2
+           |), paths AS (
+           |  SELECT l.lang, l.u AS a, l.v AS z, r.v AS b
+           |  FROM adj l JOIN adj r ON l.lang = r.lang AND l.v = r.u
+           |  WHERE l.u < r.v
+           |), nonedge AS (
+           |  SELECT p.lang, p.a, p.b, p.z FROM paths p
+           |  WHERE NOT EXISTS (SELECT 1 FROM und e
+           |                    WHERE e.lang = p.lang AND e.a = p.a AND e.b = p.b)
+           |), scored AS (
+           |  SELECT n.lang, n.a, n.b, count(*) AS common_neighbors,
+           |         sum(CAST(floor(1000000.0 / ln(CAST(dz.deg AS DOUBLE)) + 0.5) AS BIGINT)) AS aa6
+           |  FROM nonedge n JOIN deg dz ON dz.lang = n.lang AND dz.u = n.z
+           |  GROUP BY 1, 2, 3
+           |)
+           |SELECT s.lang, s.a, s.b, s.common_neighbors,
+           |       floor(CAST(s.common_neighbors AS DOUBLE)
+           |             / (da.deg + db.deg - s.common_neighbors) * 1000000 + 0.5) / 1000000 AS jaccard,
+           |       CAST(s.aa6 AS DOUBLE) / 1000000 AS adamic_adar
+           |FROM scored s
+           |JOIN deg da ON da.lang = s.lang AND da.u = s.a
+           |JOIN deg db ON db.lang = s.lang AND db.u = s.b
+           |ORDER BY 1, 2, 3""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "graph_pagerank" -> pagerank,
-    "graph_triangles" -> triangles
+    "graph_triangles" -> triangles,
+    "text_textrank_keywords" -> textrankKeywords,
+    "graph_link_prediction" -> linkPrediction
   )
 }

@@ -618,6 +618,89 @@ object Sessions {
   )
 
   // ------------------------------------------------------------------
+  // Holt double-exponential smoothing forecast per event type (Holt,
+  // "Forecasting seasonals and trends by exponentially weighted moving
+  // averages", 1957; public algorithm) — the trend-aware step up from
+  // [[ewmaDaily]]'s level-only smoothing:
+  //   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+  //   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+  // with the stated init l_1 = y_1, b_1 = 0, and the one-step-ahead
+  // forecast ŷ_{t+1} = l_t + b_t published per day.
+  //
+  // Unlike EWMA the recursion has no small closed form, so the batch
+  // shape is: map-side daily collapse (the corpus reduces to
+  // |types|·|days| rows before anything sequential happens), then ONE
+  // ordered fold per event type via the `aggregate` higher-order
+  // function over the collected day array — state is O(|days|) per
+  // group, groups process in parallel, and nothing sequential ever
+  // touches raw events. At 100 TB the fold input is still just the
+  // tiny daily table (a few KB per type); the pattern generalizes to
+  // any per-series recursion (Kalman steps, Holt-Winters seasonality).
+  //
+  // Numeric contract: both engines fold the SAME values in the SAME
+  // day order with the same literal coefficients, so every
+  // intermediate double is bit-identical (IEEE ops in identical
+  // order) — the 1e-6 output rounding is belt-and-braces, not load-
+  // bearing. α=0.5 (exact binary), β=0.3/0.7 parsed from identical
+  // decimal literals in both engines.
+  // ------------------------------------------------------------------
+  val forecastHolt: Q = Q(
+    (s, d) => {
+      val daily = Inventory.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("n"))
+      val series = daily
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("dt"), col("n")))).as("pts"))
+      val emptyTraj = array().cast("array<struct<l:double,b:double>>")
+      val traj = aggregate(
+        col("pts"), emptyTraj,
+        (acc, p) => {
+          val y = p.getField("n").cast(DoubleType)
+          val last = element_at(acc, -1)
+          val prevL = last.getField("l")
+          val prevB = last.getField("b")
+          val newL = when(size(acc) === 0, y)
+            .otherwise(lit(0.5) * y + lit(0.5) * (prevL + prevB))
+          val newB = when(size(acc) === 0, lit(0.0))
+            .otherwise(lit(0.3) * (newL - prevL) + lit(0.7) * prevB)
+          concat(acc, array(struct(newL.as("l"), newB.as("b"))))
+        })
+      series
+        .withColumn("traj", traj)
+        .select(col("event_type"), posexplode(arrays_zip(col("pts"), col("traj"))).as(Seq("i", "z")))
+        .select(col("event_type"),
+          date_format(col("z.pts.dt"), "yyyy-MM-dd").as("day"),
+          col("z.pts.n").as("n_events"),
+          roundPortable(col("z.traj.l"), 6).as("level"),
+          roundPortable(col("z.traj.b"), 6).as("trend"),
+          roundPortable(col("z.traj.l") + col("z.traj.b"), 6).as("forecast_next"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH RECURSIVE daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS dt, count(*) AS n
+           |  FROM events GROUP BY 1, 2
+           |), idx AS (
+           |  SELECT event_type, dt, n,
+           |         row_number() OVER (PARTITION BY event_type ORDER BY dt) AS i
+           |  FROM daily
+           |), rec AS (
+           |  SELECT event_type, i, dt, n, CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+           |  FROM idx WHERE i = 1
+           |  UNION ALL
+           |  SELECT x.event_type, x.i, x.dt, x.n,
+           |         0.5 * CAST(x.n AS DOUBLE) + 0.5 * (r.l + r.b) AS l,
+           |         0.3 * ((0.5 * CAST(x.n AS DOUBLE) + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b AS b
+           |  FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+           |)
+           |SELECT event_type, strftime(dt, '%Y-%m-%d') AS day, n AS n_events,
+           |       floor(l * 1000000 + 0.5) / 1000000 AS level,
+           |       floor(b * 1000000 + 0.5) / 1000000 AS trend,
+           |       floor((l + b) * 1000000 + 0.5) / 1000000 AS forecast_next
+           |FROM rec ORDER BY event_type, day""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // GROWTH ACCOUNTING — the canonical product-analytics user-state
   // machine (new / retained / resurrected / churned per week, Social
   // Capital's "quick ratio" framing). The classification needs each
@@ -908,6 +991,7 @@ object Sessions {
     "events_streaks" -> streaks,
     "join_interval_overlap" -> intervalOverlap,
     "events_ewma_daily" -> ewmaDaily,
+    "events_forecast_holt" -> forecastHolt,
     "events_growth_accounting" -> growthAccounting,
     "events_seasonal_decompose" -> seasonalDecompose,
     "events_decayed_counts" -> decayedCounts,

@@ -562,4 +562,71 @@ object Streams {
           Iterator.single(next)
       }
   }
+
+  /** One SpaceSaving counter emitted by [[spaceSavingHitters]]:
+    * `est` overestimates the term's true count by at most `err`
+    * (true ∈ [est − err, est], the sketch's per-entry guarantee).
+    */
+  final case class HitterEntry(shard: Int, term: String, est: Long, err: Long)
+
+  /** One shard's SpaceSaving summary: ≤ capacity (count, err) pairs. */
+  final case class HitterState(shard: Int, counts: Map[String, Long], errs: Map[String, Long])
+
+  /** The STREAMING deployment of the corpus top-k term problem
+    * (`text_heavy_hitters`'s candidates side made incremental):
+    * SpaceSaving (Metwally/Agrawal/El Abbadi, "Efficient Computation
+    * of Frequent and Top-k Elements in Data Streams", ICDT 2005 —
+    * public algorithm) held as per-shard flatMapGroupsWithState
+    * state. Terms route DETERMINISTICALLY to one of `shards` keys
+    * (floorMod of String.hashCode — a spec'd, JVM-stable hash), so
+    * each shard's bounded summary sees every arrival of its own
+    * terms: state is `shards × capacity` entries TOTAL regardless of
+    * vocabulary or stream lifetime — the property that makes the
+    * top-k term frontier holdable at web scale, where the exact
+    * vocabulary (billions of tail strings) cannot be. The global
+    * top-k at read time is a top over the union of shard summaries.
+    *
+    * The per-arrival update is the classic one: known term →
+    * increment; free slot → insert at (1, err 0); full → evict the
+    * min-count entry (tie-broken by term, so eviction is
+    * deterministic given summary contents) and inherit its count as
+    * the newcomer's `err`. Invariants the audit pins: Σ est per
+    * shard = items seen by the shard (each arrival adds exactly 1
+    * somewhere), est ≥ true ≥ est − err per surviving term, and —
+    * with capacity ≥ the shard's distinct-term count, where
+    * SpaceSaving degrades to exact counting — bit-parity of the
+    * top-k with the batch query's exact re-rank.
+    */
+  def spaceSavingHitters(
+      terms: org.apache.spark.sql.Dataset[String],
+      shards: Int = 8, capacity: Int = 64)
+      : org.apache.spark.sql.Dataset[HitterEntry] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[HitterState]
+    implicit val entryEnc = Encoders.product[HitterEntry]
+    implicit val intEnc = Encoders.scalaInt
+    terms.groupByKey(t => math.floorMod(t.hashCode, shards))
+      .flatMapGroupsWithState[HitterState, HitterEntry](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[String], state: GroupState[HitterState]) =>
+          val counts = scala.collection.mutable.Map.empty[String, Long]
+          val errs = scala.collection.mutable.Map.empty[String, Long]
+          state.getOption.foreach { s => counts ++= s.counts; errs ++= s.errs }
+          rows.foreach { t =>
+            if (counts.contains(t)) counts(t) += 1L
+            else if (counts.size < capacity) { counts(t) = 1L; errs(t) = 0L }
+            else {
+              val (evictTerm, evictCount) = counts.minBy { case (k, v) => (v, k) }
+              counts.remove(evictTerm); errs.remove(evictTerm)
+              counts(t) = evictCount + 1L
+              errs(t) = evictCount
+            }
+          }
+          state.update(HitterState(shard, counts.toMap, errs.toMap))
+          counts.toSeq.sortBy { case (t, c) => (-c, t) }
+            .map { case (t, c) => HitterEntry(shard, t, c, errs(t)) }
+            .iterator
+      }
+  }
 }

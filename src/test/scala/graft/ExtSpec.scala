@@ -1440,4 +1440,130 @@ class ExtSpec extends SparkSpec {
         s"${row.getString(0)}: epochs $epochs != target/share ${target / share}")
     }
   }
+
+  test("textrank keywords: replicates the power iteration from raw tokens for one language") {
+    val got = Graph.textrankKeywords.build(spark, d).collect()
+      .filter(_.getString(0) == "en")
+      .map(r => (r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length === Graph.TextRankK)
+    // reference: rebuild the co-occurrence graph and run the same
+    // 3-step recurrence in plain Scala doubles
+    val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+    spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("lang") === "en").select("text").collect().foreach { r =>
+        val toks = r.getString(0).trim.toLowerCase.split("\\s+")
+        toks.iterator.zip(toks.iterator.drop(1)).foreach { case (a, b) =>
+          if (a != b) {
+            val k = if (a < b) (a, b) else (b, a)
+            pair(k) = pair.getOrElse(k, 0L) + 1L
+          }
+        }
+      }
+    val edges = pair.toSeq.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum.toDouble }
+    val nodes = edges.map(_._1).distinct
+    var score = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to Graph.TextRankIters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) => score(s) * (w.toDouble / out(s)) }.sum
+      }
+      score = nodes.map(n => n -> (0.15 + 0.85 * contrib.getOrElse(n, 0.0))).toMap
+    }
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = score.toSeq.map { case (t, s) => (t, g6(s)) }
+      .sortBy { case (t, s) => (-s, t) }.take(Graph.TextRankK)
+      .zipWithIndex.map { case ((t, s), i) => (t, s, i + 1) }
+    assert(got.toSeq === want)
+    // classic TextRank conserves Σscore = N from the all-ones start
+    // (teleport 0.15·N + damped Σ p = 0.85·Σscore each step)
+    assert(math.abs(score.values.sum - nodes.size) < 1e-9)
+  }
+
+  test("link prediction: scores only non-edges; replicates the neighborhood stats for one language") {
+    val got = Graph.linkPrediction.build(spark, d).collect()
+      .filter(_.getString(0) == "en")
+      .map(r => (r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // reference: adjacency sets from raw tokens
+    val adj = scala.collection.mutable.Map.empty[String, Set[String]].withDefaultValue(Set.empty)
+    spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("lang") === "en").select("text").collect().foreach { r =>
+        val toks = r.getString(0).trim.toLowerCase.split("\\s+")
+        toks.iterator.zip(toks.iterator.drop(1)).foreach { case (a, b) =>
+          if (a != b) { adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+        }
+      }
+    val nodes = adj.keys.toSeq.sorted
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = (for {
+      a <- nodes; b <- nodes if a < b && !adj(a).contains(b)
+      common = adj(a).intersect(adj(b)) if common.nonEmpty
+    } yield {
+      val cn = common.size.toLong
+      val aa6 = common.toSeq.map(z => math.floor(1e6 / math.log(adj(z).size.toDouble) + 0.5).toLong).sum
+      (a, b) -> (cn, g6(cn.toDouble / (adj(a).size + adj(b).size - cn)), aa6.toDouble / 1e6)
+    }).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture graph unexpectedly complete — test is vacuous")
+  }
+
+  test("asof tolerance: statuses partition clicks; matched deltas bounded; expired implies stale prior") {
+    val r = AsOf.eventsAsofTolerance.build(spark, d).collect()
+    val ev = graft.queries.Inventory.events(spark, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    val clicks = ev.filter(_._4 == "click")
+    val purchByUser = ev.filter(_._4 == "purchase").groupBy(_._1)
+    assert(r.length === clicks.length)
+    val clickUs = clicks.map(c => c._2 -> (c._1, c._3)).toMap
+    r.foreach { row =>
+      val (user, click) = (row.getLong(0), row.getLong(1))
+      val us = clickUs(click)._2
+      val prior = purchByUser.getOrElse(user, Array.empty).filter(_._3 <= us)
+      row.getString(5) match {
+        case "none" =>
+          assert(prior.isEmpty, s"click $click marked none but has prior purchase")
+          assert(row.isNullAt(2) && row.isNullAt(3))
+        case "matched" =>
+          val best = prior.maxBy(_._3)
+          assert(row.getLong(2) === best._2, s"click $click matched wrong purchase")
+          assert(row.getLong(3) === us - best._3)
+          assert(row.getLong(3) <= AsOf.TolUs)
+        case "expired" =>
+          assert(prior.nonEmpty && us - prior.maxBy(_._3)._3 > AsOf.TolUs,
+            s"click $click marked expired but latest prior is within tolerance")
+          assert(row.isNullAt(2) && row.isNullAt(3))
+      }
+    }
+    val statuses = r.map(_.getString(5)).toSet
+    assert(statuses === Set("none", "matched", "expired"),
+      s"fixture should exercise all three statuses, saw $statuses")
+  }
+
+  test("holt forecast: replays the recursion from the daily aggregate; init contract holds") {
+    val r = Sessions.forecastHolt.build(spark, d).collect()
+    val byKey = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val daily = graft.queries.Inventory.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(x => (x.getString(0), x.getDate(1).toString, x.getLong(2)))
+    assert(r.length === daily.length)
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    daily.groupBy(_._1).foreach { case (tpe, xs) =>
+      var l = 0.0; var b = 0.0
+      xs.sortBy(_._2).zipWithIndex.foreach { case ((_, day, n), i) =>
+        if (i == 0) { l = n.toDouble; b = 0.0 }
+        else {
+          val nl = 0.5 * n.toDouble + 0.5 * (l + b)
+          val nb = 0.3 * (nl - l) + 0.7 * b
+          l = nl; b = nb
+        }
+        val row = byKey((tpe, day))
+        assert(row.getLong(2) === n, s"$tpe $day n_events")
+        assert(row.getDouble(3) === g6(l), s"$tpe $day level")
+        assert(row.getDouble(4) === g6(b), s"$tpe $day trend")
+        assert(row.getDouble(5) === g6(l + b), s"$tpe $day forecast")
+      }
+    }
+  }
 }

@@ -544,4 +544,65 @@ class StreamingSpec extends SparkSpec {
       assert(g6(sMicro.toDouble / 1e6 / sn) === score, s"doc $id score")
     }
   }
+
+  test("streaming SpaceSaving hitters: exact parity with the batch top-k at full capacity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val toks = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
+      .as[String].collect()
+    val (first, second) = toks.splitAt(toks.length / 2)
+    val mem = MemoryStream[String]
+    val q = Streams.spaceSavingHitters(mem.toDS(), shards = 4, capacity = 256)
+      .writeStream.format("memory").queryName("hitters_stream")
+      .outputMode("append").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // final summary = max est per (shard, term): est only grows while
+    // a term stays resident, and at this capacity nothing is evicted
+    val fin = spark.table("hitters_stream")
+      .groupBy("shard", "term").agg(max(col("est")).as("est"), max(col("err")).as("err"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(fin.forall(_._3 == 0L), "err must be 0 when nothing is evicted")
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    assert(fin.length === exact.size)
+    fin.foreach { case (t, est, _) => assert(est === exact(t), s"term $t count") }
+    // global top-10 over the shard-summary union == the batch query's
+    // exact re-ranked top-10 (which is DuckDB-oracle-verified)
+    val top = fin.sortBy { case (t, est, _) => (-est, t) }.take(10).map(x => (x._1, x._2)).toSeq
+    val batch = graft.ext.TextAnalysis.heavyHitters.build(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top === batch)
+  }
+
+  test("streaming SpaceSaving hitters: eviction invariants hold at tiny capacity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val toks = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
+      .as[String].collect()
+    val mem = MemoryStream[String]
+    val q = Streams.spaceSavingHitters(mem.toDS(), shards = 1, capacity = 4)
+      .writeStream.format("memory").queryName("hitters_tiny_stream")
+      .outputMode("append").start()
+    mem.addData(toks.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("hitters_tiny_stream")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    // bounded summary; every arrival lands exactly one increment
+    assert(fin.length <= 4)
+    assert(fin.map(_._2).sum === toks.length.toLong, "Σ est must equal items seen")
+    fin.foreach { case (t, est, err) =>
+      val truth = exact(t)
+      assert(est >= truth, s"term $t: est $est below true count $truth")
+      assert(est - err <= truth, s"term $t: est-err ${est - err} above true count $truth")
+    }
+  }
 }
