@@ -701,6 +701,110 @@ object Sessions {
   )
 
   // ------------------------------------------------------------------
+  // CUSUM change-point detection on daily volume per event type (Page,
+  // "Continuous Inspection Schemes", Biometrika 1954 — public
+  // algorithm): the classic drift detector the EWMA/MAD/Holt trio
+  // lacks — MAD flags single-day spikes, CUSUM flags SUSTAINED level
+  // shifts by accumulating small deviations:
+  //   S⁺_t = max(0, S⁺_{t−1} + (y_t − μ − k·σ))
+  //   S⁻_t = max(0, S⁻_{t−1} + (μ − k·σ − y_t))
+  // flagged when either side exceeds h·σ (k=0.5 slack; h=2 rather
+  // than the textbook long-run h=4-5, tuned so the 30-day harness
+  // windows exercise the alarm path — production picks h from its
+  // target average-run-length). μ/σ are the series' own exact population
+  // moments (integer Σy and Σy² → one double division/sqrt each, so
+  // both engines derive bit-identical parameters; a production
+  // deployment would freeze them from a reference window instead —
+  // stated simplification, same recursion).
+  //
+  // Same engine shape as [[forecastHolt]]: map-side daily collapse to
+  // |types|·|days| rows, per-type moments joined on, and the
+  // recursion folded inside ONE `aggregate` higher-order projection
+  // over the collected series — identical fold order in both engines
+  // means every intermediate double is bit-identical; the 1e-6
+  // rounding is belt-and-braces. σ=0 degenerates to flagging any
+  // deviation — impossible on the harness series (spec asserts).
+  // ------------------------------------------------------------------
+  val CusumK = 0.5
+  val CusumH = 2.0
+
+  val changepoint: Q = Q(
+    (s, d) => {
+      val daily = Inventory.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("sy"),
+          sum(col("n") * col("n")).as("syy"))
+        .select(col("event_type"),
+          (col("sy").cast(DoubleType) / col("nd").cast(DoubleType)).as("mu"),
+          sqrt(col("syy").cast(DoubleType) / col("nd").cast(DoubleType) -
+            (col("sy").cast(DoubleType) / col("nd").cast(DoubleType)) *
+              (col("sy").cast(DoubleType) / col("nd").cast(DoubleType))).as("sigma"))
+      val series = daily
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("dt"), col("n")))).as("pts"))
+        .join(stats, Seq("event_type"))
+      val emptyTraj = array().cast("array<struct<sp:double,sn:double>>")
+      val traj = aggregate(
+        col("pts"), emptyTraj,
+        (acc, p) => {
+          val y = p.getField("n").cast(DoubleType)
+          // CaseWhen evaluates branches lazily, so the ANSI
+          // element_at(-1) never runs against the empty accumulator
+          // (a bare coalesce would evaluate it eagerly and throw)
+          val last = element_at(acc, -1)
+          val prevP = when(size(acc) === 0, lit(0.0)).otherwise(last.getField("sp"))
+          val prevN = when(size(acc) === 0, lit(0.0)).otherwise(last.getField("sn"))
+          val sp = greatest(lit(0.0), prevP + (y - col("mu") - lit(CusumK) * col("sigma")))
+          val sn = greatest(lit(0.0), prevN + (col("mu") - lit(CusumK) * col("sigma") - y))
+          concat(acc, array(struct(sp.as("sp"), sn.as("sn"))))
+        })
+      series
+        .withColumn("traj", traj)
+        .select(col("event_type"), col("mu"), col("sigma"),
+          posexplode(arrays_zip(col("pts"), col("traj"))).as(Seq("i", "z")))
+        .select(col("event_type"),
+          date_format(col("z.pts.dt"), "yyyy-MM-dd").as("day"),
+          col("z.pts.n").as("n_events"),
+          roundPortable(col("z.traj.sp"), 6).as("cusum_pos"),
+          roundPortable(col("z.traj.sn"), 6).as("cusum_neg"),
+          (col("z.traj.sp") > lit(CusumH) * col("sigma") ||
+            col("z.traj.sn") > lit(CusumH) * col("sigma")).cast("long").as("is_change"))
+        .orderBy("event_type", "day")
+    },
+    Some(s"""WITH RECURSIVE daily AS (
+            |  SELECT event_type, CAST(ts AS DATE) AS dt, count(*) AS n
+            |  FROM events GROUP BY 1, 2
+            |), stats AS (
+            |  SELECT event_type,
+            |    CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+            |    sqrt(CAST(sum(n * n) AS DOUBLE) / count(*) -
+            |      (CAST(sum(n) AS DOUBLE) / count(*)) * (CAST(sum(n) AS DOUBLE) / count(*))) AS sigma
+            |  FROM daily GROUP BY 1
+            |), idx AS (
+            |  SELECT d.event_type, d.dt, d.n, s.mu, s.sigma,
+            |         row_number() OVER (PARTITION BY d.event_type ORDER BY d.dt) AS i
+            |  FROM daily d JOIN stats s ON s.event_type = d.event_type
+            |), rec AS (
+            |  SELECT event_type, i, dt, n, mu, sigma,
+            |         greatest(CAST(0 AS DOUBLE), 0.0 + (CAST(n AS DOUBLE) - mu - $CusumK * sigma)) AS sp,
+            |         greatest(CAST(0 AS DOUBLE), 0.0 + (mu - $CusumK * sigma - CAST(n AS DOUBLE))) AS sn
+            |  FROM idx WHERE i = 1
+            |  UNION ALL
+            |  SELECT x.event_type, x.i, x.dt, x.n, x.mu, x.sigma,
+            |         greatest(CAST(0 AS DOUBLE), r.sp + (CAST(x.n AS DOUBLE) - x.mu - $CusumK * x.sigma)) AS sp,
+            |         greatest(CAST(0 AS DOUBLE), r.sn + (x.mu - $CusumK * x.sigma - CAST(x.n AS DOUBLE))) AS sn
+            |  FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+            |)
+            |SELECT event_type, strftime(dt, '%Y-%m-%d') AS day, n AS n_events,
+            |       floor(sp * 1000000 + 0.5) / 1000000 AS cusum_pos,
+            |       floor(sn * 1000000 + 0.5) / 1000000 AS cusum_neg,
+            |       CAST(sp > $CusumH * sigma OR sn > $CusumH * sigma AS BIGINT) AS is_change
+            |FROM rec ORDER BY event_type, day""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // GROWTH ACCOUNTING — the canonical product-analytics user-state
   // machine (new / retained / resurrected / churned per week, Social
   // Capital's "quick ratio" framing). The classification needs each
@@ -992,6 +1096,7 @@ object Sessions {
     "join_interval_overlap" -> intervalOverlap,
     "events_ewma_daily" -> ewmaDaily,
     "events_forecast_holt" -> forecastHolt,
+    "events_changepoint" -> changepoint,
     "events_growth_accounting" -> growthAccounting,
     "events_seasonal_decompose" -> seasonalDecompose,
     "events_decayed_counts" -> decayedCounts,

@@ -563,6 +563,57 @@ object Streams {
       }
   }
 
+  /** One per-type Holt smoothing state emitted by [[holtCounters]]:
+    * the level/trend pair after folding `last_day`, and the
+    * one-step-ahead forecast they imply.
+    */
+  final case class HoltState(
+      event_type: String, last_day: Int, n_days: Long, level: Double, trend: Double)
+
+  /** The STREAMING deployment of `events_forecast_holt`: the Holt
+    * double-exponential recursion held as O(1) state per event type —
+    * (level, trend, last_day), nothing else, regardless of stream
+    * lifetime. Input rows are CLOSED daily aggregates
+    * (event_type, epoch_day, count) — the shape a watermarked daily
+    * window count emits upstream — and each micro-batch folds its
+    * days in sorted order with the batch query's exact arithmetic
+    * (same literals, same op order), so emitted levels bit-agree
+    * with the batch fold fed the same day sequence. A day at or
+    * before the held frontier is a straggler the O(1) state cannot
+    * replay (it would need the day's revised count and every later
+    * state) — ignored, batch stays the from-scratch ground truth,
+    * and the audit feeds event-time order, which production achieves
+    * with the watermarked window upstream.
+    */
+  def holtCounters(
+      days: org.apache.spark.sql.Dataset[(String, Int, Long)])
+      : org.apache.spark.sql.Dataset[HoltState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[HoltState]
+    implicit val strEnc = Encoders.STRING
+    days.groupByKey(_._1)
+      .flatMapGroupsWithState[HoltState, HoltState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[(String, Int, Long)], state: GroupState[HoltState]) =>
+          var cur = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[HoltState]
+          rows.toArray.sortBy(_._2).foreach { case (_, day, n) =>
+            cur =
+              if (cur == null) HoltState(tpe, day, 1L, n.toDouble, 0.0)
+              else if (day <= cur.last_day) cur // straggler: batch is ground truth
+              else {
+                val nl = 0.5 * n.toDouble + 0.5 * (cur.level + cur.trend)
+                val nb = 0.3 * (nl - cur.level) + 0.7 * cur.trend
+                HoltState(tpe, day, cur.n_days + 1L, nl, nb)
+              }
+            out += cur
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
+
   /** One SpaceSaving counter emitted by [[spaceSavingHitters]]:
     * `est` overestimates the term's true count by at most `err`
     * (true ∈ [est − err, est], the sketch's per-entry guarantee).

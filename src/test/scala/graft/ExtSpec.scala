@@ -1540,6 +1540,39 @@ class ExtSpec extends SparkSpec {
       s"fixture should exercise all three statuses, saw $statuses")
   }
 
+  test("cusum changepoint: replays the recursion; alarm path exercised; sigma nonzero") {
+    val r = Sessions.changepoint.build(spark, d).collect()
+    val byKey = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val daily = graft.queries.Inventory.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(x => (x.getString(0), x.getDate(1).toString, x.getLong(2)))
+    assert(r.length === daily.length)
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    var anyChange = false
+    daily.groupBy(_._1).foreach { case (tpe, xs) =>
+      val nd = xs.length
+      val sy = xs.map(_._3).sum
+      val syy = xs.map(x => x._3 * x._3).sum
+      val mu = sy.toDouble / nd
+      val sigma = math.sqrt(syy.toDouble / nd - mu * mu)
+      assert(sigma > 0, s"$tpe: degenerate constant series")
+      var sp = 0.0; var sn = 0.0
+      xs.sortBy(_._2).foreach { case (_, day, n) =>
+        sp = math.max(0.0, sp + (n.toDouble - mu - Sessions.CusumK * sigma))
+        sn = math.max(0.0, sn + (mu - Sessions.CusumK * sigma - n.toDouble))
+        val row = byKey((tpe, day))
+        assert(row.getDouble(3) === g6(sp), s"$tpe $day cusum_pos")
+        assert(row.getDouble(4) === g6(sn), s"$tpe $day cusum_neg")
+        val want = if (sp > Sessions.CusumH * sigma || sn > Sessions.CusumH * sigma) 1L else 0L
+        assert(row.getLong(5) === want, s"$tpe $day is_change")
+        if (want == 1L) anyChange = true
+      }
+    }
+    assert(anyChange, "fixture never crosses the h-sigma alarm — the flag column is vacuous")
+    assert(r.map(_.getLong(5)).sum < r.length, "alarm must not fire on every day")
+  }
+
   test("holt forecast: replays the recursion from the daily aggregate; init contract holds") {
     val r = Sessions.forecastHolt.build(spark, d).collect()
     val byKey = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap

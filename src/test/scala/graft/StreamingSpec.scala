@@ -545,6 +545,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Holt counters: per-day levels bit-agree with the batch recursion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val daily = graft.queries.Inventory.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay.toInt, r.getLong(2)))
+      .sortBy(_._2)
+    val (first, second) = daily.splitAt(daily.length / 2)
+    val mem = MemoryStream[(String, Int, Long)]
+    val q = Streams.holtCounters(mem.toDS())
+      .writeStream.format("memory").queryName("holt_stream")
+      .outputMode("append").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // one emission per folded day; dedupe on (type, day) keeping the
+    // deepest fold (n_days) in case a batch straggler re-emitted state
+    val streamed = spark.table("holt_stream")
+      .groupBy("event_type", "last_day")
+      .agg(max(struct(col("n_days"), col("level"), col("trend"))).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getStruct(2).getDouble(1), r.getStruct(2).getDouble(2))).toMap
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val batch = graft.ext.Sessions.forecastHolt.build(spark, d).collect()
+    assert(batch.nonEmpty)
+    batch.foreach { row =>
+      val key = (row.getString(0), java.time.LocalDate.parse(row.getString(1)).toEpochDay.toInt)
+      val (lvl, trd) = streamed(key)
+      assert(g6(lvl) === row.getDouble(3), s"$key level")
+      assert(g6(trd) === row.getDouble(4), s"$key trend")
+    }
+  }
+
   test("streaming SpaceSaving hitters: exact parity with the batch top-k at full capacity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
