@@ -805,6 +805,130 @@ object Sessions {
   )
 
   // ------------------------------------------------------------------
+  // Kaplan-Meier survival over SESSION DURATIONS, stratified by the
+  // session's entry event type (Kaplan & Meier, "Nonparametric
+  // Estimation from Incomplete Observations", JASA 1958 — public
+  // algorithm): S(t) = Π_{u≤t} (1 − d_u/n_u), the right-censoring-
+  // aware answer to "what fraction of sessions survive past t
+  // minutes". Sessions whose last event falls within one session gap
+  // of the stream end are CENSORED (they may still be open) — they
+  // leave the risk set at their observed duration without counting
+  // as a death, which is exactly the bias a naive duration histogram
+  // gets wrong.
+  //
+  // Engine shape: the gap-mark/running-sum sessionizer (one user_id
+  // window), a per-session aggregate, a (stratum, duration) death/
+  // censor aggregate — map-side combined to |strata|·|durations|
+  // rows — and the product recursion folded per stratum inside one
+  // `aggregate` higher-order projection (the forecastHolt pattern;
+  // strata process in parallel). The risk-set countdown is exact
+  // integer arithmetic; the survival product multiplies the same
+  // (1 − d/n) doubles in the same duration order in both engines, so
+  // every intermediate is bit-identical. Zero-death rows multiply by
+  // exactly 1.0 (no fp error) and keep the duration grid complete.
+  // ------------------------------------------------------------------
+  val survivalKm: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val prev = lag(us, 1).over(byUser)
+      val marked = ev
+        .withColumn("us", us)
+        .withColumn("new_session",
+          when(prev.isNull || (us - prev) > GapSeconds * 1000000L, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("new_session")).over(byUser))
+      val bySess = Window.partitionBy(col("user_id"), col("sess"))
+        .orderBy(col("us"), col("event_id"))
+      val sessions = marked
+        .withColumn("stratum", first(col("event_type")).over(bySess))
+        .groupBy(col("user_id"), col("sess"), col("stratum"))
+        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      val maxUs = Inventory.events(s, d).agg(max(unix_micros(col("ts"))).as("mx"))
+      val counted = sessions.crossJoin(broadcast(maxUs))
+        .select(col("stratum"),
+          ((col("e_us") - col("s_us")) / lit(60000000L)).cast("long").as("dur_min"),
+          when(col("mx") - col("e_us") <= GapSeconds * 1000000L, 1L).otherwise(0L).as("cen"))
+        .groupBy(col("stratum"), col("dur_min"))
+        .agg(sum(lit(1L) - col("cen")).as("d"), sum(col("cen")).as("c"))
+      val series = counted
+        .groupBy("stratum")
+        .agg(sort_array(collect_list(struct(col("dur_min"), col("d"), col("c")))).as("pts"),
+          sum(col("d") + col("c")).as("total"))
+      val emptyTraj = array().cast("array<struct<nrisk:bigint,nafter:bigint,s:double>>")
+      val traj = aggregate(
+        col("pts"), emptyTraj,
+        (acc, p) => {
+          val last = element_at(acc, -1)
+          val nRisk = when(size(acc) === 0, col("total")).otherwise(last.getField("nafter"))
+          val sPrev = when(size(acc) === 0, lit(1.0)).otherwise(last.getField("s"))
+          val sNew = sPrev *
+            (lit(1.0) - p.getField("d").cast(DoubleType) / nRisk.cast(DoubleType))
+          concat(acc, array(struct(
+            nRisk.as("nrisk"),
+            (nRisk - p.getField("d") - p.getField("c")).as("nafter"),
+            sNew.as("s"))))
+        })
+      series
+        .withColumn("traj", traj)
+        .select(col("stratum"), posexplode(arrays_zip(col("pts"), col("traj"))).as(Seq("i", "z")))
+        .select(col("stratum"),
+          col("z.pts.dur_min").as("duration_min"),
+          col("z.traj.nrisk").as("n_risk"),
+          col("z.pts.d").as("n_deaths"),
+          col("z.pts.c").as("n_censored"),
+          roundPortable(col("z.traj.s"), 6).as("survival"))
+        .orderBy("stratum", "duration_min")
+    },
+    Some(s"""WITH RECURSIVE marked AS (
+            |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+            |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+            |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $GapSeconds * 1000000
+            |         THEN 1 ELSE 0 END AS new_session
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            |), sess AS (
+            |  SELECT user_id, event_id, event_type, us,
+            |         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+            |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            |  FROM marked
+            |), withfirst AS (
+            |  SELECT user_id, sess, us,
+            |         first_value(event_type) OVER (PARTITION BY user_id, sess ORDER BY us, event_id) AS stratum
+            |  FROM sess
+            |), sessions AS (
+            |  SELECT user_id, sess, any_value(stratum) AS stratum,
+            |         min(us) AS s_us, max(us) AS e_us
+            |  FROM withfirst GROUP BY 1, 2
+            |), mx AS (SELECT max(epoch_us(ts)) AS mx FROM events
+            |), counted AS (
+            |  SELECT stratum, (e_us - s_us) // 60000000 AS dur_min,
+            |         sum(CASE WHEN mx.mx - e_us <= $GapSeconds * 1000000 THEN 0 ELSE 1 END) AS d,
+            |         sum(CASE WHEN mx.mx - e_us <= $GapSeconds * 1000000 THEN 1 ELSE 0 END) AS c
+            |  FROM sessions CROSS JOIN mx GROUP BY 1, 2
+            |), tot AS (
+            |  SELECT stratum, sum(d + c) AS total FROM counted GROUP BY 1
+            |), idx AS (
+            |  SELECT c.stratum, c.dur_min, c.d, c.c, t.total,
+            |         row_number() OVER (PARTITION BY c.stratum ORDER BY c.dur_min) AS i
+            |  FROM counted c JOIN tot t ON t.stratum = c.stratum
+            |), rec AS (
+            |  SELECT stratum, i, dur_min, d, c, total AS nrisk, total - d - c AS nafter,
+            |         1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(total AS DOUBLE)) AS s
+            |  FROM idx WHERE i = 1
+            |  UNION ALL
+            |  SELECT x.stratum, x.i, x.dur_min, x.d, x.c, r.nafter AS nrisk,
+            |         r.nafter - x.d - x.c AS nafter,
+            |         r.s * (1.0 - CAST(x.d AS DOUBLE) / CAST(r.nafter AS DOUBLE)) AS s
+            |  FROM rec r JOIN idx x ON x.stratum = r.stratum AND x.i = r.i + 1
+            |)
+            |SELECT stratum, dur_min AS duration_min, nrisk AS n_risk,
+            |       d AS n_deaths, c AS n_censored,
+            |       floor(s * 1000000 + 0.5) / 1000000 AS survival
+            |FROM rec ORDER BY stratum, duration_min""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // GROWTH ACCOUNTING — the canonical product-analytics user-state
   // machine (new / retained / resurrected / churned per week, Social
   // Capital's "quick ratio" framing). The classification needs each
@@ -1097,6 +1221,7 @@ object Sessions {
     "events_ewma_daily" -> ewmaDaily,
     "events_forecast_holt" -> forecastHolt,
     "events_changepoint" -> changepoint,
+    "events_survival_km" -> survivalKm,
     "events_growth_accounting" -> growthAccounting,
     "events_seasonal_decompose" -> seasonalDecompose,
     "events_decayed_counts" -> decayedCounts,

@@ -1573,6 +1573,55 @@ class ExtSpec extends SparkSpec {
     assert(r.map(_.getLong(5)).sum < r.length, "alarm must not fire on every day")
   }
 
+  test("kaplan-meier: replays the product-limit fold from raw sessions; KM invariants hold") {
+    val r = Sessions.survivalKm.build(spark, d).collect()
+    assert(r.nonEmpty)
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // reference: sessionize in plain Scala and fold the product limit
+    val ev = graft.queries.Inventory.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    val mx = ev.map(_._2).max
+    val gapUs = Sessions.GapSeconds * 1000000L
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(x => (x._2, x._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)] // stratum, start, end
+      var cur: (String, Long, Long) = null
+      sorted.foreach { case (_, us, _, tpe) =>
+        if (cur == null || us - cur._3 > gapUs) { if (cur != null) out += cur; cur = (tpe, us, us) }
+        else cur = cur.copy(_3 = us)
+      }
+      out += cur
+      out
+    }.toSeq
+    val perStratum = sessions.groupBy(_._1)
+    val gotByStratum = r.groupBy(_.getString(0))
+    assert(gotByStratum.keySet === perStratum.keySet)
+    perStratum.foreach { case (stratum, ss) =>
+      val counted = ss.groupBy(s => (s._3 - s._2) / 60000000L).map { case (dur, xs) =>
+        val cen = xs.count(s => mx - s._3 <= gapUs).toLong
+        (dur, xs.length.toLong - cen, cen)
+      }.toSeq.sortBy(_._1)
+      var n = counted.map(x => x._2 + x._3).sum
+      var s = 1.0
+      val rows = gotByStratum(stratum).sortBy(_.getLong(1))
+      assert(rows.length === counted.length, s"$stratum grid size")
+      counted.zip(rows).foreach { case ((dur, dth, cen), row) =>
+        s = s * (1.0 - dth.toDouble / n.toDouble)
+        assert(row.getLong(1) === dur)
+        assert(row.getLong(2) === n, s"$stratum dur $dur n_risk")
+        assert(row.getLong(3) === dth && row.getLong(4) === cen, s"$stratum dur $dur d/c")
+        assert(row.getDouble(5) === g6(s), s"$stratum dur $dur survival")
+        n -= dth + cen
+      }
+      assert(n === 0L, s"$stratum risk set must drain to zero")
+      // survival is non-increasing within a stratum
+      val sv = rows.map(_.getDouble(5)).toSeq
+      assert(sv === sv.sorted.reverse, s"$stratum survival not monotone")
+    }
+    assert(r.map(_.getLong(4)).sum > 0, "fixture must exercise censoring")
+  }
+
   test("holt forecast: replays the recursion from the daily aggregate; init contract holds") {
     val r = Sessions.forecastHolt.build(spark, d).collect()
     val byKey = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap
