@@ -288,14 +288,26 @@ object Graph {
   //
   // Engine shape: candidates come from the 2-hop path join — adjacency
   // ⋈ adjacency on the shared middle vertex — so the work is
-  // Σ_z deg(z)² (the triangle-count bound; degree-capping the hub
-  // vertices bounds it at scale, Suri & Vassilvitskii's observation),
-  // never |V|² all-pairs. An anti-join removes existing edges, and
-  // the per-pair aggregate sums 1e6-GRID longs for Adamic-Adar so the
-  // addition is order-free (associative) across partitions — the
-  // repo's standard portable-sum contract. deg(z) ≥ 2 for any shared
-  // neighbor of a non-adjacent pair, so ln(deg) > 0 always.
+  // Σ_z deg(z)², never |V|² all-pairs. That sum is HUB-dominated, and
+  // the 10× scale corpus measured it the hard way: salt-inflated
+  // vocabulary grew Σdeg² 931× (2.4 s → 39.4 s) because a few
+  // real-word hubs reached degree ~900. The production answer
+  // (Suri & Vassilvitskii's degree observation, applied as a cap) is
+  // wired into BOTH engines: middle vertices with deg > LinkDegCap
+  // are excluded from candidate generation, bounding the path join at
+  // Σ_{deg≤cap} deg² ≤ cap·2|E| — LINEAR in edges. Scores become
+  // hub-blind (a degree-10⁵ stopword contributes ~0.09 Adamic-Adar
+  // per pair but deg² candidates — the classic skip), and the cap is
+  // EXACT on any graph whose max degree ≤ cap: the harness graphs top
+  // out at deg 30, so the DuckDB oracle match certifies the exact
+  // regime while the cap carries the 100 TB one. An anti-join removes
+  // existing edges, and the per-pair aggregate sums 1e6-GRID longs
+  // for Adamic-Adar so the addition is order-free (associative)
+  // across partitions — the repo's standard portable-sum contract.
+  // deg(z) ≥ 2 for any shared neighbor of a non-adjacent pair, so
+  // ln(deg) > 0 always.
   // ------------------------------------------------------------------
+  val LinkDegCap = 64
   val linkPrediction: Q = Q(
     (s, d) => {
       val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -311,8 +323,14 @@ object Graph {
       val adj2 = und.select(col("lang"), col("a").as("u"), col("b").as("v"))
         .unionAll(und.select(col("lang"), col("b").as("u"), col("a").as("v")))
       val deg = adj2.groupBy(col("lang"), col("u")).agg(count(lit(1)).as("deg"))
+      // the degree cap restricts WHICH vertices may serve as the
+      // shared middle — a semi-join on the right arm's key caps both
+      // arms, since z is the join key
+      val mid = adj2.join(
+        deg.filter(col("deg") <= LinkDegCap).select("lang", "u"),
+        Seq("lang", "u"), "left_semi")
       val paths = adj2.select(col("lang"), col("u").as("a"), col("v").as("z"))
-        .join(adj2.select(col("lang"), col("u").as("z"), col("v").as("b")), Seq("lang", "z"))
+        .join(mid.select(col("lang"), col("u").as("z"), col("v").as("b")), Seq("lang", "z"))
         .filter(col("a") < col("b"))
       val nonEdge = paths.join(und, Seq("lang", "a", "b"), "left_anti")
       val scored = nonEdge
@@ -330,9 +348,9 @@ object Graph {
           (col("aa6").cast(DoubleType) / 1e6).as("adamic_adar"))
         .orderBy("lang", "a", "b")
     },
-    Some("""WITH tok AS (
+    Some(s"""WITH tok AS (
            |  SELECT lang, toks[i] AS t, toks[i + 1] AS t1
-           |  FROM (SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+           |  FROM (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
            |       LATERAL unnest(range(1, len(toks))) AS r(i)
            |  WHERE toks[i] <> toks[i + 1]
            |), und AS (
@@ -354,7 +372,7 @@ object Graph {
            |), scored AS (
            |  SELECT n.lang, n.a, n.b, count(*) AS common_neighbors,
            |         sum(CAST(floor(1000000.0 / ln(CAST(dz.deg AS DOUBLE)) + 0.5) AS BIGINT)) AS aa6
-           |  FROM nonedge n JOIN deg dz ON dz.lang = n.lang AND dz.u = n.z
+           |  FROM nonedge n JOIN deg dz ON dz.lang = n.lang AND dz.u = n.z AND dz.deg <= $LinkDegCap
            |  GROUP BY 1, 2, 3
            |)
            |SELECT s.lang, s.a, s.b, s.common_neighbors,

@@ -1505,6 +1505,11 @@ class ExtSpec extends SparkSpec {
     }).toMap
     assert(got === want)
     assert(want.nonEmpty, "fixture graph unexpectedly complete — test is vacuous")
+    // the hub cap is inactive on the harness graph (max degree below
+    // LinkDegCap), so this replication certifies the EXACT regime —
+    // the capped path is the documented approximation past it
+    assert(adj.values.map(_.size).max < Graph.LinkDegCap,
+      "harness degree crossed LinkDegCap — the exactness precondition broke")
   }
 
   test("asof tolerance: statuses partition clicks; matched deltas bounded; expired implies stale prior") {
