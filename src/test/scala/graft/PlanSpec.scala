@@ -492,6 +492,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("textrank's unrolled power iteration scans the corpus ONCE (AQE stage reuse)") {
+    // the static plan shows 14 scans — AQE dedupes the identical
+    // edge/node subplans at RUNTIME, so the pin must read the final
+    // adaptive plan; losing this reuse (e.g. by perturbing one
+    // iteration's subplan so the stages stop being identical) turns
+    // a k-step iteration into k corpus scans at 100 TB
+    val p = finalPlan(graft.ext.Graph.textrankKeywords.build(spark, d))
+    assert(parquetScans(p) === 1,
+      s"iteration subplans must be stage-reused, not rescanned:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+  }
+
+  test("link prediction scans the corpus once and caps the middle-vertex join") {
+    val p = finalPlan(graft.ext.Graph.linkPrediction.build(spark, d))
+    assert(parquetScans(p) === 1, s"adjacency branches must reuse stages:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("customer_rfm runs ONE orders scan; the cached base feeds every rank branch") {
     try {
       val p = finalPlan(graft.queries.Inventory.customerRfm.build(spark, d))
