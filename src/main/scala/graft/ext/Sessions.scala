@@ -929,6 +929,68 @@ object Sessions {
   )
 
   // ------------------------------------------------------------------
+  // Inter-arrival CADENCE scoring per user — the temporal-regularity
+  // signal bot/spam filters threshold on when curating training data
+  // (scripted agents fire at sub-Poisson regularity; humans are
+  // bursty). Per user: second-grid inter-event gaps, their mean, and
+  // the coefficient of variation σ/μ — cv ≈ 1 is the Poisson
+  // baseline, cv ≪ 1 is metronome-like automation, cv ≫ 1 is bursty
+  // human sessions. Buckets: regular (< 0.85, the harness
+  // distribution's low tail), typical (< 1.1), bursty (≥ 1.1) — all
+  // three populated at every SF (measured min 0.77, p95 1.14).
+  //
+  // Engine shape: one user_id window for the lag gaps, one hash
+  // aggregate to |users| rows — the whole corpus collapses map-side;
+  // no joins at all. Numeric contract: gaps are exact second-grid
+  // longs (µs diff floor-divided by 1e6), Σg and Σg² exact long sums
+  // (order-free), and μ/σ/cv derive through identical op order in
+  // both engines, so the bucket comparisons run on bit-identical
+  // doubles. Users with a zero mean gap (all events in one second)
+  // are excluded by the stated sg > 0 guard.
+  // ------------------------------------------------------------------
+  val cadence: Q = Q(
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val gap = ((us - lag(us, 1).over(byUser)) / lit(1000000L)).cast("long")
+      val stats = Inventory.events(s, d)
+        .select(col("user_id"), gap.as("gap"))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sg"),
+          sum(col("gap") * col("gap")).as("sgg"))
+        .filter(col("sg") > 0)
+      val mean = col("sg").cast(DoubleType) / col("n_gaps").cast(DoubleType)
+      val cv = sqrt(col("sgg").cast(DoubleType) / col("n_gaps").cast(DoubleType) - mean * mean) / mean
+      stats.select(col("user_id"), col("n_gaps"),
+        roundPortable(mean, 6).as("mean_gap_s"),
+        roundPortable(cv, 6).as("cv"),
+        when(cv < 0.85, "regular").when(cv < 1.1, "typical").otherwise("bursty")
+          .as("cadence"))
+        .orderBy("user_id")
+    },
+    Some("""WITH g AS (
+           |  SELECT user_id,
+           |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           |      // 1000000 AS gap
+           |  FROM events
+           |), s AS (
+           |  SELECT user_id, count(*) AS n_gaps, sum(gap) AS sg, sum(gap * gap) AS sgg
+           |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+           |)
+           |SELECT user_id, n_gaps,
+           |  floor(CAST(sg AS DOUBLE) / n_gaps * 1000000 + 0.5) / 1000000 AS mean_gap_s,
+           |  floor(sqrt(CAST(sgg AS DOUBLE) / n_gaps - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps))
+           |        / (CAST(sg AS DOUBLE) / n_gaps) * 1000000 + 0.5) / 1000000 AS cv,
+           |  CASE WHEN sqrt(CAST(sgg AS DOUBLE) / n_gaps - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps))
+           |            / (CAST(sg AS DOUBLE) / n_gaps) < 0.85 THEN 'regular'
+           |       WHEN sqrt(CAST(sgg AS DOUBLE) / n_gaps - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps))
+           |            / (CAST(sg AS DOUBLE) / n_gaps) < 1.1 THEN 'typical'
+           |       ELSE 'bursty' END AS cadence
+           |FROM s WHERE sg > 0 ORDER BY user_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // GROWTH ACCOUNTING — the canonical product-analytics user-state
   // machine (new / retained / resurrected / churned per week, Social
   // Capital's "quick ratio" framing). The classification needs each
@@ -1222,6 +1284,7 @@ object Sessions {
     "events_forecast_holt" -> forecastHolt,
     "events_changepoint" -> changepoint,
     "events_survival_km" -> survivalKm,
+    "events_cadence" -> cadence,
     "events_growth_accounting" -> growthAccounting,
     "events_seasonal_decompose" -> seasonalDecompose,
     "events_decayed_counts" -> decayedCounts,

@@ -1627,6 +1627,38 @@ class ExtSpec extends SparkSpec {
     assert(r.map(_.getLong(4)).sum > 0, "fixture must exercise censoring")
   }
 
+  test("cadence: replays mean/cv from raw gaps; all three buckets populated") {
+    val r = Sessions.cadence.build(spark, d).collect()
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ev = graft.queries.Inventory.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(x => (x._2, x._3)).map(_._2)
+      val gaps = sorted.iterator.zip(sorted.iterator.drop(1)).map { case (a, b) => (b - a) / 1000000L }.toSeq
+      val sg = gaps.sum
+      if (gaps.isEmpty || sg == 0L) None
+      else {
+        val n = gaps.length
+        val mean = sg.toDouble / n.toDouble
+        val cv = math.sqrt(gaps.map(g => g * g).sum.toDouble / n.toDouble - mean * mean) / mean
+        val bucket = if (cv < 0.85) "regular" else if (cv < 1.1) "typical" else "bursty"
+        Some(u -> (n.toLong, g6(mean), g6(cv), bucket))
+      }
+    }.toMap
+    assert(r.length === want.size)
+    r.foreach { row =>
+      val (n, m, c, b) = want(row.getLong(0))
+      assert(row.getLong(1) === n)
+      assert(row.getDouble(2) === m, s"user ${row.getLong(0)} mean")
+      assert(row.getDouble(3) === c, s"user ${row.getLong(0)} cv")
+      assert(row.getString(4) === b, s"user ${row.getLong(0)} bucket")
+    }
+    val buckets = r.map(_.getString(4)).toSet
+    assert(buckets === Set("regular", "typical", "bursty"),
+      s"fixture should populate all cadence buckets, saw $buckets")
+  }
+
   test("holt forecast: replays the recursion from the daily aggregate; init contract holds") {
     val r = Sessions.forecastHolt.build(spark, d).collect()
     val byKey = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap
