@@ -614,6 +614,56 @@ object Streams {
       }
   }
 
+  /** One user's running cadence state for [[cadenceCounters]]: exact
+    * integer gap sums (second grid) plus the last-seen timestamp
+    * frontier — everything `events_cadence`'s μ/σ/cv derive from.
+    */
+  final case class CadenceState(
+      user_id: Long, n_gaps: Long, sg: Long, sgg: Long, last_us: Long)
+
+  /** The STREAMING deployment of `events_cadence` (the bot-regularity
+    * gate made incremental): per-user inter-arrival statistics held
+    * as one five-field record — O(users) state, never an event list.
+    * Because the batch query's contract is EXACT second-grid long
+    * sums (Σg, Σg²), the incremental fold agrees with the batch
+    * aggregate BIT-FOR-BIT given the same event order — integers,
+    * not fold-order doubles — and μ/σ/cv derive at read time from
+    * the emitted sums. Each micro-batch folds its timestamps in
+    * sorted order; a straggler at or before the held frontier would
+    * change every subsequent gap (the one thing an O(1) state cannot
+    * replay), so it is ignored — batch stays the from-scratch ground
+    * truth and the audit feeds event-time order, which production
+    * achieves with a watermarked reorder upstream.
+    */
+  def cadenceCounters(
+      events: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[CadenceState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[CadenceState]
+    implicit val longEnc = Encoders.scalaLong
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[CadenceState, CadenceState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[CadenceState]) =>
+          var cur = state.getOption.orNull
+          rows.map(_._2).toArray.sorted.foreach { us =>
+            cur =
+              if (cur == null) CadenceState(user, 0L, 0L, 0L, us)
+              else if (us < cur.last_us) cur // straggler: batch is ground truth
+              else {
+                // equal timestamps are REAL zero gaps in the batch
+                // contract (lag over ts, event_id), not stragglers
+                val gap = (us - cur.last_us) / 1000000L
+                CadenceState(user, cur.n_gaps + 1L, cur.sg + gap,
+                  cur.sgg + gap * gap, us)
+              }
+          }
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
   /** One SpaceSaving counter emitted by [[spaceSavingHitters]]:
     * `est` overestimates the term's true count by at most `err`
     * (true ∈ [est − err, est], the sketch's per-entry guarantee).

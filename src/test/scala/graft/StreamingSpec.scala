@@ -583,6 +583,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming cadence counters: exact integer sums reproduce the batch cv") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val evs = graft.queries.Inventory.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.cadenceCounters(mem.toDS())
+      .writeStream.format("memory").queryName("cadence_stream")
+      .outputMode("append").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // final state per user = deepest fold (n_gaps only grows)
+    val fin = spark.table("cadence_stream")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_gaps"), col("sg"), col("sgg"))).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1),
+        r.getStruct(1).getLong(2))).toMap
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val batch = graft.ext.Sessions.cadence.build(spark, d).collect()
+    assert(batch.nonEmpty)
+    batch.foreach { row =>
+      val (n, sg, sgg) = fin(row.getLong(0))
+      assert(n === row.getLong(1), s"user ${row.getLong(0)} n_gaps")
+      val mean = sg.toDouble / n.toDouble
+      val cv = math.sqrt(sgg.toDouble / n.toDouble - mean * mean) / mean
+      assert(g6(mean) === row.getDouble(2), s"user ${row.getLong(0)} mean")
+      assert(g6(cv) === row.getDouble(3), s"user ${row.getLong(0)} cv")
+    }
+  }
+
   test("streaming SpaceSaving hitters: exact parity with the batch top-k at full capacity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
