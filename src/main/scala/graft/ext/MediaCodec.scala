@@ -179,4 +179,40 @@ object MediaCodec {
       Decoded(mediaId, "binary", n, None, None, None, None, None, None)
     }
   }
+
+  /** PIXEL-level BMP decode for the perceptual hash: an 8×8
+    * nearest-neighbor downsample of the 24bpp image, each cell the
+    * SUM of its pixel's three channel bytes (0..765) — channel-order
+    * agnostic, which keeps the grid identical however the writer
+    * ordered BGR. Rows are stored bottom-up (positive height), so the
+    * logical top-origin row y lives at dataOffset + (h−1−y)·stride;
+    * the sample index floor(x·w/8) stays in range for any w ≥ 1.
+    * Returns None for anything that is not a well-formed bottom-up
+    * 24bpp BMP with a complete pixel array — truncated or crafted
+    * payloads fall out here instead of faulting the task.
+    */
+  def decodeBmpGray8x8(payload: Array[Byte]): Option[Array[Int]] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val dataOffset = le32(payload, 10)
+    val w = le32(payload, 18)
+    val h = le32(payload, 22)
+    val bpp = le16(payload, 28)
+    if (bpp != 24 || w <= 0 || h <= 0 || dataOffset < 54) return None
+    val stride = bmpStride(w)
+    if (dataOffset.toLong + stride.toLong * h > payload.length.toLong) return None
+    val g = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      val rowOff = dataOffset + (h - 1 - sy) * stride
+      var x = 0
+      while (x < 8) {
+        val px = rowOff + 3 * (x * w / 8)
+        g(y * 8 + x) = (payload(px) & 0xff) + (payload(px + 1) & 0xff) + (payload(px + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(g)
+  }
 }

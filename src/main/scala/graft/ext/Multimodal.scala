@@ -299,8 +299,101 @@ object Multimodal {
            |FROM documents ORDER BY media_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // PERCEPTUAL near-dup for images: average-hash (aHash — the classic
+  // public perceptual fingerprint: 8×8 nearest-neighbor downsample,
+  // 1 bit per cell for brightness-above-mean) computed from a REAL
+  // pixel-level BMP decode, then banded candidate pairs with exact
+  // Hamming verify. This is the visual complement of
+  // `multimodal_frame_dedup`'s byte-exact frame hashes: aHash is
+  // invariant to global brightness shifts (bits compare to the
+  // image's own mean), so re-encoded or uniformly-relit duplicates
+  // that break byte hashes still collide here.
+  //
+  // Engine shape = the dedup family's candidates-then-verify: the
+  // 64-bit hash splits into 8 row-bytes (bands); pairs sharing ANY
+  // band byte are candidates (an equi-join on (band, value) — never
+  // all-pairs), and τ = 7 < 8 bands makes the banding EXACT by
+  // pigeonhole: ≤7 differing bits cannot touch all 8 bytes, so every
+  // true near-dup shares a band. The Hamming verify runs only on
+  // candidates. All arithmetic is integer (grid sums, band bytes,
+  // bit_count of xor) — bit-identical across engines by construction.
+  // The DuckDB oracle replays the GENERATOR's pixel algebra, so a
+  // pixel-parse bug (orientation, stride, offset) breaks the
+  // hash-match — the decoder is oracle-audited end to end.
+  // ------------------------------------------------------------------
+  val AHashTau = 7
+
+  val perceptualDedup: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.Encoders
+      implicit val encBands = Encoders.product[(Long, Array[Int])]
+      val hashes = syntheticMedia(s, d)
+        .mapPartitions(_.flatMap { i =>
+          MediaCodec.decodeBmpGray8x8(i.payload).map { g =>
+            val total = g.sum
+            val bands = Array.tabulate(8) { y =>
+              var b = 0
+              var x = 0
+              while (x < 8) {
+                if (g(y * 8 + x) * 64 > total) b |= 1 << x
+                x += 1
+              }
+              b
+            }
+            (i.media_id, bands)
+          }
+        })
+        .toDF("media_id", "bands")
+      val bands = hashes.select(col("media_id"), posexplode(col("bands")).as(Seq("k", "bk")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.k") === col("b.k") && col("a.bk") === col("b.bk") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_id_a"), col("b.media_id").as("media_id_b"))
+        .distinct()
+      cand
+        .join(hashes.select(col("media_id").as("media_id_a"), col("bands").as("ba")), Seq("media_id_a"))
+        .join(hashes.select(col("media_id").as("media_id_b"), col("bands").as("bb")), Seq("media_id_b"))
+        .withColumn("hamming",
+          expr("aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+            .cast("long"))
+        .filter(col("hamming") <= AHashTau)
+        .select(col("media_id_a"), col("media_id_b"), col("hamming"))
+        .orderBy("media_id_a", "media_id_b")
+    },
+    Some(s"""WITH img AS (
+            |  SELECT doc_id AS id, doc_id % 31 + 2 AS w, doc_id % 17 + 1 AS h
+            |  FROM documents WHERE doc_id % 2 = 0
+            |), cell AS (
+            |  SELECT id, y.y, x.x,
+            |    (id * 31 + (x.x * w // 8) * 7 + (y.y * h // 8) * 13 + 0) % 256
+            |    + (id * 31 + (x.x * w // 8) * 7 + (y.y * h // 8) * 13 + 1) % 256
+            |    + (id * 31 + (x.x * w // 8) * 7 + (y.y * h // 8) * 13 + 2) % 256 AS gray
+            |  FROM img, LATERAL unnest(range(0, 8)) AS y(y), LATERAL unnest(range(0, 8)) AS x(x)
+            |), tot AS (
+            |  SELECT id, sum(gray) AS total FROM cell GROUP BY 1
+            |), band AS (
+            |  SELECT c.id, c.y AS k,
+            |         sum(CASE WHEN c.gray * 64 > t.total THEN 1 << c.x ELSE 0 END) AS bk
+            |  FROM cell c JOIN tot t ON t.id = c.id GROUP BY 1, 2
+            |), cand AS (
+            |  SELECT DISTINCT a.id AS media_id_a, b.id AS media_id_b
+            |  FROM band a JOIN band b ON a.k = b.k AND a.bk = b.bk AND a.id < b.id
+            |), ham AS (
+            |  SELECT c.media_id_a, c.media_id_b,
+            |         sum(bit_count(xor(CAST(a.bk AS BIGINT), CAST(b.bk AS BIGINT)))) AS hamming
+            |  FROM cand c
+            |  JOIN band a ON a.id = c.media_id_a
+            |  JOIN band b ON b.id = c.media_id_b AND b.k = a.k
+            |  GROUP BY 1, 2
+            |)
+            |SELECT media_id_a, media_id_b, CAST(hamming AS BIGINT) AS hamming
+            |FROM ham WHERE hamming <= $AHashTau ORDER BY 1, 2""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "multimodal_features" -> features,
     "multimodal_frame_dedup" -> frameDedup,
-    "multimodal_decode" -> decodeQuery)
+    "multimodal_decode" -> decodeQuery,
+    "multimodal_perceptual_dedup" -> perceptualDedup)
 }

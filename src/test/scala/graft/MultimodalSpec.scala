@@ -164,6 +164,47 @@ class MultimodalSpec extends SparkSpec {
     assert(ok.n_samples === Some(3L), "walk must skip odd chunks with padding")
   }
 
+  test("pixel decoder reads the true top-origin grid (orientation, stride, offset)") {
+    // asymmetric-in-y pixel fn: any bottom-up/top-down confusion or
+    // stride slip changes the grid
+    val w = 11; val h = 5 // stride 36 ≠ 3·11 — exercises row padding
+    val bmp = MediaCodec.encodeBmp(w, h, (x, y, c) => (x * 3 + y * 50 + c).toByte)
+    val g = MediaCodec.decodeBmpGray8x8(bmp).get
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val (sx, sy) = (x * w / 8, y * h / 8)
+      val want = (0 until 3).map(c => ((sx * 3 + sy * 50 + c) & 0xff)).sum
+      assert(g(y * 8 + x) === want, s"cell ($x,$y) sampled from ($sx,$sy)")
+    }
+  }
+
+  test("pixel decoder rejects junk instead of faulting") {
+    val good = MediaCodec.encodeBmp(4, 4, (_, _, _) => 1.toByte)
+    assert(MediaCodec.decodeBmpGray8x8(good).isDefined)
+    assert(MediaCodec.decodeBmpGray8x8(good.take(53)).isEmpty, "short header")
+    assert(MediaCodec.decodeBmpGray8x8(good.take(60)).isEmpty, "truncated pixel array")
+    assert(MediaCodec.decodeBmpGray8x8("RIFFnotabmp".getBytes("US-ASCII")).isEmpty)
+    val wrongBpp = good.clone(); wrongBpp(28) = 32.toByte
+    assert(MediaCodec.decodeBmpGray8x8(wrongBpp).isEmpty, "non-24bpp")
+  }
+
+  test("aHash pairs are brightness-shift invariant and Hamming-verified") {
+    val rows = Multimodal.perceptualDedup.build(spark, d).collect()
+    assert(rows.nonEmpty, "fixture must produce near-dup image pairs")
+    assert(rows.forall(_.getLong(2) <= Multimodal.AHashTau))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    // brightness invariance: +10 on every channel (no wrap) leaves
+    // every above-mean bit — and hence the hash — unchanged
+    def bands(bmp: Array[Byte]): Seq[Int] = {
+      val g = MediaCodec.decodeBmpGray8x8(bmp).get
+      val total = g.sum
+      (0 until 8).map(y => (0 until 8).foldLeft(0)((b, x) =>
+        if (g(y * 8 + x) * 64 > total) b | (1 << x) else b))
+    }
+    val base = MediaCodec.encodeBmp(9, 7, (x, y, c) => (x * 5 + y * 9 + c).toByte)
+    val lit = MediaCodec.encodeBmp(9, 7, (x, y, c) => (x * 5 + y * 9 + c + 10).toByte)
+    assert(bands(base) === bands(lit), "global brightness shift must not move the hash")
+  }
+
   test("multimodal_decode parses every payload with no binary fallbacks") {
     val rows = Multimodal.decodeQuery.build(spark, d).collect()
     val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
