@@ -180,6 +180,46 @@ object MediaCodec {
     }
   }
 
+  /** SAMPLE-level WAV decode for the audio fingerprint: the 16-bit
+    * PCM payload of the `data` chunk as signed sample values, located
+    * via the same hardened RIFF walk as [[decode]] (odd-chunk
+    * padding honored, crafted sizes bounded). Returns None unless the
+    * payload is a well-formed 16-bit PCM WAV whose data chunk fits —
+    * truncated or crafted payloads fall out instead of faulting.
+    */
+  def decodeWavSamples(payload: Array[Byte]): Option[Array[Short]] = {
+    if (payload.length < 44 ||
+      payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F' ||
+      payload(8) != 'W' || payload(9) != 'A' || payload(10) != 'V' || payload(11) != 'E')
+      return None
+    var off = 12
+    var bits = 0
+    var dataOff = -1
+    var dataSize = -1L
+    var walking = true
+    while (walking && off + 8 <= payload.length && dataOff < 0) {
+      val id = new String(payload.slice(off, off + 4), "US-ASCII")
+      val sz = le32(payload, off + 4).toLong & 0xffffffffL
+      if (id == "fmt " && off + 24 <= payload.length) bits = le16(payload, off + 22)
+      if (id == "data") { dataOff = off + 8; dataSize = sz }
+      else {
+        val next = off.toLong + 8L + sz + (sz & 1L)
+        if (next <= off || next > payload.length.toLong) walking = false
+        else off = next.toInt
+      }
+    }
+    if (bits != 16 || dataOff < 0 || dataOff.toLong + dataSize > payload.length.toLong)
+      return None
+    val n = (dataSize / 2).toInt
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = le16(payload, dataOff + 2 * i).toShort
+      i += 1
+    }
+    Some(out)
+  }
+
   /** PIXEL-level BMP decode for the perceptual hash: an 8×8
     * nearest-neighbor downsample of the 24bpp image, each cell the
     * SUM of its pixel's three channel bytes (0..765) — channel-order

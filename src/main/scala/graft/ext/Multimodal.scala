@@ -391,9 +391,85 @@ object Multimodal {
             |FROM ham WHERE hamming <= $AHashTau ORDER BY 1, 2""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Audio ENERGY-ENVELOPE fingerprint — the audio twin of the aHash:
+  // real 16-bit PCM SAMPLE decode (the new `decodeWavSamples`, same
+  // hardened RIFF walk), 8 equal time windows, per-window Σs² energy
+  // (exact longs — s² ≤ 1.07e9, far under 2⁶³), an above-mean
+  // envelope bitmask and the peak window index. This is the
+  // loudness-contour signature audio dedup pipelines bucket on before
+  // any spectral work — and like the aHash it is invariant to
+  // surrounding container bytes, unlike the byte-exact frame hashes.
+  // All integer arithmetic; the oracle replays the generator's sample
+  // algebra, so the SAMPLE parser (data-chunk offset, 16-bit LE
+  // signedness, channel interleave count) is oracle-audited end to
+  // end. One mapPartitions pass, zero shuffle before the output sort.
+  // ------------------------------------------------------------------
+  val audioEnvelope: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.Encoders
+      implicit val enc = Encoders.product[(Long, Long, Long, Int, Int)]
+      syntheticMedia(s, d)
+        .mapPartitions(_.flatMap { i =>
+          MediaCodec.decodeWavSamples(i.payload).map { smp =>
+            val n = smp.length
+            val e = new Array[Long](8)
+            var j = 0
+            while (j < n) {
+              val v = smp(j).toLong
+              e((j * 8) / n) += v * v
+              j += 1
+            }
+            val total = e.sum
+            var peak = 0
+            var bits = 0
+            var w = 0
+            while (w < 8) {
+              if (e(w) > e(peak)) peak = w
+              if (e(w) * 8 > total) bits |= 1 << w
+              w += 1
+            }
+            (i.media_id, n.toLong, total, peak, bits)
+          }
+        })
+        .toDF("media_id", "n_samples", "total_energy", "peak_window", "envelope_bits")
+        .orderBy("media_id")
+    },
+    Some("""WITH aud AS (
+           |  SELECT doc_id AS id, ((doc_id // 2) % 2 + 1) * (doc_id % 100 + 1) AS n
+           |  FROM documents WHERE doc_id % 2 = 1
+           |), smp AS (
+           |  SELECT id, n, i.i, (id * 7 + i.i * 31) % 65536 - 32768 AS s
+           |  FROM aud, LATERAL unnest(range(0, n)) AS i(i)
+           |), win AS (
+           |  SELECT id, i * 8 // n AS w, sum(s * s) AS e FROM smp GROUP BY 1, 2
+           |), grid AS (
+           |  SELECT a.id, a.n, g.w FROM aud a, LATERAL unnest(range(0, 8)) AS g(w)
+           |), genergy AS (
+           |  SELECT grid.id, grid.n, grid.w, coalesce(win.e, 0) AS e
+           |  FROM grid LEFT JOIN win ON win.id = grid.id AND win.w = grid.w
+           |), tot AS (
+           |  SELECT id, sum(e) AS total FROM genergy GROUP BY 1
+           |), ranked AS (
+           |  SELECT id, w, e, row_number() OVER (PARTITION BY id ORDER BY e DESC, w) AS rn
+           |  FROM genergy
+           |), agg AS (
+           |  SELECT g.id, any_value(g.n) AS n_samples, t.total,
+           |         sum(CASE WHEN g.e * 8 > t.total THEN 1 << g.w ELSE 0 END) AS bits
+           |  FROM genergy g JOIN tot t ON t.id = g.id GROUP BY 1, 3
+           |)
+           |SELECT a.id AS media_id, CAST(a.n_samples AS BIGINT) AS n_samples,
+           |       CAST(a.total AS BIGINT) AS total_energy,
+           |       CAST(r.w AS INTEGER) AS peak_window,
+           |       CAST(a.bits AS INTEGER) AS envelope_bits
+           |FROM agg a JOIN ranked r ON r.id = a.id AND r.rn = 1
+           |ORDER BY media_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "multimodal_features" -> features,
     "multimodal_frame_dedup" -> frameDedup,
     "multimodal_decode" -> decodeQuery,
-    "multimodal_perceptual_dedup" -> perceptualDedup)
+    "multimodal_perceptual_dedup" -> perceptualDedup,
+    "multimodal_audio_envelope" -> audioEnvelope)
 }

@@ -205,6 +205,35 @@ class MultimodalSpec extends SparkSpec {
     assert(bands(base) === bands(lit), "global brightness shift must not move the hash")
   }
 
+  test("WAV sample decoder round-trips encoded PCM and rejects junk") {
+    val wav = MediaCodec.encodeWav(2, 16000, 5, i => (i * 1000 - 2500).toShort)
+    val got = MediaCodec.decodeWavSamples(wav).get
+    assert(got.toSeq === (0L until 10L).map(i => (i * 1000 - 2500).toShort))
+    assert(MediaCodec.decodeWavSamples(wav.take(43)).isEmpty, "short header")
+    assert(MediaCodec.decodeWavSamples(wav.take(50)).isEmpty, "truncated data chunk")
+    assert(MediaCodec.decodeWavSamples("BMnotawav".getBytes("US-ASCII")).isEmpty)
+    // the hardened walk still finds samples past an odd-sized chunk
+    val odd = wav.take(36) ++ "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array.fill[Byte](4)(0) ++ wav.drop(36)
+    assert(MediaCodec.decodeWavSamples(odd).exists(_.length === 10))
+  }
+
+  test("audio envelope covers every audio payload with consistent integer invariants") {
+    val rows = Multimodal.audioEnvelope.build(spark, d).collect()
+    val nAudio = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(rows.length.toLong === nAudio)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === ((id / 2) % 2 + 1) * (id % 100 + 1), s"audio $id sample count")
+      assert(r.getLong(2) >= 0L)
+      assert(r.getInt(3) >= 0 && r.getInt(3) < 8)
+      assert(r.getInt(4) >= 0 && r.getInt(4) < 256)
+    }
+    // envelopes must actually discriminate across the set
+    assert(rows.map(_.getInt(4)).distinct.length > 1, "envelope bits are constant — vacuous")
+  }
+
   test("multimodal_decode parses every payload with no binary fallbacks") {
     val rows = Multimodal.decodeQuery.build(spark, d).collect()
     val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
