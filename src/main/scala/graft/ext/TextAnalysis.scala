@@ -1289,7 +1289,124 @@ object TextAnalysis {
             |) WHERE rnk <= $PmiTopK ORDER BY lang, rnk""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // MTLD lexical diversity (McCarthy & Jarvis, "MTLD, vocd-D, and
+  // HD-D: A validation study of sophisticated approaches to lexical
+  // diversity assessment", BRM 2010 — public algorithm): the
+  // length-robust diversity metric curation pipelines use where raw
+  // TTR fails (TTR decays with document length; MTLD measures the
+  // mean length of sequential token runs that SUSTAIN TTR ≥ 0.72,
+  // averaged over a forward and a backward pass, with the standard
+  // (1−TTR_end)/(1−0.72) partial-factor remainder).
+  //
+  // Engine shape: the whole fold runs per ROW inside two `aggregate`
+  // higher-order projections over the token array (forward, and over
+  // reverse()) — no explode, no shuffle, a pure projection pass like
+  // the rest of the text family. The fold state carries the current
+  // run's distinct-token array; MTLD's own reset discipline bounds it
+  // (a run ends as soon as TTR dips, so state stays tens of tokens
+  // regardless of document length — the same reason the metric is
+  // length-robust makes the state bounded). Both engines fold the
+  // same tokens in the same order with the same double TTR compares,
+  // so factor counts are identical and the final doubles bit-agree;
+  // docs whose factor count is 0 in a direction (short, all-distinct)
+  // publish NULL for that direction by the stated guard.
+  // ------------------------------------------------------------------
+  val MtldThreshold = 0.72
+
+  val mtld: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.IntegerType
+      val zero = struct(
+        array().cast("array<string>").as("types"),
+        lit(0).as("tokc"), lit(0).as("typec"), lit(0).as("factors"))
+      def fold(toksCol: Column): Column = {
+        val folded = aggregate(
+          toksCol, zero,
+          (acc, t) => {
+            val isNew = when(array_contains(acc.getField("types"), t), 0).otherwise(1)
+            val typec2 = acc.getField("typec") + isNew
+            val tokc2 = acc.getField("tokc") + 1
+            val drop = typec2.cast(DoubleType) / tokc2.cast(DoubleType) < MtldThreshold
+            struct(
+              when(drop, array().cast("array<string>"))
+                .when(isNew === 1, concat(acc.getField("types"), array(t)))
+                .otherwise(acc.getField("types")).as("types"),
+              when(drop, 0).otherwise(tokc2).cast(IntegerType).as("tokc"),
+              when(drop, 0).otherwise(typec2).cast(IntegerType).as("typec"),
+              (acc.getField("factors") + when(drop, 1).otherwise(0)).cast(IntegerType)
+                .as("factors"))
+          },
+          acc => acc.getField("factors").cast(DoubleType) +
+            when(acc.getField("tokc") > 0,
+              (lit(1.0) - acc.getField("typec").cast(DoubleType) /
+                acc.getField("tokc").cast(DoubleType)) / lit(1.0 - MtldThreshold))
+              .otherwise(lit(0.0)))
+        folded
+      }
+      val toks = tokens(col("text"))
+      val n = size(toks).cast(DoubleType)
+      val out = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          fold(toks).as("fcf"), fold(reverse(toks)).as("fcb"))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("fcf") > 0, col("n_tokens").cast(DoubleType) / col("fcf")).as("mf"),
+          when(col("fcb") > 0, col("n_tokens").cast(DoubleType) / col("fcb")).as("mb"))
+      out.select(col("doc_id"), col("n_tokens"),
+        roundPortable(col("mf"), 6).as("mtld_fwd"),
+        roundPortable(col("mb"), 6).as("mtld_bwd"),
+        roundPortable((col("mf") + col("mb")) / lit(2.0), 6).as("mtld"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def rec(name: String, reversed: Boolean): String = {
+        val pos = if (reversed) "n + 1 - i" else "i"
+        s"""${name}tok AS (
+           |  SELECT doc_id, i, toks[$pos] AS t, n
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           |               len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+           |        FROM documents),
+           |       LATERAL unnest(range(1, n + 1)) AS r(i)
+           |), $name AS (
+           |  SELECT doc_id, i, n, [t] AS types, 1 AS tokc, 1 AS typec, 0 AS factors
+           |  FROM ${name}tok WHERE i = 1
+           |  UNION ALL
+           |  SELECT x.doc_id, x.i, x.n,
+           |    CASE WHEN CAST(f.typec + (CASE WHEN list_contains(f.types, x.t) THEN 0 ELSE 1 END) AS DOUBLE)
+           |              / CAST(f.tokc + 1 AS DOUBLE) < $MtldThreshold
+           |         THEN CAST([] AS VARCHAR[])
+           |         WHEN list_contains(f.types, x.t) THEN f.types
+           |         ELSE list_append(f.types, x.t) END,
+           |    CASE WHEN CAST(f.typec + (CASE WHEN list_contains(f.types, x.t) THEN 0 ELSE 1 END) AS DOUBLE)
+           |              / CAST(f.tokc + 1 AS DOUBLE) < $MtldThreshold
+           |         THEN 0 ELSE f.tokc + 1 END,
+           |    CASE WHEN CAST(f.typec + (CASE WHEN list_contains(f.types, x.t) THEN 0 ELSE 1 END) AS DOUBLE)
+           |              / CAST(f.tokc + 1 AS DOUBLE) < $MtldThreshold
+           |         THEN 0 ELSE f.typec + (CASE WHEN list_contains(f.types, x.t) THEN 0 ELSE 1 END) END,
+           |    f.factors + CASE WHEN CAST(f.typec + (CASE WHEN list_contains(f.types, x.t) THEN 0 ELSE 1 END) AS DOUBLE)
+           |              / CAST(f.tokc + 1 AS DOUBLE) < $MtldThreshold THEN 1 ELSE 0 END
+           |  FROM $name f JOIN ${name}tok x ON x.doc_id = f.doc_id AND x.i = f.i + 1
+           |), ${name}fc AS (
+           |  SELECT doc_id, n,
+           |    CAST(factors AS DOUBLE) + CASE WHEN tokc > 0
+           |      THEN (1.0 - CAST(typec AS DOUBLE) / CAST(tokc AS DOUBLE)) / ${1.0 - MtldThreshold}
+           |      ELSE 0.0 END AS fc
+           |  FROM $name WHERE i = n
+           |)""".stripMargin
+      }
+      s"""WITH RECURSIVE ${rec("fwd", reversed = false)}, ${rec("bwd", reversed = true)}
+         |SELECT f.doc_id, f.n AS n_tokens,
+         |  floor(CASE WHEN f.fc > 0 THEN CAST(f.n AS DOUBLE) / f.fc END * 1000000 + 0.5) / 1000000 AS mtld_fwd,
+         |  floor(CASE WHEN b.fc > 0 THEN CAST(b.n AS DOUBLE) / b.fc END * 1000000 + 0.5) / 1000000 AS mtld_bwd,
+         |  floor((CASE WHEN f.fc > 0 THEN CAST(f.n AS DOUBLE) / f.fc END
+         |       + CASE WHEN b.fc > 0 THEN CAST(b.n AS DOUBLE) / b.fc END) / 2.0 * 1000000 + 0.5) / 1000000 AS mtld
+         |FROM fwdfc f JOIN bwdfc b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "text_mtld" -> mtld,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_lang_id" -> langId,

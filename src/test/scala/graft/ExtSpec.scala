@@ -1659,6 +1659,45 @@ class ExtSpec extends SparkSpec {
       s"fixture should populate all cadence buckets, saw $buckets")
   }
 
+  test("mtld: replays the factor fold both directions from raw tokens") {
+    val r = TextAnalysis.mtld.build(spark, d).collect()
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def factors(toks: Seq[String]): Double = {
+      var types = Set.empty[String]; var tokc = 0; var typec = 0; var f = 0
+      toks.foreach { t =>
+        val isNew = !types.contains(t)
+        tokc += 1; if (isNew) typec += 1
+        if (typec.toDouble / tokc.toDouble < TextAnalysis.MtldThreshold) {
+          types = Set.empty; tokc = 0; typec = 0; f += 1
+        } else if (isNew) types += t
+      }
+      f.toDouble + (if (tokc > 0)
+        (1.0 - typec.toDouble / tokc.toDouble) / (1.0 - TextAnalysis.MtldThreshold)
+      else 0.0)
+    }
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1).trim.toLowerCase.split("\\s+").toSeq).toMap
+    assert(r.length === docs.size)
+    r.foreach { row =>
+      val toks = docs(row.getLong(0))
+      assert(row.getInt(1) === toks.length)
+      val (ff, fb) = (factors(toks), factors(toks.reverse))
+      // all-distinct runs never factor: the stated contract publishes
+      // NULL for that direction (and for the average)
+      if (ff == 0.0) assert(row.isNullAt(2), s"doc ${row.getLong(0)} fwd should be NULL")
+      else assert(row.getDouble(2) === g6(toks.length / ff), s"doc ${row.getLong(0)} fwd")
+      if (fb == 0.0) assert(row.isNullAt(3), s"doc ${row.getLong(0)} bwd should be NULL")
+      else assert(row.getDouble(3) === g6(toks.length / fb), s"doc ${row.getLong(0)} bwd")
+      if (ff == 0.0 || fb == 0.0) assert(row.isNullAt(4))
+      else {
+        assert(row.getDouble(4) === g6((toks.length / ff + toks.length / fb) / 2.0),
+          s"doc ${row.getLong(0)} avg")
+        assert(row.getDouble(4) > 0)
+      }
+    }
+  }
+
   test("holt forecast: replays the recursion from the daily aggregate; init contract holds") {
     val r = Sessions.forecastHolt.build(spark, d).collect()
     val byKey = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap
