@@ -205,4 +205,66 @@ class PropertySpec extends SparkSpec {
       assert(dec.n_bytes === len.toLong)
     }
   }
+
+  test("recursion folds (Holt, CUSUM) bit-agree with plain Scala folds on GENERATED series") {
+    val s = spark; import s.implicits._
+    // random series the harness never shipped: 4 types, ragged day
+    // spans, random per-day multiplicity and intra-day times — the
+    // collapse-then-fold queries must reproduce a plain Scala fold
+    // exactly (identical op order => identical doubles)
+    val rnd2 = new scala.util.Random(4242)
+    val rows = for {
+      (tpe, ti) <- Seq("alpha", "beta", "gamma", "delta").zipWithIndex
+      day <- 0 until (20 + ti * 7)
+      _ <- 0 until (1 + rnd2.nextInt(9))
+    } yield (tpe, day, rnd2.nextInt(86400))
+    val dir = "target/fold-fixtures"
+    val base = 1709251200000000L // 2024-03-01 00:00:00 UTC in micros
+    rows.zipWithIndex.map { case ((tpe, day, sec), i) =>
+      (i.toLong, base + day * 86400000000L + sec * 1000000L, (i % 7).toLong, tpe, 1.0)
+    }.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val counts: Map[String, Seq[Long]] = rows.groupBy(_._1).map { case (tpe, xs) =>
+      tpe -> xs.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.length.toLong)
+    }
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // Holt
+    val holt = graft.ext.Sessions.forecastHolt.build(spark, dir).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.sortBy(_.getString(1)) }
+    counts.foreach { case (tpe, ns) =>
+      var l = 0.0; var b = 0.0
+      val got = holt(tpe)
+      assert(got.length === ns.length, s"$tpe day-grid size")
+      ns.zipWithIndex.foreach { case (n, i) =>
+        if (i == 0) { l = n.toDouble; b = 0.0 }
+        else {
+          val nl = 0.5 * n.toDouble + 0.5 * (l + b)
+          val nb = 0.3 * (nl - l) + 0.7 * b
+          l = nl; b = nb
+        }
+        assert(got(i).getDouble(3) === g6(l), s"$tpe day $i level")
+        assert(got(i).getDouble(4) === g6(b), s"$tpe day $i trend")
+      }
+    }
+    // CUSUM
+    val cp = graft.ext.Sessions.changepoint.build(spark, dir).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.sortBy(_.getString(1)) }
+    counts.foreach { case (tpe, ns) =>
+      val nd = ns.length
+      val mu = ns.sum.toDouble / nd
+      val sigma = math.sqrt(ns.map(n => n * n).sum.toDouble / nd - mu * mu)
+      var sp = 0.0; var sn = 0.0
+      val got = cp(tpe)
+      ns.zipWithIndex.foreach { case (n, i) =>
+        sp = math.max(0.0, sp + (n.toDouble - mu - graft.ext.Sessions.CusumK * sigma))
+        sn = math.max(0.0, sn + (mu - graft.ext.Sessions.CusumK * sigma - n.toDouble))
+        assert(got(i).getDouble(3) === g6(sp), s"$tpe day $i cusum_pos")
+        assert(got(i).getDouble(4) === g6(sn), s"$tpe day $i cusum_neg")
+        val want = if (sp > graft.ext.Sessions.CusumH * sigma ||
+          sn > graft.ext.Sessions.CusumH * sigma) 1L else 0L
+        assert(got(i).getLong(5) === want, s"$tpe day $i is_change")
+      }
+    }
+  }
 }
