@@ -385,10 +385,114 @@ object Graph {
            |ORDER BY 1, 2, 3""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // K-CORE keyword extraction over the graph-of-words (Tixier,
+  // Malliaros & Vazirgiannis, "A Graph Degeneracy-based Approach to
+  // Keyword Extraction", EMNLP 2016 — public algorithm): where
+  // [[textrankKeywords]] ranks tokens by stationary visit probability,
+  // the k-core keeps the maximal subgraph in which EVERY token has ≥ K
+  // strong co-occurrence partners — cohesion, not centrality, which is
+  // the paper's argument for degeneracy beating PageRank on keyword
+  // sets. Graph: the same per-language word co-occurrence build as
+  // textrank/link-prediction (window 2, self-loops dropped), SPARSIFIED
+  // to the top-E edges per language by co-occurrence count (the
+  // harness vocabulary is so small its word graph is near-complete —
+  // an unthresholded peel is all-or-nothing; a weight cut is also what
+  // the paper does with its W-weighted variant). Peel: ITERS
+  // fixed-point rounds of "drop every vertex with degree < K, then
+  // drop edges touching removed vertices", UNROLLED into one lazy
+  // plan — each round is one vocab-sized aggregate plus two semi-joins
+  // keyed on (lang, token), no driver loop, no collect.
+  //
+  // Scale: vertex set = vocabulary and edge set ≤ E·|langs| after the
+  // per-lang top-E rank — both Heaps-law sublinear in corpus bytes, so
+  // the peel's joins are trivially broadcastable at any corpus size;
+  // the only corpus-sized work is the bigram count (map-side combined)
+  // feeding the rank. Published rows: survivors of the final round
+  // with their within-core degree, top-TopK per language on the
+  // (degree desc, token) total order — integer arithmetic end to end,
+  // no float drift surface at all.
+  // ------------------------------------------------------------------
+  val KCoreK = 6
+  val KCoreEdges = 120
+  val KCoreIters = 3
+  val KCoreTop = 30
+
+  val kcoreWords: Q = Q(
+    (s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val rankW = Window.partitionBy("lang").orderBy(col("n").desc, col("a"), col("b"))
+      val edges = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+        .withColumn("t1", lead("t", 1).over(w))
+        .filter(col("t1").isNotNull && col("t1") =!= col("t"))
+        .select(col("lang"), least(col("t"), col("t1")).as("a"),
+          greatest(col("t"), col("t1")).as("b"))
+        .groupBy("lang", "a", "b").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(rankW))
+        .filter(col("rk") <= KCoreEdges)
+        .select("lang", "a", "b")
+      var sym = edges.select(col("lang"), col("a").as("v"), col("b").as("u"))
+        .unionAll(edges.select(col("lang"), col("b").as("v"), col("a").as("u")))
+      for (_ <- 0 until KCoreIters) {
+        val alive = sym.groupBy("lang", "v").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KCoreK).select("lang", "v")
+        sym = sym
+          .join(alive, Seq("lang", "v"), "left_semi")
+          .join(alive.select(col("lang"), col("v").as("u")), Seq("lang", "u"), "left_semi")
+      }
+      val outW = Window.partitionBy("lang").orderBy(col("core_degree").desc, col("token"))
+      sym.groupBy(col("lang"), col("v").as("token"))
+        .agg(count(lit(1)).as("core_degree"))
+        .withColumn("rnk", row_number().over(outW))
+        .filter(col("rnk") <= KCoreTop)
+        .orderBy("lang", "rnk")
+    },
+    Some {
+      val iters = (0 until KCoreIters).map { i =>
+        s"""d$i AS (SELECT lang, v, count(*) AS deg FROM s$i GROUP BY 1, 2),
+           |a$i AS (SELECT lang, v FROM d$i WHERE deg >= $KCoreK),
+           |s${i + 1} AS (
+           |  SELECT s.lang, s.v, s.u FROM s$i s
+           |  JOIN a$i x ON s.lang = x.lang AND s.v = x.v
+           |  JOIN a$i y ON s.lang = y.lang AND s.u = y.v
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, toks[i] AS t, toks[i + 1] AS t1
+         |  FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |       LATERAL unnest(range(1, len(toks))) AS r(i)
+         |  WHERE toks[i] <> toks[i + 1]
+         |), ec AS (
+         |  SELECT lang, least(t, t1) AS a, greatest(t, t1) AS b, count(*) AS n
+         |  FROM tok GROUP BY 1, 2, 3
+         |), e AS (
+         |  SELECT lang, a, b FROM (
+         |    SELECT lang, a, b,
+         |           row_number() OVER (PARTITION BY lang ORDER BY n DESC, a, b) AS rk
+         |    FROM ec) WHERE rk <= $KCoreEdges
+         |), s0 AS (
+         |  SELECT lang, a AS v, b AS u FROM e
+         |  UNION ALL
+         |  SELECT lang, b AS v, a AS u FROM e
+         |),
+         |$iters
+         |SELECT lang, token, core_degree, rnk FROM (
+         |  SELECT lang, v AS token, count(*) AS core_degree,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY count(*) DESC, v) AS rnk
+         |  FROM s$KCoreIters GROUP BY lang, v)
+         |WHERE rnk <= $KCoreTop
+         |ORDER BY lang, rnk""".stripMargin
+    }
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
     "text_textrank_keywords" -> textrankKeywords,
-    "graph_link_prediction" -> linkPrediction
+    "graph_link_prediction" -> linkPrediction,
+    "graph_kcore_words" -> kcoreWords
   )
 }

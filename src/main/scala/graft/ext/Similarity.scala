@@ -1438,6 +1438,96 @@ object Similarity {
            |FROM j GROUP BY label ORDER BY label""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Diagonal-Mahalanobis embedding OUTLIERS — the anomaly-detection
+  // complement of the hygiene profiles: `emb_norm_stats` finds broken
+  // vectors (dead norms), `emb_dim_variance` finds broken DIMENSIONS,
+  // this finds broken CORPUS MEMBERS — vectors far from the corpus
+  // distribution under a per-dimension z-score metric,
+  // score = Σ_d (x_d − μ_d)² / (σ²_d + ε). The standard cheap
+  // encoder-drift / mislabeled-shard detector in embedding pipelines
+  // (full-covariance Mahalanobis needs a d×d inverse; the diagonal
+  // form is the scalable screen run first, and the one that
+  // distributes as a pure scan).
+  //
+  // Engine shape: two passes over the corpus, both embarrassingly
+  // parallel — (1) the dimVariance aggregate (posexplode → d-row
+  // partials, map-side combined) COLLAPSED into one d-indexed array
+  // row via sort_array(collect_list) over d=|dims| structs (64 here —
+  // bounded by model dimensionality, never by corpus size), then
+  // (2) that single stats row is broadcast under every corpus row and
+  // the per-vector fold runs inside one codegen'd `transform` +
+  // `aggregate` HOF chain — no shuffle, no join, no window. The
+  // global top-k ORDER BY ... LIMIT k is Spark's TakeOrderedAndProject
+  // (per-partition heaps + driver merge of k·partitions rows), never
+  // a corpus sort.
+  //
+  // Numeric contract: coordinates and per-dim μ/σ² publish on the
+  // repo's 6-dp grid first (dimVariance's exact-decimal recipe), the
+  // per-dim score term is ONE double expression with identical op
+  // order in both engines (bit-identical IEEE), and each term lands
+  // back on the grid as integer MICROS summed in Long — the per-row
+  // fold is order-fixed and exact, so the published score is
+  // partition-order-independent. Term magnitude ~O(10²)·1e6 × 64 dims
+  // ≪ 2^63. Ties break on vec_id for a total order under LIMIT.
+  // ------------------------------------------------------------------
+  val OutlierTopK = 20
+  val VarEps = 1e-6
+
+  val outliersMaha: Q = Q(
+    (s, d) => {
+      val x = col("x").cast(DoubleType)
+      val n = count(lit(1)).cast(DoubleType)
+      val meanRaw = sum(col("xq").cast(DecimalType(28, 6))).cast(DoubleType) / n
+      val varRaw = sum(col("x2q").cast(DecimalType(28, 6))).cast(DoubleType) / n -
+        meanRaw * meanRaw
+      val statsRow = emb(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"), roundPortable(x, 6).as("xq"),
+          roundPortable(x * x, 6).as("x2q"))
+        .groupBy("dim")
+        .agg(roundPortable(meanRaw, 6).as("mu"), roundPortable(varRaw, 6).as("v"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("mu"), col("v"))))
+          .as("sv"))
+        .select(col("sv.mu").as("mus"), col("sv.v").as("vars"))
+      val dims = sequence(lit(0), size(col("embedding")) - 1)
+      val micros = aggregate(
+        transform(dims, i => {
+          val xq = roundPortable(element_at(col("embedding"), i + 1).cast(DoubleType), 6)
+          val mu = element_at(col("mus"), i + 1)
+          val v = element_at(col("vars"), i + 1)
+          floor((xq - mu) * (xq - mu) / (v + lit(VarEps)) * 1e6 + lit(0.5)).cast("long")
+        }),
+        lit(0L), (acc, t) => acc + t)
+      emb(s, d)
+        .crossJoin(broadcast(statsRow))
+        .select(col("vec_id"), col("label"), micros.as("micros"))
+        .orderBy(col("micros").desc, col("vec_id"))
+        .limit(OutlierTopK)
+        .select(col("vec_id"), col("label"),
+          (col("micros").cast(DoubleType) / 1e6).as("score_maha"))
+    },
+    Some(s"""WITH v AS (
+            |  SELECT vec_id, label, i - 1 AS dim,
+            |    floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS xq,
+            |    floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS x2q
+            |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+            |), st AS (
+            |  SELECT dim,
+            |    floor(CAST(sum(CAST(xq AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mu,
+            |    floor((CAST(sum(CAST(x2q AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            |           - (CAST(sum(CAST(xq AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+            |             * (CAST(sum(CAST(xq AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS var_q
+            |  FROM v GROUP BY 1
+            |), sc AS (
+            |  SELECT v.vec_id, v.label,
+            |    sum(CAST(floor((v.xq - st.mu) * (v.xq - st.mu) / (st.var_q + $VarEps) * 1000000 + 0.5) AS BIGINT)) AS micros
+            |  FROM v JOIN st USING (dim) GROUP BY 1, 2
+            |)
+            |SELECT vec_id, label, CAST(micros AS DOUBLE) / 1000000 AS score_maha
+            |FROM sc ORDER BY micros DESC, vec_id LIMIT $OutlierTopK""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "ann_cosine_topk" -> bruteForceTopK,
     "ann_dot_topk" -> dotTopK,
@@ -1453,6 +1543,7 @@ object Similarity {
     "emb_centroid_drift" -> centroidDrift,
     "ann_multiprobe_topk" -> multiprobeTopK,
     "ann_pq_topk" -> pqTopK,
-    "ann_ivfpq_topk" -> ivfpqTopK
+    "ann_ivfpq_topk" -> ivfpqTopK,
+    "emb_outliers_maha" -> outliersMaha
   )
 }

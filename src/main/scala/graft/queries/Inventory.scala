@@ -1726,6 +1726,98 @@ object Inventory {
            |FROM daily ORDER BY day""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // ONE-PASS Pearson correlation matrix over the lineitem measures —
+  // the multivariate step beyond `profile_columns`' per-column stats:
+  // which measures move together (the feature-redundancy screen a
+  // model-training or anomaly pipeline runs before fitting anything).
+  // All C(4,2)=6 pairwise correlations come from a SINGLE aggregate
+  // over one scan — n, Σx and Σx² per column, Σxy per pair — so the
+  // corpus is read once and only 15 partial sums shuffle (map-side
+  // combined; the textbook computational formula
+  // corr = (Σxy/n − x̄ȳ) / √(var_x · var_y)). The 1-row sum vector
+  // explodes into the 6 output rows AFTER aggregation — never a
+  // per-pair re-scan (Spark's own ds.stat.corr makes one pass PER
+  // pair and returns a driver scalar; this is the set-returning,
+  // single-pass form).
+  //
+  // Numeric contract: inputs publish on the repo's 6-dp grid, and
+  // every sum is EXACT decimal — values as DECIMAL(18,6), products in
+  // DECIMAL(37,12) (exact: 6dp×6dp=12dp), sums at the engines' (38,12)
+  // — so the aggregate is partition-order-independent; the corr/cov
+  // derivation is one double expression with identical op order in
+  // both engines. Σx² headroom: worst column Σ(1e5)² ≈ 1e10/row →
+  // overflow at ~10¹⁶ rows, far beyond 100 TB. Zero-variance columns
+  // publish NULL corr (guarded), never ±inf. Wide decimals stay
+  // INTERNAL — the output schema is strings, BIGINT and doubles (the
+  // emb_centroid_drift lesson, pinned in OutputContractSpec).
+  // ------------------------------------------------------------------
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val profileNumericCorr: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.Column
+      val pairs = for { i <- CorrCols.indices; j <- i + 1 until CorrCols.size }
+        yield (CorrCols(i), CorrCols(j))
+      def d18(name: String) = roundPortable(col(name), 6).cast(DecimalType(18, 6))
+      val aggs: Seq[Column] =
+        (count(lit(1)).as("n") +:
+          CorrCols.flatMap(c => Seq(
+            sum(d18(c)).as(s"s_$c"),
+            sum(d18(c) * d18(c)).as(s"q_$c")))) ++
+          pairs.map { case (a, b) => sum(d18(a) * d18(b)).as(s"p_${a}_$b") }
+      val g = t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val nD = col("n").cast(DoubleType)
+      def mean(c: String) = col(s"s_$c").cast(DoubleType) / nD
+      def variance(c: String) = col(s"q_$c").cast(DoubleType) / nD - mean(c) * mean(c)
+      val rows = pairs.map { case (a, b) =>
+        val cov = col(s"p_${a}_$b").cast(DoubleType) / nD - mean(a) * mean(b)
+        struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n_rows"),
+          roundPortable(cov, 6).as("cov_val"),
+          roundPortable(
+            when(variance(a) * variance(b) > 0.0, cov / sqrt(variance(a) * variance(b))),
+            6).as("corr_val"))
+      }
+      g.select(explode(array(rows: _*)).as("p")).select("p.*")
+        .orderBy("col_a", "col_b")
+    },
+    Some {
+      val pairs = for { i <- CorrCols.indices; j <- i + 1 until CorrCols.size }
+        yield (CorrCols(i), CorrCols(j))
+      def grid(c: String) = s"floor($c * 1000000 + 0.5) / 1000000 AS $c"
+      // width 19 forces DuckDB's int128 decimal storage — at (18,6) its
+      // multiply stays in int64 and overflows on Σ(price²)-sized products
+      def d18(c: String) = s"CAST($c AS DECIMAL(19,6))"
+      val sums =
+        (CorrCols.flatMap(c => Seq(
+          s"sum(${d18(c)}) AS s_$c",
+          s"sum(${d18(c)} * ${d18(c)}) AS q_$c")) ++
+          pairs.map { case (a, b) => s"sum(${d18(a)} * ${d18(b)}) AS p_${a}_$b" })
+          .mkString(",\n|    ")
+      def m(c: String) = s"(CAST(s_$c AS DOUBLE) / CAST(n AS DOUBLE))"
+      def v(c: String) = s"(CAST(q_$c AS DOUBLE) / CAST(n AS DOUBLE) - ${m(c)} * ${m(c)})"
+      def r6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+      val arms = pairs.map { case (a, b) =>
+        val cov = s"(CAST(p_${a}_$b AS DOUBLE) / CAST(n AS DOUBLE) - ${m(a)} * ${m(b)})"
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n AS n_rows,
+           |  ${r6(cov)} AS cov_val,
+           |  CASE WHEN ${v(a)} * ${v(b)} > 0.0
+           |       THEN ${r6(s"$cov / sqrt(${v(a)} * ${v(b)})")}
+           |       ELSE NULL END AS corr_val
+           |FROM g""".stripMargin
+      }.mkString("\n|UNION ALL\n|")
+      s"""WITH qv AS (
+         |  SELECT ${CorrCols.map(grid).mkString(", ")} FROM lineitem
+         |), g AS (
+         |  SELECT count(*) AS n,
+         |    $sums
+         |  FROM qv
+         |)
+         |$arms
+         |ORDER BY col_a, col_b""".stripMargin
+    }
+  )
+
   val all: Seq[(String, Q)] = Seq(
     "s1_scan" -> s1Scan,
     "orders_backlog" -> ordersBacklog,
@@ -1771,6 +1863,8 @@ object Inventory {
     "join_skew_salted" -> joinSkewSalted,
     "sort_zorder" -> sortZorder,
     "customer_rfm" -> customerRfm,
-    "orders_benford" -> ordersBenford
+    "orders_benford" -> ordersBenford,
+    "profile_numeric_corr" -> profileNumericCorr
   )
+
 }

@@ -1724,4 +1724,110 @@ class ExtSpec extends SparkSpec {
       }
     }
   }
+
+  test("kcore words: replicates the full peel from raw tokens for one language") {
+    val got = Graph.kcoreWords.build(spark, d).collect()
+      .filter(_.getString(0) == "en")
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty && got.length <= Graph.KCoreTop)
+    // reference: rebuild the sparsified co-occurrence graph and peel
+    // in plain Scala collections
+    val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+    spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("lang") === "en").select("text").collect().foreach { r =>
+        val toks = r.getString(0).trim.toLowerCase.split("\\s+")
+        toks.iterator.zip(toks.iterator.drop(1)).foreach { case (a, b) =>
+          if (a != b) {
+            val k = if (a < b) (a, b) else (b, a)
+            pair(k) = pair.getOrElse(k, 0L) + 1L
+          }
+        }
+      }
+    val kept = pair.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }
+      .take(Graph.KCoreEdges).map(_._1)
+    var sym = kept.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    for (_ <- 0 until Graph.KCoreIters) {
+      val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size }
+      val alive = deg.collect { case (v, n) if n >= Graph.KCoreK => v }.toSet
+      sym = sym.filter { case (v, u) => alive(v) && alive(u) }
+    }
+    val want = sym.groupBy(_._1).map { case (v, es) => (v, es.size.toLong) }.toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(Graph.KCoreTop)
+      .zipWithIndex.map { case ((t, n), i) => (t, n, i + 1) }
+    assert(got.toSeq === want)
+    // peel monotonicity: the core is a strict subgraph of the input
+    // vertex set on this near-complete harness graph
+    val allVerts = kept.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got.length < allVerts.length, "peel removed at least one vertex")
+  }
+
+  test("numeric corr: replays all six correlations from raw rows; corr bounded; exact-sum parity") {
+    val r = graft.queries.Inventory.profileNumericCorr.build(spark, d).collect()
+    assert(r.length === 6)
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val raw = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(cols.map(c => col(c)): _*).collect()
+      .map(x => cols.indices.map(i => g6(x.getDouble(i))).toArray)
+    val n = raw.length.toDouble
+    // plain-Scala replication on the same 6-dp grid, BigDecimal sums so
+    // the exact-decimal aggregation contract is what's being checked
+    def sumBD(f: Array[Double] => Double): Double =
+      raw.foldLeft(BigDecimal(0))((a, v) => a + BigDecimal(f(v))).toDouble
+    val rows = r.map(x => (x.getString(0), x.getString(1))).zip(r).toMap
+    for { i <- cols.indices; j <- i + 1 until cols.size } {
+      val row = rows((cols(i), cols(j)))
+      assert(row.getLong(2) === raw.length.toLong, "n_rows")
+      val (ma, mb) = (sumBD(_(i)) / n, sumBD(_(j)) / n)
+      val va = sumBD(v => v(i) * v(i)) / n - ma * ma
+      val vb = sumBD(v => v(j) * v(j)) / n - mb * mb
+      val cov = sumBD(v => v(i) * v(j)) / n - ma * mb
+      assert(math.abs(row.getDouble(3) - g6(cov)) <= 1e-6, s"cov ${cols(i)}/${cols(j)}")
+      val corr = row.getDouble(4)
+      assert(math.abs(corr) <= 1.0 + 1e-9, "corr in [-1,1]")
+      assert(math.abs(corr - g6(cov / math.sqrt(va * vb))) <= 1e-6,
+        s"corr ${cols(i)}/${cols(j)}")
+    }
+    // all four measures vary in the harness, so every corr is defined
+    assert(r.forall(!_.isNullAt(4)), "no null corr on the harness data")
+  }
+
+  test("mahalanobis outliers: replays top scores from raw vectors; descending, non-negative") {
+    val r = Similarity.outliersMaha.build(spark, d).collect()
+    assert(r.length === Similarity.OutlierTopK)
+    val scores = r.map(_.getDouble(2))
+    assert(scores.forall(_ >= 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "descending")
+    // ties break on vec_id
+    r.sliding(2).foreach { w =>
+      if (w.length == 2 && w(0).getDouble(2) == w(1).getDouble(2))
+        assert(w(0).getLong(0) < w(1).getLong(0), "vec_id tiebreak")
+    }
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rawVecs = spark.read.parquet(s"$d/embeddings.parquet").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val vecs = rawVecs.map { case (id, v) => id -> v.map(g6) }
+    val dims = vecs.values.head.length
+    val nv = vecs.size.toDouble
+    // the query grids x and x·x from the RAW coordinate (the
+    // dimVariance recipe) — replicate that exactly, not g6(g6(x)²)
+    val stats = (0 until dims).map { k =>
+      val mean = rawVecs.values.foldLeft(BigDecimal(0))((a, v) =>
+        a + BigDecimal(g6(v(k)))).toDouble / nv
+      val mu = g6(mean)
+      val ex2 = rawVecs.values.foldLeft(BigDecimal(0))((a, v) =>
+        a + BigDecimal(g6(v(k) * v(k)))).toDouble / nv
+      (mu, g6(ex2 - mean * mean))
+    }
+    def score(v: Array[Double]): Double =
+      (0 until dims).map { k =>
+        val (mu, vr) = stats(k)
+        math.floor((v(k) - mu) * (v(k) - mu) / (vr + Similarity.VarEps) * 1e6 + 0.5).toLong
+      }.sum / 1e6
+    // every published row's score replays exactly from the raw corpus,
+    // and the top row really is the corpus argmax
+    r.foreach(x => assert(score(vecs(x.getLong(0))) === x.getDouble(2), s"vec ${x.getLong(0)}"))
+    val best = vecs.map { case (id, v) => (score(v), id) }.max
+    assert(r.head.getLong(0) === best._2 || score(vecs(r.head.getLong(0))) === best._1)
+  }
 }
