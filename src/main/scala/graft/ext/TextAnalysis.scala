@@ -1405,7 +1405,82 @@ object TextAnalysis {
     }
   )
 
+  // ------------------------------------------------------------------
+  // Heaps'-law vocabulary-growth curve (Heaps, "Information Retrieval:
+  // Computational and Theoretical Aspects", 1978 — public law
+  // V(N) ≈ k·N^β): cumulative distinct-type count vs cumulative token
+  // count at B doc-id-range checkpoints, plus the fitted (β, k) from
+  // an OLS of ln V on ln N over those checkpoints. The capacity-
+  // planning statistic for everything vocab-bounded in this engine
+  // (DSIR buckets, BPE vocab, TextRank/k-core graphs): β says how
+  // fast the type space grows when the corpus 10×es.
+  //
+  // Scale shape: "prefix growth in ingestion order" WITHOUT a corpus
+  // sort — checkpoints are doc_id RANGE buckets (max_id via a 1-row
+  // broadcast, never a collect), first occurrence of a type is a
+  // groupBy(token).min(bucket) — vocab-sized, Heaps-bounded by its own
+  // subject — and both per-bucket aggregates are map-side combined.
+  // The cumulative window and the regression then run over exactly B
+  // rows (the mixture-KL bounded-window precedent). Integer counts
+  // end to end; only the (β, k) fit is floating point, published on
+  // the 4dp regr grid (the zipf_slope contract).
+  // ------------------------------------------------------------------
+  val HeapsBuckets = 20
+
+  val heapsLaw: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val maxRow = docs.agg(max(col("doc_id")).as("max_id"))
+      val tok = docs.crossJoin(broadcast(maxRow))
+        .select(least(lit(HeapsBuckets - 1),
+            floor(col("doc_id") * HeapsBuckets / (col("max_id") + lit(1)))).cast("int").as("b"),
+          explode(tokens(col("text"))).as("t"))
+      val perB = tok.groupBy("b").agg(count(lit(1)).as("n_toks"))
+      val newB = tok.groupBy("t").agg(min(col("b")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perB.join(newB, Seq("b"), "left")
+        .select(col("b"), col("b").as("bucket"), col("n_toks"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+        .withColumn("cum_types", sum(col("n_new")).over(w))
+        .select("bucket", "cum_tokens", "cum_types")
+      val lnV = log(col("cum_types").cast(DoubleType))
+      val lnN = log(col("cum_tokens").cast(DoubleType))
+      val fit = cum.agg(
+        roundPortable(regr_slope(lnV, lnN), 4).as("heaps_beta"),
+        roundPortable(exp(regr_intercept(lnV, lnN)), 4).as("heaps_k"))
+      cum.crossJoin(broadcast(fit)).orderBy("bucket")
+    },
+    Some(s"""WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+            |tok AS (
+            |  SELECT least(${HeapsBuckets - 1},
+            |           CAST(floor(doc_id * $HeapsBuckets / (max_id + 1)) AS INT)) AS b, t
+            |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            |        FROM documents), mx
+            |), perb AS (SELECT b, count(*) AS n_toks FROM tok GROUP BY 1),
+            |newb AS (
+            |  SELECT b, count(*) AS n_new
+            |  FROM (SELECT t, min(b) AS b FROM tok GROUP BY 1) GROUP BY 1
+            |), cum AS (
+            |  SELECT p.b AS bucket,
+            |    CAST(sum(p.n_toks) OVER (ORDER BY p.b) AS BIGINT) AS cum_tokens,
+            |    CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY p.b) AS BIGINT) AS cum_types
+            |  FROM perb p LEFT JOIN newb n ON p.b = n.b
+            |), fit AS (
+            |  SELECT
+            |    floor(regr_slope(ln(cum_types), ln(cum_tokens)) * 10000 + 0.5) / 10000 AS heaps_beta,
+            |    floor(exp(regr_intercept(ln(cum_types), ln(cum_tokens))) * 10000 + 0.5) / 10000 AS heaps_k
+            |  FROM cum
+            |)
+            |SELECT bucket, cum_tokens, cum_types, heaps_beta, heaps_k
+            |FROM cum CROSS JOIN fit ORDER BY bucket""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "text_heaps_law" -> heapsLaw,
     "text_mtld" -> mtld,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,

@@ -730,4 +730,64 @@ object Streams {
             .iterator
       }
   }
+
+  /** Per-user funnel frontier: the three first-qualifying timestamps
+    * in micros, −1 = stage not reached. Every field is monotone — it
+    * moves from −1 to its final value exactly once and never changes
+    * after — which is what makes the audit's max-struct "latest
+    * state" selection valid.
+    */
+  final case class FunnelState(user_id: Long, t_view: Long, t_click: Long, t_purchase: Long)
+
+  /** The STREAMING deployment of the conversion funnel
+    * ([[graft.ext.Sessions.funnel]], `events_funnel`): per-user
+    * ordered-stage progression maintained continuously with O(1)
+    * state — three longs per user, the stage-anchor frontier. A
+    * watermarked windowed aggregate cannot express "first click
+    * at-or-after the first view over ALL history" (the anchor has no
+    * horizon), so this is the [[streakCounters]] pattern:
+    * flatMapGroupsWithState keyed on user, each arrival folding the
+    * stage rule the batch query states declaratively —
+    * view anchors once; a click counts iff the view anchor exists and
+    * the click is at-or-after it; a purchase counts iff the click
+    * anchor exists and the purchase is at-or-after it.
+    *
+    * Input rows are (user_id, stage, ts_us) with stage 0=view,
+    * 1=click, 2=purchase; each micro-batch folds in (ts_us, stage)
+    * order so an equal-timestamp view→click→purchase chain resolves
+    * exactly like the batch `>=` inclusivity (earlier stages anchor
+    * first). Cross-batch stragglers older than an already-set anchor
+    * are the one case the O(1) fold cannot replay (they would need
+    * the full event history); the batch query remains ground truth
+    * and production feeds event-time order via a watermarked reorder,
+    * with an event-time timeout evicting users past retention (the
+    * [[closedSessions]] discipline).
+    */
+  def funnelCounters(
+      rows: org.apache.spark.sql.Dataset[(Long, Int, Long)])
+      : org.apache.spark.sql.Dataset[FunnelState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val longEnc = Encoders.scalaLong
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[(Long, Int, Long)], state: GroupState[FunnelState]) =>
+          var cur = state.getOption.getOrElse(FunnelState(user, -1L, -1L, -1L))
+          evs.map { case (_, stage, us) => (us, stage) }.toArray.sorted
+            .foreach { case (us, stage) =>
+              cur = stage match {
+                case 0 if cur.t_view < 0 => cur.copy(t_view = us)
+                case 1 if cur.t_view >= 0 && cur.t_click < 0 && us >= cur.t_view =>
+                  cur.copy(t_click = us)
+                case 2 if cur.t_click >= 0 && cur.t_purchase < 0 && us >= cur.t_click =>
+                  cur.copy(t_purchase = us)
+                case _ => cur
+              }
+            }
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
 }

@@ -1725,6 +1725,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("heaps law: replicates the growth checkpoints from raw tokens; fit sane") {
+    val r = TextAnalysis.heapsLaw.build(spark, d).collect()
+    assert(r.length === TextAnalysis.HeapsBuckets ||
+      r.length < TextAnalysis.HeapsBuckets) // empty buckets legal at tiny sf
+    // plain-Scala replication of the bucketed prefix growth
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val maxId = docs.map(_._1).max
+    val b = TextAnalysis.HeapsBuckets
+    def bucket(id: Long) = math.min(b - 1, math.floor(id.toDouble * b / (maxId + 1)).toInt)
+    val byBucket = docs.groupBy { case (id, _) => bucket(id) }
+    val seen = scala.collection.mutable.Set.empty[String]
+    var cumToks = 0L
+    val want = byBucket.keys.toSeq.sorted.map { bk =>
+      cumToks += byBucket(bk).map(_._2.size.toLong).sum
+      byBucket(bk).foreach(_._2.foreach(seen += _))
+      (bk, cumToks, seen.size.toLong)
+    }
+    assert(r.map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq === want)
+    // growth invariants + constant fit columns
+    assert(r.map(_.getLong(2)).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(r.map(_.getDouble(3)).distinct.length === 1, "beta constant")
+    assert(r.map(_.getDouble(4)).distinct.length === 1, "k constant")
+    val beta = r.head.getDouble(3)
+    assert(beta >= -0.01 && beta <= 1.0, s"heaps beta plausible: $beta")
+  }
+
   test("kcore words: replicates the full peel from raw tokens for one language") {
     val got = Graph.kcoreWords.build(spark, d).collect()
       .filter(_.getString(0) == "en")

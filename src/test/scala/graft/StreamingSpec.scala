@@ -680,4 +680,48 @@ class StreamingSpec extends SparkSpec {
       assert(est - err <= truth, s"term $t: est-err ${est - err} above true count $truth")
     }
   }
+
+  test("streaming funnel counters audit against the batch funnel at sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    // event-time-ordered staged rows, stage-priority tiebreak at equal
+    // timestamps (view anchors before a same-instant click counts —
+    // the batch >= inclusivity)
+    val staged = graft.queries.Inventory.events(spark, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1).otherwise(2).as("stage"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._3, r._2))
+    val (first, second) = staged.splitAt(staged.length / 2)
+    val mem = MemoryStream[(Long, Int, Long)]
+    val q = Streams.funnelCounters(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest state per user: every field is monotone (−1 → final value,
+    // then constant), so the struct max IS the last emission
+    val fin = spark.table("funnel_stream")
+      .groupBy("user_id")
+      .agg(max(struct(col("t_view"), col("t_click"), col("t_purchase"))).as("s"))
+      .select(col("user_id"), col("s.t_view"), col("s.t_click"), col("s.t_purchase"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // anchor ordering: each set stage sits at-or-after its predecessor
+    fin.foreach { case (tv, tc, tp) =>
+      if (tc >= 0) assert(tv >= 0 && tc >= tv, s"click anchor before view: $tv $tc")
+      if (tp >= 0) assert(tc >= 0 && tp >= tc, s"purchase anchor before click: $tc $tp")
+    }
+    // exact integer parity with the oracle-verified batch funnel
+    val batch = graft.ext.Sessions.funnel.build(spark, d).collect().head
+    assert(fin.count(_._1 >= 0).toLong === batch.getLong(0), "n_viewed")
+    assert(fin.count(_._2 >= 0).toLong === batch.getLong(1), "n_clicked_after_view")
+    assert(fin.count(_._3 >= 0).toLong === batch.getLong(2), "n_purchased_after_click")
+    assert(batch.getLong(0) > 0 && batch.getLong(1) > 0, "funnel non-degenerate")
+  }
 }
