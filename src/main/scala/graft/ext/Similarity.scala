@@ -1528,7 +1528,92 @@ object Similarity {
             |FROM sc ORDER BY micros DESC, vec_id LIMIT $OutlierTopK""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // ANN RECALL EVALUATION — the approximate index's quality, measured
+  // as a first-class query: recall@k of the sign-LSH path
+  // ([[lshTopK]]) against the exact brute-force ranking
+  // ([[bruteForceTopK]]), per query. The "measure, don't guess" layer
+  // every production ANN deployment runs continuously: when the
+  // corpus distribution drifts, recall silently decays before any
+  // user-visible symptom — this query IS the monitor, and its output
+  // is what tunes Tables/Bits (the Charikar recall formula in
+  // [[gaussianPlanes]]' scaladoc predicts; this measures).
+  //
+  // Engine shape: both rankings are the ALREADY-VERIFIED builders
+  // composed lazily — no new scoring surface, one left-semi join on
+  // (q_id, neighbor_id) and two |queries|-row aggregates on top.
+  // Scale: the eval inherits the production paths' own scale story
+  // (broadcast query side, bucket equi-joins) and is typically run on
+  // a sampled query set exactly like this one; integer hit counts,
+  // recall on the 4dp grid.
+  // ------------------------------------------------------------------
+  val recallEval: Q = Q(
+    (s, d) => {
+      val exact = bruteForceTopK.build(s, d).select(col("q_id"), col("neighbor_id"))
+      val approx = lshTopK.build(s, d).select(col("q_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          roundPortable(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) /
+            col("n_exact").cast(DoubleType), 4).as("recall_at_k"))
+        .orderBy("q_id")
+    },
+    Some {
+      val planeRows = (for { t <- 0 until Tables; b <- 0 until Bits } yield
+        s"    ($t, $b, [${hyperplanes(t)(b).mkString(", ")}])").mkString(",\n")
+      val cosSql =
+        """floor(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]))
+          |      / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+          |         * sqrt(list_sum(list_transform(e.v, x -> x * x)))) * 1000000 + 0.5) / 1000000""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries
+         |), xs AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id, $cosSql AS sim
+         |  FROM q, e WHERE e.vec_id <> q.q_id
+         |), xk AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |    FROM xs) WHERE rnk <= $TopK
+         |), planes(tbl, bit, pv) AS (
+         |  VALUES
+         |$planeRows
+         |), buckets AS (
+         |  SELECT vec_id, tbl,
+         |    sum(CASE WHEN list_sum(list_transform(list_zip(v, pv), p -> p[1] * p[2])) > 0
+         |             THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+         |  FROM e, planes GROUP BY vec_id, tbl
+         |), lcand AS (
+         |  SELECT DISTINCT qb.vec_id AS q_id, c.vec_id
+         |  FROM buckets qb JOIN buckets c ON qb.tbl = c.tbl AND qb.bucket = c.bucket
+         |  WHERE qb.vec_id < $NumQueries AND c.vec_id <> qb.vec_id
+         |), ls AS (
+         |  SELECT lcand.q_id, lcand.vec_id AS neighbor_id, $cosSql AS sim
+         |  FROM lcand
+         |  JOIN (SELECT q_id, qv FROM q) q ON q.q_id = lcand.q_id
+         |  JOIN e ON e.vec_id = lcand.vec_id
+         |), lk AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |    FROM ls) WHERE rnk <= $TopK
+         |)
+         |SELECT xk.q_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN lk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  floor(CAST(sum(CASE WHEN lk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*) * 10000 + 0.5) / 10000 AS recall_at_k
+         |FROM xk LEFT JOIN lk ON xk.q_id = lk.q_id AND xk.neighbor_id = lk.neighbor_id
+         |GROUP BY xk.q_id ORDER BY xk.q_id""".stripMargin
+    }
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "ann_recall_eval" -> recallEval,
     "ann_cosine_topk" -> bruteForceTopK,
     "ann_dot_topk" -> dotTopK,
     "ann_lsh_topk" -> lshTopK,

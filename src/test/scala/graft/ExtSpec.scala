@@ -1725,6 +1725,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ann recall eval: hit counts replay from the two verified rankings") {
+    val r = Similarity.recallEval.build(spark, d).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.size === Similarity.NumQueries)
+    val exact = Similarity.bruteForceTopK.build(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val approx = Similarity.lshTopK.build(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    r.foreach { case (q, (nExact, nHits, recall)) =>
+      val ex = exact.filter(_._1 == q)
+      assert(nExact === ex.size.toLong, s"q $q n_exact")
+      assert(nHits === ex.count(approx).toLong, s"q $q n_hits")
+      assert(nHits >= 0L && nHits <= nExact)
+      val g4 = math.floor(nHits.toDouble / nExact * 1e4 + 0.5) / 1e4
+      assert(recall === g4, s"q $q recall grid")
+    }
+    // the eval's whole point: it MEASURES. On the near-orthogonal
+    // harness vectors the 4×8-bit index recalls poorly (~0.08 at
+    // sf0.001) — the spec pins that the measurement is a valid
+    // fraction with at least one hit, not a flattering number
+    val macroRecall = r.values.map(_._3).sum / r.size
+    assert(macroRecall > 0.0 && macroRecall <= 1.0, s"macro recall $macroRecall")
+  }
+
   test("heaps law: replicates the growth checkpoints from raw tokens; fit sane") {
     val r = TextAnalysis.heapsLaw.build(spark, d).collect()
     assert(r.length === TextAnalysis.HeapsBuckets ||
