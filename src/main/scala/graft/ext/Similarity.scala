@@ -1612,7 +1612,148 @@ object Similarity {
     }
   )
 
+  // ------------------------------------------------------------------
+  // MMR diversified rerank (Carbonell & Goldstein, "The Use of MMR,
+  // Diversity-Based Reranking", SIGIR 1998 — public algorithm): from
+  // each query's top-C relevance candidates, greedily select K
+  // results maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) —
+  // the standard redundancy-suppression step of a RAG retrieval
+  // stack (raw cosine top-k returns near-duplicate passages; MMR is
+  // why result 2 tells the model something result 1 didn't).
+  //
+  // The greedy recurrence is SEQUENTIAL in k — the classic "Spark
+  // can't do that" shape — but K is a constant, so the loop UNROLLS
+  // into one lazy plan exactly like [[Graph]]'s power iterations:
+  // round r scores the remaining candidates against the r−1 selected
+  // (a bounded join on the C²-per-query pair-sim table), picks one
+  // per query via row_number, and the next round's state is two
+  // DataFrame unions/anti-joins. Everything after the relevance scan
+  // is per-query-bounded (C = 10, C² = 100 pair rows per query) —
+  // at 100 TB the candidate generation is whatever ANN index feeds
+  // it; the rerank cost depends only on |queries|·C².
+  //
+  // Determinism: rel and pair sims publish on the 6dp grid first; the
+  // MMR score is ONE double expression (λ and 1−λ as separate literal
+  // constants — Scala's 1−0.7 ≠ SQL's 0.3 at the bit level) with
+  // identical op order in both engines; ties break on neighbor_id.
+  // ------------------------------------------------------------------
+  val MmrLambda = 0.7
+  val MmrDivW = 0.3
+  val MmrCand = 10
+  val MmrK = 5
+
+  val mmrRerank: Q = Q(
+    (s, d) => {
+      val corpus = emb(s, d)
+      val queries = corpus.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val relC = roundPortable(cosine(col("q_emb"), col("embedding")), 6)
+      val cw = Window.partitionBy("q_id").orderBy(col("rel").desc, col("neighbor_id"))
+      val cand = corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), relC.as("rel"))
+        .withColumn("crnk", row_number().over(cw)).filter(col("crnk") <= MmrCand)
+        .select("q_id", "neighbor_id", "rel")
+      val ce = cand.select("q_id", "neighbor_id")
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          Seq("neighbor_id"))
+      val pair = ce.select(col("q_id"), col("neighbor_id").as("id_a"), col("embedding").as("va"))
+        .join(ce.select(col("q_id"), col("neighbor_id").as("id_b"), col("embedding").as("vb")),
+          Seq("q_id"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("q_id"), col("id_a"), col("id_b"),
+          roundPortable(cosine(col("va"), col("vb")), 6).as("csim"))
+      val pw = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
+      var selected: DataFrame = null
+      var remaining = cand
+      for (r <- 1 to MmrK) {
+        val withDiv =
+          if (r == 1) remaining.withColumn("div", lit(0.0))
+          else {
+            val divs = pair
+              .join(selected.select(col("q_id"), col("neighbor_id").as("id_b")),
+                Seq("q_id", "id_b"), "left_semi")
+              .groupBy(col("q_id"), col("id_a").as("neighbor_id"))
+              .agg(max(col("csim")).as("div"))
+            remaining.join(divs, Seq("q_id", "neighbor_id"), "left")
+              .select(col("q_id"), col("neighbor_id"), col("rel"),
+                coalesce(col("div"), lit(0.0)).as("div"))
+          }
+        val pick = withDiv
+          .withColumn("score", lit(MmrLambda) * col("rel") - lit(MmrDivW) * col("div"))
+          .withColumn("prnk", row_number().over(pw)).filter(col("prnk") === 1)
+          .select(col("q_id"), col("neighbor_id"), lit(r).as("rnk"), col("rel"),
+            roundPortable(col("score"), 6).as("mmr_score"))
+        selected = if (r == 1) pick else selected.unionAll(pick)
+        remaining = remaining.join(pick.select("q_id", "neighbor_id"),
+          Seq("q_id", "neighbor_id"), "left_anti")
+      }
+      selected.orderBy("q_id", "rnk")
+    },
+    Some {
+      val cosSql =
+        """floor(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]))
+          |      / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+          |         * sqrt(list_sum(list_transform(e.v, x -> x * x)))) * 1000000 + 0.5) / 1000000""".stripMargin
+      val pairCosSql =
+        """floor(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+          |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+          |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) * 1000000 + 0.5) / 1000000""".stripMargin
+      val rounds = (1 to MmrK).map { r =>
+        val (prevSel, prevRem) = (s"sel${r - 1}", s"rem${r - 1}")
+        val divSrc =
+          if (r == 1) s"SELECT q_id, neighbor_id, rel, 0.0 AS div FROM $prevRem"
+          else
+            s"""SELECT m.q_id, m.neighbor_id, m.rel, coalesce(dv.div, 0.0) AS div
+               |    FROM $prevRem m LEFT JOIN (
+               |      SELECT p.q_id, p.id_a AS neighbor_id, max(p.csim) AS div
+               |      FROM pair p JOIN $prevSel s ON s.q_id = p.q_id AND s.neighbor_id = p.id_b
+               |      GROUP BY 1, 2) dv
+               |    ON dv.q_id = m.q_id AND dv.neighbor_id = m.neighbor_id""".stripMargin
+        s"""pk$r AS (
+           |  SELECT q_id, neighbor_id, $r AS rnk, rel,
+           |         floor(score * 1000000 + 0.5) / 1000000 AS mmr_score
+           |  FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |                                 ORDER BY score DESC, neighbor_id) AS prnk
+           |    FROM (SELECT q_id, neighbor_id, rel, $MmrLambda * rel - $MmrDivW * div AS score
+           |          FROM ($divSrc)))
+           |  WHERE prnk = 1
+           |), sel$r AS (
+           |  ${if (r == 1) s"SELECT q_id, neighbor_id, rnk, rel, mmr_score FROM pk1"
+              else s"SELECT * FROM sel${r - 1} UNION ALL SELECT q_id, neighbor_id, rnk, rel, mmr_score FROM pk$r"}
+           |), rem$r AS (
+           |  SELECT m.* FROM $prevRem m ANTI JOIN pk$r p
+           |  ON p.q_id = m.q_id AND p.neighbor_id = m.neighbor_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries
+         |), rel0 AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id, $cosSql AS rel
+         |  FROM q, e WHERE e.vec_id <> q.q_id
+         |), rem0 AS (
+         |  SELECT q_id, neighbor_id, rel FROM (
+         |    SELECT q_id, neighbor_id, rel,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, neighbor_id) AS crnk
+         |    FROM rel0) WHERE crnk <= $MmrCand
+         |), pair AS (
+         |  SELECT ca.q_id, ca.neighbor_id AS id_a, cb.neighbor_id AS id_b, $pairCosSql AS csim
+         |  FROM rem0 ca
+         |  JOIN rem0 cb ON ca.q_id = cb.q_id AND ca.neighbor_id <> cb.neighbor_id
+         |  JOIN e a ON a.vec_id = ca.neighbor_id
+         |  JOIN e b ON b.vec_id = cb.neighbor_id
+         |),
+         |$rounds
+         |SELECT q_id, neighbor_id, rnk, rel, mmr_score FROM sel$MmrK
+         |ORDER BY q_id, rnk""".stripMargin
+    }
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "ann_mmr_rerank" -> mmrRerank,
     "ann_recall_eval" -> recallEval,
     "ann_cosine_topk" -> bruteForceTopK,
     "ann_dot_topk" -> dotTopK,

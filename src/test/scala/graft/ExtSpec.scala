@@ -1725,6 +1725,41 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("mmr rerank: replays the greedy selection from raw vectors for every query") {
+    val r = Similarity.mmrRerank.build(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getDouble(3), x.getDouble(4)))
+    assert(r.length === Similarity.NumQueries * Similarity.MmrK)
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until Similarity.NumQueries.toLong).foreach { q =>
+      val rel = vecs.collect { case (id, v) if id != q => id -> g6(cos(vecs(q), v)) }
+      val cand = rel.toSeq.sortBy { case (id, s) => (-s, id) }
+        .take(Similarity.MmrCand)
+      var selected = Vector.empty[(Long, Int, Double, Double)]
+      var remaining = cand
+      for (rk <- 1 to Similarity.MmrK) {
+        val scored = remaining.map { case (id, rl) =>
+          val div =
+            if (selected.isEmpty) 0.0
+            else selected.map { case (sid, _, _, _) => g6(cos(vecs(id), vecs(sid))) }.max
+          (id, rl, Similarity.MmrLambda * rl - Similarity.MmrDivW * div)
+        }
+        val (pid, prl, psc) = scored.minBy { case (id, _, sc) => (-sc, id) }
+        selected :+= ((pid, rk, prl, g6(psc)))
+        remaining = remaining.filterNot(_._1 == pid)
+      }
+      val got = r.filter(_._1 == q).sortBy(_._3)
+        .map { case (_, id, rk, rl, sc) => (id, rk, rl, sc) }.toVector
+      assert(got === selected, s"query $q greedy path")
+    }
+  }
+
   test("ann recall eval: hit counts replay from the two verified rankings") {
     val r = Similarity.recallEval.build(spark, d).collect()
       .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
