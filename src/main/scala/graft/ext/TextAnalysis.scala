@@ -1436,14 +1436,22 @@ object TextAnalysis {
         .select(least(lit(HeapsBuckets - 1),
             floor(col("doc_id") * HeapsBuckets / (col("max_id") + lit(1)))).cast("int").as("b"),
           explode(tokens(col("text"))).as("t"))
-      val perB = tok.groupBy("b").agg(count(lit(1)).as("n_toks"))
-      val newB = tok.groupBy("t").agg(min(col("b")).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("n_new"))
+      // ONE tokenization pass: the (token, bucket) count table is
+      // vocab×B-sized (Heaps-bounded); a per-token min-bucket WINDOW
+      // over that tiny table marks first occurrences, and ONE groupBy
+      // derives BOTH the token totals and the new-type counts — a
+      // two-aggregate draft re-tokenized the corpus per consumer
+      // (column pruning rewrote the branches onto different shuffle
+      // keys, defeating AQE stage reuse: measured 3 scans vs 2)
+      val tb = tok.groupBy("t", "b").agg(count(lit(1)).as("c"))
+        .withColumn("first_b", min(col("b")).over(Window.partitionBy("t")))
+      val agg = tb.groupBy("b")
+        .agg(sum(col("c")).as("n_toks"),
+          sum(when(col("b") === col("first_b"), 1L).otherwise(0L)).as("n_new"))
       val w = Window.orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = perB.join(newB, Seq("b"), "left")
-        .select(col("b"), col("b").as("bucket"), col("n_toks"),
-          coalesce(col("n_new"), lit(0L)).as("n_new"))
+      val cum = agg
+        .select(col("b"), col("b").as("bucket"), col("n_toks"), col("n_new"))
         .withColumn("cum_tokens", sum(col("n_toks")).over(w))
         .withColumn("cum_types", sum(col("n_new")).over(w))
         .select("bucket", "cum_tokens", "cum_types")
@@ -1460,15 +1468,18 @@ object TextAnalysis {
             |           CAST(floor(doc_id * $HeapsBuckets / (max_id + 1)) AS INT)) AS b, t
             |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
             |        FROM documents), mx
-            |), perb AS (SELECT b, count(*) AS n_toks FROM tok GROUP BY 1),
-            |newb AS (
-            |  SELECT b, count(*) AS n_new
-            |  FROM (SELECT t, min(b) AS b FROM tok GROUP BY 1) GROUP BY 1
+            |), tb AS (
+            |  SELECT b, c, min(b) OVER (PARTITION BY t) AS first_b
+            |  FROM (SELECT t, b, count(*) AS c FROM tok GROUP BY 1, 2)
+            |), agg AS (
+            |  SELECT b AS bucket, CAST(sum(c) AS BIGINT) AS n_toks,
+            |         CAST(sum(CASE WHEN b = first_b THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+            |  FROM tb GROUP BY 1
             |), cum AS (
-            |  SELECT p.b AS bucket,
-            |    CAST(sum(p.n_toks) OVER (ORDER BY p.b) AS BIGINT) AS cum_tokens,
-            |    CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY p.b) AS BIGINT) AS cum_types
-            |  FROM perb p LEFT JOIN newb n ON p.b = n.b
+            |  SELECT bucket,
+            |    CAST(sum(n_toks) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+            |    CAST(sum(n_new) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+            |  FROM agg
             |), fit AS (
             |  SELECT
             |    floor(regr_slope(ln(cum_types), ln(cum_tokens)) * 10000 + 0.5) / 10000 AS heaps_beta,

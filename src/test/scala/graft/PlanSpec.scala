@@ -492,6 +492,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("kcore peel: the unrolled rounds stage-reuse; corpus scanned ONCE") {
+    // like textrank: the static plan repeats the edge subplan per
+    // round; AQE must collapse them, or 3 peels = 3 corpus scans
+    val p = finalPlan(graft.ext.Graph.kcoreWords.build(spark, d))
+    assert(parquetScans(p) === 1,
+      s"peel rounds must be stage-reused, not rescanned:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+  }
+
+  test("mmr rerank: two corpus scans, bounded broadcasts, no cartesian") {
+    // candidate gen (query-broadcast scan) + the pair-sim vector
+    // fetch; the 5 greedy rounds run entirely on reused stages
+    val p = finalPlan(Similarity.mmrRerank.build(spark, d))
+    assert(parquetScans(p) === 2, s"greedy rounds must not rescan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the query side must broadcast under the relevance scan:\n$p")
+  }
+
+  test("heaps law: ONE tokenization pass; both aggregates derive from the (t,b) table") {
+    // a two-aggregate draft re-tokenized the corpus per consumer
+    // (3 scans); the vocab-by-bucket count table cuts it to max-scan
+    // + one token pass
+    val p = finalPlan(graft.ext.TextAnalysis.heapsLaw.build(spark, d))
+    assert(parquetScans(p) === 2, s"max(doc_id) probe + ONE token pass:\n$p")
+  }
+
+  test("ann recall eval: composes the two verified rankings without a cartesian") {
+    val p = finalPlan(Similarity.recallEval.build(spark, d))
+    assert(parquetScans(p) === 2, s"exact + lsh pipelines, one scan each:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("textrank's unrolled power iteration scans the corpus ONCE (AQE stage reuse)") {
     // the static plan shows 14 scans — AQE dedupes the identical
     // edge/node subplans at RUNTIME, so the pin must read the final
