@@ -433,14 +433,23 @@ object Graph {
         .withColumn("rk", row_number().over(rankW))
         .filter(col("rk") <= KCoreEdges)
         .select("lang", "a", "b")
+      // each round reads sym TWICE (degree aggregate + the edge
+      // filter) and the next round builds on the result — uncached,
+      // the K-round plan re-executes the corpus bigram pipeline per
+      // consumer fan-out (measured 6.3 s at sf0.1). The cached state
+      // is ≤ 2·E·|langs| edge rows per round — vocab-bounded, never
+      // corpus-sized (the customer_rfm cached-base pattern; Bench
+      // clearCaches between queries).
       var sym = edges.select(col("lang"), col("a").as("v"), col("b").as("u"))
         .unionAll(edges.select(col("lang"), col("b").as("v"), col("a").as("u")))
+        .cache()
       for (_ <- 0 until KCoreIters) {
         val alive = sym.groupBy("lang", "v").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= KCoreK).select("lang", "v")
         sym = sym
           .join(alive, Seq("lang", "v"), "left_semi")
           .join(alive.select(col("lang"), col("v").as("u")), Seq("lang", "u"), "left_semi")
+          .cache()
       }
       val outW = Window.partitionBy("lang").orderBy(col("core_degree").desc, col("token"))
       sym.groupBy(col("lang"), col("v").as("token"))

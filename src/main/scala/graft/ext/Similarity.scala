@@ -1644,6 +1644,7 @@ object Similarity {
 
   val mmrRerank: Q = Q(
     (s, d) => {
+      import org.apache.spark.sql.types._
       val corpus = emb(s, d)
       val queries = corpus.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -1663,32 +1664,62 @@ object Similarity {
         .filter(col("id_a") =!= col("id_b"))
         .select(col("q_id"), col("id_a"), col("id_b"),
           roundPortable(cosine(col("va"), col("vb")), 6).as("csim"))
-      val pw = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
-      var selected: DataFrame = null
-      var remaining = cand
-      for (r <- 1 to MmrK) {
-        val withDiv =
-          if (r == 1) remaining.withColumn("div", lit(0.0))
-          else {
-            val divs = pair
-              .join(selected.select(col("q_id"), col("neighbor_id").as("id_b")),
-                Seq("q_id", "id_b"), "left_semi")
-              .groupBy(col("q_id"), col("id_a").as("neighbor_id"))
-              .agg(max(col("csim")).as("div"))
-            remaining.join(divs, Seq("q_id", "neighbor_id"), "left")
-              .select(col("q_id"), col("neighbor_id"), col("rel"),
-                coalesce(col("div"), lit(0.0)).as("div"))
-          }
-        val pick = withDiv
-          .withColumn("score", lit(MmrLambda) * col("rel") - lit(MmrDivW) * col("div"))
-          .withColumn("prnk", row_number().over(pw)).filter(col("prnk") === 1)
-          .select(col("q_id"), col("neighbor_id"), lit(r).as("rnk"), col("rel"),
-            roundPortable(col("score"), 6).as("mmr_score"))
-        selected = if (r == 1) pick else selected.unionAll(pick)
-        remaining = remaining.join(pick.select("q_id", "neighbor_id"),
-          Seq("q_id", "neighbor_id"), "left_anti")
+      // COLLAPSE-THEN-FOLD (the Holt/CUSUM/MTLD pattern): a first
+      // draft unrolled the K rounds as joins + windows — per-query-
+      // bounded work, but a ~50-stage critical path of tiny jobs
+      // (measured 11-12 s wall at 1.7 s CPU, pure scheduling
+      // latency). Each query's candidates (C) and pair sims (C²) are
+      // BOUNDED arrays, so the whole greedy recurrence folds inside
+      // ONE `aggregate` HOF over sequence(1..K) per query row —
+      // state threaded linearly (each step evaluates once), queries
+      // in parallel, six stages total. Same math on the same grid
+      // values; the oracle replays the round CTEs unchanged.
+      val candsArr = cand.groupBy("q_id")
+        .agg(collect_list(struct(col("neighbor_id").as("id"), col("rel"))).as("cands"))
+      val simsArr = pair.groupBy("q_id")
+        .agg(collect_list(struct(col("id_a"), col("id_b"), col("csim"))).as("sims"))
+      val outType = ArrayType(StructType(Seq(
+        StructField("neighbor_id", LongType), StructField("rnk", IntegerType),
+        StructField("rel", DoubleType), StructField("mmr_score", DoubleType))))
+      val init = struct(
+        array().cast(ArrayType(LongType)).as("sel"),
+        array().cast(outType).as("out"))
+      def step(state: Column, r: Column): Column = {
+        val sel = state.getField("sel")
+        val rem = filter(col("cands"), c => !array_contains(sel, c.getField("id")))
+        def scoreOf(c: Column): Column = {
+          val divs = transform(
+            filter(col("sims"), p => p.getField("id_a") === c.getField("id") &&
+              array_contains(sel, p.getField("id_b"))),
+            p => p.getField("csim"))
+          val div = coalesce(array_max(divs), lit(0.0))
+          lit(MmrLambda) * c.getField("rel") - lit(MmrDivW) * div
+        }
+        val best = aggregate(rem,
+          struct(lit(Double.NegativeInfinity).as("score"),
+            lit(Long.MaxValue).as("id"), lit(0.0).as("rel")),
+          (acc, c) => {
+            val sc = scoreOf(c)
+            when(sc > acc.getField("score") ||
+              (sc === acc.getField("score") && c.getField("id") < acc.getField("id")),
+              struct(sc.as("score"), c.getField("id").as("id"),
+                c.getField("rel").as("rel")))
+              .otherwise(acc)
+          })
+        struct(
+          concat(sel, array(best.getField("id"))).as("sel"),
+          concat(state.getField("out"), array(struct(
+            best.getField("id").as("neighbor_id"), r.cast("int").as("rnk"),
+            best.getField("rel").as("rel"),
+            roundPortable(best.getField("score"), 6).as("mmr_score")))).as("out"))
       }
-      selected.orderBy("q_id", "rnk")
+      candsArr.join(simsArr, Seq("q_id"))
+        .select(col("q_id"),
+          posexplode(aggregate(sequence(lit(1), lit(MmrK)), init, step)
+            .getField("out")).as(Seq("pos", "p")))
+        .select(col("q_id"), col("p.neighbor_id"), col("p.rnk"), col("p.rel"),
+          col("p.mmr_score"))
+        .orderBy("q_id", "rnk")
     },
     Some {
       val cosSql =
