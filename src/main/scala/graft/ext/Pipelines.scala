@@ -1172,7 +1172,110 @@ object Pipelines {
             |GROUP BY f.doc_id, f.lab ORDER BY f.doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // K-ANONYMITY audit (Sweeney, "k-Anonymity: A Model for Protecting
+  // Privacy", IJUFKS 2002 — public model): the re-identification
+  // screen run BEFORE a dataset ships — every quasi-identifier
+  // combination must be shared by ≥ K records, or those records are
+  // linkable. Quasi-identifiers here: (c_nationkey, c_mktsegment) on
+  // the customer table — the harness stand-in for (zip, age-band,
+  // gender). Output: every QI equivalence class with its size, the
+  // k_anonymous verdict, and the constant share of records sitting in
+  // violating classes (the risk mass a suppression/generalization
+  // step must address). The PII regex scrub ([[piiScrub]]) removes
+  // DIRECT identifiers; this audits the INDIRECT ones — the two
+  // halves of a privacy gate.
+  //
+  // Scale: one map-side-combined aggregate to |QI-classes| rows
+  // (bounded by the attribute domain product, not the corpus), then
+  // the risk-share window over those rows. Integer counts; the share
+  // is one double division on the 4dp grid.
+  // ------------------------------------------------------------------
+  val KAnonK = 5
+
+  val kAnonymity: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      s.read.parquet(s"$d/customer.parquet")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_members"))
+        .withColumn("k_anonymous", col("n_members") >= KAnonK)
+        .withColumn("share_at_risk", roundPortable(
+          sum(when(col("n_members") < KAnonK, col("n_members")).otherwise(0L)).over(w)
+            .cast(DoubleType) / sum(col("n_members")).over(w).cast(DoubleType), 4))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+    Some(s"""WITH g AS (
+            |  SELECT c_nationkey, c_mktsegment, count(*) AS n_members
+            |  FROM customer GROUP BY 1, 2
+            |)
+            |SELECT c_nationkey, c_mktsegment, n_members,
+            |  n_members >= $KAnonK AS k_anonymous,
+            |  floor(CAST(sum(CASE WHEN n_members < $KAnonK THEN n_members ELSE 0 END) OVER () AS DOUBLE)
+            |        / CAST(sum(n_members) OVER () AS DOUBLE) * 10000 + 0.5) / 10000 AS share_at_risk
+            |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Deterministic shard assignment + balance audit: content-hash
+  // sharding (hash60 mod S — stable across runs, cluster sizes, and
+  // row order, the stratifiedSplit discipline) with the χ² uniformity
+  // check that certifies no shard hot-spots before a 100 TB write
+  // fans out. Output: per-shard doc and char totals, the χ² term, and
+  // the constant total χ² with a pass verdict against the
+  // conservative literal bound 2·S (far above the 95th percentile of
+  // χ²(S−1) — a hash that fails THIS is broken, not unlucky).
+  // Scale: one aggregate to S rows (map-side combined); the shard key
+  // is a pure projection any writer can reuse as partitionBy.
+  // ------------------------------------------------------------------
+  val NumShards = 16
+
+  val shardBalance: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      val shard = pmod(hash60(concat(lit("shard:"), col("doc_id").cast("string"))),
+        lit(NumShards.toLong)).as("shard")
+      val g = s.read.parquet(s"$d/documents.parquet")
+        .groupBy(shard)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val total = sum(col("n_docs")).over(w).cast(DoubleType)
+      val exp = total / lit(NumShards.toDouble)
+      val chiTerm = (col("n_docs").cast(DoubleType) - exp) *
+        (col("n_docs").cast(DoubleType) - exp) / exp
+      // terms land on the 4dp grid as integer ten-thousandths and the
+      // total sums those LONGS — summing the rounded doubles instead
+      // would re-order float additions across engines
+      val term4 = floor(chiTerm * 1e4 + lit(0.5)).cast("long")
+      g.withColumn("t4", term4)
+        .withColumn("chi2_term", col("t4").cast(DoubleType) / 1e4)
+        .withColumn("chi2_total", sum(col("t4")).over(w).cast(DoubleType) / 1e4)
+        .withColumn("balanced", col("chi2_total") < lit(2.0 * NumShards))
+        .drop("t4")
+        .orderBy("shard")
+    },
+    Some(s"""WITH g AS (
+            |  SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $NumShards AS shard,
+            |         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+            |  FROM documents GROUP BY 1
+            |), t AS (
+            |  SELECT shard, n_docs, n_chars,
+            |    CAST(floor((CAST(n_docs AS DOUBLE) - CAST(sum(n_docs) OVER () AS DOUBLE) / $NumShards.0)
+            |          * (CAST(n_docs AS DOUBLE) - CAST(sum(n_docs) OVER () AS DOUBLE) / $NumShards.0)
+            |          / (CAST(sum(n_docs) OVER () AS DOUBLE) / $NumShards.0) * 10000 + 0.5) AS BIGINT) AS t4
+            |  FROM g
+            |)
+            |SELECT shard, n_docs, n_chars,
+            |  CAST(t4 AS DOUBLE) / 10000 AS chi2_term,
+            |  CAST(CAST(sum(t4) OVER () AS BIGINT) AS DOUBLE) / 10000 AS chi2_total,
+            |  CAST(CAST(sum(t4) OVER () AS BIGINT) AS DOUBLE) / 10000 < ${2.0 * NumShards} AS balanced
+            |FROM t ORDER BY shard""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "privacy_k_anonymity" -> kAnonymity,
+    "pipeline_shard_balance" -> shardBalance,
     "pipeline_quality_classifier" -> qualityClassifier,
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_clean_corpus" -> cleanCorpus,

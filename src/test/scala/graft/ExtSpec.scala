@@ -1725,6 +1725,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("k-anonymity: replays class sizes and the risk share from raw customer rows") {
+    val r = Pipelines.kAnonymity.build(spark, d).collect()
+    val raw = spark.read.parquet(s"$d/customer.parquet")
+      .select("c_nationkey", "c_mktsegment").collect()
+      .map(x => (x.getAs[Number](0).longValue, x.getString(1)))
+    val want = raw.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(r.length === want.size)
+    r.foreach { x =>
+      val n = want((x.getAs[Number](0).longValue, x.getString(1)))
+      assert(x.getLong(2) === n)
+      assert(x.getBoolean(3) === (n >= Pipelines.KAnonK))
+    }
+    val atRisk = want.values.filter(_ < Pipelines.KAnonK).sum.toDouble
+    val g4 = math.floor(atRisk / raw.length * 1e4 + 0.5) / 1e4
+    assert(r.map(_.getDouble(4)).distinct.toSeq === Seq(g4), "constant risk share")
+  }
+
+  test("shard balance: replays the md5 shard fold; conservation and verdict hold") {
+    val r = Pipelines.shardBalance.build(spark, d).collect()
+    assert(r.length === Pipelines.NumShards)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "n_chars").collect().map(x => (x.getLong(0), x.getLong(1)))
+    def shardOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shard:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % Pipelines.NumShards
+    }
+    val want = docs.groupBy { case (id, _) => shardOf(id) }
+      .map { case (s, v) => s -> (v.length.toLong, v.map(_._2).sum) }
+    r.foreach { x =>
+      val (n, chars) = want(x.getLong(0))
+      assert(x.getLong(1) === n, s"shard ${x.getLong(0)} docs")
+      assert(x.getLong(2) === chars, s"shard ${x.getLong(0)} chars")
+    }
+    // conservation + the constant verdict column matches the grid total
+    assert(r.map(_.getLong(1)).sum === docs.length.toLong)
+    val exp = docs.length.toDouble / Pipelines.NumShards
+    val t4 = want.values.map { case (n, _) =>
+      math.floor((n - exp) * (n - exp) / exp * 1e4 + 0.5).toLong }.sum
+    assert(r.map(_.getDouble(4)).distinct.toSeq === Seq(t4 / 1e4))
+    assert(r.map(_.getBoolean(5)).distinct.toSeq ===
+      Seq(t4 / 1e4 < 2.0 * Pipelines.NumShards))
+  }
+
   test("mmr rerank: replays the greedy selection from raw vectors for every query") {
     val r = Similarity.mmrRerank.build(spark, d).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getDouble(3), x.getDouble(4)))
