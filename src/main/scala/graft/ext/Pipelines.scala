@@ -1273,7 +1273,49 @@ object Pipelines {
             |FROM t ORDER BY shard""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // ℓ-DIVERSITY audit (Machanavajjhala et al., "ℓ-Diversity: Privacy
+  // Beyond k-Anonymity", ICDE 2006 — public model): k-anonymity's
+  // known gap is the homogeneous class — 50 records sharing one QI
+  // class are "anonymous", but if they all carry the SAME sensitive
+  // value, membership alone discloses it. Here QI = c_nationkey,
+  // sensitive attribute = c_mktsegment: every class must see ≥ L
+  // distinct sensitive values. Exact countDistinct per class (the
+  // reference's A5 contract — never approximate in a privacy gate),
+  // one aggregate to |QI-domain| rows, risk-mass window over those.
+  // With [[kAnonymity]] this completes the audit pair the two
+  // published models define.
+  // ------------------------------------------------------------------
+  val LDiverseL = 3
+
+  val lDiversity: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      s.read.parquet(s"$d/customer.parquet")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("c_mktsegment")).as("n_sensitive_values"))
+        .withColumn("l_diverse", col("n_sensitive_values") >= LDiverseL)
+        .withColumn("share_at_risk", roundPortable(
+          sum(when(col("n_sensitive_values") < LDiverseL, col("n_members")).otherwise(0L))
+            .over(w).cast(DoubleType) / sum(col("n_members")).over(w).cast(DoubleType), 4))
+        .orderBy("c_nationkey")
+    },
+    Some(s"""WITH g AS (
+            |  SELECT c_nationkey, count(*) AS n_members,
+            |         count(DISTINCT c_mktsegment) AS n_sensitive_values
+            |  FROM customer GROUP BY 1
+            |)
+            |SELECT c_nationkey, n_members, n_sensitive_values,
+            |  n_sensitive_values >= $LDiverseL AS l_diverse,
+            |  floor(CAST(sum(CASE WHEN n_sensitive_values < $LDiverseL THEN n_members ELSE 0 END) OVER () AS DOUBLE)
+            |        / CAST(sum(n_members) OVER () AS DOUBLE) * 10000 + 0.5) / 10000 AS share_at_risk
+            |FROM g ORDER BY c_nationkey""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "privacy_l_diversity" -> lDiversity,
     "privacy_k_anonymity" -> kAnonymity,
     "pipeline_shard_balance" -> shardBalance,
     "pipeline_quality_classifier" -> qualityClassifier,

@@ -1268,7 +1268,74 @@ object Sessions {
             |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // TIME-BOUNDED conversion funnel — [[funnel]] with conversion
+  // WINDOWS, the form product analytics actually reports: a click
+  // counts only within W of the first view, a purchase only within W
+  // of that click. Unbounded funnels overstate conversion (a purchase
+  // a year later is not "conversion"); the window is the metric's
+  // definition, and attribution/experimentation systems all carry
+  // one. Same anchor-chain shape and scale story as [[funnel]]
+  // (every aggregate and join keyed user_id, one exchange reused
+  // throughout, integer microsecond bounds) — the upper bound is one
+  // extra predicate per stage, free at any scale. Both funnels
+  // publish; their DELTA is the long-tail conversion mass.
+  // ------------------------------------------------------------------
+  val FunnelWindowDays = 7L
+  private val FunnelWindowUs = FunnelWindowDays * 86400L * 1000000L
+
+  val funnelWindowed: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val viewed = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t_view"))
+      val clicked = ev.filter(col("event_type") === "click")
+        .join(viewed, Seq("user_id"))
+        .filter(col("us") >= col("t_view") &&
+          col("us") <= col("t_view") + lit(FunnelWindowUs))
+        .groupBy("user_id").agg(min(col("us")).as("t_click"))
+      val purchased = ev.filter(col("event_type") === "purchase")
+        .join(clicked, Seq("user_id"))
+        .filter(col("us") >= col("t_click") &&
+          col("us") <= col("t_click") + lit(FunnelWindowUs))
+        .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
+      viewed.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(clicked.agg(count(lit(1)).as("n_clicked_in_window")))
+        .crossJoin(purchased.agg(count(lit(1)).as("n_purchased_in_window")))
+        .select(lit(FunnelWindowDays).as("window_days"),
+          col("n_viewed"), col("n_clicked_in_window"), col("n_purchased_in_window"),
+          roundPortable(col("n_clicked_in_window").cast("double") /
+            nullif(col("n_viewed"), lit(0L)), 4).as("view_to_click"),
+          roundPortable(col("n_purchased_in_window").cast("double") /
+            nullif(col("n_clicked_in_window"), lit(0L)), 4).as("click_to_purchase"))
+    },
+    Some(s"""WITH v AS (
+            |  SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+            |  WHERE event_type = 'view' GROUP BY 1
+            |), c AS (
+            |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+            |  FROM events e JOIN v ON v.user_id = e.user_id
+            |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t_view
+            |    AND epoch_us(e.ts) <= v.t_view + $FunnelWindowUs
+            |  GROUP BY 1
+            |), p AS (
+            |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+            |  FROM events e JOIN c ON c.user_id = e.user_id
+            |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+            |    AND epoch_us(e.ts) <= c.t_click + $FunnelWindowUs
+            |  GROUP BY 1
+            |)
+            |SELECT CAST($FunnelWindowDays AS BIGINT) AS window_days,
+            |       (SELECT count(*) FROM v) AS n_viewed,
+            |       (SELECT count(*) FROM c) AS n_clicked_in_window,
+            |       (SELECT count(*) FROM p) AS n_purchased_in_window,
+            |       floor(CAST((SELECT count(*) FROM c) AS DOUBLE) / nullif((SELECT count(*) FROM v), 0) * 10000 + 0.5) / 10000 AS view_to_click,
+            |       floor(CAST((SELECT count(*) FROM p) AS DOUBLE) / nullif((SELECT count(*) FROM c), 0) * 10000 + 0.5) / 10000 AS click_to_purchase""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "events_funnel_windowed" -> funnelWindowed,
     "events_sessionize" -> sessionize,
     "events_hourly_window" -> hourly,
     "events_cohort_retention" -> cohortRetention,

@@ -731,6 +731,50 @@ object Streams {
       }
   }
 
+  /** Evolving QI-class state for [[kAnonymityCounters]]: the class
+    * key, its arrival count so far, how many records are releasable
+    * (all of them once the class clears K, none before), and the
+    * verdict. n_members is monotone, so max-struct selects the final
+    * state in audits.
+    */
+  final case class QiClassState(nation_key: Long, segment: String,
+      n_members: Long, n_releasable: Long, k_anonymous: Boolean)
+
+  /** The STREAMING deployment of the k-anonymity audit
+    * ([[graft.ext.Pipelines.kAnonymity]], `privacy_k_anonymity`):
+    * a quarantine-release gate — records accumulate per
+    * quasi-identifier class and become releasable only once the class
+    * holds ≥ K of them, continuously. State is ONE counter per QI
+    * class (bounded by the attribute domain product, not the
+    * stream), the [[streakCounters]] O(1)-state discipline; the
+    * release rule is exactly the batch verdict evaluated on the
+    * running count, so the final per-class states reproduce the
+    * batch audit's sizes and verdicts bit-for-bit (integer counts,
+    * no float surface). Production would key the downstream
+    * release join on k_anonymous and re-audit on retention expiry.
+    */
+  def kAnonymityCounters(
+      rows: org.apache.spark.sql.Dataset[(Long, String)],
+      k: Int = graft.ext.Pipelines.KAnonK)
+      : org.apache.spark.sql.Dataset[QiClassState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[QiClassState]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    rows.groupByKey(identity)
+      .flatMapGroupsWithState[QiClassState, QiClassState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), evs: Iterator[(Long, String)], state: GroupState[QiClassState]) =>
+          val prior = state.getOption
+            .getOrElse(QiClassState(key._1, key._2, 0L, 0L, k_anonymous = false))
+          val n = prior.n_members + evs.size
+          val anon = n >= k
+          val cur = QiClassState(key._1, key._2, n, if (anon) n else 0L, anon)
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
   /** Per-user funnel frontier: the three first-qualifying timestamps
     * in micros, −1 = stage not reached. Every field is monotone — it
     * moves from −1 to its final value exactly once and never changes

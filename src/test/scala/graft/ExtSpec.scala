@@ -1725,6 +1725,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("windowed funnel: replays anchors from raw events; dominated by the unbounded funnel") {
+    val r = Sessions.funnelWindowed.build(spark, d).collect().head
+    val ub = Sessions.funnel.build(spark, d).collect().head
+    assert(r.getLong(0) === Sessions.FunnelWindowDays)
+    assert(r.getLong(1) === ub.getLong(0), "n_viewed identical (no window on stage 1)")
+    assert(r.getLong(2) <= ub.getLong(1), "windowed clicks <= unbounded")
+    assert(r.getLong(3) <= ub.getLong(2), "windowed purchases <= unbounded")
+    // plain-Scala replay of the windowed anchor chain
+    val w = Sessions.FunnelWindowDays * 86400L * 1000000L
+    val evs = graft.queries.Inventory.events(spark, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    var (nv, nc, np) = (0L, 0L, 0L)
+    byUser.values.foreach { u =>
+      val views = u.filter(_._2 == "view").map(_._3)
+      if (views.nonEmpty) {
+        nv += 1
+        val tv = views.min
+        val clicks = u.filter(e => e._2 == "click" && e._3 >= tv && e._3 <= tv + w).map(_._3)
+        if (clicks.nonEmpty) {
+          nc += 1
+          val tc = clicks.min
+          if (u.exists(e => e._2 == "purchase" && e._3 >= tc && e._3 <= tc + w)) np += 1
+        }
+      }
+    }
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((nv, nc, np)))
+  }
+
+  test("l-diversity: replays per-class distinct sensitive values from raw rows") {
+    val r = Pipelines.lDiversity.build(spark, d).collect()
+    val raw = spark.read.parquet(s"$d/customer.parquet")
+      .select("c_nationkey", "c_mktsegment").collect()
+      .map(x => (x.getAs[Number](0).longValue, x.getString(1)))
+    val byNation = raw.groupBy(_._1)
+    assert(r.length === byNation.size)
+    r.foreach { x =>
+      val rows = byNation(x.getAs[Number](0).longValue)
+      assert(x.getLong(1) === rows.length.toLong)
+      assert(x.getLong(2) === rows.map(_._2).distinct.length.toLong)
+      assert(x.getBoolean(3) === (rows.map(_._2).distinct.length >= Pipelines.LDiverseL))
+    }
+  }
+
   test("k-anonymity: replays class sizes and the risk share from raw customer rows") {
     val r = Pipelines.kAnonymity.build(spark, d).collect()
     val raw = spark.read.parquet(s"$d/customer.parquet")

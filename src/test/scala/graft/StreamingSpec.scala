@@ -681,6 +681,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming k-anonymity gate audits against the batch privacy audit at sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val rowsQi = spark.read.parquet(s"$d/customer.parquet")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"))
+      .as[(Long, String)].collect()
+    val (first, second) = rowsQi.splitAt(rowsQi.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.kAnonymityCounters(mem.toDS())
+      .writeStream.format("memory").queryName("kanon_stream")
+      .outputMode("append").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("kanon_stream")
+      .groupBy("nation_key", "segment")
+      .agg(max(struct(col("n_members"), col("n_releasable"), col("k_anonymous"))).as("s"))
+      .select(col("nation_key"), col("segment"), col("s.n_members"),
+        col("s.n_releasable"), col("s.k_anonymous"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val batch = graft.ext.Pipelines.kAnonymity.build(spark, d).collect()
+    assert(batch.length === fin.size)
+    batch.foreach { r =>
+      val key = (r.getAs[Number](0).longValue, r.getString(1))
+      val (n, releasable, anon) = fin(key)
+      assert(n === r.getLong(2), s"class $key size")
+      assert(anon === r.getBoolean(3), s"class $key verdict")
+      assert(releasable === (if (anon) n else 0L), s"class $key release rule")
+    }
+  }
+
   test("streaming funnel counters audit against the batch funnel at sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
