@@ -1334,7 +1334,107 @@ object Sessions {
             |       floor(CAST((SELECT count(*) FROM p) AS DOUBLE) / nullif((SELECT count(*) FROM c), 0) * 10000 + 0.5) / 10000 AS click_to_purchase""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // A/B EXPERIMENT ANALYSIS — Welch's unequal-variance t-test (Welch,
+  // Biometrika 1947 — public method) over a deterministic hash
+  // assignment: the missing experimentation surface. Unit of analysis
+  // is the USER (per-user value totals first, then variant moments) —
+  // testing event-level rows against a user-randomized assignment is
+  // the classic unit-of-analysis error that overstates significance.
+  // Assignment is content-hash mod 2 (the stratifiedSplit discipline:
+  // stable across runs/order, no rand()); the verdict compares |t|
+  // against the two-sided 5% normal critical value 1.96 — stated as
+  // the published contract (df is huge here; the exact t-quantile is
+  // a lookup the pipeline applies downstream).
+  //
+  // Determinism: per-user totals are exact DECIMAL sums of 2dp-grid
+  // values published on the 6dp grid; variant Σx/Σx² sum those grid
+  // values in DECIMAL again (order-free), and mean/var/t/df derive in
+  // double with one shared op order. Scale: two map-side-combined
+  // aggregates (user_id shuffle → 2-row variant collapse); nothing
+  // else moves.
+  // ------------------------------------------------------------------
+  val AbCritical = 1.96
+
+  val abTtest: Q = Q(
+    (s, d) => {
+      import graft.ext.Dedup.hash60
+      val perUser = Inventory.events(s, d)
+        .groupBy("user_id")
+        .agg(roundPortable(
+          sum(roundPortable(col("value"), 2).cast(DecimalType(18, 2))).cast(DoubleType), 6)
+          .as("metric"))
+        .select(
+          when(pmod(hash60(concat(lit("exp1:"), col("user_id").cast("string"))), lit(2L)) === 0L,
+            "A").otherwise("B").as("variant"),
+          col("metric"))
+      val g = perUser.groupBy("variant")
+        .agg(count(lit(1)).as("n"),
+          sum(col("metric").cast(DecimalType(28, 6))).cast(DoubleType).as("sx"),
+          sum((col("metric").cast(DecimalType(28, 6)) * col("metric").cast(DecimalType(28, 6))))
+            .cast(DoubleType).as("sx2"))
+        .select(col("variant"), col("n"), col("sx"), col("sx2"))
+      val a = g.filter(col("variant") === "A")
+        .select(col("n").as("n_a"), col("sx").as("sxa"), col("sx2").as("sx2a"))
+      val b = g.filter(col("variant") === "B")
+        .select(col("n").as("n_b"), col("sx").as("sxb"), col("sx2").as("sx2b"))
+      val nA = col("n_a").cast(DoubleType)
+      val nB = col("n_b").cast(DoubleType)
+      val meanA = col("sxa") / nA
+      val meanB = col("sxb") / nB
+      // sample variance via the computational formula, n−1 denominator
+      val varA = (col("sx2a") - col("sxa") * col("sxa") / nA) / (nA - 1.0)
+      val varB = (col("sx2b") - col("sxb") * col("sxb") / nB) / (nB - 1.0)
+      val seA = varA / nA
+      val seB = varB / nB
+      val t = (meanA - meanB) / sqrt(seA + seB)
+      val df = (seA + seB) * (seA + seB) /
+        (seA * seA / (nA - 1.0) + seB * seB / (nB - 1.0))
+      a.crossJoin(b).select(
+        col("n_a"), col("n_b"),
+        roundPortable(meanA, 4).as("mean_a"),
+        roundPortable(meanB, 4).as("mean_b"),
+        roundPortable(t, 4).as("welch_t"),
+        roundPortable(df, 2).as("welch_df"),
+        (abs(t) > lit(AbCritical)).as("significant"))
+    },
+    Some(s"""WITH pu AS (
+            |  SELECT user_id,
+            |    floor(CAST(sum(CAST(floor(value * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS metric
+            |  FROM events GROUP BY 1
+            |), v AS (
+            |  SELECT CASE WHEN ('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+            |              THEN 'A' ELSE 'B' END AS variant,
+            |         metric FROM pu
+            |), g AS (
+            |  SELECT variant, count(*) AS n,
+            |         CAST(sum(CAST(metric AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+            |         CAST(sum(CAST(metric AS DECIMAL(28,6)) * CAST(metric AS DECIMAL(28,6))) AS DOUBLE) AS sx2
+            |  FROM v GROUP BY 1
+            |), a AS (SELECT n AS n_a, sx AS sxa, sx2 AS sx2a FROM g WHERE variant = 'A'),
+            |b AS (SELECT n AS n_b, sx AS sxb, sx2 AS sx2b FROM g WHERE variant = 'B'),
+            |c AS (
+            |  -- raw names ma/mb/sea/seb: DuckDB lateral alias resolution
+            |  -- would otherwise let the rounded outputs shadow the raw
+            |  -- values inside the t/df expressions
+            |  SELECT n_a, n_b,
+            |    sxa / n_a AS ma, sxb / n_b AS mb,
+            |    ((sx2a - sxa * sxa / n_a) / (n_a - 1.0)) / n_a AS sea,
+            |    ((sx2b - sxb * sxb / n_b) / (n_b - 1.0)) / n_b AS seb
+            |  FROM a CROSS JOIN b
+            |)
+            |SELECT n_a, n_b,
+            |  floor(ma * 10000 + 0.5) / 10000 AS mean_a,
+            |  floor(mb * 10000 + 0.5) / 10000 AS mean_b,
+            |  floor((ma - mb) / sqrt(sea + seb) * 10000 + 0.5) / 10000 AS welch_t,
+            |  floor((sea + seb) * (sea + seb)
+            |        / (sea * sea / (n_a - 1.0) + seb * seb / (n_b - 1.0)) * 100 + 0.5) / 100 AS welch_df,
+            |  abs((ma - mb) / sqrt(sea + seb)) > $AbCritical AS significant
+            |FROM c""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "events_ab_ttest" -> abTtest,
     "events_funnel_windowed" -> funnelWindowed,
     "events_sessionize" -> sessionize,
     "events_hourly_window" -> hourly,

@@ -1725,6 +1725,44 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ab t-test: replays Welch's statistic from raw events at the user grain") {
+    val r = Sessions.abTtest.build(spark, d).collect().head
+    def g(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    // plain-Scala replay: per-user 2dp-exact totals, md5 assignment,
+    // then the Welch formulas in the same op order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def variantOf(u: Long): String = {
+      val hex = md.digest(s"exp1:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    val perUser = graft.queries.Inventory.events(spark, d)
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0), BigDecimal(math.floor(x.getDouble(1) * 100 + 0.5) / 100)))
+      .groupBy(_._1).map { case (u, vs) => u -> g(vs.map(_._2).sum.toDouble, 1e6) }
+    val (as_, bs) = perUser.partition { case (u, _) => variantOf(u) == "A" }
+    def moments(m: Iterable[Double]) = {
+      val sx = m.foldLeft(BigDecimal(0))(_ + BigDecimal(_)).toDouble
+      val sx2 = m.foldLeft(BigDecimal(0))((acc, x) => acc + BigDecimal(x) * BigDecimal(x)).toDouble
+      (m.size.toDouble, sx, sx2)
+    }
+    val (na, sxa, sx2a) = moments(as_.values)
+    val (nb, sxb, sx2b) = moments(bs.values)
+    val (ma, mb) = (sxa / na, sxb / nb)
+    val sea = ((sx2a - sxa * sxa / na) / (na - 1.0)) / na
+    val seb = ((sx2b - sxb * sxb / nb) / (nb - 1.0)) / nb
+    val t = (ma - mb) / math.sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+    assert(r.getLong(0) === na.toLong && r.getLong(1) === nb.toLong)
+    assert(r.getDouble(2) === g(ma, 1e4) && r.getDouble(3) === g(mb, 1e4))
+    assert(r.getDouble(4) === g(t, 1e4), "welch t")
+    assert(r.getDouble(5) === g(df, 1e2), "welch df")
+    assert(r.getBoolean(6) === (math.abs(t) > Sessions.AbCritical))
+    // both arms populated with enough users for a variance (the tiny
+    // sf0.001 population splits lumpily — 11/4 — which is fine; the
+    // test's own df accounts for it)
+    assert(na >= 2 && nb >= 2)
+  }
+
   test("windowed funnel: replays anchors from raw events; dominated by the unbounded funnel") {
     val r = Sessions.funnelWindowed.build(spark, d).collect().head
     val ub = Sessions.funnel.build(spark, d).collect().head
