@@ -418,6 +418,32 @@ object Graph {
   val KCoreIters = 3
   val KCoreTop = 30
 
+  /** ITERS rounds of "drop every vertex with degree < k, then drop
+    * edges touching removed vertices" over a symmetric (lang, v, u)
+    * edge table. Each round reads its predecessor TWICE (degree
+    * aggregate + the edge filter) and the next round builds on the
+    * result — uncached, that consumer fan-out re-executes the whole
+    * upstream pipeline per reference (measured 6.3 s at sf0.1 on the
+    * corpus bigram build; 1.8 s cached). The cached state is the
+    * current round's edge set — vocab-bounded here, graph-bounded in
+    * general, never corpus-sized (the customer_rfm cached-base
+    * pattern; Bench clearCaches between queries). Factored out so
+    * PropertySpec can peel generated graphs against a plain-Scala
+    * reference.
+    */
+  private[graft] def kcorePeel(sym0: DataFrame, k: Int, iters: Int): DataFrame = {
+    var sym = sym0.cache()
+    for (_ <- 0 until iters) {
+      val alive = sym.groupBy("lang", "v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("lang", "v")
+      sym = sym
+        .join(alive, Seq("lang", "v"), "left_semi")
+        .join(alive.select(col("lang"), col("v").as("u")), Seq("lang", "u"), "left_semi")
+        .cache()
+    }
+    sym
+  }
+
   val kcoreWords: Q = Q(
     (s, d) => {
       val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -433,24 +459,9 @@ object Graph {
         .withColumn("rk", row_number().over(rankW))
         .filter(col("rk") <= KCoreEdges)
         .select("lang", "a", "b")
-      // each round reads sym TWICE (degree aggregate + the edge
-      // filter) and the next round builds on the result — uncached,
-      // the K-round plan re-executes the corpus bigram pipeline per
-      // consumer fan-out (measured 6.3 s at sf0.1). The cached state
-      // is ≤ 2·E·|langs| edge rows per round — vocab-bounded, never
-      // corpus-sized (the customer_rfm cached-base pattern; Bench
-      // clearCaches between queries).
-      var sym = edges.select(col("lang"), col("a").as("v"), col("b").as("u"))
+      val sym0 = edges.select(col("lang"), col("a").as("v"), col("b").as("u"))
         .unionAll(edges.select(col("lang"), col("b").as("v"), col("a").as("u")))
-        .cache()
-      for (_ <- 0 until KCoreIters) {
-        val alive = sym.groupBy("lang", "v").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= KCoreK).select("lang", "v")
-        sym = sym
-          .join(alive, Seq("lang", "v"), "left_semi")
-          .join(alive.select(col("lang"), col("v").as("u")), Seq("lang", "u"), "left_semi")
-          .cache()
-      }
+      val sym = kcorePeel(sym0, KCoreK, KCoreIters)
       val outW = Window.partitionBy("lang").orderBy(col("core_degree").desc, col("token"))
       sym.groupBy(col("lang"), col("v").as("token"))
         .agg(count(lit(1)).as("core_degree"))

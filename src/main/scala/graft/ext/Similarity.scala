@@ -1642,9 +1642,59 @@ object Similarity {
   val MmrCand = 10
   val MmrK = 5
 
+  /** The whole MMR greedy selection as ONE expression: an `aggregate`
+    * fold over sequence(1..k) whose state is (selected ids, emitted
+    * rows). `cands` is an array of struct(id, rel), `sims` an array of
+    * struct(id_a, id_b, csim); both per-query-bounded, so the fold is
+    * O(k·|cands|·|sims|) per row with state threaded linearly.
+    * Factored out so PropertySpec can drive it on generated inputs
+    * against a plain-Scala greedy.
+    */
+  private[graft] def mmrFold(cands: Column, sims: Column, k: Int): Column = {
+    import org.apache.spark.sql.types._
+    val outType = ArrayType(StructType(Seq(
+      StructField("neighbor_id", LongType), StructField("rnk", IntegerType),
+      StructField("rel", DoubleType), StructField("mmr_score", DoubleType))))
+    val init = struct(
+      array().cast(ArrayType(LongType)).as("sel"),
+      array().cast(outType).as("out"))
+    def step(state: Column, r: Column): Column = {
+      val sel = state.getField("sel")
+      val rem = filter(cands, c => !array_contains(sel, c.getField("id")))
+      def scoreOf(c: Column): Column = {
+        val divs = transform(
+          filter(sims, p => p.getField("id_a") === c.getField("id") &&
+            array_contains(sel, p.getField("id_b"))),
+          p => p.getField("csim"))
+        val div = coalesce(array_max(divs), lit(0.0))
+        lit(MmrLambda) * c.getField("rel") - lit(MmrDivW) * div
+      }
+      val best = aggregate(rem,
+        struct(lit(Double.NegativeInfinity).as("score"),
+          lit(Long.MaxValue).as("id"), lit(0.0).as("rel")),
+        (acc, c) => {
+          val sc = scoreOf(c)
+          when(sc > acc.getField("score") ||
+            (sc === acc.getField("score") && c.getField("id") < acc.getField("id")),
+            struct(sc.as("score"), c.getField("id").as("id"),
+              c.getField("rel").as("rel")))
+            .otherwise(acc)
+        })
+      // an exhausted candidate list (k > |cands|) keeps the sentinel
+      // id out of the output: append only real picks
+      val picked = struct(
+        concat(sel, array(best.getField("id"))).as("sel"),
+        concat(state.getField("out"), array(struct(
+          best.getField("id").as("neighbor_id"), r.cast("int").as("rnk"),
+          best.getField("rel").as("rel"),
+          roundPortable(best.getField("score"), 6).as("mmr_score")))).as("out"))
+      when(best.getField("id") === lit(Long.MaxValue), state).otherwise(picked)
+    }
+    aggregate(sequence(lit(1), lit(k)), init, step)
+  }
+
   val mmrRerank: Q = Q(
     (s, d) => {
-      import org.apache.spark.sql.types._
       val corpus = emb(s, d)
       val queries = corpus.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -1678,45 +1728,10 @@ object Similarity {
         .agg(collect_list(struct(col("neighbor_id").as("id"), col("rel"))).as("cands"))
       val simsArr = pair.groupBy("q_id")
         .agg(collect_list(struct(col("id_a"), col("id_b"), col("csim"))).as("sims"))
-      val outType = ArrayType(StructType(Seq(
-        StructField("neighbor_id", LongType), StructField("rnk", IntegerType),
-        StructField("rel", DoubleType), StructField("mmr_score", DoubleType))))
-      val init = struct(
-        array().cast(ArrayType(LongType)).as("sel"),
-        array().cast(outType).as("out"))
-      def step(state: Column, r: Column): Column = {
-        val sel = state.getField("sel")
-        val rem = filter(col("cands"), c => !array_contains(sel, c.getField("id")))
-        def scoreOf(c: Column): Column = {
-          val divs = transform(
-            filter(col("sims"), p => p.getField("id_a") === c.getField("id") &&
-              array_contains(sel, p.getField("id_b"))),
-            p => p.getField("csim"))
-          val div = coalesce(array_max(divs), lit(0.0))
-          lit(MmrLambda) * c.getField("rel") - lit(MmrDivW) * div
-        }
-        val best = aggregate(rem,
-          struct(lit(Double.NegativeInfinity).as("score"),
-            lit(Long.MaxValue).as("id"), lit(0.0).as("rel")),
-          (acc, c) => {
-            val sc = scoreOf(c)
-            when(sc > acc.getField("score") ||
-              (sc === acc.getField("score") && c.getField("id") < acc.getField("id")),
-              struct(sc.as("score"), c.getField("id").as("id"),
-                c.getField("rel").as("rel")))
-              .otherwise(acc)
-          })
-        struct(
-          concat(sel, array(best.getField("id"))).as("sel"),
-          concat(state.getField("out"), array(struct(
-            best.getField("id").as("neighbor_id"), r.cast("int").as("rnk"),
-            best.getField("rel").as("rel"),
-            roundPortable(best.getField("score"), 6).as("mmr_score")))).as("out"))
-      }
       candsArr.join(simsArr, Seq("q_id"))
         .select(col("q_id"),
-          posexplode(aggregate(sequence(lit(1), lit(MmrK)), init, step)
-            .getField("out")).as(Seq("pos", "p")))
+          posexplode(mmrFold(col("cands"), col("sims"), MmrK).getField("out"))
+            .as(Seq("pos", "p")))
         .select(col("q_id"), col("p.neighbor_id"), col("p.rnk"), col("p.rel"),
           col("p.mmr_score"))
         .orderBy("q_id", "rnk")

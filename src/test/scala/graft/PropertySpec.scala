@@ -267,4 +267,97 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("mmrFold equals a plain-Scala greedy on generated candidate/sim sets") {
+    val spk = spark; import spk.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val r = new scala.util.Random(4242)
+    def g6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // 40 generated instances with varying candidate counts, duplicate
+    // scores (tie exercise), and k occasionally exceeding |cands|
+    val cases = (0 until 40).map { qi =>
+      val nc = 1 + r.nextInt(12)
+      val ids = r.shuffle((0L until 40L).toList).take(nc)
+      val cands = ids.map(id => (id, g6(r.nextInt(5) / 4.0 * r.nextDouble())))
+      val sims = for { a <- ids; b <- ids if a != b }
+        yield (a, b, g6(r.nextInt(8) / 7.0))
+      (qi.toLong, cands, sims)
+    }
+    val schema = StructType(Seq(
+      StructField("q_id", LongType),
+      StructField("cands", ArrayType(StructType(Seq(
+        StructField("id", LongType), StructField("rel", DoubleType))))),
+      StructField("sims", ArrayType(StructType(Seq(
+        StructField("id_a", LongType), StructField("id_b", LongType),
+        StructField("csim", DoubleType)))))))
+    val df = spk.createDataFrame(
+      spk.sparkContext.parallelize(cases.map { case (q, c, sm) =>
+        Row(q, c.map { case (i, rl) => Row(i, rl) }, sm.map { case (a, b, cs) => Row(a, b, cs) })
+      }),
+      schema)
+    val k = 5
+    val got = df.select(col("q_id"),
+        explode(graft.ext.Similarity.mmrFold(col("cands"), col("sims"), k)
+          .getField("out")).as("p"))
+      .select(col("q_id"), col("p.neighbor_id"), col("p.rnk"), col("p.rel"), col("p.mmr_score"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(2))
+        .map(x => (x.getLong(1), x.getInt(2), x.getDouble(3), x.getDouble(4))).toSeq }
+    cases.foreach { case (q, cands, sims) =>
+      val simMap = sims.map { case (a, b, cs) => (a, b) -> cs }.toMap
+      var selected = Vector.empty[(Long, Int, Double, Double)]
+      var remaining = cands
+      var rk = 1
+      while (rk <= k && remaining.nonEmpty) {
+        val scored = remaining.map { case (id, rl) =>
+          val div =
+            if (selected.isEmpty) 0.0
+            else selected.map { case (sid, _, _, _) => simMap((id, sid)) }.max
+          (id, rl, graft.ext.Similarity.MmrLambda * rl - graft.ext.Similarity.MmrDivW * div)
+        }
+        val (pid, prl, psc) = scored.minBy { case (id, _, sc) => (-sc, id) }
+        selected :+= ((pid, rk, prl, g6(psc)))
+        remaining = remaining.filterNot(_._1 == pid)
+        rk += 1
+      }
+      assert(got.getOrElse(q, Seq.empty) === selected,
+        s"case $q: |cands|=${cands.length}")
+    }
+  }
+
+  test("kcorePeel equals a plain-Scala peel on generated random graphs") {
+    val spk = spark; import spk.implicits._
+    val r = new scala.util.Random(777)
+    // three seeded Erdos-Renyi-ish graphs per density regime, two langs
+    val edges = for {
+      lang <- Seq("x", "y")
+      a <- 0L until 24L
+      b <- (a + 1) until 24L
+      if r.nextDouble() < (if (lang == "x") 0.18 else 0.45)
+    } yield (lang, a.toString, b.toString)
+    val und = edges.toDF("lang", "a", "b")
+    val sym0 = und.select(col("lang"), col("a").as("v"), col("b").as("u"))
+      .unionAll(und.select(col("lang"), col("b").as("v"), col("a").as("u")))
+    val k = 4
+    val iters = 3
+    val got = graft.ext.Graph.kcorePeel(sym0, k, iters)
+      .groupBy("lang", "v").agg(count(lit(1)).as("deg"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    // plain-Scala reference
+    var sym = edges.flatMap { case (l, a, b) => Seq((l, a, b), (l, b, a)) }
+    for (_ <- 0 until iters) {
+      val deg = sym.groupBy(e => (e._1, e._2)).map { case (kk, es) => kk -> es.size }
+      // NB: Map.collect yielding pairs would rebuild a Map and drop
+      // same-lang keys — filter the entry set instead
+      val alive = deg.filter(_._2 >= k).keySet
+      sym = sym.filter { case (l, v, u) => alive((l, v)) && alive((l, u)) }
+    }
+    val want = sym.groupBy(e => (e._1, e._2)).map { case (kk, es) => kk -> es.size.toLong }
+    assert(got === want)
+    // sanity: the sparse lang peels away, the dense lang retains a core
+    val dense = want.keys.count(_._1 == "y")
+    assert(dense > 0, "dense graph must retain a 4-core")
+  }
 }
