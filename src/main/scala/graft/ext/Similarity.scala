@@ -557,6 +557,52 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), sim.as("sim")))
   }
 
+  /** Index-BUILD surfaces for [[graft.models.AnnIndexPipeline]] — the
+    * PQ training/encode steps as plain DataFrame→DataFrame functions
+    * so a DAG can MATERIALIZE the index (codebook, codes, cells) once
+    * and every query reads parquet instead of re-training. At 100 TB
+    * this is the production shape: the registry's standalone PQ
+    * queries document their in-query training as the driver-contract
+    * cost; these are what the real pipeline ships.
+    */
+  def toDoubleVecs(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+
+  /** Train the per-block PQ codebook from the raw embeddings table. */
+  def pqTrainCodebook(raw: DataFrame): DataFrame =
+    pqCodebook(pqSub(toDoubleVecs(raw)))
+
+  /** Encode every vector against a (materialized) codebook. */
+  def pqEncodeCodes(raw: DataFrame, cb: DataFrame): DataFrame =
+    pqAssign(pqSub(toDoubleVecs(raw)), broadcast(cb)).select("vec_id", "blk", "code")
+
+  /** IVF+PQ search against MATERIALIZED index tables (cells,
+    * centroids, codebook, codes) — the query side of [[ivfpqTopK]]
+    * with all training replaced by table reads. Must return exactly
+    * the registry query's rows (EngineSpec pins it).
+    */
+  def ivfpqSearchFromIndex(raw: DataFrame, cents: DataFrame, assigned: DataFrame,
+      cb: DataFrame, codes: DataFrame): DataFrame = {
+    val e = toDoubleVecs(raw)
+    val queries = raw.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cluster"),
+        roundPortable(cosine(col("q_emb"), col("centroid")), 6).as("csim"))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= NProbe)
+      .select("q_id", "cluster")
+    val adist = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(pqQlut(pqSub(e), cb)), Seq("q_id", "blk", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("dv")).as("adist"))
+    pqRefine(e, adist)
+  }
+
   /** The shared PQ oracle CTE chain (sub-vector split → seed → assign
     * → recompute codebook → encode → query LUT), ending in
     * `codes(vec_id, blk, code)` and `qlut(q_id, blk, code, dv)`.

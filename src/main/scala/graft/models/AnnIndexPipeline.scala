@@ -1,0 +1,104 @@
+package graft.models
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, DagRunner, Materialization, Model, NotNull, ParquetCatalog, RunResult, TableSink, Unique}
+import graft.ext.{KMeans, Similarity}
+
+/** The ANN index BUILD as a materialized DAG — the production
+  * lifecycle of the registry's IVF+PQ search
+  * (`ann_ivfpq_topk`, whose standalone form re-trains per query by
+  * the driver contract; `PLANS.md` documents that cost). A real
+  * vector-search deployment trains and encodes ONCE per corpus
+  * version and every query after that reads the index tables:
+  *
+  * {{{
+  *   embeddings ──> ann_centroids (Table) ──> ann_cells (Table) ──┐
+  *   embeddings ──> ann_pq_codebook (Table) ──> ann_pq_codes ─────┼─> ann_index_report (View)
+  *                                             (Table)            │
+  *                                       search reads all four ───┘
+  * }}}
+  *
+  * Why this shape at 100 TB: the codes table IS the stored index —
+  * PqBlocks 4-bit-ish codes per vector, ~64× smaller than the float
+  * corpus — and cells/codebook/centroids are broadcast-sized. Search
+  * cost is then probe-join + LUT-sum over materialized parquet
+  * (bucketing the codes table by cell makes the probe join partition
+  * pruning). Model tests gate the build the dbt way: duplicate cell
+  * assignments or a hole in the codebook skip the downstream emit
+  * instead of shipping a corrupt index.
+  *
+  * EngineSpec pins the contract that matters: [[search]] over the
+  * MATERIALIZED tables returns row-for-row the registry query's
+  * result — materialization must never change answers.
+  */
+object AnnIndexPipeline {
+
+  val centroids: Model =
+    Model("ann_centroids", Seq("embeddings"), Materialization.Table,
+      tests = Seq(Unique("cluster"), NotNull("centroid"))) { in =>
+      KMeans.trained(in("embeddings"))
+    }
+
+  val cells: Model =
+    Model("ann_cells", Seq("embeddings", "ann_centroids"), Materialization.Table,
+      tests = Seq(Unique("vec_id"), NotNull("cluster"))) { in =>
+      KMeans.assign(in("embeddings"), in("ann_centroids"))
+        .select("vec_id", "cluster")
+    }
+
+  val codebook: Model =
+    Model("ann_pq_codebook", Seq("embeddings"), Materialization.Table,
+      tests = Seq(NotNull("cv"))) { in =>
+      Similarity.pqTrainCodebook(in("embeddings"))
+    }
+
+  val codes: Model =
+    Model("ann_pq_codes", Seq("embeddings", "ann_pq_codebook"), Materialization.Table,
+      tests = Seq(NotNull("code"))) { in =>
+      Similarity.pqEncodeCodes(in("embeddings"), in("ann_pq_codebook"))
+    }
+
+  /** Index health: cell-size balance and code-usage coverage — the
+    * monitoring view an index rebuild job watches (an empty cell or a
+    * dead codeword signals training drift before recall decays).
+    */
+  val report: Model =
+    Model("ann_index_report",
+      Seq("ann_centroids", "ann_cells", "ann_pq_codebook", "ann_pq_codes"),
+      Materialization.View) { in =>
+      val cellSizes = in("ann_cells").groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"))
+      val codeUse = in("ann_pq_codes").groupBy("blk")
+        .agg(countDistinct(col("code")).as("codes_used"))
+      cellSizes.agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n_vecs")).as("n_indexed"),
+        min(col("n_vecs")).as("min_cell"),
+        max(col("n_vecs")).as("max_cell"))
+        .crossJoin(codeUse.agg(
+          min(col("codes_used")).as("min_codes_used"),
+          max(col("codes_used")).as("max_codes_used")))
+    }
+
+  val all: Seq[Model] = Seq(centroids, cells, codebook, codes, report)
+
+  /** IVF+PQ top-k against the MATERIALIZED index. `embeddings` is the
+    * raw corpus (query vectors come from it by the registry's
+    * vec_id < NumQueries convention).
+    */
+  def search(embeddings: org.apache.spark.sql.DataFrame,
+      catalogRead: String => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Similarity.ivfpqSearchFromIndex(embeddings,
+      catalogRead("ann_centroids"), catalogRead("ann_cells"),
+      catalogRead("ann_pq_codebook"), catalogRead("ann_pq_codes"))
+
+  /** Build the index over a harness data directory. */
+  def run(spark: SparkSession, dir: String,
+      sink: TableSink = new TableSink.Cached): RunResult =
+    run(new ParquetCatalog(spark, dir), sink)
+
+  def run(catalog: Catalog, sink: TableSink): RunResult =
+    new DagRunner(catalog, sink).run(all)
+}

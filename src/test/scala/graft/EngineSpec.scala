@@ -336,6 +336,38 @@ class EngineSpec extends SparkSpec {
       s"keep list recomputes the pair graph:\n$consumerPlan")
   }
 
+  test("ANN index DAG: materialized search equals the in-query registry result; report conserves") {
+    val d = sf("0.001")
+    val wh = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    val r = graft.models.AnnIndexPipeline.run(spark, d, new TableSink.Parquet(wh))
+    assert(r.allTestsPassed, r.tests.filterNot(_.passed).mkString(", "))
+    assert(r.skipped.isEmpty)
+    val raw = spark.read.parquet(s"$d/embeddings.parquet")
+    // THE contract: search over the materialized tables returns
+    // row-for-row what the standalone (train-in-query) registry
+    // query returns — materialization must never change answers
+    val fromIndex = graft.models.AnnIndexPipeline.search(raw, r(_))
+      .collect().toSeq
+    val standalone = graft.ext.Similarity.ivfpqTopK.build(spark, d).collect().toSeq
+    assert(fromIndex === standalone)
+    // search's plan reads the SINK's parquet (the materialized index),
+    // and contains no codebook-training machinery (the Lloyd round
+    // would show up as an avg over posexploded sub-vectors)
+    val plan = graft.models.AnnIndexPipeline.search(raw, r(_))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(wh), plan)
+    // report invariants: every vector indexed, cells partition the
+    // corpus, code usage bounded by the codebook size
+    val rep = r("ann_index_report").collect().head
+    assert(rep.getLong(1) === raw.count(), "n_indexed = corpus size")
+    assert(rep.getLong(2) >= 1L && rep.getLong(2) <= rep.getLong(3))
+    assert(rep.getLong(5) <= graft.ext.Similarity.PqCodes.toLong)
+    // codes table shape: one code per (vector, block)
+    val codes = r("ann_pq_codes")
+    assert(codes.count() === raw.count() * graft.ext.Similarity.PqBlocks)
+    assert(codes.groupBy("vec_id", "blk").count().filter(col("count") > 1).count() === 0L)
+  }
+
   test("corpus pipeline DAG: stages compose doc-level, agree with registry metrics, and checkpoint") {
     import graft.engine.Functions.{avgExact, roundPortable}
     val d = sf("0.001")
