@@ -94,6 +94,27 @@ object AnnIndexPipeline {
       catalogRead("ann_centroids"), catalogRead("ann_cells"),
       catalogRead("ann_pq_codebook"), catalogRead("ann_pq_codes"))
 
+  /** INCREMENTAL refresh: encode a NEW vector batch against the
+    * FROZEN materialized index (codebook + centroids stay fixed) and
+    * upsert its codes and cell assignments — the production path when
+    * vectors arrive continuously: per-batch cost is encode-only
+    * (broadcast codebook, no training), and retraining is a scheduled
+    * REBUILD that swaps the whole index version. Same-key rows
+    * replace (re-ingest of a vector re-encodes it); the staged-swap
+    * upsert keeps readers consistent mid-refresh.
+    */
+  def refresh(spark: SparkSession, warehouse: String,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
+    val sink = new TableSink.ParquetUpsert(warehouse, Map(
+      "ann_cells" -> Seq("vec_id"),
+      "ann_pq_codes" -> Seq("vec_id", "blk")))
+    val cents = spark.read.parquet(s"$warehouse/ann_centroids")
+    val cb = spark.read.parquet(s"$warehouse/ann_pq_codebook")
+    sink.write("ann_cells",
+      KMeans.assign(batch, cents).select("vec_id", "cluster"))
+    sink.write("ann_pq_codes", Similarity.pqEncodeCodes(batch, cb))
+  }
+
   /** Build the index over a harness data directory. */
   def run(spark: SparkSession, dir: String,
       sink: TableSink = new TableSink.Cached): RunResult =

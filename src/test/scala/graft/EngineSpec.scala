@@ -368,6 +368,45 @@ class EngineSpec extends SparkSpec {
     assert(codes.groupBy("vec_id", "blk").count().filter(col("count") > 1).count() === 0L)
   }
 
+  test("ANN index incremental refresh: delta encodes against the frozen codebook, upserts merge") {
+    val d = sf("0.001")
+    val wh = java.nio.file.Files.createTempDirectory("graft-annref").toString
+    val r = graft.models.AnnIndexPipeline.run(spark, d, new TableSink.Parquet(wh))
+    assert(r.allTestsPassed)
+    val raw = spark.read.parquet(s"$d/embeddings.parquet")
+    val n = raw.count()
+    // a new batch: same vectors re-ingested under fresh ids
+    val batch = raw.select((col("vec_id") + lit(100000L)).as("vec_id"),
+      col("embedding"), col("label"))
+    graft.models.AnnIndexPipeline.refresh(spark, wh, batch)
+    val codes = spark.read.parquet(s"$wh/ann_pq_codes")
+    val cells = spark.read.parquet(s"$wh/ann_cells")
+    assert(cells.count() === 2 * n)
+    assert(codes.count() === 2 * n * graft.ext.Similarity.PqBlocks)
+    // frozen-codebook determinism: a replica's codes equal its
+    // original's (same sub-vectors, same codebook, same tiebreak)
+    val orig = codes.filter(col("vec_id") < 100000L)
+      .select(col("vec_id"), col("blk"), col("code"))
+    val replica = codes.filter(col("vec_id") >= 100000L)
+      .select((col("vec_id") - 100000L).as("vec_id"), col("blk"), col("code"))
+    assert(replica.exceptAll(orig).count() === 0L && orig.exceptAll(replica).count() === 0L)
+    // same-key re-ingest REPLACES: refreshing the same batch again
+    // does not grow the tables
+    graft.models.AnnIndexPipeline.refresh(spark, wh, batch)
+    assert(spark.read.parquet(s"$wh/ann_pq_codes").count() ===
+      2 * n * graft.ext.Similarity.PqBlocks)
+    // the refreshed index answers queries over the GROWN corpus: full
+    // rank sets come back, and the identical-vector replicas surface
+    // as top hits (cosine 1.0 duplicates — exactly what a dedup pass
+    // over search results would then catch)
+    // the corpus handed to search is the GROWN one (the re-rank
+    // fetches full-precision vectors by id from it)
+    val fromIndex = graft.models.AnnIndexPipeline.search(raw.unionByName(batch),
+      name => spark.read.parquet(s"$wh/$name")).collect().toSeq
+    assert(fromIndex.size === graft.ext.Similarity.NumQueries * graft.ext.Similarity.TopK)
+    assert(fromIndex.exists(_.getLong(1) >= 100000L), "replicas reachable via the index")
+  }
+
   test("corpus pipeline DAG: stages compose doc-level, agree with registry metrics, and checkpoint") {
     import graft.engine.Functions.{avgExact, roundPortable}
     val d = sf("0.001")
