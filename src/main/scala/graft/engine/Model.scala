@@ -144,6 +144,48 @@ object TableSink {
     }
   }
 
+  /** BUCKETED parquet materialization — the co-located-join path.
+    * Models named in `buckets` write via `bucketBy(n, cols).sortBy`
+    * + `saveAsTable` into the session catalog (Spark's bucketing
+    * metadata lives in the catalog, not the files — a plain
+    * `.parquet(path)` write cannot carry it), so two tables bucketed
+    * on the same key with the same count JOIN WITHOUT ANY EXCHANGE:
+    * the scan's output partitioning already satisfies the join's
+    * requirement. This is the 100 TB answer for fact⋈fact joins that
+    * recur on one key (codes⋈cells on vec_id, postings⋈postings on
+    * hs): pay the shuffle ONCE at write, never per query.
+    * `EngineSpec` pins the exchange-free plan. Unbucketed models fall
+    * back to plain parquet-dir writes.
+    *
+    * Caveats stated: bucket pruning/colocation applies only while the
+    * defining catalog is alive (table metadata is session-scoped
+    * here; production uses a shared metastore), and the bucket count
+    * must match on both sides — size it to the LARGER table's target
+    * partition bytes, since re-bucketing is a rewrite.
+    */
+  final class BucketedParquet(
+      dir: String,
+      buckets: Map[String, (Int, Seq[String])])
+      extends TableSink {
+
+    override def write(name: String, df: DataFrame): DataFrame = {
+      buckets.get(name) match {
+        case Some((n, cols)) =>
+          val spark = df.sparkSession
+          spark.sql(s"DROP TABLE IF EXISTS `$name`")
+          df.write.mode("overwrite").format("parquet")
+            .option("path", s"$dir/$name")
+            .bucketBy(n, cols.head, cols.tail: _*)
+            .sortBy(cols.head, cols.tail: _*)
+            .saveAsTable(name)
+          spark.table(name)
+        case None =>
+          df.write.mode("overwrite").parquet(s"$dir/$name")
+          df.sparkSession.read.parquet(s"$dir/$name")
+      }
+    }
+  }
+
   /** Keyed parquet upsert — dbt's `incremental` materialization with
     * `unique_key` (SCD Type 1 merge): incoming rows REPLACE same-key
     * base rows, new keys append, untouched keys survive. Models whose

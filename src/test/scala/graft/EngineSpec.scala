@@ -368,6 +368,37 @@ class EngineSpec extends SparkSpec {
     assert(codes.groupBy("vec_id", "blk").count().filter(col("count") > 1).count() === 0L)
   }
 
+  test("bucketed sink: co-bucketed index tables join with ZERO exchanges") {
+    val d = sf("0.001")
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val sink = new TableSink.BucketedParquet(wh, Map(
+      "ann_cells" -> (8, Seq("vec_id")),
+      "ann_pq_codes" -> (8, Seq("vec_id"))))
+    val r = graft.models.AnnIndexPipeline.run(spark, d, sink)
+    assert(r.allTestsPassed, r.tests.filterNot(_.passed).mkString(", "))
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      // the recurring fact-to-fact join of the index: codes ⋈ cells on
+      // vec_id — co-bucketed, so the scans' partitioning satisfies the
+      // join requirement and NO exchange appears anywhere in the plan
+      val j = spark.table("ann_pq_codes").join(spark.table("ann_cells"), "vec_id")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      // bucketed output matches the unbucketed write row-for-row
+      assert(spark.table("ann_pq_codes").count() ===
+        r("ann_pq_codes").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS ann_pq_codes")
+      spark.sql("DROP TABLE IF EXISTS ann_cells")
+    }
+  }
+
   test("ANN index incremental refresh: delta encodes against the frozen codebook, upserts merge") {
     val d = sf("0.001")
     val wh = java.nio.file.Files.createTempDirectory("graft-annref").toString
