@@ -1490,7 +1490,81 @@ object TextAnalysis {
             |FROM cum CROSS JOIN fit ORDER BY bucket""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // COUNT-MIN SKETCH frequency estimation (Cormode & Muthukrishnan,
+  // "An Improved Data Stream Summary: The Count-Min Sketch", J.Alg
+  // 2005 — public algorithm): the third classic sketch beside HLL
+  // (`agg_approx_distinct`/`agg_sketch_merge`) and SpaceSaving (the
+  // streaming hitters twin). D=4 hash rows × W=256 counters summarize
+  // the token stream in 1 KiB-scale state; a term's estimate is the
+  // MIN over its D cells — never an undercount, overcount bounded by
+  // cell collisions. Published here for the exact top-N terms so the
+  // one-sided error is VISIBLE against truth (est_n ≥ true_n always;
+  // slack = collision mass).
+  //
+  // Unlike the HLL queries (error-contract oracle), this sketch is
+  // fully DETERMINISTIC — md5-derived row hashes, integer cells — so
+  // DuckDB replays the exact sketch and the gate hash-matches the
+  // estimates themselves. Scale: one token pass map-side combines to
+  // ≤ D·W cells + a vocab-sized true-count aggregate; the top-N probe
+  // joins D·N broadcast rows against the cell table.
+  // ------------------------------------------------------------------
+  val CmDepth = 4
+  val CmWidth = 256
+  val CmTopN = 10
+
+  val countminHitters: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = s.read.parquet(s"$d/documents.parquet")
+        .select(explode(tokens(col("text"))).as("t"))
+      val cells = toks
+        .select(explode(sequence(lit(0), lit(CmDepth - 1))).as("dep"), col("t"))
+        .select(col("dep"),
+          pmod(Dedup.hash60(concat(col("dep").cast("string"), lit(":"), col("t"))),
+            lit(CmWidth.toLong)).as("cell"))
+        .groupBy("dep", "cell").agg(count(lit(1)).as("n"))
+      val top = toks.groupBy("t").agg(count(lit(1)).as("true_n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("true_n").desc, col("t"))))
+        .filter(col("rk") <= CmTopN)
+      val probes = top.select(col("t"), col("true_n"), col("rk"),
+          explode(sequence(lit(0), lit(CmDepth - 1))).as("dep"))
+        .select(col("t"), col("true_n"), col("rk"), col("dep"),
+          pmod(Dedup.hash60(concat(col("dep").cast("string"), lit(":"), col("t"))),
+            lit(CmWidth.toLong)).as("cell"))
+      broadcast(probes).join(cells, Seq("dep", "cell"))
+        .groupBy(col("t").as("term"), col("true_n"), col("rk"))
+        .agg(min(col("n")).as("est_n"))
+        .select(col("term"), col("true_n"), col("est_n"), col("rk"),
+          (col("est_n") >= col("true_n")).as("never_undercounts"))
+        .orderBy("rk")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents
+            |), cells AS (
+            |  SELECT dep, ('0x' || substr(md5(CAST(dep AS VARCHAR) || ':' || t), 1, 15))::BIGINT % $CmWidth AS cell,
+            |         count(*) AS n
+            |  FROM toks, LATERAL unnest(range(0, $CmDepth)) AS r(dep)
+            |  GROUP BY 1, 2
+            |), top AS (
+            |  SELECT t, true_n, rk FROM (
+            |    SELECT t, count(*) AS true_n,
+            |           row_number() OVER (ORDER BY count(*) DESC, t) AS rk
+            |    FROM toks GROUP BY 1) WHERE rk <= $CmTopN
+            |), probes AS (
+            |  SELECT t, true_n, rk, dep,
+            |    ('0x' || substr(md5(CAST(dep AS VARCHAR) || ':' || t), 1, 15))::BIGINT % $CmWidth AS cell
+            |  FROM top, LATERAL unnest(range(0, $CmDepth)) AS r(dep)
+            |)
+            |SELECT p.t AS term, p.true_n, CAST(min(c.n) AS BIGINT) AS est_n, p.rk,
+            |       CAST(min(c.n) AS BIGINT) >= p.true_n AS never_undercounts
+            |FROM probes p JOIN cells c ON c.dep = p.dep AND c.cell = p.cell
+            |GROUP BY 1, 2, 4 ORDER BY rk""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "text_countmin_hitters" -> countminHitters,
     "text_heaps_law" -> heapsLaw,
     "text_mtld" -> mtld,
     "text_token_stats" -> tokenStats,

@@ -1725,6 +1725,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("count-min hitters: replays the sketch from raw tokens; never undercounts") {
+    val r = TextAnalysis.countminHitters.build(spark, d).collect()
+    assert(r.length === TextAnalysis.CmTopN)
+    val toks = spark.read.parquet(s"$d/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def cellOf(dep: Int, t: String): Long = {
+      val hex = md.digest(s"$dep:$t".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % TextAnalysis.CmWidth
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    toks.foreach { t =>
+      (0 until TextAnalysis.CmDepth).foreach { dep =>
+        val k = (dep, cellOf(dep, t)); cells(k) = cells.getOrElse(k, 0L) + 1L
+      }
+    }
+    val truth = toks.groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    val want = truth.toSeq.sortBy { case (t, n) => (-n, t) }.take(TextAnalysis.CmTopN)
+    r.zip(want).zipWithIndex.foreach { case ((row, (t, n)), i) =>
+      assert(row.getString(0) === t, s"rank ${i + 1} term")
+      assert(row.getLong(1) === n, s"$t true count")
+      val est = (0 until TextAnalysis.CmDepth).map(dep => cells((dep, cellOf(dep, t)))).min
+      assert(row.getLong(2) === est, s"$t estimate")
+      assert(row.getBoolean(4) && est >= n, s"$t one-sided error")
+    }
+  }
+
   test("ab t-test: replays Welch's statistic from raw events at the user grain") {
     val r = Sessions.abTtest.build(spark, d).collect().head
     def g(x: Double, s: Double) = math.floor(x * s + 0.5) / s
