@@ -731,6 +731,45 @@ object Streams {
       }
   }
 
+  /** One Count-Min cell's evolving count for [[countminCells]]. */
+  final case class CmCell(dep: Int, cell: Long, n: Long)
+
+  /** The STREAMING deployment of the Count-Min sketch build
+    * ([[graft.ext.TextAnalysis.countminHitters]],
+    * `text_countmin_hitters`): per-(depth, cell) counters maintained
+    * continuously — CMS is a pure counter grid, so its streaming form
+    * is the smallest possible state (ONE long per touched cell,
+    * ≤ D·W total regardless of stream length) and the update is
+    * commutative: the final cells bit-match the batch build whatever
+    * the arrival order. Token→cell hashing reuses the batch
+    * [[graft.functions.Hash60]] JVM entry, so the streamed sketch IS
+    * the batch sketch (StreamingSpec re-derives the registry query's
+    * top-N estimates from the streamed cells).
+    */
+  def countminCells(
+      toks: org.apache.spark.sql.Dataset[String])
+      : org.apache.spark.sql.Dataset[CmCell] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val cellEnc = Encoders.product[CmCell]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    toks.flatMap { t =>
+      (0 until graft.ext.TextAnalysis.CmDepth).map { dep =>
+        val h = graft.functions.Hash60.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$dep:$t"))
+        (dep, h % graft.ext.TextAnalysis.CmWidth.toLong)
+      }
+    }.groupByKey(identity)
+      .flatMapGroupsWithState[CmCell, CmCell](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), rows: Iterator[(Int, Long)], state: GroupState[CmCell]) =>
+          val n = state.getOption.map(_.n).getOrElse(0L) + rows.size
+          val cur = CmCell(key._1, key._2, n)
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
   /** Evolving QI-class state for [[kAnonymityCounters]]: the class
     * key, its arrival count so far, how many records are releasable
     * (all of them once the class clears K, none before), and the

@@ -681,6 +681,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming count-min cells bit-match the batch sketch; registry estimates re-derive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    // tokens via the BATCH tokenizer (UTF8String semantics), shuffled
+    // deterministically — CMS updates are commutative, so order must
+    // not matter and the audit feeds a scrambled stream on purpose
+    val toks = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t"))
+      .as[String].collect()
+    val scrambled = new scala.util.Random(99).shuffle(toks.toVector)
+    val (first, second) = scrambled.splitAt(scrambled.length / 2)
+    val mem = MemoryStream[String]
+    val q = Streams.countminCells(mem.toDS())
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("append").start()
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream")
+      .groupBy("dep", "cell").agg(max(col("n")).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // batch cells, built exactly as the registry query builds them
+    val batchCells = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t"))
+      .select(explode(sequence(lit(0), lit(graft.ext.TextAnalysis.CmDepth - 1))).as("dep"), col("t"))
+      .select(col("dep"),
+        pmod(graft.ext.Dedup.hash60(concat(col("dep").cast("string"), lit(":"), col("t"))),
+          lit(graft.ext.TextAnalysis.CmWidth.toLong)).as("cell"))
+      .groupBy("dep", "cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batchCells, "streamed cells must bit-match the batch sketch")
+    // the registry query's estimates re-derive from the streamed cells
+    graft.ext.TextAnalysis.countminHitters.build(spark, d).collect().foreach { row =>
+      val est = (0 until graft.ext.TextAnalysis.CmDepth).map { dep =>
+        val h = graft.functions.Hash60.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$dep:${row.getString(0)}"))
+        streamed((dep, h % graft.ext.TextAnalysis.CmWidth.toLong))
+      }.min
+      assert(est === row.getLong(2), s"term ${row.getString(0)} estimate from streamed cells")
+    }
+  }
+
   test("streaming k-anonymity gate audits against the batch privacy audit at sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
