@@ -368,6 +368,23 @@ class EngineSpec extends SparkSpec {
     assert(codes.groupBy("vec_id", "blk").count().filter(col("count") > 1).count() === 0L)
   }
 
+  test("ANN index DAG wave-parallel run matches sequential table-for-table") {
+    // centroids ∥ codebook are independent roots (wave 1), cells ∥
+    // codes follow (wave 2) — the build parallelizes across the two
+    // index arms and must produce identical tables
+    val d = sf("0.001")
+    val seqR = graft.models.AnnIndexPipeline.run(
+      new graft.engine.ParquetCatalog(spark, d), new TableSink.Cached)
+    val parR = new graft.engine.DagRunner(
+      new graft.engine.ParquetCatalog(spark, d), new TableSink.Cached,
+      maxParallelism = 4).run(graft.models.AnnIndexPipeline.all)
+    assert(seqR.allTestsPassed && parR.allTestsPassed)
+    Seq("ann_centroids", "ann_cells", "ann_pq_codebook", "ann_pq_codes").foreach { t =>
+      assert(parR(t).exceptAll(seqR(t)).count() === 0L &&
+        seqR(t).exceptAll(parR(t)).count() === 0L, s"$t differs under wave scheduling")
+    }
+  }
+
   test("bucketed sink: co-bucketed index tables join with ZERO exchanges") {
     val d = sf("0.001")
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
