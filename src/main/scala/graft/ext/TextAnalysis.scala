@@ -1563,7 +1563,62 @@ object TextAnalysis {
             |GROUP BY 1, 2, 4 ORDER BY rk""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // LANGUAGE-ID EVALUATION — the classifier-quality layer for
+  // [[langId]], measured against the corpus's ground-truth labels:
+  // the full confusion matrix, per-true-language prediction shares
+  // (the recall row profile), and global accuracy. The harness
+  // includes a language with NO stopword list (zh), so the matrix
+  // shows exactly where the heuristic abstains to 'und' — the honest
+  // failure surface a routing pipeline needs before trusting the
+  // gate (the ann_recall_eval posture applied to the text stack).
+  // Composes the verified per-doc predictions; its own cost is one
+  // |langs|²-bounded aggregate + constant-row windows.
+  // ------------------------------------------------------------------
+  val langidEval: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      val wRow = Window.partitionBy("declared_lang")
+      langId.build(s, d)
+        .groupBy(col("declared_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("declared_lang"), col("predicted_lang"), col("n_docs"),
+          roundPortable(col("n_docs").cast(DoubleType) /
+            sum(col("n_docs")).over(wRow).cast(DoubleType), 4).as("row_share"),
+          roundPortable(
+            sum(when(col("declared_lang") === col("predicted_lang"), col("n_docs"))
+              .otherwise(0L)).over(w).cast(DoubleType) /
+              sum(col("n_docs")).over(w).cast(DoubleType), 4).as("accuracy"))
+        .orderBy("declared_lang", "predicted_lang")
+    },
+    Some("""WITH h AS (
+           |  SELECT doc_id, lang,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('the','of','and','to','in','is','it','a'))) AS hits_en,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('el','la','de','que','y','en','un','los'))) AS hits_es,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('le','la','de','et','les','des','un','est'))) AS hits_fr,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('der','die','und','das','ist','von','ein','zu'))) AS hits_de
+           |  FROM documents
+           |), p AS (
+           |  SELECT lang AS declared_lang,
+           |    CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de AND hits_en > 0 THEN 'en'
+           |         WHEN hits_es >= hits_fr AND hits_es >= hits_de AND hits_es > 0 THEN 'es'
+           |         WHEN hits_fr >= hits_de AND hits_fr > 0 THEN 'fr'
+           |         WHEN hits_de > 0 THEN 'de'
+           |         ELSE 'und' END AS predicted_lang
+           |  FROM h
+           |), g AS (
+           |  SELECT declared_lang, predicted_lang, count(*) AS n_docs FROM p GROUP BY 1, 2
+           |)
+           |SELECT declared_lang, predicted_lang, n_docs,
+           |  floor(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER (PARTITION BY declared_lang) AS DOUBLE) * 10000 + 0.5) / 10000 AS row_share,
+           |  floor(CAST(sum(CASE WHEN declared_lang = predicted_lang THEN n_docs ELSE 0 END) OVER () AS DOUBLE)
+           |        / CAST(sum(n_docs) OVER () AS DOUBLE) * 10000 + 0.5) / 10000 AS accuracy
+           |FROM g ORDER BY declared_lang, predicted_lang""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "text_langid_eval" -> langidEval,
     "text_countmin_hitters" -> countminHitters,
     "text_heaps_law" -> heapsLaw,
     "text_mtld" -> mtld,

@@ -1725,6 +1725,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("langid eval: confusion matrix replays from the per-doc predictions; invariants hold") {
+    val r = TextAnalysis.langidEval.build(spark, d).collect()
+    val preds = TextAnalysis.langId.build(spark, d).collect()
+      .map(x => (x.getString(1), x.getString(6)))
+    val want = preds.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(r.length === want.size)
+    def g4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val total = preds.length.toDouble
+    val correct = preds.count { case (a, b) => a == b }.toDouble
+    r.foreach { x =>
+      val key = (x.getString(0), x.getString(1))
+      assert(x.getLong(2) === want(key), s"$key cell")
+      val rowTotal = preds.count(_._1 == key._1).toDouble
+      assert(x.getDouble(3) === g4(want(key) / rowTotal), s"$key row share")
+      assert(x.getDouble(4) === g4(correct / total), "accuracy constant")
+    }
+    // matrix conserves the corpus and row shares sum to 1 per language
+    assert(r.map(_.getLong(2)).sum === preds.length.toLong)
+    r.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3, s"$lang shares")
+    }
+    // zh has no stopword list, so every zh prediction is either the
+    // 'und' abstain or a stray-Latin-stopword misfire (at sf0.001 the
+    // synthetic zh rows carry enough borrowed tokens that 'en' can
+    // dominate) — the matrix exposing that is the point; the spec
+    // pins only that zh NEVER counts as correct
+    val zh = r.filter(_.getString(0) == "zh")
+    assert(zh.nonEmpty && zh.forall(_.getString(1) != "zh"), "no zh stopword list")
+  }
+
   test("count-min hitters: replays the sketch from raw tokens; never undercounts") {
     val r = TextAnalysis.countminHitters.build(spark, d).collect()
     assert(r.length === TextAnalysis.CmTopN)
