@@ -1314,7 +1314,100 @@ object Pipelines {
             |FROM g ORDER BY c_nationkey""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // HELD-OUT classifier evaluation — precision/recall/F1/accuracy of
+  // the learned quality gate ([[qualityClassifier]]) against its
+  // heuristic teaching labels, scored ONLY on the hash-split TEST
+  // fold (the [[stratifiedSplit]] assignment — content-hash buckets
+  // ≥ 90). Train-fold agreement is fit, not generalization; the test
+  // fold is what licenses replacing the rules with the model. The
+  // measurement layer's ML face, beside ann_recall_eval (index) and
+  // text_langid_eval (heuristic gate).
+  //
+  // Composes the verified per-doc decisions + the verified split rule
+  // — no new scoring surface. Cost: the classifier pass + one
+  // 4-cell confusion aggregate. Integer counts; derived ratios are
+  // single shared-op-order doubles (zero-denominator guarded NULL).
+  // ------------------------------------------------------------------
+  val classifierEval: Q = Q(
+    (s, d) => {
+      val testDocs = s.read.parquet(s"$d/documents.parquet")
+        .filter(hash60(col("text")) % 100 >= 90)
+        .select("doc_id")
+      val scored = qualityClassifier.build(s, d)
+        .join(testDocs, Seq("doc_id"), "left_semi")
+      val g = scored.agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("heur_label") && col("predicted"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("heur_label") && col("predicted"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("heur_label") && !col("predicted"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("heur_label") && !col("predicted"), 1L).otherwise(0L)).as("tn"))
+      val prec = col("tp").cast(DoubleType) / nullif(col("tp") + col("fp"), lit(0L)).cast(DoubleType)
+      val rec = col("tp").cast(DoubleType) / nullif(col("tp") + col("fn"), lit(0L)).cast(DoubleType)
+      g.select(col("n_test"), col("tp"), col("fp"), col("fn"), col("tn"),
+        roundPortable(prec, 4).as("precision"),
+        roundPortable(rec, 4).as("recall"),
+        roundPortable(lit(2.0) * prec * rec / nullif(prec + rec, lit(0.0)), 4).as("f1"),
+        roundPortable((col("tp") + col("tn")).cast(DoubleType) /
+          nullif(col("n_test"), lit(0L)).cast(DoubleType), 4).as("accuracy"))
+    },
+    Some(s"""WITH base AS (
+            |  SELECT doc_id, text,
+            |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+            |    (least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+            |      + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+            |      + CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            |            x -> x IN ('the','of','and','to','in','is','it','a'))) AS DOUBLE)
+            |        / len(string_split_regex(lower(trim(text)), '\\s+')) * 0.2) >= 0.8 AS lab
+            |  FROM documents
+            |), tk AS (
+            |  SELECT doc_id, lab, unnest(toks) AS t FROM base
+            |), vocab AS (
+            |  SELECT t, CASE WHEN row_number() OVER (ORDER BY count(*) DESC, t) <= $NbVocabMax
+            |                 THEN t ELSE '<unk>' END AS feat
+            |  FROM tk GROUP BY t
+            |), feats AS (
+            |  SELECT tk.doc_id, tk.lab, v.feat FROM tk JOIN vocab v USING (t)
+            |), counts AS (
+            |  SELECT feat,
+            |    sum(CASE WHEN lab THEN 1 ELSE 0 END) AS cp,
+            |    sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS cn
+            |  FROM feats GROUP BY 1
+            |), tot AS (
+            |  SELECT sum(cp) AS np, sum(cn) AS nn FROM counts
+            |), model AS (
+            |  SELECT feat,
+            |    CAST(floor((ln((cp + $NbAlpha) / (np + ${NbAlpha * NbV}))
+            |              - ln((cn + $NbAlpha) / (nn + ${NbAlpha * NbV}))) * 1000000 + 0.5) / 1000000
+            |      AS DECIMAL(18,6)) AS lr
+            |  FROM counts CROSS JOIN tot
+            |), decided AS (
+            |  SELECT f.doc_id, f.lab AS heur_label, sum(m.lr) > 0 AS predicted
+            |  FROM feats f JOIN model m USING (feat)
+            |  GROUP BY f.doc_id, f.lab
+            |), test AS (
+            |  SELECT d.heur_label, d.predicted
+            |  FROM decided d JOIN base b ON b.doc_id = d.doc_id
+            |  WHERE ('0x' || substr(md5(b.text), 1, 15))::BIGINT % 100 >= 90
+            |), g AS (
+            |  SELECT count(*) AS n_test,
+            |    CAST(sum(CASE WHEN heur_label AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            |    CAST(sum(CASE WHEN NOT heur_label AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            |    CAST(sum(CASE WHEN heur_label AND NOT predicted THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            |    CAST(sum(CASE WHEN NOT heur_label AND NOT predicted THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            |  FROM test
+            |)
+            |SELECT n_test, tp, fp, fn, tn,
+            |  floor(CAST(tp AS DOUBLE) / nullif(tp + fp, 0) * 10000 + 0.5) / 10000 AS precision,
+            |  floor(CAST(tp AS DOUBLE) / nullif(tp + fn, 0) * 10000 + 0.5) / 10000 AS recall,
+            |  floor(2.0 * (CAST(tp AS DOUBLE) / nullif(tp + fp, 0)) * (CAST(tp AS DOUBLE) / nullif(tp + fn, 0))
+            |        / nullif(CAST(tp AS DOUBLE) / nullif(tp + fp, 0) + CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 0.0) * 10000 + 0.5) / 10000 AS f1,
+            |  floor(CAST(tp + tn AS DOUBLE) / nullif(n_test, 0) * 10000 + 0.5) / 10000 AS accuracy
+            |FROM g""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "pipeline_classifier_eval" -> classifierEval,
     "privacy_l_diversity" -> lDiversity,
     "privacy_k_anonymity" -> kAnonymity,
     "pipeline_shard_balance" -> shardBalance,

@@ -1725,6 +1725,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("classifier eval: confusion cells replay from decisions ∩ test fold; ratios derive") {
+    val r = Pipelines.classifierEval.build(spark, d).collect().head
+    val testIds = spark.read.parquet(s"$d/documents.parquet")
+      .filter(graft.ext.Dedup.hash60(col("text")) % 100 >= 90)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cells = Pipelines.qualityClassifier.build(spark, d).collect()
+      .filter(x => testIds(x.getLong(0)))
+      .map(x => (x.getBoolean(1), x.getBoolean(4)))
+    val (tp, fp) = (cells.count(c => c._1 && c._2).toLong, cells.count(c => !c._1 && c._2).toLong)
+    val (fn, tn) = (cells.count(c => c._1 && !c._2).toLong, cells.count(c => !c._1 && !c._2).toLong)
+    assert(r.getLong(0) === cells.length.toLong && cells.nonEmpty, "test fold populated")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((tp, fp, fn, tn)))
+    def g4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // ratios NULL out when their denominator is empty (tiny folds can
+    // have zero predicted-positives) — mirror the query's guards
+    def check(i: Int, denomOk: Boolean, want: => Double): Unit =
+      if (denomOk) assert(r.getDouble(i) === g4(want), s"col $i")
+      else assert(r.isNullAt(i), s"col $i should be NULL")
+    val prec = tp.toDouble / (tp + fp)
+    val rec = tp.toDouble / (tp + fn)
+    check(5, tp + fp > 0, prec)
+    check(6, tp + fn > 0, rec)
+    check(7, tp + fp > 0 && tp + fn > 0 && prec + rec > 0,
+      2.0 * prec * rec / (prec + rec))
+    check(8, cells.nonEmpty, (tp + tn).toDouble / cells.length)
+  }
+
   test("langid eval: confusion matrix replays from the per-doc predictions; invariants hold") {
     val r = TextAnalysis.langidEval.build(spark, d).collect()
     val preds = TextAnalysis.langId.build(spark, d).collect()
