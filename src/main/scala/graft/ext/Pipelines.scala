@@ -1406,7 +1406,87 @@ object Pipelines {
             |FROM g""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // t-CLOSENESS audit (Li, Li & Venkatasubramanian, "t-Closeness:
+  // Privacy Beyond k-Anonymity and ℓ-Diversity", ICDE 2007 — public
+  // model), completing the trilogy: ℓ-diversity counts DISTINCT
+  // sensitive values but a class can still skew hard toward one of
+  // them — t-closeness bounds the DISTANCE between each class's
+  // sensitive distribution and the global one. Categorical sensitive
+  // attribute ⇒ the paper's distance is total variation:
+  // TV = ½·Σ|p_class − p_global|. Classes over QI = c_nationkey,
+  // sensitive = c_mktsegment, threshold T stated as the contract.
+  //
+  // Determinism: both distributions derive from exact integer counts;
+  // each |p−q| lands on the 6dp grid as integer micros and the sum is
+  // a LONG fold (order-free), halved and published at 4dp. Scale: one
+  // (QI, sensitive) aggregate map-side combines to the attribute
+  // domain product; the per-class fold runs over ≤|segments| rows via
+  // a broadcast of the |segments|-row global distribution.
+  // ------------------------------------------------------------------
+  val TCloseT = 0.2
+
+  val tCloseness: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      val wClass = Window.partitionBy("c_nationkey")
+      val wSeg = Window.partitionBy("c_mktsegment")
+      val g = s.read.parquet(s"$d/customer.parquet")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_class", sum(col("n")).over(wClass))
+        .withColumn("n_seg", sum(col("n")).over(wSeg))
+        .withColumn("n_total", sum(col("n")).over(w))
+      // per-(class, segment) |p − q| in integer micros; a class
+      // missing a segment contributes q·1e6 — realized by the q-side
+      // sum over ALL segments minus the present ones' q, folded in as
+      // the complement below
+      val pMicro = floor(col("n").cast(DoubleType) / col("n_class").cast(DoubleType) * 1e6 + lit(0.5)).cast("long")
+      val qMicro = floor(col("n_seg").cast(DoubleType) / col("n_total").cast(DoubleType) * 1e6 + lit(0.5)).cast("long")
+      val present = g.select(col("c_nationkey"), col("n_class"),
+        pMicro.as("p6"), qMicro.as("q6"))
+        .groupBy("c_nationkey", "n_class")
+        .agg(sum(abs(col("p6") - col("q6"))).as("tv_present"),
+          sum(col("q6")).as("q_present"))
+      val qTotal = s.read.parquet(s"$d/customer.parquet")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_seg"))
+        .withColumn("n_total", sum(col("n_seg")).over(w))
+        .agg(sum(floor(col("n_seg").cast(DoubleType) / col("n_total").cast(DoubleType) * 1e6 + lit(0.5)).cast("long")).as("q_all"))
+      present.crossJoin(broadcast(qTotal))
+        .select(col("c_nationkey"), col("n_class").as("n_members"),
+          roundPortable((col("tv_present") + (col("q_all") - col("q_present")))
+            .cast(DoubleType) / 2e6, 4).as("tv_distance"))
+        .withColumn("t_close", col("tv_distance") <= TCloseT)
+        .orderBy("c_nationkey")
+    },
+    Some(s"""WITH g AS (
+            |  SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer GROUP BY 1, 2
+            |), e AS (
+            |  SELECT c_nationkey, c_mktsegment, n,
+            |    CAST(sum(n) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_class,
+            |    CAST(sum(n) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n_seg,
+            |    CAST(sum(n) OVER () AS BIGINT) AS n_total
+            |  FROM g
+            |), present AS (
+            |  SELECT c_nationkey, n_class,
+            |    CAST(sum(abs(CAST(floor(CAST(n AS DOUBLE) / n_class * 1000000 + 0.5) AS BIGINT)
+            |                 - CAST(floor(CAST(n_seg AS DOUBLE) / n_total * 1000000 + 0.5) AS BIGINT))) AS BIGINT) AS tv_present,
+            |    CAST(sum(CAST(floor(CAST(n_seg AS DOUBLE) / n_total * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS q_present
+            |  FROM e GROUP BY 1, 2
+            |), qt AS (
+            |  SELECT CAST(sum(CAST(floor(CAST(n_seg AS DOUBLE) / n_total * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS q_all
+            |  FROM (SELECT count(*) AS n_seg, CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+            |        FROM customer GROUP BY c_mktsegment)
+            |)
+            |SELECT c_nationkey, n_class AS n_members,
+            |  floor(CAST(tv_present + (q_all - q_present) AS DOUBLE) / 2000000 * 10000 + 0.5) / 10000 AS tv_distance,
+            |  floor(CAST(tv_present + (q_all - q_present) AS DOUBLE) / 2000000 * 10000 + 0.5) / 10000 <= $TCloseT AS t_close
+            |FROM present CROSS JOIN qt ORDER BY c_nationkey""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "privacy_t_closeness" -> tCloseness,
     "pipeline_classifier_eval" -> classifierEval,
     "privacy_l_diversity" -> lDiversity,
     "privacy_k_anonymity" -> kAnonymity,

@@ -1725,6 +1725,31 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("t-closeness: replays per-class total variation from raw rows, absent segments included") {
+    val r = Pipelines.tCloseness.build(spark, d).collect()
+    val raw = spark.read.parquet(s"$d/customer.parquet")
+      .select("c_nationkey", "c_mktsegment").collect()
+      .map(x => (x.getAs[Number](0).longValue, x.getString(1)))
+    val segs = raw.map(_._2).distinct
+    val total = raw.length.toDouble
+    def m6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val qm = segs.map(sg => sg -> m6(raw.count(_._2 == sg) / total)).toMap
+    val byClass = raw.groupBy(_._1)
+    assert(r.length === byClass.size)
+    r.foreach { x =>
+      val rows = byClass(x.getAs[Number](0).longValue)
+      assert(x.getLong(1) === rows.length.toLong)
+      val nClass = rows.length.toDouble
+      val tvMicros = segs.map { sg =>
+        math.abs(m6(rows.count(_._2 == sg) / nClass) - qm(sg))
+      }.sum
+      val want = math.floor(tvMicros / 2e6 * 1e4 + 0.5) / 1e4
+      assert(x.getDouble(2) === want, s"class ${x.get(0)} tv")
+      assert(x.getBoolean(3) === (want <= Pipelines.TCloseT))
+      assert(x.getDouble(2) >= 0.0 && x.getDouble(2) <= 1.0 + 1e-9, "TV in [0,1]")
+    }
+  }
+
   test("classifier eval: confusion cells replay from decisions ∩ test fold; ratios derive") {
     val r = Pipelines.classifierEval.build(spark, d).collect().head
     val testIds = spark.read.parquet(s"$d/documents.parquet")
