@@ -922,8 +922,9 @@ object Sessions {
             |         r.s * (1.0 - CAST(x.d AS DOUBLE) / CAST(r.nafter AS DOUBLE)) AS s
             |  FROM rec r JOIN idx x ON x.stratum = r.stratum AND x.i = r.i + 1
             |)
-            |SELECT stratum, dur_min AS duration_min, nrisk AS n_risk,
-            |       d AS n_deaths, c AS n_censored,
+            |SELECT stratum, dur_min AS duration_min,
+            |       CAST(nrisk AS BIGINT) AS n_risk,
+            |       CAST(d AS BIGINT) AS n_deaths, CAST(c AS BIGINT) AS n_censored,
             |       floor(s * 1000000 + 0.5) / 1000000 AS survival
             |FROM rec ORDER BY stratum, duration_min""".stripMargin)
   )

@@ -1475,7 +1475,7 @@ object Similarity {
            |    sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS n1
            |  FROM coords GROUP BY 1, 2
            |)
-           |SELECT label, max(n0) AS n0, max(n1) AS n1,
+           |SELECT label, CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
            |  CAST(CAST(sum(CAST(sx0 AS DECIMAL(18,0)) * CAST(sx1 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS s01,
            |  CAST(CAST(sum(CAST(sx0 AS DECIMAL(18,0)) * CAST(sx0 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS s00,
            |  CAST(CAST(sum(CAST(sx1 AS DECIMAL(18,0)) * CAST(sx1 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS s11,

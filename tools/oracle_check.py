@@ -28,7 +28,20 @@ def main(sf_dir: str, out_dir: str, names=()) -> int:
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
-            expected = con.sql(sql).df()
+            rel = con.sql(sql)
+            # Driver-hash trap: DuckDB HUGEINT (from uncast sum()) is
+            # canonicalized differently than INT64 by the driver's hash
+            # even when values are equal. Fail fast on schema, the same
+            # way PlanSpec guards DecimalType(p>18) on the Spark side.
+            bad_types = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                         if str(t).upper() in ("HUGEINT", "UHUGEINT",
+                                               "INT128", "UINT128")]
+            if bad_types:
+                print(f"FAIL {name}: oracle schema has HUGEINT columns "
+                      f"{bad_types} — wrap in CAST(... AS BIGINT)")
+                failures += 1
+                continue
+            expected = rel.df()
             actual = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             # driver compare: sort columns by name, then compare values
