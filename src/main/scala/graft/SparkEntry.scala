@@ -13,13 +13,20 @@ object SparkEntry {
   private def registry: Seq[(String, Inventory.Q)] =
     Inventory.all ++ TextAnalysis.queries ++ Dedup.queries ++ Clusters.queries ++
       Similarity.queries ++ KMeans.queries ++ Sessions.queries ++ Multimodal.queries ++
-      Pipelines.queries ++ AsOf.queries ++ Graph.queries
+      Pipelines.queries ++ AsOf.queries ++ Graph.queries ++
+      graft.models.AnnIndexPipeline.queries
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The `weekly_trends_summary` mart shape (the reference's richest
     * model) over the harness `events` table.
     */
   def entry(spark: SparkSession): DataFrame =
     Inventory.martWeeklyEventsSummary.build(spark, "/root/testdata/sf0.001")
+
+  /** Registry names IN SEQ ORDER (pre-Map) — lets ReadmeSpec detect a
+    * cross-module name collision that the Map construction would
+    * silently collapse.
+    */
+  private[graft] def registryNames: Seq[String] = registry.map(_._1)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

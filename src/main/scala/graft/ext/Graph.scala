@@ -415,32 +415,65 @@ object Graph {
   // ------------------------------------------------------------------
   val KCoreK = 6
   val KCoreEdges = 120
-  val KCoreIters = 3
   val KCoreTop = 30
+  /** Unroll bound for the DuckDB oracle: the harness corpora converge
+    * in ≤10 rounds (measured: sf0.01 → 6, sf0.1 → 10); rounds past the
+    * fixed point are no-ops over the ≤2·KCoreEdges-row-per-lang edge
+    * set, so the margin is free. If a future corpus needs more, the
+    * driver compare goes red and this bound is the dial. The round
+    * CTEs are AS MATERIALIZED: each round references its predecessor
+    * three times, and DuckDB's default inlining would expand the base
+    * scan 3^rounds times (observed as an fd-exhaustion failure at 16).
+    */
+  val KCoreOracleRounds = 16
+  private[graft] val KCoreMaxIters = 64
 
-  /** ITERS rounds of "drop every vertex with degree < k, then drop
-    * edges touching removed vertices" over a symmetric (lang, v, u)
-    * edge table. Each round reads its predecessor TWICE (degree
-    * aggregate + the edge filter) and the next round builds on the
-    * result — uncached, that consumer fan-out re-executes the whole
-    * upstream pipeline per reference (measured 6.3 s at sf0.1 on the
-    * corpus bigram build; 1.8 s cached). The cached state is the
-    * current round's edge set — vocab-bounded here, graph-bounded in
-    * general, never corpus-sized (the customer_rfm cached-base
-    * pattern; Bench clearCaches between queries). Factored out so
+  /** TRUE k-core: "drop every vertex with degree < k, then drop edges
+    * touching removed vertices" iterated TO THE FIXED POINT (stop when
+    * an entire round removes no edge), over a symmetric (lang, v, u)
+    * edge table.
+    *
+    * Eager localCheckpoint per round does two jobs at once. It
+    * MATERIALIZES the round — each edge set is read TWICE (degree
+    * aggregate + edge filter), and unmaterialized that fan-out
+    * re-executes the whole corpus bigram build per reference
+    * (measured 6.3 s → 1.8 s at sf0.1). And it TRUNCATES LINEAGE,
+    * which is load-bearing: each round references its predecessor
+    * three times, so an un-truncated loop builds a 3^rounds logical
+    * tree, and explainString — which Spark renders on EVERY action
+    * for the SQL-execution event, UI or not — walks it as a tree:
+    * past ~8 rounds that string OOMs the driver. Checkpointed rounds
+    * keep every plan constant-size. Round state is vocab-bounded
+    * (never corpus-sized) and nothing registers in the CacheManager,
+    * so repeated builds leak no cached plans (blocks free with the
+    * round DataFrames at GC); a multi-executor production deployment
+    * would swap in reliable checkpoint(), the standard
+    * iterative-graph discipline. Convergence needs ≤|V| rounds in
+    * theory; MaxIters is a runaway backstop, and non-convergence
+    * within it is an error, not a silent truncation. Factored out so
     * PropertySpec can peel generated graphs against a plain-Scala
     * reference.
     */
-  private[graft] def kcorePeel(sym0: DataFrame, k: Int, iters: Int): DataFrame = {
-    var sym = sym0.cache()
-    for (_ <- 0 until iters) {
+  private[graft] def kcorePeel(sym0: DataFrame, k: Int,
+                               maxIters: Int = KCoreMaxIters): DataFrame = {
+    var sym = sym0.localCheckpoint()
+    var edges = sym.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
       val alive = sym.groupBy("lang", "v").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("lang", "v")
-      sym = sym
+      val next = sym
         .join(alive, Seq("lang", "v"), "left_semi")
         .join(alive.select(col("lang"), col("v").as("u")), Seq("lang", "u"), "left_semi")
-        .cache()
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == edges
+      edges = m
+      sym = next
+      it += 1
     }
+    require(converged, s"k-core peel did not converge within $maxIters rounds")
     sym
   }
 
@@ -461,7 +494,7 @@ object Graph {
         .select("lang", "a", "b")
       val sym0 = edges.select(col("lang"), col("a").as("v"), col("b").as("u"))
         .unionAll(edges.select(col("lang"), col("b").as("v"), col("a").as("u")))
-      val sym = kcorePeel(sym0, KCoreK, KCoreIters)
+      val sym = kcorePeel(sym0, KCoreK)
       val outW = Window.partitionBy("lang").orderBy(col("core_degree").desc, col("token"))
       sym.groupBy(col("lang"), col("v").as("token"))
         .agg(count(lit(1)).as("core_degree"))
@@ -470,10 +503,10 @@ object Graph {
         .orderBy("lang", "rnk")
     },
     Some {
-      val iters = (0 until KCoreIters).map { i =>
-        s"""d$i AS (SELECT lang, v, count(*) AS deg FROM s$i GROUP BY 1, 2),
-           |a$i AS (SELECT lang, v FROM d$i WHERE deg >= $KCoreK),
-           |s${i + 1} AS (
+      val iters = (0 until KCoreOracleRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT lang, v, count(*) AS deg FROM s$i GROUP BY 1, 2),
+           |a$i AS MATERIALIZED (SELECT lang, v FROM d$i WHERE deg >= $KCoreK),
+           |s${i + 1} AS MATERIALIZED (
            |  SELECT s.lang, s.v, s.u FROM s$i s
            |  JOIN a$i x ON s.lang = x.lang AND s.v = x.v
            |  JOIN a$i y ON s.lang = y.lang AND s.u = y.v
@@ -492,7 +525,7 @@ object Graph {
          |    SELECT lang, a, b,
          |           row_number() OVER (PARTITION BY lang ORDER BY n DESC, a, b) AS rk
          |    FROM ec) WHERE rk <= $KCoreEdges
-         |), s0 AS (
+         |), s0 AS MATERIALIZED (
          |  SELECT lang, a AS v, b AS u FROM e
          |  UNION ALL
          |  SELECT lang, b AS v, a AS u FROM e
@@ -502,7 +535,7 @@ object Graph {
          |  SELECT lang, v AS token, count(*) AS core_degree,
          |         row_number() OVER (PARTITION BY lang
          |                            ORDER BY count(*) DESC, v) AS rnk
-         |  FROM s$KCoreIters GROUP BY lang, v)
+         |  FROM s$KCoreOracleRounds GROUP BY lang, v)
          |WHERE rnk <= $KCoreTop
          |ORDER BY lang, rnk""".stripMargin
     }

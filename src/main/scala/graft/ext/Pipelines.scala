@@ -1081,17 +1081,25 @@ object Pipelines {
     * vocabulary (top `NbVocabMax` keep identity, tail → "<unk>").
     */
   def nbFeats(labeled: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tk = labeled.select(col("doc_id"), col("lab"),
+    val tk = nbTokens(labeled)
+    tk.join(nbVocab(tk), Seq("t")).select(col("doc_id"), col("lab"), col("feat"))
+  }
+
+  /** (doc_id, lab, t) exploded token relation of a labeled corpus. */
+  def nbTokens(labeled: DataFrame): DataFrame =
+    labeled.select(col("doc_id"), col("lab"),
       explode(TextAnalysis.tokens(col("text"))).as("t"))
-    // frequency-ranked vocabulary cut; the rank window runs over the
-    // DISTINCT-token table (vocab-sized by Heaps' law, not corpus-
-    // sized), single partition by construction — same contract as
-    // the heavy-hitters rank
-    val vocab = tk.groupBy("t").agg(count(lit(1)).as("c"))
+
+  /** Frequency-capped (t, feat) vocabulary of a token relation.
+    * The rank window runs over the DISTINCT-token table (vocab-sized
+    * by Heaps' law, not corpus-sized), single partition by
+    * construction — same contract as the heavy-hitters rank.
+    */
+  def nbVocab(tk: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tk.groupBy("t").agg(count(lit(1)).as("c"))
       .withColumn("rnk", row_number().over(Window.orderBy(col("c").desc, col("t"))))
       .select(col("t"), when(col("rnk") <= NbVocabMax, col("t")).otherwise(lit("<unk>")).as("feat"))
-    tk.join(vocab, Seq("t")).select(col("doc_id"), col("lab"), col("feat"))
   }
 
   /** The trained (feat, lr) model relation — lr the 6dp-gridded
@@ -1316,26 +1324,45 @@ object Pipelines {
 
   // ------------------------------------------------------------------
   // HELD-OUT classifier evaluation — precision/recall/F1/accuracy of
-  // the learned quality gate ([[qualityClassifier]]) against its
-  // heuristic teaching labels, scored ONLY on the hash-split TEST
-  // fold (the [[stratifiedSplit]] assignment — content-hash buckets
-  // ≥ 90). Train-fold agreement is fit, not generalization; the test
-  // fold is what licenses replacing the rules with the model. The
-  // measurement layer's ML face, beside ann_recall_eval (index) and
+  // the learned quality gate against its heuristic teaching labels,
+  // with a REAL train/test split: the NB vocabulary and class counts
+  // are trained ONLY on the content-hash TRAIN fold (buckets < 80),
+  // and scored ONLY on the TEST fold (buckets ≥ 90) those statistics
+  // never saw — train-fold agreement is fit, not generalization; the
+  // test fold is what licenses replacing the rules with the model.
+  // Test tokens absent from the train vocabulary map to '<unk>';
+  // '<unk>' features absent from the train model contribute lr = 0
+  // (the smoothed-prior no-information score). The measurement
+  // layer's ML face, beside ann_recall_eval (index) and
   // text_langid_eval (heuristic gate).
   //
-  // Composes the verified per-doc decisions + the verified split rule
-  // — no new scoring surface. Cost: the classifier pass + one
+  // Composes [[nbTokens]]/[[nbVocab]]/[[nbQualityModel]] (the same
+  // trainer [[qualityClassifier]] and the streaming gate broadcast)
+  // over the train fold only. Cost: the classifier pass + one
   // 4-cell confusion aggregate. Integer counts; derived ratios are
   // single shared-op-order doubles (zero-denominator guarded NULL).
   // ------------------------------------------------------------------
   val classifierEval: Q = Q(
     (s, d) => {
-      val testDocs = s.read.parquet(s"$d/documents.parquet")
-        .filter(hash60(col("text")) % 100 >= 90)
-        .select("doc_id")
-      val scored = qualityClassifier.build(s, d)
-        .join(testDocs, Seq("doc_id"), "left_semi")
+      val docs = graft.queries.Inventory.rebalanced(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id")
+      val labeled = nbLabeled(docs)
+        .withColumn("bucket", hash60(col("text")) % 100)
+      val trainTk = nbTokens(labeled.filter(col("bucket") < 80))
+      val vocab = nbVocab(trainTk)
+      val model = broadcast(nbQualityModel(
+        trainTk.join(vocab, Seq("t"))
+          .select(col("doc_id"), col("lab"), col("feat"))))
+      val zeroLr = lit(0).cast(DecimalType(18, 6))
+      val scored = nbTokens(labeled.filter(col("bucket") >= 90))
+        .join(vocab, Seq("t"), "left")
+        .select(col("doc_id"), col("lab"),
+          coalesce(col("feat"), lit("<unk>")).as("feat"))
+        .join(model, Seq("feat"), "left")
+        .groupBy("doc_id", "lab")
+        .agg(sum(coalesce(col("lr"), zeroLr)).as("slr"))
+        .select(col("doc_id"), col("lab").as("heur_label"),
+          (col("slr") > lit(0)).as("predicted"))
       val g = scored.agg(
         count(lit(1)).as("n_test"),
         sum(when(col("heur_label") && col("predicted"), 1L).otherwise(0L)).as("tp"),
@@ -1358,10 +1385,11 @@ object Pipelines {
             |      + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
             |      + CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
             |            x -> x IN ('the','of','and','to','in','is','it','a'))) AS DOUBLE)
-            |        / len(string_split_regex(lower(trim(text)), '\\s+')) * 0.2) >= 0.8 AS lab
+            |        / len(string_split_regex(lower(trim(text)), '\\s+')) * 0.2) >= 0.8 AS lab,
+            |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS bucket
             |  FROM documents
             |), tk AS (
-            |  SELECT doc_id, lab, unnest(toks) AS t FROM base
+            |  SELECT doc_id, lab, unnest(toks) AS t FROM base WHERE bucket < 80
             |), vocab AS (
             |  SELECT t, CASE WHEN row_number() OVER (ORDER BY count(*) DESC, t) <= $NbVocabMax
             |                 THEN t ELSE '<unk>' END AS feat
@@ -1381,14 +1409,18 @@ object Pipelines {
             |              - ln((cn + $NbAlpha) / (nn + ${NbAlpha * NbV}))) * 1000000 + 0.5) / 1000000
             |      AS DECIMAL(18,6)) AS lr
             |  FROM counts CROSS JOIN tot
+            |), ttk AS (
+            |  SELECT doc_id, lab, unnest(toks) AS t FROM base WHERE bucket >= 90
+            |), tfeats AS (
+            |  SELECT ttk.doc_id, ttk.lab, coalesce(v.feat, '<unk>') AS feat
+            |  FROM ttk LEFT JOIN vocab v USING (t)
             |), decided AS (
-            |  SELECT f.doc_id, f.lab AS heur_label, sum(m.lr) > 0 AS predicted
-            |  FROM feats f JOIN model m USING (feat)
+            |  SELECT f.doc_id, f.lab AS heur_label,
+            |         sum(coalesce(m.lr, CAST(0 AS DECIMAL(18,6)))) > 0 AS predicted
+            |  FROM tfeats f LEFT JOIN model m USING (feat)
             |  GROUP BY f.doc_id, f.lab
             |), test AS (
-            |  SELECT d.heur_label, d.predicted
-            |  FROM decided d JOIN base b ON b.doc_id = d.doc_id
-            |  WHERE ('0x' || substr(md5(b.text), 1, 15))::BIGINT % 100 >= 90
+            |  SELECT heur_label, predicted FROM decided
             |), g AS (
             |  SELECT count(*) AS n_test,
             |    CAST(sum(CASE WHEN heur_label AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS tp,

@@ -122,4 +122,28 @@ object AnnIndexPipeline {
 
   def run(catalog: Catalog, sink: TableSink): RunResult =
     new DagRunner(catalog, sink).run(all)
+
+  /** The production READ path as a registry row (VERDICT r11 ask #7):
+    * build the index DAG into a parquet warehouse, then answer with
+    * [[search]] over the MATERIALIZED tables — so the driver
+    * hash-checks the whole materialize-then-read lifecycle against
+    * the same oracle as the standalone `ann_ivfpq_topk` (search is
+    * pinned row-equal by EngineSpec; this makes it driver-verified
+    * too), and the official bench prices the lifecycle every round.
+    * BENCHNOTES r12 decomposes the cost into build+write vs
+    * search-only. A corrupt build (failed model test) must never
+    * serve: the gate requires on the DAG's own test results.
+    */
+  val fromIndex: graft.queries.Inventory.Q = graft.queries.Inventory.Q(
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-annidx-reg").toString
+      val r = run(s, d, new TableSink.Parquet(wh))
+      require(r.allTestsPassed && r.skipped.isEmpty,
+        s"index build gated: ${r.tests.filterNot(_.passed).mkString(", ")}")
+      search(s.read.parquet(s"$d/embeddings.parquet"), r(_))
+    },
+    graft.ext.Similarity.ivfpqTopK.oracle)
+
+  val queries: Seq[(String, graft.queries.Inventory.Q)] =
+    Seq("ann_ivfpq_from_index" -> fromIndex)
 }

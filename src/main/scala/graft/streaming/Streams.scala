@@ -814,6 +814,45 @@ object Streams {
       }
   }
 
+  /** Evolving (QI class, sensitive value) cell for
+    * [[tClosenessCells]]: the arrival count so far. n is monotone, so
+    * max-struct selects the final state in audits.
+    */
+  final case class QiCellState(nation_key: Long, segment: String, n: Long)
+
+  /** The STREAMING deployment of the t-closeness audit
+    * ([[graft.ext.Pipelines.tCloseness]], `privacy_t_closeness`),
+    * completing the governance trilogy's stream story beside
+    * [[kAnonymityCounters]]. The TV distance needs BOTH each class's
+    * sensitive distribution and the GLOBAL one — and the global
+    * shifts with every arrival, so no per-key fold can finalize a
+    * class's verdict online. What the stream CAN maintain exactly is
+    * the sufficient statistic: one counter per (QI class, sensitive
+    * value) cell, bounded by the attribute domain product (never the
+    * stream) — the [[countminCells]] discipline. The audit (and a
+    * production read-side view) re-derives p, q, and
+    * TV = ½·Σ|p − q| from the final cells with the batch query's
+    * exact integer-micro algebra, so the derived verdicts bit-match
+    * the batch audit. Integer counts end to end; no float state.
+    */
+  def tClosenessCells(
+      rows: org.apache.spark.sql.Dataset[(Long, String)])
+      : org.apache.spark.sql.Dataset[QiCellState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[QiCellState]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    rows.groupByKey(identity)
+      .flatMapGroupsWithState[QiCellState, QiCellState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), evs: Iterator[(Long, String)], state: GroupState[QiCellState]) =>
+          val n = state.getOption.map(_.n).getOrElse(0L) + evs.size
+          val cur = QiCellState(key._1, key._2, n)
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
   /** Per-user funnel frontier: the three first-qualifying timestamps
     * in micros, −1 = stage not reached. Every field is monotone — it
     * moves from −1 to its final value exactly once and never changes

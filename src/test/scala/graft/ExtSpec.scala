@@ -2071,11 +2071,16 @@ class ExtSpec extends SparkSpec {
     val kept = pair.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }
       .take(Graph.KCoreEdges).map(_._1)
     var sym = kept.flatMap { case (a, b) => Seq((a, b), (b, a)) }
-    for (_ <- 0 until Graph.KCoreIters) {
+    var prevSize = -1
+    while (sym.size != prevSize) {
+      prevSize = sym.size
       val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size }
       val alive = deg.collect { case (v, n) if n >= Graph.KCoreK => v }.toSet
       sym = sym.filter { case (v, u) => alive(v) && alive(u) }
     }
+    // fixed point ⇒ the published core has no vertex below K
+    assert(got.forall(_._2 >= Graph.KCoreK),
+      "every published core vertex must have core degree >= K")
     val want = sym.groupBy(_._1).map { case (v, es) => (v, es.size.toLong) }.toSeq
       .sortBy { case (t, n) => (-n, t) }.take(Graph.KCoreTop)
       .zipWithIndex.map { case ((t, n), i) => (t, n, i + 1) }

@@ -492,13 +492,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("kcore peel: the unrolled rounds stage-reuse; corpus scanned ONCE") {
-    // like textrank: the static plan repeats the edge subplan per
-    // round; AQE must collapse them, or 3 peels = 3 corpus scans
+  test("kcore peel: published plan reads checkpointed state; corpus never rescanned") {
+    // The fixed-point peel materializes each round via eager
+    // localCheckpoint (the corpus bigram build runs exactly once, in
+    // the round-0 job) — so the PUBLISHED top-k plan must contain no
+    // parquet scan at all: it consumes the final edge set as an
+    // in-memory RDD. This is the lineage-truncation contract that
+    // also keeps every per-round plan constant-size (an un-truncated
+    // loop is 3^rounds and OOMs explainString past ~8 rounds).
     val p = finalPlan(graft.ext.Graph.kcoreWords.build(spark, d))
-    assert(parquetScans(p) === 1,
-      s"peel rounds must be stage-reused, not rescanned:\n$p")
-    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+    assert(parquetScans(p) === 0,
+      s"published peel plan must read the checkpointed edge set, not rescan the corpus:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"published peel plan must source from the checkpointed RDD:\n$p")
   }
 
   test("mmr rerank: two corpus scans, bounded broadcasts, no cartesian") {

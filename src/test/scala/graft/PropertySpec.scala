@@ -341,13 +341,14 @@ class PropertySpec extends SparkSpec {
     val sym0 = und.select(col("lang"), col("a").as("v"), col("b").as("u"))
       .unionAll(und.select(col("lang"), col("b").as("v"), col("a").as("u")))
     val k = 4
-    val iters = 3
-    val got = graft.ext.Graph.kcorePeel(sym0, k, iters)
+    val got = graft.ext.Graph.kcorePeel(sym0, k)
       .groupBy("lang", "v").agg(count(lit(1)).as("deg"))
       .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
-    // plain-Scala reference
+    // plain-Scala reference: peel to the fixed point
     var sym = edges.flatMap { case (l, a, b) => Seq((l, a, b), (l, b, a)) }
-    for (_ <- 0 until iters) {
+    var prev = -1
+    while (sym.size != prev) {
+      prev = sym.size
       val deg = sym.groupBy(e => (e._1, e._2)).map { case (kk, es) => kk -> es.size }
       // NB: Map.collect yielding pairs would rebuild a Map and drop
       // same-lang keys — filter the entry set instead

@@ -28,4 +28,16 @@ class ReadmeSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql entries with no matching query: $orphans")
   }
+
+  test("registry has no duplicate query names across its 11 modules") {
+    // SparkEntry.queries is a Map built from a Seq concatenation — a
+    // name collision between modules would silently DROP one of the
+    // two queries from the driver's correctness sweep. Fail loudly on
+    // the Seq instead.
+    val names = SparkEntry.registryNames
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate registry query names: $dups")
+    assert(names.size === SparkEntry.queries.size,
+      "registry Seq and queries Map must be the same size (no Map-keyed drops)")
+  }
 }

@@ -762,6 +762,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming t-closeness cells audit against the batch privacy audit at sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val rowsQi = spark.read.parquet(s"$d/customer.parquet")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"))
+      .as[(Long, String)].collect()
+    val (first, second) = rowsQi.splitAt(rowsQi.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.tClosenessCells(mem.toDS())
+      .writeStream.format("memory").queryName("tclose_stream")
+      .outputMode("append").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val cells = spark.table("tclose_stream")
+      .groupBy("nation_key", "segment").agg(max(col("n")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the streamed cells must bit-match the batch (QI, sensitive) counts
+    val batchCells = spark.read.parquet(s"$d/customer.parquet")
+      .groupBy(col("c_nationkey").cast("long").as("nk"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells === batchCells, "streamed cells must bit-match the batch counts")
+    // re-derive TV per class from the final cells with the batch
+    // query's exact integer-micro algebra
+    val nTotal = cells.values.sum
+    val nSeg = cells.groupBy(_._1._2).map { case (s, m) => s -> m.values.sum }
+    val nClass = cells.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    def micro(num: Long, den: Long) = math.floor(num.toDouble / den.toDouble * 1e6 + 0.5).toLong
+    val qAll = nSeg.values.map(micro(_, nTotal)).sum
+    val derived = nClass.map { case (cls, nc) =>
+      val present = cells.collect { case ((c, s), n) if c == cls => (s, n) }
+      val tvPresent = present.map { case (s, n) =>
+        math.abs(micro(n, nc) - micro(nSeg(s), nTotal)) }.sum
+      val qPresent = present.map { case (s, _) => micro(nSeg(s), nTotal) }.sum
+      val tv = math.floor((tvPresent + (qAll - qPresent)).toDouble / 2e6 * 1e4 + 0.5) / 1e4
+      cls -> (nc, tv, tv <= graft.ext.Pipelines.TCloseT)
+    }
+    val batch = graft.ext.Pipelines.tCloseness.build(spark, d).collect()
+    assert(batch.length === derived.size)
+    batch.foreach { r =>
+      val cls = r.getAs[Number](0).longValue
+      val (nc, tv, close) = derived(cls)
+      assert(nc === r.getLong(1), s"class $cls size")
+      assert(tv === r.getDouble(2), s"class $cls tv_distance")
+      assert(close === r.getBoolean(3), s"class $cls verdict")
+    }
+  }
+
   test("streaming funnel counters audit against the batch funnel at sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
