@@ -174,7 +174,75 @@ object KMeans {
          |ORDER BY cluster, id_a, id_b""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Cluster KEYWORD labeling — c-TF-IDF (Grootendorst, "BERTopic:
+  // Neural topic modeling with a class-based TF-IDF procedure",
+  // arXiv 2022 — public method): after clustering the embedding
+  // space, each cluster is summarized by the terms its documents
+  // over-use relative to the corpus, W(t,c) = tf(t,c)·ln(1 + A/f(t))
+  // with A the mean tokens-per-cluster and f the corpus frequency.
+  // This is the human-readable face of semantic curation: SemDeDup /
+  // cluster-balance decisions operate on cluster IDs, and this query
+  // names them ("what IS cluster 3?") — the standard corpus-map
+  // step in embedding-driven data work. Joins the two modalities on
+  // the harness vec_id ≡ doc_id convention (same as ann_hybrid_rrf).
+  //
+  // Determinism: integer tf/f counts; one ln per (cluster, token)
+  // with a single shared op order, 6dp-gridded before ranking, token
+  // tiebreak. Scale: the corpus-sized work is the token explode +
+  // one (cluster, token) aggregate (map-side combined, vocab·k
+  // rows); corpus frequency and the scalar A broadcast (vocab-sized
+  // by Heaps' law — at extreme vocabularies the f join falls back to
+  // an equi-join shuffle, same shape); top-N per cluster is a
+  // k-partition window over vocab-sized input.
+  // ------------------------------------------------------------------
+  val ClusterKeywordsTop = 10
+
+  val clusterKeywords: Q = Q(
+    (s, d) => {
+      val asg = assignments(s, d).select(col("vec_id").as("doc_id"), col("cluster"))
+      val toks = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val joined = toks.join(asg, Seq("doc_id"))
+      val tfc = joined.groupBy("cluster", "tok").agg(count(lit(1)).as("tf"))
+      val fTok = joined.groupBy("tok").agg(count(lit(1)).as("f"))
+      val tot = joined.agg((count(lit(1)).cast(DoubleType) / lit(K)).as("a"))
+      val w = Window.partitionBy("cluster").orderBy(col("ctfidf").desc, col("tok"))
+      tfc.join(broadcast(fTok), Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .withColumn("ctfidf", roundPortable(
+          col("tf").cast(DoubleType) * log(lit(1.0) + col("a") / col("f")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= ClusterKeywordsTop)
+        .select(col("cluster"), col("rnk"), col("tok"), col("ctfidf"))
+        .orderBy("cluster", "rnk")
+    },
+    Some(s"""WITH $kmeansCtes, dtoks AS (
+            |  SELECT d.doc_id, unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS tok
+            |  FROM documents d
+            |), j AS (
+            |  SELECT a.cluster, t.tok FROM dtoks t JOIN a2 a ON a.vec_id = t.doc_id
+            |), tfc AS (
+            |  SELECT cluster, tok, count(*) AS tf FROM j GROUP BY 1, 2
+            |), f AS (
+            |  SELECT tok, count(*) AS f FROM j GROUP BY 1
+            |), tot AS (
+            |  SELECT CAST(count(*) AS DOUBLE) / $K AS a FROM j
+            |), scoredk AS (
+            |  SELECT tfc.cluster, tfc.tok,
+            |    floor(tfc.tf * ln(1.0 + tot.a / f.f) * 1000000 + 0.5) / 1000000 AS ctfidf
+            |  FROM tfc JOIN f USING (tok) CROSS JOIN tot
+            |)
+            |SELECT cluster, rnk, tok, ctfidf FROM (
+            |  SELECT cluster, tok, ctfidf,
+            |    row_number() OVER (PARTITION BY cluster ORDER BY ctfidf DESC, tok) AS rnk
+            |  FROM scoredk)
+            |WHERE rnk <= $ClusterKeywordsTop
+            |ORDER BY cluster, rnk""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "emb_kmeans_assign" -> kmeansAssign,
+    "emb_cluster_keywords" -> clusterKeywords,
     "dedup_semdedup" -> semdedup)
 }

@@ -1342,26 +1342,101 @@ object Pipelines {
   // 4-cell confusion aggregate. Integer counts; derived ratios are
   // single shared-op-order doubles (zero-denominator guarded NULL).
   // ------------------------------------------------------------------
+  /** DuckDB CTE chain shared by the two held-out evaluation oracles:
+    * train-fold (bucket < 80) vocabulary + NB model, ending in
+    * `scored(doc_id, heur_label, slr)` over the ≥90 test fold and
+    * `prior(b)` — the SQL twin of [[nbHeldoutScored]]. One string so
+    * the split/training recipe cannot drift between eval queries.
+    */
+  private def nbHeldoutCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |    (least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+       |      + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+       |      + CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |            x -> x IN ('the','of','and','to','in','is','it','a'))) AS DOUBLE)
+       |        / len(string_split_regex(lower(trim(text)), '\\s+')) * 0.2) >= 0.8 AS lab,
+       |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS bucket
+       |  FROM documents
+       |), tk AS (
+       |  SELECT doc_id, lab, unnest(toks) AS t FROM base WHERE bucket < 80
+       |), vocab AS (
+       |  SELECT t, CASE WHEN row_number() OVER (ORDER BY count(*) DESC, t) <= $NbVocabMax
+       |                 THEN t ELSE '<unk>' END AS feat
+       |  FROM tk GROUP BY t
+       |), feats AS (
+       |  SELECT tk.doc_id, tk.lab, v.feat FROM tk JOIN vocab v USING (t)
+       |), counts AS (
+       |  SELECT feat,
+       |    sum(CASE WHEN lab THEN 1 ELSE 0 END) AS cp,
+       |    sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS cn
+       |  FROM feats GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(cp) AS np, sum(cn) AS nn FROM counts
+       |), model AS (
+       |  SELECT feat,
+       |    CAST(floor((ln((cp + $NbAlpha) / (np + ${NbAlpha * NbV}))
+       |              - ln((cn + $NbAlpha) / (nn + ${NbAlpha * NbV}))) * 1000000 + 0.5) / 1000000
+       |      AS DECIMAL(18,6)) AS lr
+       |  FROM counts CROSS JOIN tot
+       |), ttk AS (
+       |  SELECT doc_id, lab, unnest(toks) AS t FROM base WHERE bucket >= 90
+       |), tfeats AS (
+       |  SELECT ttk.doc_id, ttk.lab, coalesce(v.feat, '<unk>') AS feat
+       |  FROM ttk LEFT JOIN vocab v USING (t)
+       |), scored AS (
+       |  SELECT f.doc_id, f.lab AS heur_label,
+       |         sum(coalesce(m.lr, CAST(0 AS DECIMAL(18,6)))) AS slr
+       |  FROM tfeats f LEFT JOIN model m USING (feat)
+       |  GROUP BY f.doc_id, f.lab
+       |), prior AS (
+       |  SELECT ln((sum(CASE WHEN lab THEN 1 ELSE 0 END) + 0.5)
+       |           / (sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) + 0.5)) AS b
+       |  FROM base WHERE bucket < 80
+       |)""".stripMargin
+
+  /** Held-out NB scores: (doc_id, heur_label, slr, prior_b) for every
+    * TEST-fold doc (content-hash buckets ≥ 90), under a model whose
+    * vocabulary and class counts saw ONLY the train fold (buckets
+    * < 80). `slr` is the exact-decimal Σ log-ratio (the gate's
+    * decision statistic; unseen-feature lr = 0); `prior_b` is the
+    * train-fold DOC-level class log-odds ln((n⁺+½)/(n⁻+½)) — the term
+    * that turns the likelihood ratio into a posterior for
+    * calibration. Shared by [[classifierEval]] (thresholds slr) and
+    * [[classifierCalibration]] (sigmoids prior_b + slr).
+    */
+  def nbHeldoutScored(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = graft.queries.Inventory.rebalanced(
+      s.read.parquet(s"$d/documents.parquet"), "doc_id")
+    val labeled = nbLabeled(docs)
+      .withColumn("bucket", hash60(col("text")) % 100)
+    val train = labeled.filter(col("bucket") < 80)
+    val trainTk = nbTokens(train)
+    val vocab = nbVocab(trainTk)
+    val model = broadcast(nbQualityModel(
+      trainTk.join(vocab, Seq("t"))
+        .select(col("doc_id"), col("lab"), col("feat"))))
+    val prior = train.agg(
+      (log((sum(when(col("lab"), 1L).otherwise(0L)) + lit(0.5)) /
+        (sum(when(!col("lab"), 1L).otherwise(0L)) + lit(0.5)))).as("prior_b"))
+    val zeroLr = lit(0).cast(DecimalType(18, 6))
+    nbTokens(labeled.filter(col("bucket") >= 90))
+      .join(vocab, Seq("t"), "left")
+      .select(col("doc_id"), col("lab"),
+        coalesce(col("feat"), lit("<unk>")).as("feat"))
+      .join(model, Seq("feat"), "left")
+      .groupBy("doc_id", "lab")
+      .agg(sum(coalesce(col("lr"), zeroLr)).as("slr"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("lab").as("heur_label"),
+        col("slr"), col("prior_b"))
+  }
+
   val classifierEval: Q = Q(
     (s, d) => {
-      val docs = graft.queries.Inventory.rebalanced(
-        s.read.parquet(s"$d/documents.parquet"), "doc_id")
-      val labeled = nbLabeled(docs)
-        .withColumn("bucket", hash60(col("text")) % 100)
-      val trainTk = nbTokens(labeled.filter(col("bucket") < 80))
-      val vocab = nbVocab(trainTk)
-      val model = broadcast(nbQualityModel(
-        trainTk.join(vocab, Seq("t"))
-          .select(col("doc_id"), col("lab"), col("feat"))))
-      val zeroLr = lit(0).cast(DecimalType(18, 6))
-      val scored = nbTokens(labeled.filter(col("bucket") >= 90))
-        .join(vocab, Seq("t"), "left")
-        .select(col("doc_id"), col("lab"),
-          coalesce(col("feat"), lit("<unk>")).as("feat"))
-        .join(model, Seq("feat"), "left")
-        .groupBy("doc_id", "lab")
-        .agg(sum(coalesce(col("lr"), zeroLr)).as("slr"))
-        .select(col("doc_id"), col("lab").as("heur_label"),
+      val scored = nbHeldoutScored(s, d)
+        .select(col("doc_id"), col("heur_label"),
           (col("slr") > lit(0)).as("predicted"))
       val g = scored.agg(
         count(lit(1)).as("n_test"),
@@ -1378,49 +1453,8 @@ object Pipelines {
         roundPortable((col("tp") + col("tn")).cast(DoubleType) /
           nullif(col("n_test"), lit(0L)).cast(DoubleType), 4).as("accuracy"))
     },
-    Some(s"""WITH base AS (
-            |  SELECT doc_id, text,
-            |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
-            |    (least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
-            |      + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
-            |      + CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-            |            x -> x IN ('the','of','and','to','in','is','it','a'))) AS DOUBLE)
-            |        / len(string_split_regex(lower(trim(text)), '\\s+')) * 0.2) >= 0.8 AS lab,
-            |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS bucket
-            |  FROM documents
-            |), tk AS (
-            |  SELECT doc_id, lab, unnest(toks) AS t FROM base WHERE bucket < 80
-            |), vocab AS (
-            |  SELECT t, CASE WHEN row_number() OVER (ORDER BY count(*) DESC, t) <= $NbVocabMax
-            |                 THEN t ELSE '<unk>' END AS feat
-            |  FROM tk GROUP BY t
-            |), feats AS (
-            |  SELECT tk.doc_id, tk.lab, v.feat FROM tk JOIN vocab v USING (t)
-            |), counts AS (
-            |  SELECT feat,
-            |    sum(CASE WHEN lab THEN 1 ELSE 0 END) AS cp,
-            |    sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS cn
-            |  FROM feats GROUP BY 1
-            |), tot AS (
-            |  SELECT sum(cp) AS np, sum(cn) AS nn FROM counts
-            |), model AS (
-            |  SELECT feat,
-            |    CAST(floor((ln((cp + $NbAlpha) / (np + ${NbAlpha * NbV}))
-            |              - ln((cn + $NbAlpha) / (nn + ${NbAlpha * NbV}))) * 1000000 + 0.5) / 1000000
-            |      AS DECIMAL(18,6)) AS lr
-            |  FROM counts CROSS JOIN tot
-            |), ttk AS (
-            |  SELECT doc_id, lab, unnest(toks) AS t FROM base WHERE bucket >= 90
-            |), tfeats AS (
-            |  SELECT ttk.doc_id, ttk.lab, coalesce(v.feat, '<unk>') AS feat
-            |  FROM ttk LEFT JOIN vocab v USING (t)
-            |), decided AS (
-            |  SELECT f.doc_id, f.lab AS heur_label,
-            |         sum(coalesce(m.lr, CAST(0 AS DECIMAL(18,6)))) > 0 AS predicted
-            |  FROM tfeats f LEFT JOIN model m USING (feat)
-            |  GROUP BY f.doc_id, f.lab
-            |), test AS (
-            |  SELECT heur_label, predicted FROM decided
+    Some(s"""WITH $nbHeldoutCtes, test AS (
+            |  SELECT heur_label, slr > 0 AS predicted FROM scored
             |), g AS (
             |  SELECT count(*) AS n_test,
             |    CAST(sum(CASE WHEN heur_label AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS tp,
@@ -1435,6 +1469,138 @@ object Pipelines {
             |  floor(2.0 * (CAST(tp AS DOUBLE) / nullif(tp + fp, 0)) * (CAST(tp AS DOUBLE) / nullif(tp + fn, 0))
             |        / nullif(CAST(tp AS DOUBLE) / nullif(tp + fp, 0) + CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 0.0) * 10000 + 0.5) / 10000 AS f1,
             |  floor(CAST(tp + tn AS DOUBLE) / nullif(n_test, 0) * 10000 + 0.5) / 10000 AS accuracy
+            |FROM g""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // CALIBRATION of the held-out classifier — the reliability diagram
+  // + Expected Calibration Error (Naeini et al., "Obtaining Well
+  // Calibrated Probabilities Using Bayesian Binning", AAAI 2015 —
+  // the standard ECE formulation; public method). A gate that is
+  // ACCURATE can still be mis-calibrated — systematically over- or
+  // under-confident — and every downstream use of the score beyond
+  // thresholding (resampling weights, curriculum ordering, abstain
+  // bands) consumes the PROBABILITY, so its calibration is a
+  // first-class eval metric beside precision/recall. The posterior is
+  // p̂ = σ(b + Σlr) with b the train-fold doc-level class log-odds
+  // (the NB prior the slr likelihood-ratio omits); docs bin into ten
+  // equal-width confidence bins, each reporting mean confidence vs
+  // empirical positive rate and |gap|; ECE = Σ (n_bin/N)·gap.
+  //
+  // Determinism: p̂ lands on the 1e-6 grid as an integer immediately
+  // after the one transcendental step (the established exp/ln
+  // convention); bins derive from the gridded integer; every
+  // aggregate is a LONG sum; the published ratios divide integers as
+  // doubles in one shared op order. Scale: the scorer's cost;
+  // the calibration itself is a 10-row aggregate.
+  // ------------------------------------------------------------------
+  val classifierCalibration: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      val cal = nbHeldoutScored(s, d)
+        .select(col("heur_label"),
+          (lit(1.0) / (lit(1.0) +
+            exp(-(col("prior_b") + col("slr").cast(DoubleType))))).as("phat"))
+        .select(col("heur_label"),
+          floor(col("phat") * 1e6 + lit(0.5)).cast("long").as("phat6"))
+        .select(col("heur_label"), col("phat6"),
+          least(floor(col("phat6") / lit(100000)), lit(9.0)).cast("int").as("bin"))
+      cal.groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("heur_label"), 1L).otherwise(0L)).as("pos"),
+          sum(col("phat6")).as("sp6"))
+        .withColumn("ece_num", sum(abs(col("sp6") - col("pos") * lit(1000000L))).over(w))
+        .withColumn("n_total", sum(col("n")).over(w))
+        .select(col("bin"), col("n"),
+          roundPortable(col("sp6").cast(DoubleType) / col("n") / lit(1000000), 6).as("avg_conf"),
+          roundPortable(col("pos").cast(DoubleType) / col("n"), 6).as("frac_pos"),
+          roundPortable(abs(col("sp6") - col("pos") * lit(1000000L)).cast(DoubleType)
+            / (col("n") * lit(1000000L)), 6).as("gap"),
+          roundPortable(col("ece_num").cast(DoubleType)
+            / (col("n_total") * lit(1000000L)), 6).as("ece"))
+        .orderBy("bin")
+    },
+    Some(s"""WITH $nbHeldoutCtes, cal AS (
+            |  SELECT heur_label,
+            |    CAST(floor(1.0 / (1.0 + exp(-(p.b + CAST(slr AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) AS phat6
+            |  FROM scored CROSS JOIN prior p
+            |), binned AS (
+            |  SELECT CAST(least(phat6 // 100000, 9) AS INTEGER) AS bin, count(*) AS n,
+            |    CAST(sum(CASE WHEN heur_label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            |    CAST(sum(phat6) AS BIGINT) AS sp6
+            |  FROM cal GROUP BY 1
+            |), t2 AS (
+            |  SELECT CAST(sum(abs(sp6 - pos * 1000000)) AS BIGINT) AS ece_num,
+            |         CAST(sum(n) AS BIGINT) AS n_total
+            |  FROM binned
+            |)
+            |SELECT bin, n,
+            |  floor(CAST(sp6 AS DOUBLE) / n / 1000000 * 1000000 + 0.5) / 1000000 AS avg_conf,
+            |  floor(CAST(pos AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS frac_pos,
+            |  floor(CAST(abs(sp6 - pos * 1000000) AS DOUBLE) / (n * 1000000) * 1000000 + 0.5) / 1000000 AS gap,
+            |  floor(CAST(ece_num AS DOUBLE) / (n_total * 1000000) * 1000000 + 0.5) / 1000000 AS ece
+            |FROM binned CROSS JOIN t2 ORDER BY bin""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // RATER AGREEMENT — Cohen's κ (Cohen, "A Coefficient of Agreement
+  // for Nominal Scales", Educ. Psychol. Meas. 1960 — public method)
+  // between the heuristic quality gate and the learned classifier on
+  // the held-out fold. Raw accuracy overstates agreement when one
+  // class dominates (a 97%-negative corpus gives two raters that
+  // always say "drop" 97% agreement for free); κ subtracts the
+  // chance-agreement floor p_e, which is exactly the correction a
+  // curation team needs before trusting "the model agrees with the
+  // rules" — THE standard inter-annotator statistic for label-quality
+  // audits of training data.
+  //
+  // Determinism: confusion cells are LONG counts; p_o, p_e, κ derive
+  // in one shared double op order (p_e as products of RATIOS, never
+  // n² — an integer n² overflows LONG near 10^10 test docs);
+  // degenerate perfect-chance folds (p_e = 1) publish NULL, stated.
+  // Scale: the held-out scorer's cost + one 4-cell aggregate.
+  // ------------------------------------------------------------------
+  val raterAgreement: Q = Q(
+    (s, d) => {
+      val scored = nbHeldoutScored(s, d)
+        .select(col("heur_label"), (col("slr") > lit(0)).as("predicted"))
+      val g = scored.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("heur_label") && col("predicted"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("heur_label") && col("predicted"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("heur_label") && !col("predicted"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("heur_label") && !col("predicted"), 1L).otherwise(0L)).as("tn"))
+      val nD = col("n").cast(DoubleType)
+      val po = (col("tp") + col("tn")).cast(DoubleType) / nD
+      val pe = ((col("tp") + col("fp")).cast(DoubleType) / nD) *
+        ((col("tp") + col("fn")).cast(DoubleType) / nD) +
+        ((col("fn") + col("tn")).cast(DoubleType) / nD) *
+        ((col("fp") + col("tn")).cast(DoubleType) / nD)
+      g.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        roundPortable(po, 6).as("p_observed"),
+        roundPortable(pe, 6).as("p_expected"),
+        roundPortable((po - pe) / nullif(lit(1.0) - pe, lit(0.0)), 6).as("kappa"))
+    },
+    Some(s"""WITH $nbHeldoutCtes, test AS (
+            |  SELECT heur_label, slr > 0 AS predicted FROM scored
+            |), g AS (
+            |  SELECT count(*) AS n,
+            |    CAST(sum(CASE WHEN heur_label AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            |    CAST(sum(CASE WHEN NOT heur_label AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            |    CAST(sum(CASE WHEN heur_label AND NOT predicted THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            |    CAST(sum(CASE WHEN NOT heur_label AND NOT predicted THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            |  FROM test
+            |)
+            |SELECT n, tp, fp, fn, tn,
+            |  floor(CAST(tp + tn AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS p_observed,
+            |  floor((CAST(tp + fp AS DOUBLE) / n * (CAST(tp + fn AS DOUBLE) / n)
+            |       + CAST(fn + tn AS DOUBLE) / n * (CAST(fp + tn AS DOUBLE) / n)) * 1000000 + 0.5) / 1000000 AS p_expected,
+            |  floor((CAST(tp + tn AS DOUBLE) / n
+            |       - (CAST(tp + fp AS DOUBLE) / n * (CAST(tp + fn AS DOUBLE) / n)
+            |        + CAST(fn + tn AS DOUBLE) / n * (CAST(fp + tn AS DOUBLE) / n)))
+            |      / nullif(1.0 - (CAST(tp + fp AS DOUBLE) / n * (CAST(tp + fn AS DOUBLE) / n)
+            |        + CAST(fn + tn AS DOUBLE) / n * (CAST(fp + tn AS DOUBLE) / n)), 0.0) * 1000000 + 0.5) / 1000000 AS kappa
             |FROM g""".stripMargin)
   )
 
@@ -1520,6 +1686,8 @@ object Pipelines {
   val queries: Seq[(String, Q)] = Seq(
     "privacy_t_closeness" -> tCloseness,
     "pipeline_classifier_eval" -> classifierEval,
+    "pipeline_classifier_calibration" -> classifierCalibration,
+    "pipeline_rater_agreement" -> raterAgreement,
     "privacy_l_diversity" -> lDiversity,
     "privacy_k_anonymity" -> kAnonymity,
     "pipeline_shard_balance" -> shardBalance,

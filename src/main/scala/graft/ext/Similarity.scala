@@ -122,6 +122,55 @@ object Similarity {
   )
 
   // ------------------------------------------------------------------
+  // HARD-NEGATIVE mining — the contrastive-training data op (Karpukhin
+  // et al., "Dense Passage Retrieval", EMNLP 2020; Xiong et al.,
+  // "ANCE", ICLR 2021 — public methods): for each query vector, the
+  // top-k neighbors whose similarity falls in the band BELOW the
+  // positive threshold — close enough to confuse the model, negative
+  // by the same τ the dedup/positive gates use (Dedup.CosTau, shared
+  // so "positive" cannot mean two things in one corpus). These are
+  // the pairs an embedding trainer wants in the denominator; random
+  // negatives are trivially separable and teach nothing.
+  //
+  // Engine shape: identical to [[bruteForceTopK]] (broadcast query
+  // side, codegen'd cosine, TopKPairs bounded map-side top-k) plus
+  // the band filter BEFORE ranking — at 100 TB the candidate
+  // generation swaps to the IVF/PQ index path exactly as the ann_*
+  // family documents; the band-then-rank tail is unchanged.
+  // ------------------------------------------------------------------
+  val NegLo = 0.15
+
+  val hardNegatives: Q = Q(
+    (s, d) => {
+      val corpus = emb(s, d)
+      val queries = emb(s, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val sim = roundPortable(cosine(col("q_emb"), col("embedding")), 6)
+      rankTopK(corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+        .filter(col("sim") >= NegLo && col("sim") < Dedup.CosTau))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+            |), q AS (
+            |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries
+            |), s AS (
+            |  SELECT q.q_id, e.vec_id AS neighbor_id,
+            |    floor(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]))
+            |      / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+            |         * sqrt(list_sum(list_transform(e.v, x -> x * x)))) * 1000000 + 0.5) / 1000000 AS sim
+            |  FROM q, e WHERE e.vec_id <> q.q_id
+            |), r AS (
+            |  SELECT q_id, neighbor_id, sim,
+            |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+            |  FROM s WHERE sim >= $NegLo AND sim < ${Dedup.CosTau}
+            |)
+            |SELECT q_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $TopK
+            |ORDER BY q_id, rnk""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // Pre-normalized dot-product top-k — the production scorer path.
   // The corpus is L2-normalized ONCE (an O(N·dim) projection, at scale
   // done at ingest and stored); every pair score is then a single
@@ -1848,6 +1897,7 @@ object Similarity {
     "ann_mmr_rerank" -> mmrRerank,
     "ann_recall_eval" -> recallEval,
     "ann_cosine_topk" -> bruteForceTopK,
+    "ann_hard_negatives" -> hardNegatives,
     "ann_dot_topk" -> dotTopK,
     "ann_lsh_topk" -> lshTopK,
     "ann_ivf_topk" -> ivfTopK,

@@ -1617,7 +1617,69 @@ object TextAnalysis {
            |FROM g ORDER BY declared_lang, predicted_lang""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Character-CLASS corpus profile per language — the encoding-health
+  // screen a crawl pipeline runs before any token-level work: mojibake,
+  // binary spill, markup residue, and wrong-charset decodes all show
+  // up as mass outside the expected letter/digit/whitespace classes
+  // long before a tokenizer or language model would flag them (the
+  // W3C/CommonCrawl charset-sniff failure mode). Per language: doc and
+  // char volume, the four class ratios on the 6dp grid, and a `clean`
+  // verdict (other-class mass ≤ 5%) — the per-lang gate a curation DAG
+  // keys on.
+  //
+  // Determinism: class counts are integer lengths of regex-stripped
+  // strings (identical char classes both engines); ratios divide LONG
+  // sums as doubles in one shared op order. Scale: embarrassingly
+  // parallel per-doc projection + one |langs|-row aggregate with
+  // map-side partials; no shuffle beyond the final rollup.
+  // ------------------------------------------------------------------
+  val CharOtherTau = 0.05
+
+  val charclassProfile: Q = Q(
+    (s, d) => {
+      val t = col("text")
+      val letters = length(t) - length(regexp_replace(t, "[A-Za-z]", ""))
+      val digits = length(t) - length(regexp_replace(t, "[0-9]", ""))
+      val spaces = length(t) - length(regexp_replace(t, "[ \\t\\n\\r]", ""))
+      val g = s.read.parquet(s"$d/documents.parquet")
+        .select(col("lang"), length(t).as("nc"),
+          letters.as("nl"), digits.as("nd"), spaces.as("ns"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+          sum(col("nl")).as("sl"), sum(col("nd")).as("sd"), sum(col("ns")).as("ss"))
+      val other = col("n_chars") - col("sl") - col("sd") - col("ss")
+      g.select(col("lang"), col("n_docs"), col("n_chars"),
+        roundPortable(col("sl").cast(DoubleType) / col("n_chars"), 6).as("letter_ratio"),
+        roundPortable(col("sd").cast(DoubleType) / col("n_chars"), 6).as("digit_ratio"),
+        roundPortable(col("ss").cast(DoubleType) / col("n_chars"), 6).as("space_ratio"),
+        roundPortable(other.cast(DoubleType) / col("n_chars"), 6).as("other_ratio"))
+        .withColumn("clean", col("other_ratio") <= CharOtherTau)
+        .orderBy("lang")
+    },
+    Some(s"""WITH perdoc AS (
+            |  SELECT lang, length(text) AS nc,
+            |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS nl,
+            |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+            |    length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')) AS ns
+            |  FROM documents
+            |), g AS (
+            |  SELECT lang, count(*) AS n_docs,
+            |    CAST(sum(nc) AS BIGINT) AS n_chars, CAST(sum(nl) AS BIGINT) AS sl,
+            |    CAST(sum(nd) AS BIGINT) AS sd, CAST(sum(ns) AS BIGINT) AS ss
+            |  FROM perdoc GROUP BY 1
+            |)
+            |SELECT lang, n_docs, n_chars,
+            |  floor(CAST(sl AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000 AS letter_ratio,
+            |  floor(CAST(sd AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000 AS digit_ratio,
+            |  floor(CAST(ss AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000 AS space_ratio,
+            |  floor(CAST(n_chars - sl - sd - ss AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000 AS other_ratio,
+            |  floor(CAST(n_chars - sl - sd - ss AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000 <= $CharOtherTau AS clean
+            |FROM g ORDER BY lang""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "text_charclass_profile" -> charclassProfile,
     "text_langid_eval" -> langidEval,
     "text_countmin_hitters" -> countminHitters,
     "text_heaps_law" -> heapsLaw,

@@ -853,6 +853,58 @@ object Streams {
       }
   }
 
+  /** Evolving per-language character-class state for
+    * [[charclassCounters]]: doc and char volume plus the three
+    * counted class masses (letters, digits, whitespace; `other`
+    * derives). Every field is a monotone sum, so max-struct selects
+    * the final state in audits.
+    */
+  final case class LangCharState(lang: String, n_docs: Long, n_chars: Long,
+      nl: Long, nd: Long, ns: Long)
+
+  /** The STREAMING deployment of the encoding-health profile
+    * ([[graft.ext.TextAnalysis.charclassProfile]],
+    * `text_charclass_profile`): per-language character-class counters
+    * maintained continuously — the crawl-side monitor that catches a
+    * mojibake/charset regression WHILE a fetch batch streams in,
+    * before it lands in the corpus. State is five longs per language
+    * (bounded by |langs|, never the stream); each arrival folds its
+    * class counts with the exact same class definitions the batch
+    * regex states ([A-Za-z], [0-9], [ \t\n\r]), so the final states
+    * reproduce the batch profile's integer masses bit-for-bit and the
+    * read-side derives the same 6dp ratios/verdicts. Integer counts
+    * end to end; no float state.
+    */
+  def charclassCounters(
+      rows: org.apache.spark.sql.Dataset[(String, String)])
+      : org.apache.spark.sql.Dataset[LangCharState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[LangCharState]
+    implicit val keyEnc = Encoders.STRING
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[LangCharState, LangCharState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (lang: String, evs: Iterator[(String, String)], state: GroupState[LangCharState]) =>
+          var cur = state.getOption.getOrElse(LangCharState(lang, 0L, 0L, 0L, 0L, 0L))
+          evs.foreach { case (_, text) =>
+            var nl = 0L; var nd = 0L; var ns = 0L
+            var i = 0
+            while (i < text.length) {
+              val c = text.charAt(i)
+              if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) nl += 1
+              else if (c >= '0' && c <= '9') nd += 1
+              else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') ns += 1
+              i += 1
+            }
+            cur = LangCharState(lang, cur.n_docs + 1, cur.n_chars + text.length,
+              cur.nl + nl, cur.nd + nd, cur.ns + ns)
+          }
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
   /** Per-user funnel frontier: the three first-qualifying timestamps
     * in micros, −1 = stage not reached. Every field is monotone — it
     * moves from −1 to its final value exactly once and never changes

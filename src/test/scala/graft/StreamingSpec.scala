@@ -814,6 +814,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming charclass counters audit against the batch profile at sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val rowsLt = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("lang"), col("text")).as[(String, String)].collect()
+    val (first, second) = rowsLt.splitAt(rowsLt.length / 2)
+    val mem = MemoryStream[(String, String)]
+    val q = Streams.charclassCounters(mem.toDS())
+      .writeStream.format("memory").queryName("charclass_stream")
+      .outputMode("append").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest state per lang (all fields monotone sums)
+    val fin = spark.table("charclass_stream")
+      .groupBy("lang")
+      .agg(max(struct(col("n_docs"), col("n_chars"), col("nl"), col("nd"), col("ns"))).as("s"))
+      .select(col("lang"), col("s.n_docs"), col("s.n_chars"),
+        col("s.nl"), col("s.nd"), col("s.ns"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // the batch query's integer masses, rebuilt with the same regexes
+    val batchMass = spark.read.parquet(s"$d/documents.parquet")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("n_chars"),
+        sum(length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", ""))).as("nl"),
+        sum(length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("nd"),
+        sum(length(col("text")) - length(regexp_replace(col("text"), "[ \\t\\n\\r]", ""))).as("ns"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(fin === batchMass, "streamed class masses must bit-match the batch counts")
+    // the registry query's published ratios re-derive from the masses
+    graft.ext.TextAnalysis.charclassProfile.build(spark, d).collect().foreach { r =>
+      val (nDocs, nChars, nl, _, _) = fin(r.getString(0))
+      assert(nDocs === r.getLong(1) && nChars === r.getLong(2))
+      val lr = math.floor(nl.toDouble / nChars * 1e6 + 0.5) / 1e6
+      assert(lr === r.getDouble(3), s"lang ${r.getString(0)} letter_ratio")
+    }
+  }
+
   test("streaming funnel counters audit against the batch funnel at sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
