@@ -201,14 +201,29 @@ object KMeans {
   val clusterKeywords: Q = Q(
     (s, d) => {
       val asg = assignments(s, d).select(col("vec_id").as("doc_id"), col("cluster"))
-      val toks = s.read.parquet(s"$d/documents.parquet")
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      val joined = toks.join(asg, Seq("doc_id"))
+      // JOIN BEFORE EXPLODE — order is load-bearing twice over. Cost:
+      // the join matches one row per document, not one per token.
+      // Safety: Catalyst sizes an explode's output at its CHILD's size
+      // (a few-MB parquet estimate for millions of token rows), so a
+      // post-explode join tempts the planner into broadcasting the
+      // token table itself — measured as a driver broadcast OOM on the
+      // 10× corpus. Joining the compact per-doc relations keeps the
+      // estimates honest; at corpus scale this is a doc_id equi-join
+      // of two corpus-sized relations (shuffle, co-partitionable).
+      val joined = s.read.parquet(s"$d/documents.parquet")
+        .join(asg, Seq("doc_id"))
+        .select(col("cluster"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       val tfc = joined.groupBy("cluster", "tok").agg(count(lit(1)).as("tf"))
       val fTok = joined.groupBy("tok").agg(count(lit(1)).as("f"))
       val tot = joined.agg((count(lit(1)).cast(DoubleType) / lit(K)).as("a"))
       val w = Window.partitionBy("cluster").orderBy(col("ctfidf").desc, col("tok"))
-      tfc.join(broadcast(fTok), Seq("tok"))
+      // NO broadcast hint on the corpus-frequency side: vocab is
+      // Heaps-bounded but unbounded in principle (the 10× salted
+      // harness corpus already overflows a forced broadcast — measured
+      // driver OOM), and both sides of this join are vocab-scaled
+      // aggregates anyway. AQE broadcasts when it fits and
+      // shuffle-joins when it doesn't — the fallback a hint would veto.
+      tfc.join(fTok, Seq("tok"))
         .crossJoin(broadcast(tot))
         .withColumn("ctfidf", roundPortable(
           col("tf").cast(DoubleType) * log(lit(1.0) + col("a") / col("f")), 6))
