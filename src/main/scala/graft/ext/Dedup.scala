@@ -1185,7 +1185,82 @@ object Dedup {
             |FROM p ORDER BY doc_a, doc_b""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // CROSS-SOURCE contamination matrix — the inter-crawl overlap audit
+  // run before mixing corpora: for every ordered source pair (a, b),
+  // the share of a's distinct 3-shingles that also occur in b
+  // (asymmetric set containment — a small source fully swallowed by a
+  // big one reads 1.0 in one direction and near-0 in the other, which
+  // pairwise Jaccard hides). High containment means the "new" source
+  // adds mostly re-crawled text: double-counted training mass and a
+  // leakage channel between supposedly-independent mixture components.
+  // The doc-level twin of `pipeline_decontaminate` (doc vs benchmark)
+  // at source granularity.
+  //
+  // Scale: the corpus-sized work is the shingle pass (the shared
+  // shinglePostsDf CPU shape); it collapses to DISTINCT (source,
+  // shingle) — shingle-universe-bounded, already sublinear — and the
+  // contamination join is an equi-join on shingle whose fan-out per
+  // shingle is ≤ |sources| (a constant), never a doc-pair explosion.
+  // The |S|²-row matrix derives with one broadcast of the |S|-row
+  // size table. String shingles keep the oracle exact (the hashed
+  // variant trades a collision epsilon for smaller shuffles at 100 TB,
+  // same plan shape).
+  // ------------------------------------------------------------------
+  val crossSource: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val sps = graft.queries.Inventory.rebalanced(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id")
+        .select(col("doc_id"), col("source"),
+          posexplode(graft.ext.TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+        .withColumn("t1", lead("t", 1).over(w))
+        .withColumn("t2", lead("t", 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(col("source"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("sh"))
+        .distinct()
+      val sizes = sps.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val inter = sps.select(col("source").as("source_a"), col("sh"))
+        .join(sps.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+        .filter(col("source_a") =!= col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      sizes.select(col("source").as("source_a"), col("n_sh").as("n_shingles_a"))
+        .crossJoin(broadcast(sizes.select(col("source").as("source_b"))))
+        .filter(col("source_a") =!= col("source_b"))
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), col("n_shingles_a"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          graft.engine.Functions.roundPortable(
+            coalesce(col("n_shared"), lit(0L)).cast(org.apache.spark.sql.types.DoubleType)
+              / col("n_shingles_a"), 6).as("containment"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""WITH sh0 AS (
+           |  SELECT source, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+           |           i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+           |  FROM (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+           |), s AS (
+           |  SELECT DISTINCT source, sh FROM sh0
+           |), sz AS (
+           |  SELECT source, count(*) AS n_sh FROM s GROUP BY 1
+           |), inter AS (
+           |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+           |  FROM s a JOIN s b USING (sh)
+           |  WHERE a.source <> b.source GROUP BY 1, 2
+           |)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |  CAST(a.n_sh AS BIGINT) AS n_shingles_a,
+           |  CAST(coalesce(i.n_shared, 0) AS BIGINT) AS n_shared,
+           |  floor(CAST(coalesce(i.n_shared, 0) AS DOUBLE) / a.n_sh * 1000000 + 0.5) / 1000000 AS containment
+           |FROM sz a CROSS JOIN sz b
+           |LEFT JOIN inter i ON i.source_a = a.source AND i.source_b = b.source
+           |WHERE a.source <> b.source
+           |ORDER BY source_a, source_b""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "dedup_cross_source" -> crossSource,
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
     "dedup_minhash_lsh" -> minhashLsh,

@@ -56,6 +56,96 @@ object Sessions {
   )
 
   // ------------------------------------------------------------------
+  // Peak session CONCURRENCY per day — the sweep-line / prefix-sum
+  // classic (the interval-scheduling "maximum overlap" primitive):
+  // every session contributes +1 at its start and −1 just past its
+  // end (end-inclusive sessions ⇒ −1 at e_us + 1); the running sum of
+  // deltas over the time axis IS the number of concurrently-active
+  // sessions, and its per-day maximum is what capacity planning /
+  // abuse detection reads. Equal-timestamp transitions collapse into
+  // one NET delta per microsecond BEFORE the prefix sum, so no
+  // tie-order contract is ever needed — sums commute.
+  //
+  // THE SCALE SHAPE IS THE POINT: a naive global running sum is a
+  // single-partition window over a corpus-sized transition table. This
+  // plan is the two-level prefix sum expressed declaratively — the
+  // intra-day running sum partitions BY DAY (parallel, day-bounded),
+  // the daily NET deltas collapse to a |days|-row table, and the only
+  // global window runs over THAT (the repo's daily-collapse
+  // convention: bounded by the calendar, not the corpus). Peak(day) =
+  // start-of-day concurrency (global cumsum of prior days' nets) +
+  // max intra-day prefix. Identical algebra to the oracle's direct
+  // global cumsum, restructured for a 1000-executor cluster. Integer
+  // arithmetic end to end.
+  // ------------------------------------------------------------------
+  val concurrency: Q = Q(
+    (s, d) => {
+      val ev = Inventory.events(s, d)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val usC = unix_micros(col("ts"))
+      val prev = lag(usC, 1).over(byUser)
+      val marked = ev
+        .withColumn("us", usC)
+        .withColumn("new_session",
+          when(prev.isNull || (usC - prev) > GapSeconds * 1000000L, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("new_session")).over(byUser))
+      val sessions = marked.groupBy(col("user_id"), col("sess"))
+        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      val trans = sessions
+        .select(explode(array(
+          struct(col("s_us").as("us"), lit(1L).as("delta")),
+          struct((col("e_us") + 1L).as("us"), lit(-1L).as("delta")))).as("t"))
+        .select(col("t.us").as("us"), col("t.delta").as("delta"))
+        .groupBy("us").agg(sum(col("delta")).as("delta"))
+        .withColumn("day", to_date(timestamp_micros(col("us"))))
+      val wIntra = Window.partitionBy("day").orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val perDay = trans
+        .withColumn("run", sum(col("delta")).over(wIntra))
+        .groupBy("day")
+        .agg(max(col("run")).as("max_run"), sum(col("delta")).as("net"),
+          count(lit(1)).as("n_transitions"))
+      val wDays = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perDay
+        .withColumn("day_start", coalesce(sum(col("net")).over(wDays), lit(0L)))
+        .select(col("day"), (col("day_start") + col("max_run")).as("peak_concurrent"),
+          col("n_transitions"))
+        .orderBy("day")
+    },
+    Some(s"""WITH marked AS (
+            |  SELECT user_id, event_id, epoch_us(ts) AS us,
+            |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+            |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $GapSeconds * 1000000
+            |         THEN 1 ELSE 0 END AS new_session
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            |), sess AS (
+            |  SELECT user_id, us,
+            |         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+            |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            |  FROM marked
+            |), sessions AS (
+            |  SELECT user_id, sess, min(us) AS s_us, max(us) AS e_us
+            |  FROM sess GROUP BY 1, 2
+            |), trans AS (
+            |  SELECT us, CAST(sum(delta) AS BIGINT) AS delta FROM (
+            |    SELECT s_us AS us, 1 AS delta FROM sessions
+            |    UNION ALL
+            |    SELECT e_us + 1 AS us, -1 AS delta FROM sessions
+            |  ) GROUP BY us
+            |), run AS (
+            |  SELECT us,
+            |    CAST(sum(delta) OVER (ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+            |  FROM trans
+            |)
+            |SELECT CAST(make_timestamp(us) AS DATE) AS day,
+            |       CAST(max(conc) AS BIGINT) AS peak_concurrent,
+            |       count(*) AS n_transitions
+            |FROM run GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // Tumbling-window aggregation (the batch twin of the streaming
   // windowed agg): 1-hour windows × event_type. Uses Spark's window()
   // operator; keyed output as epoch-hour string for cross-engine
@@ -1438,6 +1528,7 @@ object Sessions {
     "events_ab_ttest" -> abTtest,
     "events_funnel_windowed" -> funnelWindowed,
     "events_sessionize" -> sessionize,
+    "events_concurrency" -> concurrency,
     "events_hourly_window" -> hourly,
     "events_cohort_retention" -> cohortRetention,
     "events_funnel" -> funnel,

@@ -1678,7 +1678,79 @@ object TextAnalysis {
             |FROM g ORDER BY lang""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Vocabulary COVERAGE curve — the tokenizer-budget planning table:
+  // for each candidate vocabulary size k, what share of all token
+  // OCCURRENCES the top-k most frequent types cover (the complement is
+  // the OOV/UNK mass a k-sized vocabulary eats). This is the number a
+  // team stares at before fixing a BPE/WordPiece budget — the marginal
+  // coverage of the next thousand types — and the Zipf/Heaps
+  // measurements' actionable face (`text_zipf_slope` fits the law;
+  // this prices the cut).
+  //
+  // Scale: one corpus token pass map-side combines to the Heaps-law
+  // vocab table; the rank window and cumulative sum run over THAT
+  // (single partition by the repo's vocab-rank convention, vocab-sized
+  // state); the k-grid join is a broadcast of a literal table. Integer
+  // counts; one 6dp ratio per published row.
+  // ------------------------------------------------------------------
+  val VocabCoverageGrid: Seq[Int] = Seq(10, 50, 100, 500, 1000, 5000)
+
+  val vocabCoverage: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = s.read.parquet(s"$d/documents.parquet")
+        .select(explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val wRank = Window.orderBy(col("c").desc, col("t"))
+      val wCum = Window.orderBy(col("rnk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = counts
+        .withColumn("rnk", row_number().over(wRank))
+        .withColumn("cum", sum(col("c")).over(wCum))
+      val total = counts.agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"))
+      val grid = s.createDataFrame(
+        VocabCoverageGrid.map(Tuple1(_))).toDF("k")
+      grid.crossJoin(broadcast(total))
+        .join(ranked, col("rnk") === least(col("k"), col("n_types")), "left")
+        .select(col("k"), col("n_types"),
+          least(col("k").cast("long"), col("n_types")).as("types_used"),
+          col("cum").as("covered_tokens"), col("n_tokens"),
+          graft.engine.Functions.roundPortable(
+            col("cum").cast(org.apache.spark.sql.types.DoubleType) / col("n_tokens"), 6)
+            .as("coverage"))
+        .orderBy("k")
+    },
+    Some {
+      val gridRows = VocabCoverageGrid.map(k => s"    ($k)").mkString(",\n")
+      s"""WITH counts AS (
+         |  SELECT t, count(*) AS c FROM (
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents)
+         |  GROUP BY t
+         |), ranked AS (
+         |  SELECT t, c,
+         |    row_number() OVER (ORDER BY c DESC, t) AS rnk,
+         |    CAST(sum(c) OVER (ORDER BY c DESC, t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM counts
+         |), tot AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types FROM counts
+         |), grid(k) AS (
+         |  VALUES
+         |$gridRows
+         |)
+         |SELECT g.k, tot.n_types,
+         |  least(CAST(g.k AS BIGINT), tot.n_types) AS types_used,
+         |  r.cum AS covered_tokens, tot.n_tokens,
+         |  floor(CAST(r.cum AS DOUBLE) / tot.n_tokens * 1000000 + 0.5) / 1000000 AS coverage
+         |FROM grid g CROSS JOIN tot
+         |LEFT JOIN ranked r ON r.rnk = least(g.k, CAST(tot.n_types AS INTEGER))
+         |ORDER BY g.k""".stripMargin
+    }
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "text_vocab_coverage" -> vocabCoverage,
     "text_charclass_profile" -> charclassProfile,
     "text_langid_eval" -> langidEval,
     "text_countmin_hitters" -> countminHitters,
