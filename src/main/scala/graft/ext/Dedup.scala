@@ -170,7 +170,14 @@ object Dedup {
     val a = posts.select(col("hs"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
     val b0 = probe.getOrElse(posts)
       .select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-    val b = if (probe.isDefined) broadcast(b0) else b0
+    // Non-probe side: force the posting self-join OUT of the static
+    // broadcast path. Catalyst sizes the exploded posting list at its
+    // parquet ancestor's bytes, so the static planner happily
+    // broadcasts a corpus-scale relation (measured driver OOM at the
+    // 10× corpus under a 1 GiB driver). hint("merge") plans a
+    // sort-merge join; AQE may still demote to broadcast at runtime
+    // using REAL materialized sizes — the safe direction.
+    val b = if (probe.isDefined) broadcast(b0) else b0.hint("merge")
     val jac = col("overlap").cast(DoubleType) /
       (col("sz_a") + col("sz_b") - col("overlap"))
     // size-ratio prefilter: J(A,B) ≤ min/max of the set sizes, so
@@ -233,7 +240,10 @@ object Dedup {
       .select(col("hs"), col("doc_id"), col("sz"))
     val a = prefix.select(col("hs"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
     val b = prefix.select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-    val cand = a.join(b, Seq("hs"))
+    // merge hints: prefix table and postings are corpus-derived and
+    // explode-size-underestimated (see pairsFromPosts) - never let the
+    // static planner broadcast them; AQE may demote at runtime
+    val cand = a.join(b.hint("merge"), Seq("hs"))
       .filter(col("doc_a") < col("doc_b") &&
         col("sz_a") >= col("sz_b") * tau && col("sz_b") >= col("sz_a") * tau)
       .select("doc_a", "doc_b").distinct()
@@ -242,8 +252,8 @@ object Dedup {
     val jac = col("overlap").cast(DoubleType) /
       (col("sz_a") + col("sz_b") - col("overlap"))
     cand
-      .join(pa, Seq("doc_a"))
-      .join(pb, Seq("doc_b", "hs"))
+      .join(pa.hint("merge"), Seq("doc_a"))
+      .join(pb.hint("merge"), Seq("doc_b", "hs"))
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("overlap"))
       .filter(jac >= tau)
@@ -361,7 +371,7 @@ object Dedup {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
         .filter(col("bucket_n") <= MaxBucket)
       val cand = sized.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-        .join(sized.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        .join(sized.select(col("band"), col("key"), col("doc_id").as("doc_b")).hint("merge"),
           Seq("band", "key"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
@@ -372,8 +382,8 @@ object Dedup {
       val jac = col("overlap").cast(DoubleType) /
         (col("sz_a") + col("sz_b") - col("overlap"))
       cand
-        .join(pa, Seq("doc_a"))
-        .join(pb, Seq("doc_b", "hs"))
+        .join(pa.hint("merge"), Seq("doc_a"))
+        .join(pb.hint("merge"), Seq("doc_b", "hs"))
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(count(lit(1)).as("overlap"))
         .filter(jac >= JaccardTau) // unrounded, same threshold semantics as jaccardPairs
@@ -387,49 +397,133 @@ object Dedup {
     // row-counted. (ScalaTest additionally asserts it equals
     // jaccardPairs: full recall at J ≥ 0.5 with 16×2 bands.)
     Some {
-      val minCols = (0 until NumHashes)
-        .map(i => s"    min((${coefA(i)} * x + ${coefB(i)}) % $P) AS m$i")
-        .mkString(",\n")
-      val bandRows = (0 until Bands)
-        .map(j => s"  SELECT doc_id, $j AS band, m${2 * j} * $P + m${2 * j + 1} AS key FROM sig")
-        .mkString("\n  UNION ALL\n")
-      s"""WITH sh0 AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-         |           i -> array_to_string(toks[i:i+2], ' ')))) AS s
-         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
-         |), sh AS (
-         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hs FROM sh0
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
-         |), sig AS (
-         |  SELECT doc_id,
-         |$minCols
-         |  FROM (SELECT doc_id, hs % $P AS x FROM sh) GROUP BY doc_id
-         |), bands AS (
-         |$bandRows
-         |), sized AS (
-         |  SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bucket_n FROM bands
-         |), flt AS (
-         |  SELECT * FROM sized WHERE bucket_n <= $MaxBucket
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM flt a JOIN flt b ON a.band = b.band AND a.key = b.key
-         |  WHERE a.doc_id < b.doc_id
-         |), ov AS (
-         |  SELECT c.doc_a, c.doc_b, sa.sz AS sz_a, sb.sz AS sz_b, count(*) AS overlap
-         |  FROM cand c
-         |  JOIN sh pa ON pa.doc_id = c.doc_a
-         |  JOIN sh pb ON pb.doc_id = c.doc_b AND pb.hs = pa.hs
-         |  JOIN sizes sa ON sa.doc_id = c.doc_a
-         |  JOIN sizes sb ON sb.doc_id = c.doc_b
-         |  GROUP BY 1, 2, 3, 4
-         |)
+      s"""WITH $minhashLshCtes
          |SELECT doc_a, doc_b,
          |       floor(CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap) * 1000000 + 0.5) / 1000000 AS jaccard
          |FROM ov
          |WHERE CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap) >= $JaccardTau
          |ORDER BY doc_a, doc_b""".stripMargin
     }
+  )
+
+  /** The minhash-LSH oracle CTE chain (md5-derived shingle hashes →
+    * universal-hash signature → band packing → bucket guard →
+    * candidate join → exact overlap verify), ending in
+    * `ov(doc_a, doc_b, sz_a, sz_b, overlap)` with `sh`/`sizes`
+    * upstream. One string shared by [[minhashLsh]] and
+    * [[recallEval]] so the banding recipe cannot drift between the
+    * production path and its evaluation.
+    */
+  private def minhashLshCtes: String = {
+    val minCols = (0 until NumHashes)
+      .map(i => s"    min((${coefA(i)} * x + ${coefB(i)}) % $P) AS m$i")
+      .mkString(",\n")
+    val bandRows = (0 until Bands)
+      .map(j => s"  SELECT doc_id, $j AS band, m${2 * j} * $P + m${2 * j + 1} AS key FROM sig")
+      .mkString("\n  UNION ALL\n")
+    s"""sh0 AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> array_to_string(toks[i:i+2], ' ')))) AS s
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hs FROM sh0
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id,
+       |$minCols
+       |  FROM (SELECT doc_id, hs % $P AS x FROM sh) GROUP BY doc_id
+       |), bands AS (
+       |$bandRows
+       |), sized AS (
+       |  SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bucket_n FROM bands
+       |), flt AS (
+       |  SELECT * FROM sized WHERE bucket_n <= $MaxBucket
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM flt a JOIN flt b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id
+       |), ov AS (
+       |  SELECT c.doc_a, c.doc_b, sa.sz AS sz_a, sb.sz AS sz_b, count(*) AS overlap
+       |  FROM cand c
+       |  JOIN sh pa ON pa.doc_id = c.doc_a
+       |  JOIN sh pb ON pb.doc_id = c.doc_b AND pb.hs = pa.hs
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b
+       |  GROUP BY 1, 2, 3, 4
+       |)""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // RECALL evaluation of the approximate dedup path — the dedup twin
+  // of `ann_recall_eval`: ground truth is the EXACT set-similarity
+  // join (the inverted-index posting join, complete by construction —
+  // any pair with J > 0 shares a shingle), the system under test is
+  // the banded MinHash-LSH pipeline, and the published row is the
+  // confusion: how many true pairs at J ≥ τ the banding recalled,
+  // how many its band-collision lottery missed. Precision is
+  // structural (LSH candidates are exact-verified before publishing,
+  // so n_recalled ≤ n_truth when hashes are collision-free) — the
+  // metric that matters is RECALL, the quantity the (bands, rows)
+  // S-curve trades against candidate volume. This is the measurement
+  // that licenses shipping the approximate path at a given τ, and
+  // the monitor that catches recall decay when corpus statistics
+  // shift (the ann_recall_eval posture, ported to dedup).
+  //
+  // Scale: both branches are the already-audited production shapes
+  // (posting join; banded candidates) — the eval adds one left-semi
+  // pair join and three 1-row aggregates. Exact integer counts; one
+  // 6dp ratio.
+  // ------------------------------------------------------------------
+  val recallEval: Q = Q(
+    (s, d) => {
+      val posts = shinglePosts(s, d, hash60)
+      val pa = posts.select(col("doc_id").as("doc_a"), col("hs"), col("sz").as("sz_a"))
+      val pb = posts.select(col("doc_id").as("doc_b"), col("hs"), col("sz").as("sz_b"))
+      val jac = col("overlap").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("overlap"))
+      val truth = pa.join(pb.hint("merge"), Seq("hs"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("overlap"))
+        .filter(jac >= JaccardTau)
+        .select("doc_a", "doc_b")
+      val lsh = minhashLsh.build(s, d).select("doc_a", "doc_b")
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nL = lsh.agg(count(lit(1)).as("n_recalled"))
+      val nH = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(broadcast(nL)).crossJoin(broadcast(nH))
+        .select(col("n_truth"), col("n_recalled"), col("n_hit"),
+          (col("n_truth") - col("n_hit")).as("n_missed"),
+          roundPortable(col("n_hit").cast(DoubleType) / col("n_truth"), 6).as("recall"))
+    },
+    Some(s"""WITH $minhashLshCtes, lsh AS (
+            |  SELECT doc_a, doc_b FROM ov
+            |  WHERE CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap) >= $JaccardTau
+            |), truthov AS (
+            |  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b,
+            |         sa.sz AS sz_a, sb.sz AS sz_b, count(*) AS overlap
+            |  FROM sh pa
+            |  JOIN sh pb ON pb.hs = pa.hs AND pa.doc_id < pb.doc_id
+            |  JOIN sizes sa ON sa.doc_id = pa.doc_id
+            |  JOIN sizes sb ON sb.doc_id = pb.doc_id
+            |  GROUP BY 1, 2, 3, 4
+            |), truth AS (
+            |  SELECT doc_a, doc_b FROM truthov
+            |  WHERE CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap) >= $JaccardTau
+            |), hit AS (
+            |  SELECT t.doc_a FROM truth t
+            |  JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+            |), c AS (
+            |  SELECT (SELECT count(*) FROM truth) AS n_truth,
+            |         (SELECT count(*) FROM lsh) AS n_recalled,
+            |         (SELECT count(*) FROM hit) AS n_hit
+            |)
+            |SELECT n_truth, n_recalled, n_hit,
+            |       n_truth - n_hit AS n_missed,
+            |       floor(CAST(n_hit AS DOUBLE) / n_truth * 1000000 + 0.5) / 1000000 AS recall
+            |FROM c""".stripMargin)
   )
 
   // ------------------------------------------------------------------
@@ -605,7 +699,7 @@ object Dedup {
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("table", "bucket")))
       .filter(col("bucket_n") <= maxBucket)
     val cand = keys.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
-      .join(keys.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
+      .join(keys.select(col("table"), col("bucket"), col("vec_id").as("id_b")).hint("merge"),
         Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -1222,7 +1316,7 @@ object Dedup {
         .distinct()
       val sizes = sps.groupBy("source").agg(count(lit(1)).as("n_sh"))
       val inter = sps.select(col("source").as("source_a"), col("sh"))
-        .join(sps.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+        .join(sps.select(col("source").as("source_b"), col("sh")).hint("merge"), Seq("sh"))
         .filter(col("source_a") =!= col("source_b"))
         .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
       sizes.select(col("source").as("source_a"), col("n_sh").as("n_shingles_a"))
@@ -1261,6 +1355,7 @@ object Dedup {
 
   val queries: Seq[(String, Q)] = Seq(
     "dedup_cross_source" -> crossSource,
+    "dedup_recall_eval" -> recallEval,
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
     "dedup_minhash_lsh" -> minhashLsh,
