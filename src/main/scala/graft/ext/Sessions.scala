@@ -506,6 +506,60 @@ object Sessions {
   // countDistinct per anchor. No step touches the raw event log
   // twice, and nothing is driver-side.
   // ------------------------------------------------------------------
+  // ------------------------------------------------------------------
+  // GINI coefficient of per-user activity (Gini 1912; the Lorenz-sum
+  // formulation Σ(2i − n − 1)·x_i / (n·Σx) over ascending-sorted
+  // x — public statistics): the inequality screen a platform/data
+  // team runs on contribution distributions — a corpus whose events
+  // (or tokens, or documents) come 0.95-Gini-concentrated from a
+  // handful of users is a bot-farm / scraper signature and a
+  // de-biasing problem for training data (the per-group quality caps
+  // and language-mix weights exist precisely to flatten it; this
+  // measures how much flattening is needed). Published: user count,
+  // event total, the 6dp Gini.
+  //
+  // Determinism: counts are LONGs; the Lorenz weight (2i − n − 1)
+  // is integer from a (count, user_id)-ordered rank; the weighted
+  // sum rides DECIMAL(38,0) (exact, order-free — i·x products
+  // overflow LONG near 10^9 users × heavy tails) and ONE double
+  // division lands on the 6dp grid. Scale: one corpus aggregate to
+  // |users| rows; the rank is a global window over that collapse —
+  // the repo's bounded-collapse convention (production at 10^9 users
+  // two-levels it: per-range partial ranks + offset, same algebra).
+  // ------------------------------------------------------------------
+  val gini: Q = Q(
+    (s, d) => {
+      val perUser = Inventory.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("x"))
+      val wAsc = Window.orderBy(col("x"), col("user_id"))
+      val d18 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 0))
+      perUser
+        .withColumn("i", row_number().over(wAsc))
+        .agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_events"),
+          sum(d18(lit(2L) * col("i") - lit(1L)) * d18(col("x"))).as("num0"))
+        .select(col("n_users"), col("total_events"),
+          roundPortable(
+            (col("num0") - d18(col("n_users")) * d18(col("total_events"))).cast(DoubleType)
+              / (d18(col("n_users")) * d18(col("total_events"))).cast(DoubleType), 6)
+            .as("gini"))
+    },
+    Some("""WITH perUser AS (
+           |  SELECT user_id, count(*) AS x FROM events GROUP BY 1
+           |), ranked AS (
+           |  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM perUser
+           |), g AS (
+           |  SELECT count(*) AS n_users,
+           |         CAST(sum(x) AS BIGINT) AS total_events,
+           |         CAST(sum(CAST(2 * i - 1 AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS num0
+           |  FROM ranked
+           |)
+           |SELECT n_users, total_events,
+           |  floor(CAST(num0 - CAST(n_users AS DECIMAL(18,0)) * CAST(total_events AS DECIMAL(18,0)) AS DOUBLE)
+           |        / CAST(CAST(n_users AS DECIMAL(18,0)) * CAST(total_events AS DECIMAL(18,0)) AS DOUBLE)
+           |        * 1000000 + 0.5) / 1000000 AS gini
+           |FROM g""".stripMargin)
+  )
+
   val RollingDays = 7
 
   val activeUsers: Q = Q(
@@ -1529,6 +1583,7 @@ object Sessions {
     "events_funnel_windowed" -> funnelWindowed,
     "events_sessionize" -> sessionize,
     "events_concurrency" -> concurrency,
+    "events_gini" -> gini,
     "events_hourly_window" -> hourly,
     "events_cohort_retention" -> cohortRetention,
     "events_funnel" -> funnel,

@@ -122,6 +122,83 @@ object Similarity {
   )
 
   // ------------------------------------------------------------------
+  // Corpus ISOTROPY — the mean pairwise cosine of the normalized
+  // corpus, computed in closed form from the resultant vector:
+  // Σ_{i≠j} cos(v_i, v_j) = ‖Σv̂‖² − n, so the mean is
+  // (‖Σv̂‖² − n) / (n(n−1)) — one aggregate, never a pair join.
+  // Anisotropic embedding spaces (mean cos ≫ 0: all vectors share a
+  // dominant direction) are a known representation-quality defect
+  // (Ethayarajh, "How Contextual are Contextualized Word
+  // Representations?", EMNLP 2019; Mu & Viswanath's all-but-the-top,
+  // ICLR 2018 — public findings): cosine thresholds stop
+  // discriminating, and the standard fix is mean-centering /
+  // top-component removal (`emb_top_eigen` finds the component; this
+  // measures whether it needs removing). The corpus-level companion
+  // of `emb_norm_stats` (vector health) and `emb_dim_variance`
+  // (dimension health).
+  //
+  // Determinism (the emb_centroid_drift contract): each normalized
+  // component lands on the 1e-6 grid as a LONG; per-dim resultant
+  // sums are exact LONG folds (|s_d| ≤ n·10⁶ — fits to 10⁹ vectors);
+  // ‖·‖² rides DECIMAL(18,0)² products into a DECIMAL(38,0) sum,
+  // published as a digit string (hash-exact); the 6dp mean derives
+  // from that exact integer in one shared double op order. Zero
+  // vectors normalize to NULL and are excluded (counted). Scale: one
+  // posexplode aggregate to d rows, then a d-row fold — no shuffle
+  // beyond the (dim) aggregate.
+  // ------------------------------------------------------------------
+  val isotropy: Q = Q(
+    (s, d) => {
+      val raw = emb(s, d)
+      val e = raw.select(col("vec_id"),
+        graft.functions.DotProduct.normalized(col("embedding")).as("nv"))
+      val live = e.filter(col("nv").isNotNull)
+      val coords = live.select(posexplode(col("nv")).as(Seq("i", "x")))
+        .select(col("i"), floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("gl"))
+      val d18 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 0))
+      val s2 = coords.groupBy("i").agg(sum(col("gl")).as("sd"))
+        .agg(sum(d18(col("sd")) * d18(col("sd"))).as("s2"))
+      val counts = e.agg(count(lit(1)).as("n_total"),
+        sum(when(col("nv").isNull, 1L).otherwise(0L)).as("n_degenerate"))
+      val nD = (col("n_total") - col("n_degenerate")).cast(DoubleType)
+      counts.crossJoin(broadcast(s2))
+        .select(col("n_total"), col("n_degenerate"),
+          col("s2").cast("string").as("resultant_sq"),
+          roundPortable(
+            (col("s2").cast(DoubleType) / lit(1e12) - nD) / (nD * (nD - lit(1.0))), 6)
+            .as("mean_pairwise_cos"))
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+           |), nrm AS (
+           |  SELECT vec_id,
+           |    CASE WHEN list_sum(list_transform(v, y -> y * y)) > 0
+           |         THEN list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+           |         END AS nv
+           |  FROM e
+           |), coords AS (
+           |  SELECT i, CAST(floor(nv[i] * 1000000 + 0.5) AS BIGINT) AS gl
+           |  FROM nrm, LATERAL unnest(range(1, len(nv) + 1)) AS r(i)
+           |  WHERE nv IS NOT NULL
+           |), dims AS (
+           |  SELECT i, CAST(sum(gl) AS BIGINT) AS sd FROM coords GROUP BY 1
+           |), s2t AS (
+           |  SELECT CAST(sum(CAST(sd AS DECIMAL(18,0)) * CAST(sd AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s2
+           |  FROM dims
+           |), c AS (
+           |  SELECT count(*) AS n_total,
+           |         CAST(sum(CASE WHEN nv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+           |  FROM nrm
+           |)
+           |SELECT n_total, n_degenerate,
+           |  CAST(s2 AS VARCHAR) AS resultant_sq,
+           |  floor((CAST(s2 AS DOUBLE) / 1000000000000 - CAST(n_total - n_degenerate AS DOUBLE))
+           |        / (CAST(n_total - n_degenerate AS DOUBLE) * (CAST(n_total - n_degenerate AS DOUBLE) - 1.0))
+           |        * 1000000 + 0.5) / 1000000 AS mean_pairwise_cos
+           |FROM c CROSS JOIN s2t""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // HARD-NEGATIVE mining — the contrastive-training data op (Karpukhin
   // et al., "Dense Passage Retrieval", EMNLP 2020; Xiong et al.,
   // "ANCE", ICLR 2021 — public methods): for each query vector, the
@@ -1898,6 +1975,7 @@ object Similarity {
     "ann_recall_eval" -> recallEval,
     "ann_cosine_topk" -> bruteForceTopK,
     "ann_hard_negatives" -> hardNegatives,
+    "emb_isotropy" -> isotropy,
     "ann_dot_topk" -> dotTopK,
     "ann_lsh_topk" -> lshTopK,
     "ann_ivf_topk" -> ivfTopK,
