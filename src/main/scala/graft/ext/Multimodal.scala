@@ -405,36 +405,43 @@ object Multimodal {
   // signedness, channel interleave count) is oracle-audited end to
   // end. One mapPartitions pass, zero shuffle before the output sort.
   // ------------------------------------------------------------------
-  val audioEnvelope: Q = Q(
-    (s, d) => {
-      import org.apache.spark.sql.Encoders
-      implicit val enc = Encoders.product[(Long, Long, Long, Int, Int)]
-      syntheticMedia(s, d)
-        .mapPartitions(_.flatMap { i =>
-          MediaCodec.decodeWavSamples(i.payload).map { smp =>
-            val n = smp.length
-            val e = new Array[Long](8)
-            var j = 0
-            while (j < n) {
-              val v = smp(j).toLong
-              e((j * 8) / n) += v * v
-              j += 1
-            }
-            val total = e.sum
-            var peak = 0
-            var bits = 0
-            var w = 0
-            while (w < 8) {
-              if (e(w) > e(peak)) peak = w
-              if (e(w) * 8 > total) bits |= 1 << w
-              w += 1
-            }
-            (i.media_id, n.toLong, total, peak, bits)
+  /** The (media_id, n_samples, total_energy, peak_window,
+    * envelope_bits) signature relation — the real-PCM decode +
+    * envelope fold shared by [[audioEnvelope]] (publishes it) and
+    * [[audioDedup]] (buckets on it), so the fingerprint recipe cannot
+    * drift between the profile and the dedup that keys on it.
+    */
+  def audioSignatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(Long, Long, Long, Int, Int)]
+    syntheticMedia(s, d)
+      .mapPartitions(_.flatMap { i =>
+        MediaCodec.decodeWavSamples(i.payload).map { smp =>
+          val n = smp.length
+          val e = new Array[Long](8)
+          var j = 0
+          while (j < n) {
+            val v = smp(j).toLong
+            e((j * 8) / n) += v * v
+            j += 1
           }
-        })
-        .toDF("media_id", "n_samples", "total_energy", "peak_window", "envelope_bits")
-        .orderBy("media_id")
-    },
+          val total = e.sum
+          var peak = 0
+          var bits = 0
+          var w = 0
+          while (w < 8) {
+            if (e(w) > e(peak)) peak = w
+            if (e(w) * 8 > total) bits |= 1 << w
+            w += 1
+          }
+          (i.media_id, n.toLong, total, peak, bits)
+        }
+      })
+      .toDF("media_id", "n_samples", "total_energy", "peak_window", "envelope_bits")
+  }
+
+  val audioEnvelope: Q = Q(
+    (s, d) => audioSignatures(s, d).orderBy("media_id"),
     Some("""WITH aud AS (
            |  SELECT doc_id AS id, ((doc_id // 2) % 2 + 1) * (doc_id % 100 + 1) AS n
            |  FROM documents WHERE doc_id % 2 = 1
@@ -466,10 +473,91 @@ object Multimodal {
            |ORDER BY media_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Audio near-dup PAIRS on the envelope fingerprint — the bucketed
+  // candidates-then-verify shape (the registry's universal dedup
+  // discipline) on the loudness contour: candidates share the exact
+  // (envelope_bits, peak_window) signature — a 2048-key bucket space —
+  // and verify on a ±20% total-energy band (integer cross-products,
+  // no division in the decision). This is the cheap first gate an
+  // audio pipeline runs before any spectral similarity: same contour
+  // shape + same loudness class ⇒ candidate re-encode/duplicate. The
+  // MaxBucket guard (same constant family as MinHash-LSH's) caps
+  // degenerate contours; the pair join carries ids + two longs, and
+  // the signature side is merge-hinted off the static broadcast path
+  // like every corpus-derived join in the family.
+  // ------------------------------------------------------------------
+  val AudioMaxBucket = 1000
+
+  val audioDedup: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sig = audioSignatures(s, d)
+        .select(col("media_id"), col("total_energy"), col("peak_window"), col("envelope_bits"))
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy("envelope_bits", "peak_window")))
+        .filter(col("bucket_n") <= AudioMaxBucket)
+      val a = sig.select(col("envelope_bits"), col("peak_window"),
+        col("media_id").as("media_id_a"), col("total_energy").as("ta"))
+      val b = sig.select(col("envelope_bits"), col("peak_window"),
+        col("media_id").as("media_id_b"), col("total_energy").as("tb"))
+      a.join(b.hint("merge"), Seq("envelope_bits", "peak_window"))
+        .filter(col("media_id_a") < col("media_id_b") &&
+          col("ta") * 10 <= col("tb") * 12 && col("tb") * 10 <= col("ta") * 12)
+        .select(col("media_id_a"), col("media_id_b"),
+          col("envelope_bits"), col("peak_window"),
+          graft.engine.Functions.roundPortable(
+            least(col("ta"), col("tb")).cast(org.apache.spark.sql.types.DoubleType)
+              / nullif(greatest(col("ta"), col("tb")), lit(0L))
+                .cast(org.apache.spark.sql.types.DoubleType), 6).as("energy_ratio"))
+        .orderBy("media_id_a", "media_id_b")
+    },
+    Some("""WITH aud AS (
+           |  SELECT doc_id AS id, ((doc_id // 2) % 2 + 1) * (doc_id % 100 + 1) AS n
+           |  FROM documents WHERE doc_id % 2 = 1
+           |), smp AS (
+           |  SELECT id, n, i.i, (id * 7 + i.i * 31) % 65536 - 32768 AS s
+           |  FROM aud, LATERAL unnest(range(0, n)) AS i(i)
+           |), win AS (
+           |  SELECT id, i * 8 // n AS w, sum(s * s) AS e FROM smp GROUP BY 1, 2
+           |), grid AS (
+           |  SELECT a.id, a.n, g.w FROM aud a, LATERAL unnest(range(0, 8)) AS g(w)
+           |), genergy AS (
+           |  SELECT grid.id, grid.n, grid.w, coalesce(win.e, 0) AS e
+           |  FROM grid LEFT JOIN win ON win.id = grid.id AND win.w = grid.w
+           |), tot AS (
+           |  SELECT id, sum(e) AS total FROM genergy GROUP BY 1
+           |), ranked AS (
+           |  SELECT id, w, e, row_number() OVER (PARTITION BY id ORDER BY e DESC, w) AS rn
+           |  FROM genergy
+           |), agg AS (
+           |  SELECT g.id, t.total,
+           |         sum(CASE WHEN g.e * 8 > t.total THEN 1 << g.w ELSE 0 END) AS bits
+           |  FROM genergy g JOIN tot t ON t.id = g.id GROUP BY 1, 2
+           |), sig AS (
+           |  SELECT a.id, CAST(a.total AS BIGINT) AS total,
+           |         CAST(a.bits AS INTEGER) AS bits, CAST(r.w AS INTEGER) AS peak
+           |  FROM agg a JOIN ranked r ON r.id = a.id AND r.rn = 1
+           |), guarded AS (
+           |  SELECT * FROM (
+           |    SELECT id, total, bits, peak,
+           |           count(*) OVER (PARTITION BY bits, peak) AS bucket_n
+           |    FROM sig) WHERE bucket_n <= 1000
+           |)
+           |SELECT a.id AS media_id_a, b.id AS media_id_b,
+           |  a.bits AS envelope_bits, a.peak AS peak_window,
+           |  floor(CAST(least(a.total, b.total) AS DOUBLE)
+           |        / nullif(greatest(a.total, b.total), 0) * 1000000 + 0.5) / 1000000 AS energy_ratio
+           |FROM guarded a JOIN guarded b ON a.bits = b.bits AND a.peak = b.peak AND a.id < b.id
+           |WHERE a.total * 10 <= b.total * 12 AND b.total * 10 <= a.total * 12
+           |ORDER BY media_id_a, media_id_b""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "multimodal_features" -> features,
     "multimodal_frame_dedup" -> frameDedup,
     "multimodal_decode" -> decodeQuery,
     "multimodal_perceptual_dedup" -> perceptualDedup,
-    "multimodal_audio_envelope" -> audioEnvelope)
+    "multimodal_audio_envelope" -> audioEnvelope,
+    "multimodal_audio_dedup" -> audioDedup)
 }
