@@ -1749,7 +1749,108 @@ object TextAnalysis {
     }
   )
 
+  // ------------------------------------------------------------------
+  // RAKE keyword extraction (Rose, Engel, Cramer & Cowley, "Automatic
+  // Keyword Extraction from Individual Documents", 2010 — public
+  // method), the classic unsupervised complement to TextRank: split
+  // token streams into candidate PHRASES at stopword boundaries,
+  // score each word by degree/frequency over the phrase co-occurrence
+  // graph (degree = Σ length of phrases containing it — words that
+  // ride in long phrases score up), and rank candidate phrases by the
+  // sum of their member scores. Stopword list = the shared harness
+  // 8-word list (the quality score's — no fork). Published: the
+  // corpus top-25 phrases with word count, occurrence count, score.
+  //
+  // Determinism: per-word scores land on the 6dp grid as LONGs
+  // immediately after the one division, so phrase scores are INTEGER
+  // sums — no float add order anywhere. Scale: one token pass; the
+  // phrase-id running sum partitions per doc; word stats collapse to
+  // the Heaps-bounded vocabulary; phrase aggregation keys on
+  // (doc, phrase_id) with map-side combine; the final top-25 is
+  // TakeOrderedAndProject (map-side bounded), never a global sort.
+  // Corpus-derived join sides are merge-hinted off the static
+  // broadcast path (the r12 posting-family discipline).
+  // ------------------------------------------------------------------
+  val RakeTop = 25
+
+  val rakeKeywords: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val stop = Seq("the", "of", "and", "to", "in", "is", "it", "a")
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val marked = graft.queries.Inventory.rebalanced(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+        .withColumn("stopf", when(col("t").isInCollection(stop), 1L).otherwise(0L))
+        .withColumn("pid", sum(col("stopf")).over(wDoc))
+      val members = marked.filter(col("stopf") === 0)
+        .select("doc_id", "pid", "pos", "t")
+      val psize = members.groupBy("doc_id", "pid").agg(count(lit(1)).as("len"))
+      val wscore = members.join(psize.hint("merge"), Seq("doc_id", "pid"))
+        .groupBy("t").agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+        .select(col("t"),
+          floor(col("deg").cast(DoubleType) / col("freq") * lit(1e6) + lit(0.5))
+            .cast("long").as("s6"))
+      val phrases = members.join(wscore.hint("merge"), Seq("t"))
+        .groupBy("doc_id", "pid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("t")))).as("pt"),
+          count(lit(1)).as("n_words"), sum(col("s6")).as("score6"))
+        .select(concat_ws(" ",
+          transform(col("pt"), p => p.getField("t"))).as("phrase"),
+          col("n_words"), col("score6"))
+      val agg = phrases.groupBy("phrase")
+        .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("occurrences"),
+          max(col("score6")).as("score6"))
+        .orderBy(col("score6").desc, col("phrase")).limit(RakeTop)
+      agg.withColumn("rank",
+          row_number().over(Window.orderBy(col("score6").desc, col("phrase"))))
+        .select(col("rank"), col("phrase"), col("n_words"), col("occurrences"),
+          graft.engine.Functions.roundPortable(
+            col("score6").cast(DoubleType) / lit(1e6), 6).as("score"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, i - 1 AS pos, toks[i] AS t
+            |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+            |       LATERAL unnest(range(1, len(toks) + 1)) AS r(i)
+            |), marked AS (
+            |  SELECT doc_id, pos, t,
+            |    CASE WHEN t IN ('the','of','and','to','in','is','it','a') THEN 1 ELSE 0 END AS stopf,
+            |    sum(CASE WHEN t IN ('the','of','and','to','in','is','it','a') THEN 1 ELSE 0 END)
+            |      OVER (PARTITION BY doc_id ORDER BY pos
+            |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+            |  FROM tok
+            |), members AS (
+            |  SELECT doc_id, pid, pos, t FROM marked WHERE stopf = 0
+            |), psize AS (
+            |  SELECT doc_id, pid, count(*) AS len FROM members GROUP BY 1, 2
+            |), wscore AS (
+            |  SELECT t, CAST(floor(CAST(deg AS DOUBLE) / freq * 1000000 + 0.5) AS BIGINT) AS s6
+            |  FROM (
+            |    SELECT m.t, count(*) AS freq, CAST(sum(p.len) AS BIGINT) AS deg
+            |    FROM members m JOIN psize p ON p.doc_id = m.doc_id AND p.pid = m.pid
+            |    GROUP BY 1)
+            |), phr AS (
+            |  SELECT m.doc_id, m.pid, string_agg(m.t, ' ' ORDER BY m.pos) AS phrase,
+            |         count(*) AS n_words, CAST(sum(w.s6) AS BIGINT) AS score6
+            |  FROM members m JOIN wscore w ON w.t = m.t
+            |  GROUP BY 1, 2
+            |), agg AS (
+            |  SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+            |         count(*) AS occurrences, CAST(max(score6) AS BIGINT) AS score6
+            |  FROM phr GROUP BY 1
+            |)
+            |SELECT rank, phrase, n_words, occurrences,
+            |       floor(CAST(score6 AS DOUBLE) / 1000000 * 1000000 + 0.5) / 1000000 AS score
+            |FROM (
+            |  SELECT phrase, n_words, occurrences, score6,
+            |         row_number() OVER (ORDER BY score6 DESC, phrase) AS rank
+            |  FROM agg)
+            |WHERE rank <= $RakeTop ORDER BY rank""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "text_rake_keywords" -> rakeKeywords,
     "text_vocab_coverage" -> vocabCoverage,
     "text_charclass_profile" -> charclassProfile,
     "text_langid_eval" -> langidEval,
