@@ -2160,4 +2160,84 @@ class ExtSpec extends SparkSpec {
     val best = vecs.map { case (id, v) => (score(v), id) }.max
     assert(r.head.getLong(0) === best._2 || score(vecs(r.head.getLong(0))) === best._1)
   }
+
+  test("gini replays the Lorenz-sum formula from raw per-user counts") {
+    val counts = graft.queries.Inventory.events(spark, d)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val xs = counts.sortBy(c => (c._2, c._1)).map(_._2)
+    val n = xs.length.toLong
+    val tot = xs.sum
+    val num = xs.zipWithIndex.map { case (x, i) => (2L * (i + 1) - n - 1) * x }.sum
+    val want = math.floor(num.toDouble / (n * tot).toDouble * 1e6 + 0.5) / 1e6
+    val got = graft.ext.Sessions.gini.build(spark, d).collect().head
+    assert(got.getLong(0) === n && got.getLong(1) === tot)
+    assert(got.getDouble(2) === want, "gini formula replay")
+    // the measure is scale-invariant sanity: 0 <= G < 1 on counts
+    assert(want >= 0.0 && want < 1.0)
+  }
+
+  test("isotropy closed form equals the brute-force mean pairwise cosine on gridded unit vectors") {
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    // replicate the query's contract in plain Scala: normalize, grid
+    // components to 1e-6 LONGs, then both formulations over the SAME grid
+    val grid = vecs.map { v =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => math.floor(x / nrm * 1e6 + 0.5).toLong)
+    }
+    val n = grid.length
+    val dim = grid.head.length
+    val sd = Array.tabulate(dim)(i => grid.map(_(i)).sum)
+    val s2 = sd.map(s => BigInt(s) * BigInt(s)).sum
+    val closed = (s2.toDouble / 1e12 - n) / (n.toDouble * (n.toDouble - 1.0))
+    // brute force over the gridded vectors (micro-cos of unit vectors)
+    var acc = BigInt(0)
+    for (i <- grid.indices; j <- grid.indices if i != j)
+      acc += grid(i).zip(grid(j)).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    val brute = acc.toDouble / 1e12 / (n.toDouble * (n.toDouble - 1.0))
+    assert(math.abs(closed - brute) < 1e-9, s"$closed vs $brute")
+    val got = graft.ext.Similarity.isotropy.build(spark, d).collect().head
+    assert(got.getLong(0) === n.toLong && got.getLong(1) === 0L)
+    assert(got.getString(2) === s2.toString, "exact resultant square")
+    assert(got.getDouble(3) === math.floor(closed * 1e6 + 0.5) / 1e6)
+  }
+
+  test("concurrency replays a brute-force sweep line over raw sessions") {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(byUser)
+    val sessions = graft.queries.Inventory.events(spark, d)
+      .withColumn("us", us)
+      .withColumn("ns", when(prev.isNull ||
+        (us - prev) > graft.ext.Sessions.GapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("ns")).over(byUser))
+      .groupBy("user_id", "sess")
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    // brute force: collapse net deltas per us, one global prefix scan
+    val deltas = scala.collection.mutable.Map.empty[Long, Long]
+    sessions.foreach { case (s0, e0) =>
+      deltas(s0) = deltas.getOrElse(s0, 0L) + 1
+      deltas(e0 + 1) = deltas.getOrElse(e0 + 1, 0L) - 1
+    }
+    var run = 0L
+    val days = scala.collection.mutable.Map.empty[java.time.LocalDate, (Long, Long)]
+    deltas.toSeq.sortBy(_._1).foreach { case (t, dl) =>
+      run += dl
+      val day = java.time.Instant.ofEpochSecond(t / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val (pk, cnt) = days.getOrElse(day, (Long.MinValue, 0L))
+      days(day) = (math.max(pk, run), cnt + 1)
+    }
+    val got = graft.ext.Sessions.concurrency.build(spark, d).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2))).toSeq
+    val want = days.toSeq.map { case (day, (pk, cnt)) => (day, pk, cnt) }
+      .sortBy(_._1.toEpochDay)
+    assert(got === want, "two-level prefix sum must equal the global sweep")
+    // peaks are positive and bounded by the session count
+    assert(got.forall(x => x._2 >= 1 && x._2 <= sessions.length))
+  }
 }

@@ -507,6 +507,31 @@ class PlanSpec extends SparkSpec {
       s"published peel plan must source from the checkpointed RDD:\n$p")
   }
 
+  test("concurrency sweep line scans events ONCE; no corpus-sized global window") {
+    // sessions -> +-1 transitions -> per-day prefix + days-collapse
+    // global cumsum: the whole pipeline forks from ONE events scan
+    // (the transition fan-out is an in-plan explode, not a re-read),
+    // and the only unpartitioned window runs over the |days| collapse
+    val p = finalPlan(graft.ext.Sessions.concurrency.build(spark, d))
+    assert(parquetScans(p) === 1, s"events must be scanned once:\n$p")
+  }
+
+  test("rake keywords: top-25 is a bounded TakeOrderedAndProject, never a global sort of all phrases") {
+    val p = finalPlan(graft.ext.TextAnalysis.rakeKeywords.build(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"phrase top-k must prune map-side:\n$p")
+  }
+
+  test("isotropy is one corpus scan and d-row state; no pair join anywhere") {
+    val p = finalPlan(graft.ext.Similarity.isotropy.build(spark, d))
+    assert(parquetScans(p) <= 2, s"resultant-vector closed form must not re-read per pair:\n$p")
+    // the only join is the 1-row scalar attach (BNLJ on a broadcast
+    // singleton); a pair formulation would surface as a cartesian or
+    // an equi-join between two corpus-derived sides
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"no pair join expected:\n$p")
+  }
+
   test("mmr rerank: two corpus scans, bounded broadcasts, no cartesian") {
     // candidate gen (query-broadcast scan) + the pair-sim vector
     // fetch; the 5 greedy rounds run entirely on reused stages
