@@ -1406,9 +1406,14 @@ object Pipelines {
     * calibration. Shared by [[classifierEval]] (thresholds slr) and
     * [[classifierCalibration]] (sigmoids prior_b + slr).
     */
-  def nbHeldoutScored(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val docs = graft.queries.Inventory.rebalanced(
-      s.read.parquet(s"$d/documents.parquet"), "doc_id")
+  def nbHeldoutScored(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    nbHeldoutScoredDf(graft.queries.Inventory.rebalanced(
+      s.read.parquet(s"$d/documents.parquet"), "doc_id"))
+
+  /** DataFrame-level variant over an already-resolved documents
+    * relation — what [[graft.models.EvalPipeline]] materializes.
+    */
+  def nbHeldoutScoredDf(docs: DataFrame): DataFrame = {
     val labeled = nbLabeled(docs)
       .withColumn("bucket", hash60(col("text")) % 100)
     val train = labeled.filter(col("bucket") < 80)
@@ -1433,26 +1438,33 @@ object Pipelines {
         col("slr"), col("prior_b"))
   }
 
+  /** Confusion + P/R/F1/accuracy from a (doc_id, heur_label, slr)
+    * held-out scores relation — DataFrame→DataFrame so the registry
+    * query and [[graft.models.EvalPipeline]]'s materialized-table
+    * view share one implementation and cannot drift.
+    */
+  def classifierEvalOf(heldout: DataFrame): DataFrame = {
+    val scored = heldout
+      .select(col("doc_id"), col("heur_label"),
+        (col("slr") > lit(0)).as("predicted"))
+    val g = scored.agg(
+      count(lit(1)).as("n_test"),
+      sum(when(col("heur_label") && col("predicted"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("heur_label") && col("predicted"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("heur_label") && !col("predicted"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("heur_label") && !col("predicted"), 1L).otherwise(0L)).as("tn"))
+    val prec = col("tp").cast(DoubleType) / nullif(col("tp") + col("fp"), lit(0L)).cast(DoubleType)
+    val rec = col("tp").cast(DoubleType) / nullif(col("tp") + col("fn"), lit(0L)).cast(DoubleType)
+    g.select(col("n_test"), col("tp"), col("fp"), col("fn"), col("tn"),
+      roundPortable(prec, 4).as("precision"),
+      roundPortable(rec, 4).as("recall"),
+      roundPortable(lit(2.0) * prec * rec / nullif(prec + rec, lit(0.0)), 4).as("f1"),
+      roundPortable((col("tp") + col("tn")).cast(DoubleType) /
+        nullif(col("n_test"), lit(0L)).cast(DoubleType), 4).as("accuracy"))
+  }
+
   val classifierEval: Q = Q(
-    (s, d) => {
-      val scored = nbHeldoutScored(s, d)
-        .select(col("doc_id"), col("heur_label"),
-          (col("slr") > lit(0)).as("predicted"))
-      val g = scored.agg(
-        count(lit(1)).as("n_test"),
-        sum(when(col("heur_label") && col("predicted"), 1L).otherwise(0L)).as("tp"),
-        sum(when(!col("heur_label") && col("predicted"), 1L).otherwise(0L)).as("fp"),
-        sum(when(col("heur_label") && !col("predicted"), 1L).otherwise(0L)).as("fn"),
-        sum(when(!col("heur_label") && !col("predicted"), 1L).otherwise(0L)).as("tn"))
-      val prec = col("tp").cast(DoubleType) / nullif(col("tp") + col("fp"), lit(0L)).cast(DoubleType)
-      val rec = col("tp").cast(DoubleType) / nullif(col("tp") + col("fn"), lit(0L)).cast(DoubleType)
-      g.select(col("n_test"), col("tp"), col("fp"), col("fn"), col("tn"),
-        roundPortable(prec, 4).as("precision"),
-        roundPortable(rec, 4).as("recall"),
-        roundPortable(lit(2.0) * prec * rec / nullif(prec + rec, lit(0.0)), 4).as("f1"),
-        roundPortable((col("tp") + col("tn")).cast(DoubleType) /
-          nullif(col("n_test"), lit(0L)).cast(DoubleType), 4).as("accuracy"))
-    },
+    (s, d) => classifierEvalOf(nbHeldoutScored(s, d)),
     Some(s"""WITH $nbHeldoutCtes, test AS (
             |  SELECT heur_label, slr > 0 AS predicted FROM scored
             |), g AS (
@@ -1494,11 +1506,13 @@ object Pipelines {
   // doubles in one shared op order. Scale: the scorer's cost;
   // the calibration itself is a 10-row aggregate.
   // ------------------------------------------------------------------
-  val classifierCalibration: Q = Q(
-    (s, d) => {
+  /** Reliability bins + ECE from the held-out scores relation —
+    * shared by the registry query and the EvalPipeline view.
+    */
+  def classifierCalibrationOf(heldout: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy()
-      val cal = nbHeldoutScored(s, d)
+      val cal = heldout
         .select(col("heur_label"),
           (lit(1.0) / (lit(1.0) +
             exp(-(col("prior_b") + col("slr").cast(DoubleType))))).as("phat"))
@@ -1520,7 +1534,10 @@ object Pipelines {
           roundPortable(col("ece_num").cast(DoubleType)
             / (col("n_total") * lit(1000000L)), 6).as("ece"))
         .orderBy("bin")
-    },
+  }
+
+  val classifierCalibration: Q = Q(
+    (s, d) => classifierCalibrationOf(nbHeldoutScored(s, d)),
     Some(s"""WITH $nbHeldoutCtes, cal AS (
             |  SELECT heur_label,
             |    CAST(floor(1.0 / (1.0 + exp(-(p.b + CAST(slr AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) AS phat6
@@ -1561,9 +1578,11 @@ object Pipelines {
   // degenerate perfect-chance folds (p_e = 1) publish NULL, stated.
   // Scale: the held-out scorer's cost + one 4-cell aggregate.
   // ------------------------------------------------------------------
-  val raterAgreement: Q = Q(
-    (s, d) => {
-      val scored = nbHeldoutScored(s, d)
+  /** Cohen's κ from the held-out scores relation — shared by the
+    * registry query and the EvalPipeline view.
+    */
+  def raterAgreementOf(heldout: DataFrame): DataFrame = {
+      val scored = heldout
         .select(col("heur_label"), (col("slr") > lit(0)).as("predicted"))
       val g = scored.agg(
         count(lit(1)).as("n"),
@@ -1581,7 +1600,10 @@ object Pipelines {
         roundPortable(po, 6).as("p_observed"),
         roundPortable(pe, 6).as("p_expected"),
         roundPortable((po - pe) / nullif(lit(1.0) - pe, lit(0.0)), 6).as("kappa"))
-    },
+  }
+
+  val raterAgreement: Q = Q(
+    (s, d) => raterAgreementOf(nbHeldoutScored(s, d)),
     Some(s"""WITH $nbHeldoutCtes, test AS (
             |  SELECT heur_label, slr > 0 AS predicted FROM scored
             |), g AS (

@@ -368,6 +368,29 @@ class EngineSpec extends SparkSpec {
     assert(codes.groupBy("vec_id", "blk").count().filter(col("count") > 1).count() === 0L)
   }
 
+  test("Eval DAG: materialized reports equal the in-query registry results row-for-row") {
+    val d = sf("0.001")
+    val wh = java.nio.file.Files.createTempDirectory("graft-evaldag").toString
+    val r = graft.models.EvalPipeline.run(spark, d, new TableSink.Parquet(wh))
+    assert(r.allTestsPassed, r.tests.filterNot(_.passed).mkString(", "))
+    assert(r.skipped.isEmpty)
+    // THE contract: every report over the MATERIALIZED scores table
+    // returns row-for-row what its standalone registry query returns —
+    // materialization must never change answers
+    assert(r("classifier_eval_report").collect().toSeq ===
+      graft.ext.Pipelines.classifierEval.build(spark, d).collect().toSeq)
+    assert(r("classifier_calibration_report").collect().toSeq ===
+      graft.ext.Pipelines.classifierCalibration.build(spark, d).collect().toSeq)
+    assert(r("rater_agreement_report").collect().toSeq ===
+      graft.ext.Pipelines.raterAgreement.build(spark, d).collect().toSeq)
+    // the report plans read the SINK's parquet (the scores table),
+    // not the raw corpus: no tokenizer/NB training machinery re-runs
+    val plan = r("classifier_eval_report").queryExecution.executedPlan.toString
+    assert(plan.contains(wh), plan)
+    assert(!plan.contains("documents.parquet"),
+      s"report must not re-score the corpus:\n$plan")
+  }
+
   test("ANN index DAG wave-parallel run matches sequential table-for-table") {
     // centroids ∥ codebook are independent roots (wave 1), cells ∥
     // codes follow (wave 2) — the build parallelizes across the two
