@@ -560,6 +560,63 @@ object Sessions {
            |FROM g""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Daily behavioral ENTROPY — Shannon entropy of the event-type
+  // distribution per day, H = −Σ p·log₂p (Shannon 1948 — public):
+  // the diversity monitor behind "did the traffic mix collapse?" —
+  // a bot flood, a broken client, or a scraper shows up as an entropy
+  // CRASH (one type dominating) long before volume alone flags it,
+  // and evenness (H / log₂|types|) normalizes the signal across days
+  // with different active type counts. Complements the volume-based
+  // `events_anomaly_days` (MAD) with a mix-based channel.
+  //
+  // Determinism: each type's term lands on the 1e-6 grid as a LONG
+  // immediately after the transcendental step, so the per-day sum is
+  // integer; ln(2) enters as the same 17-digit literal in BOTH
+  // engines (libm ln(2.0) could differ by an ulp between them).
+  // Scale: one (day, type) aggregate map-side combines to
+  // |days|·|types| rows; everything after is grid-sized.
+  // ------------------------------------------------------------------
+  private val Ln2 = "0.6931471805599453"
+
+  val entropyDaily: Q = Q(
+    (s, d) => {
+      val byDay = Inventory.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("nd", sum(col("n")).over(Window.partitionBy("day")))
+      val p = col("n").cast(DoubleType) / col("nd").cast(DoubleType)
+      val term6 = floor(p * (log(p) / lit(Ln2.toDouble)) * lit(1e6) + lit(0.5)).cast("long")
+      byDay.select(col("day"), col("n"), col("nd"), term6.as("t6"))
+        .groupBy("day")
+        .agg(max(col("nd")).as("n_events"), count(lit(1)).as("n_types"),
+          (-sum(col("t6"))).as("h6"))
+        .select(col("day"), col("n_events"), col("n_types"),
+          roundPortable(col("h6").cast(DoubleType) / lit(1e6), 6).as("entropy_bits"),
+          roundPortable(col("h6").cast(DoubleType) / lit(1e6) /
+            nullif(log(col("n_types").cast(DoubleType)) / lit(Ln2.toDouble), lit(0.0)), 6)
+            .as("evenness"))
+        .orderBy("day")
+    },
+    Some(s"""WITH g AS (
+            |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2
+            |), e AS (
+            |  SELECT day, n, CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS nd FROM g
+            |), t AS (
+            |  SELECT day, n, nd,
+            |    CAST(floor(CAST(n AS DOUBLE) / nd * (ln(CAST(n AS DOUBLE) / nd) / $Ln2) * 1000000 + 0.5) AS BIGINT) AS t6
+            |  FROM e
+            |), h AS (
+            |  SELECT day, CAST(max(nd) AS BIGINT) AS n_events, count(*) AS n_types,
+            |         CAST(-sum(t6) AS BIGINT) AS h6
+            |  FROM t GROUP BY 1
+            |)
+            |SELECT day, n_events, n_types,
+            |  floor(CAST(h6 AS DOUBLE) / 1000000 * 1000000 + 0.5) / 1000000 AS entropy_bits,
+            |  floor(CAST(h6 AS DOUBLE) / 1000000 / nullif(ln(CAST(n_types AS DOUBLE)) / $Ln2, 0.0) * 1000000 + 0.5) / 1000000 AS evenness
+            |FROM h ORDER BY day""".stripMargin)
+  )
+
   val RollingDays = 7
 
   val activeUsers: Q = Q(
@@ -1584,6 +1641,7 @@ object Sessions {
     "events_sessionize" -> sessionize,
     "events_concurrency" -> concurrency,
     "events_gini" -> gini,
+    "events_entropy_daily" -> entropyDaily,
     "events_hourly_window" -> hourly,
     "events_cohort_retention" -> cohortRetention,
     "events_funnel" -> funnel,

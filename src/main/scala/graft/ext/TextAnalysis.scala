@@ -1849,7 +1849,97 @@ object TextAnalysis {
             |WHERE rank <= $RakeTop ORDER BY rank""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Per-source Jensen-Shannon divergence from the corpus unigram
+  // distribution (Lin, "Divergence Measures Based on the Shannon
+  // Entropy", IEEE IT 1991 — public): the source-mix drift monitor —
+  // JSD(P_source ‖ P_corpus) is symmetric, bounded (≤ ln 2), and
+  // defined even when a source misses tokens, which is exactly why
+  // curation pipelines prefer it over raw KL for "which crawl source
+  // is distributionally weird" (the CCNet/RedPajama domain-comparison
+  // posture). Complements `pipeline_mixture_kl` (plans a target mix)
+  // and `text_term_drift` (time axis) with the SOURCE axis.
+  //
+  // Determinism: every token's JSD term lands on the 1e-9 grid as a
+  // LONG immediately after the transcendental step; the absent-token
+  // mass (p = 0 ⇒ term = ½q·ln2 per token) folds in via the
+  // complement of GRIDDED per-token constants — Σ_absent a9 =
+  // A_all − Σ_present a9, exact because the sum is over already-
+  // gridded integers, never re-gridded (the t-closeness complement
+  // discipline). ln 2 is the shared 17-digit literal. Scale: one
+  // token pass to |sources|·vocab rows (map-side combined), a
+  // vocab-row corpus side, a (source, token) equi-join between two
+  // vocab-scaled aggregates (merge-hinted — both are explode-derived
+  // and size-underestimated), and |S|-row outputs.
+  // ------------------------------------------------------------------
+  private val Ln2 = 0.6931471805599453
+
+  val jsdSources: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = s.read.parquet(s"$d/documents.parquet")
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+      val srcTok = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+        .withColumn("ns", sum(col("c")).over(Window.partitionBy("source")))
+      val corpusTok = tok.groupBy("t").agg(count(lit(1)).as("ct"))
+        .withColumn("n", sum(col("ct")).over(Window.partitionBy()))
+      val q = col("ct").cast(DoubleType) / col("n").cast(DoubleType)
+      // absent-token constant: p = 0 ⇒ m = q/2 ⇒ term = 0.5·q·ln 2
+      val vocab = corpusTok.select(col("t"), col("ct"), col("n"),
+        floor(lit(0.5) * q * lit(Ln2) * lit(1e9) + lit(0.5)).cast("long").as("a9"))
+      val aAll = vocab.agg(sum(col("a9")).as("a_all"))
+      val p = col("c").cast(DoubleType) / col("ns").cast(DoubleType)
+      val q2 = col("ct").cast(DoubleType) / col("n").cast(DoubleType)
+      val m = (p + q2) / lit(2.0)
+      val term9 = floor((lit(0.5) * p * log(p / m) + lit(0.5) * q2 * log(q2 / m))
+        * lit(1e9) + lit(0.5)).cast("long")
+      srcTok.join(vocab.hint("merge"), Seq("t"))
+        .select(col("source"), col("ns"), term9.as("t9"), col("a9"))
+        .groupBy("source")
+        .agg(max(col("ns")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("t9")).as("present9"), sum(col("a9")).as("pa9"))
+        .crossJoin(broadcast(aAll))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          roundPortable((col("present9") + (col("a_all") - col("pa9")))
+            .cast(DoubleType) / lit(1e9), 6).as("jsd_nats"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tok AS (
+            |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents
+            |), st AS (
+            |  SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2
+            |), ste AS (
+            |  SELECT source, t, c, CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ns FROM st
+            |), ct AS (
+            |  SELECT t, count(*) AS ct FROM tok GROUP BY 1
+            |), cte AS (
+            |  SELECT t, ct, CAST(sum(ct) OVER () AS BIGINT) AS n FROM ct
+            |), vocab AS (
+            |  SELECT t, ct, n,
+            |    CAST(floor(0.5 * (CAST(ct AS DOUBLE) / n) * $Ln2 * 1000000000 + 0.5) AS BIGINT) AS a9
+            |  FROM cte
+            |), aall AS (
+            |  SELECT CAST(sum(a9) AS BIGINT) AS a_all FROM vocab
+            |), terms AS (
+            |  SELECT s.source, s.ns, v.a9,
+            |    CAST(floor((0.5 * (CAST(s.c AS DOUBLE) / s.ns)
+            |            * ln((CAST(s.c AS DOUBLE) / s.ns) / ((CAST(s.c AS DOUBLE) / s.ns + CAST(v.ct AS DOUBLE) / v.n) / 2.0))
+            |          + 0.5 * (CAST(v.ct AS DOUBLE) / v.n)
+            |            * ln((CAST(v.ct AS DOUBLE) / v.n) / ((CAST(s.c AS DOUBLE) / s.ns + CAST(v.ct AS DOUBLE) / v.n) / 2.0)))
+            |         * 1000000000 + 0.5) AS BIGINT) AS t9
+            |  FROM ste s JOIN vocab v USING (t)
+            |), g AS (
+            |  SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens, count(*) AS n_types,
+            |         CAST(sum(t9) AS BIGINT) AS present9, CAST(sum(a9) AS BIGINT) AS pa9
+            |  FROM terms GROUP BY 1
+            |)
+            |SELECT source, n_tokens, n_types,
+            |  floor(CAST(present9 + (a_all - pa9) AS DOUBLE) / 1000000000 * 1000000 + 0.5) / 1000000 AS jsd_nats
+            |FROM g CROSS JOIN aall ORDER BY source""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "text_jsd_sources" -> jsdSources,
     "text_rake_keywords" -> rakeKeywords,
     "text_vocab_coverage" -> vocabCoverage,
     "text_charclass_profile" -> charclassProfile,
