@@ -1353,9 +1353,61 @@ object Dedup {
            |ORDER BY source_a, source_b""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Shingle MULTIPLICITY profile — "how much dedup is left": the
+  // histogram of 3-shingle occurrence counts across the corpus,
+  // bucketed 1..5 and 6+. A clean corpus concentrates mass at k = 1;
+  // duplicated / boilerplate-heavy corpora shift occurrence mass into
+  // the tail, and the k ≥ 2 occurrence share IS the upper bound on
+  // what shingle-level dedup can still remove — the dashboard number
+  // a curation team tracks across pipeline versions (the corpus-level
+  // summary the pairwise dedup_* queries enumerate). Per-document
+  // shingles dedupe first (the jaccard contract), so within-doc
+  // repetition (text_repetition's signal) does not pollute the
+  // cross-doc statistic.
+  //
+  // Determinism: pure integer counts; one 6dp share per row. Scale:
+  // the shingle pass collapses to the shingle-universe-sized count
+  // table, then to SIX rows — no joins at all.
+  // ------------------------------------------------------------------
+  val shingleProfile: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val posts = shinglePosts(s, d, hash60)
+      val counts = posts.groupBy("hs").agg(count(lit(1)).as("c"))
+        .select(least(col("c"), lit(6L)).as("k"), col("c"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_shingles"), sum(col("c")).as("n_occurrences"))
+      val w = Window.partitionBy()
+      counts
+        .withColumn("total_occ", sum(col("n_occurrences")).over(w))
+        .select(col("k"), col("n_shingles"), col("n_occurrences"),
+          graft.engine.Functions.roundPortable(
+            col("n_occurrences").cast(DoubleType) / col("total_occ").cast(DoubleType), 6)
+            .as("occ_share"))
+        .orderBy("k")
+    },
+    Some("""WITH sh0 AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+           |           i -> array_to_string(toks[i:i+2], ' ')))) AS s
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hs FROM sh0
+           |), c AS (
+           |  SELECT hs, count(*) AS c FROM sh GROUP BY 1
+           |), b AS (
+           |  SELECT least(c, 6) AS k, count(*) AS n_shingles, CAST(sum(c) AS BIGINT) AS n_occurrences
+           |  FROM c GROUP BY 1
+           |)
+           |SELECT CAST(k AS BIGINT) AS k, n_shingles, n_occurrences,
+           |  floor(CAST(n_occurrences AS DOUBLE) / CAST(sum(n_occurrences) OVER () AS DOUBLE) * 1000000 + 0.5) / 1000000 AS occ_share
+           |FROM b ORDER BY k""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_cross_source" -> crossSource,
     "dedup_recall_eval" -> recallEval,
+    "dedup_shingle_profile" -> shingleProfile,
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
     "dedup_minhash_lsh" -> minhashLsh,

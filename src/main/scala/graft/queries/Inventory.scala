@@ -1683,6 +1683,61 @@ object Inventory {
   // of their +1, making the backlog transiently negative (the spec's
   // direct interval count caught exactly that in the first draft).
   // ------------------------------------------------------------------
+  // ------------------------------------------------------------------
+  // Ship-latency SLA by order priority — the operational "are URGENT
+  // orders actually shipping faster" report: per priority class, line
+  // volume, the share shipping within the 7-day SLA, and the
+  // mean/worst latency in days. The canonical date-arithmetic +
+  // dimension-rollup query (TPC-H Q4's shape with the latency made
+  // explicit). Latencies are integer day diffs; the SLA share is one
+  // LONG-count ratio; the mean divides an exact LONG day sum — no
+  // float surface before the final published doubles. Scale: one
+  // fact-fact equi-join on orderkey (co-partitionable) collapsing
+  // straight to |priorities| rows map-side.
+  // ------------------------------------------------------------------
+  val SlaDays = 7
+
+  val ordersPrioritySla: Q = Q(
+    (s, d) => {
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+          col("o_orderpriority"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), datediff(col("sd"), col("od")).cast("long").as("lat"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("lat") <= SlaDays, 1L).otherwise(0L)).as("n_within_sla"),
+          sum(col("lat")).as("lat_sum"), max(col("lat")).as("max_latency_days"))
+        .select(col("o_orderpriority"), col("n_lines"),
+          graft.engine.Functions.roundPortable(
+            col("n_within_sla").cast(DoubleType) / col("n_lines").cast(DoubleType), 6)
+            .as("sla_share"),
+          graft.engine.Functions.roundPortable(
+            col("lat_sum").cast(DoubleType) / col("n_lines").cast(DoubleType), 4)
+            .as("avg_latency_days"),
+          col("max_latency_days"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""WITH j AS (
+            |  SELECT o_orderpriority,
+            |         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat
+            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |), g AS (
+            |  SELECT o_orderpriority, count(*) AS n_lines,
+            |    CAST(sum(CASE WHEN lat <= $SlaDays THEN 1 ELSE 0 END) AS BIGINT) AS n_within_sla,
+            |    CAST(sum(lat) AS BIGINT) AS lat_sum,
+            |    CAST(max(lat) AS BIGINT) AS max_latency_days
+            |  FROM j GROUP BY 1
+            |)
+            |SELECT o_orderpriority, n_lines,
+            |  floor(CAST(n_within_sla AS DOUBLE) / n_lines * 1000000 + 0.5) / 1000000 AS sla_share,
+            |  floor(CAST(lat_sum AS DOUBLE) / n_lines * 10000 + 0.5) / 10000 AS avg_latency_days,
+            |  max_latency_days
+            |FROM g ORDER BY o_orderpriority""".stripMargin)
+  )
+
   val ordersBacklog: Q = Q(
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1821,6 +1876,7 @@ object Inventory {
   val all: Seq[(String, Q)] = Seq(
     "s1_scan" -> s1Scan,
     "orders_backlog" -> ordersBacklog,
+    "orders_priority_sla" -> ordersPrioritySla,
     "p2_projection" -> p2Projection,
     "p3_rename_cast" -> p3RenameCast,
     "p4_scope_union" -> p4ScopeUnion,
