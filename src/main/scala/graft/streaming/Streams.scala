@@ -853,6 +853,41 @@ object Streams {
       }
   }
 
+  /** Evolving (day, event_type) count cell for [[entropyCells]]:
+    * monotone n, so max-struct selects the final state in audits.
+    */
+  final case class DayTypeCell(day: String, event_type: String, n: Long)
+
+  /** The STREAMING deployment of the behavioral-entropy monitor
+    * ([[graft.ext.Sessions.entropyDaily]], `events_entropy_daily`):
+    * like [[tClosenessCells]], the published statistic (Shannon
+    * entropy of each day's type mix) depends on the WHOLE day's
+    * distribution, so the stream maintains the sufficient statistic —
+    * one counter per (day, event_type) cell, bounded by
+    * |days|·|types|, never the stream — and the read side derives
+    * H = −Σ p·log₂p from the final cells with the batch query's
+    * exact integer-micro term grid. Integer counts end to end; in
+    * production an event-time timeout evicts closed days after the
+    * late-arrival horizon (the [[closedSessions]] discipline).
+    */
+  def entropyCells(
+      rows: org.apache.spark.sql.Dataset[(String, String)])
+      : org.apache.spark.sql.Dataset[DayTypeCell] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[DayTypeCell]
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    rows.groupByKey(identity)
+      .flatMapGroupsWithState[DayTypeCell, DayTypeCell](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, String), evs: Iterator[(String, String)], state: GroupState[DayTypeCell]) =>
+          val n = state.getOption.map(_.n).getOrElse(0L) + evs.size
+          val cur = DayTypeCell(key._1, key._2, n)
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
   /** Evolving per-language character-class state for
     * [[charclassCounters]]: doc and char volume plus the three
     * counted class masses (letters, digits, whitespace; `other`

@@ -814,6 +814,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming entropy cells audit against the batch daily entropy at sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val rowsDt = graft.queries.Inventory.events(spark, d)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd"), col("event_type"))
+      .as[(String, String)].collect()
+    val (first, second) = rowsDt.splitAt(rowsDt.length / 2)
+    val mem = MemoryStream[(String, String)]
+    val q = Streams.entropyCells(mem.toDS())
+      .writeStream.format("memory").queryName("entropy_stream")
+      .outputMode("append").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val cells = spark.table("entropy_stream")
+      .groupBy("day", "event_type").agg(max(col("n")).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // re-derive each day's entropy from the final cells with the batch
+    // query's exact integer-micro term grid
+    val ln2 = 0.6931471805599453
+    val derived = cells.groupBy(_._1._1).map { case (day, m) =>
+      val nd = m.values.sum
+      val h6 = -m.values.map { n =>
+        val p = n.toDouble / nd.toDouble
+        math.floor(p * (math.log(p) / ln2) * 1e6 + 0.5).toLong
+      }.sum
+      day -> (nd, m.size.toLong, math.floor(h6.toDouble / 1e6 * 1e6 + 0.5) / 1e6)
+    }
+    val batch = graft.ext.Sessions.entropyDaily.build(spark, d).collect()
+    assert(batch.length === derived.size)
+    batch.foreach { r =>
+      val day = r.getDate(0).toLocalDate.toString
+      val (nd, types, h) = derived(day)
+      assert(nd === r.getLong(1), s"$day n_events")
+      assert(types === r.getLong(2), s"$day n_types")
+      assert(h === r.getDouble(3), s"$day entropy")
+    }
+  }
+
   test("streaming charclass counters audit against the batch profile at sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
