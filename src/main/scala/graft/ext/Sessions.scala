@@ -617,6 +617,50 @@ object Sessions {
             |FROM h ORDER BY day""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // DAU/MAU STICKINESS — the engagement ratio product teams anchor on
+  // (daily active ÷ trailing-30-day active; 1.0 = every monthly user
+  // shows up daily). Same engine shape as [[activeUsers]]' rolling
+  // window: the distinct (day, user) grid explodes each activity day
+  // onto the 30 anchors it supports, pruned to REAL anchors by a
+  // broadcast of the day list — the rolling distinct-count as one
+  // shuffle, no per-day re-scan, exact countDistinct per the
+  // reference contract. Integer counts; one 6dp ratio.
+  // ------------------------------------------------------------------
+  val MauDays = 30
+
+  val dauMau: Q = Q(
+    (s, d) => {
+      val p = Inventory.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = p.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val days = p.select(col("day").as("anchor")).distinct()
+      val mau = p
+        .withColumn("anchor", explode(sequence(col("day"), date_add(col("day"), MauDays - 1))))
+        .join(broadcast(days), Seq("anchor"))
+        .groupBy("anchor").agg(countDistinct(col("user_id")).as("mau_30d"))
+      dau.join(mau, col("day") === col("anchor"))
+        .select(col("day"), col("dau"), col("mau_30d"),
+          roundPortable(col("dau").cast(DoubleType) / col("mau_30d").cast(DoubleType), 6)
+            .as("stickiness"))
+        .orderBy("day")
+    },
+    Some(s"""WITH p AS (
+            |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            |), dau AS (
+            |  SELECT day, count(DISTINCT user_id) AS dau FROM p GROUP BY 1
+            |), days AS (
+            |  SELECT DISTINCT day AS anchor FROM p
+            |), mau AS (
+            |  SELECT d.anchor, count(DISTINCT p.user_id) AS mau_30d
+            |  FROM days d JOIN p ON p.day BETWEEN d.anchor - ${MauDays - 1} AND d.anchor
+            |  GROUP BY 1
+            |)
+            |SELECT dau.day, dau.dau, mau.mau_30d,
+            |  floor(CAST(dau.dau AS DOUBLE) / mau.mau_30d * 1000000 + 0.5) / 1000000 AS stickiness
+            |FROM dau JOIN mau ON mau.anchor = dau.day ORDER BY day""".stripMargin)
+  )
+
   val RollingDays = 7
 
   val activeUsers: Q = Q(
@@ -1642,6 +1686,7 @@ object Sessions {
     "events_concurrency" -> concurrency,
     "events_gini" -> gini,
     "events_entropy_daily" -> entropyDaily,
+    "events_dau_mau" -> dauMau,
     "events_hourly_window" -> hourly,
     "events_cohort_retention" -> cohortRetention,
     "events_funnel" -> funnel,
