@@ -2240,4 +2240,62 @@ class ExtSpec extends SparkSpec {
     // peaks are positive and bounded by the session count
     assert(got.forall(x => x._2 >= 1 && x._2 <= sessions.length))
   }
+
+  test("jsd sources: bounded by ln 2, zero iff identical, replays from raw token counts") {
+    val rows = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val corpusCt = rows.groupBy(_._2).map { case (t, g) => t -> g.map(_._3).sum }
+    val n = corpusCt.values.sum
+    val ln2 = 0.6931471805599453
+    val a9 = corpusCt.map { case (t, ct) =>
+      t -> math.floor(0.5 * (ct.toDouble / n) * ln2 * 1e9 + 0.5).toLong }
+    val aAll = a9.values.sum
+    val want = rows.groupBy(_._1).map { case (src, g) =>
+      val ns = g.map(_._3).sum
+      val present = g.map { case (_, t, c) =>
+        val p = c.toDouble / ns; val q = corpusCt(t).toDouble / n
+        val m = (p + q) / 2.0
+        (math.floor((0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)) * 1e9 + 0.5).toLong,
+          a9(t))
+      }
+      val jsd9 = present.map(_._1).sum + (aAll - present.map(_._2).sum)
+      src -> math.floor(jsd9.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+    }
+    val got = graft.ext.TextAnalysis.jsdSources.build(spark, d).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val w = want(r.getString(0))
+      assert(r.getDouble(3) === w, s"source ${r.getString(0)}")
+      // JSD bounds: non-negative, ≤ ln 2
+      assert(w >= 0.0 && w <= ln2 + 1e-6)
+    }
+  }
+
+  test("priority SLA replays from raw order/lineitem dates") {
+    val ord = spark.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_orderpriority"))
+      .collect().map(r => r.getLong(0) -> (r.getDate(1).toLocalDate, r.getString(2))).toMap
+    val lats = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .collect().flatMap { r =>
+        ord.get(r.getLong(0)).map { case (od, pri) =>
+          pri -> java.time.temporal.ChronoUnit.DAYS.between(od, r.getDate(1).toLocalDate) }
+      }
+    val want = lats.groupBy(_._1).map { case (pri, g) =>
+      val ls = g.map(_._2)
+      pri -> (ls.length.toLong, ls.count(_ <= graft.queries.Inventory.SlaDays).toLong,
+        ls.sum, ls.max)
+    }
+    val got = graft.queries.Inventory.ordersPrioritySla.build(spark, d).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (nl, within, lsum, lmax) = want(r.getString(0))
+      assert(r.getLong(1) === nl)
+      assert(r.getDouble(2) === math.floor(within.toDouble / nl * 1e6 + 0.5) / 1e6)
+      assert(r.getDouble(3) === math.floor(lsum.toDouble / nl * 1e4 + 0.5) / 1e4)
+      assert(r.getLong(4) === lmax)
+    }
+  }
 }
