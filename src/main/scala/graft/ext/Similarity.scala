@@ -122,6 +122,88 @@ object Similarity {
   )
 
   // ------------------------------------------------------------------
+  // QUANTIZATION error profile — what the int8 path actually costs:
+  // per-vector cosine distortion 1 − cos(v, dequant(v)) and MSE under
+  // EXACTLY the `ann_quantized_topk` recipe (s = 127/max|x|,
+  // floor-half-up, shared so the audit cannot drift from the index),
+  // rolled up to the corpus verdict: mean/max distortion and the
+  // share of vectors above a 1e-4 distortion budget. This is the
+  // measurement that licenses storing the corpus int8 (4× smaller,
+  // the 100 TB default) — and the drift monitor that catches a new
+  // embedding version whose dynamic range breaks the symmetric-scale
+  // assumption. Completes the eval family: recall_eval audits the
+  // RANKING the quantized index returns; this audits the REPRESENTATION.
+  //
+  // Determinism: per-vector distortions land on the 1e-6 grid as
+  // LONGs right after the cosine (the proven replay granularity);
+  // MSE grids at 1e-12 (values ~1e-10); all rollups are integer
+  // sums + one double division each. Scale: embarrassingly parallel
+  // per-vector projection + one 1-row aggregate; no join, no shuffle.
+  // ------------------------------------------------------------------
+  val QuantDistTau6 = 100L // 1e-4 on the 1e-6 grid
+
+  // lazy: the ORACLE string interpolates $Dim eagerly, and this val
+  // sits above `val Dim`'s declaration — a strict val would bake in
+  // the pre-init 0 (observed as `/ 0` in the generated SQL). The
+  // registry Seq at the bottom of the object forces it after Dim
+  // initializes. (The Spark closure never had the bug — it evaluates
+  // at call time.)
+  lazy val quantizationError: Q = Q(
+    (s, d) => {
+      val e = emb(s, d)
+      val v = transform(col("embedding"), x => x.cast(DoubleType))
+      val scale = lit(127.0) / array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))
+      val deq = transform(col("embedding"), x => floor(x.cast(DoubleType) * scale + lit(0.5)) / scale)
+      val mse = aggregate(
+        zip_with(v, deq, (x, q) => (x - q) * (x - q)),
+        lit(0.0), (acc, x) => acc + x) / lit(Dim)
+      val per = e.select(col("vec_id"),
+        floor((lit(1.0) - cosine(v, deq)) * lit(1e6) + lit(0.5))
+          .cast("long").as("d6"),
+        floor(mse * lit(1e12) + lit(0.5)).cast("long").as("mse12"))
+      per.agg(count(lit(1)).as("n_vectors"),
+          sum(col("d6")).as("sd6"), max(col("d6")).as("maxd6"),
+          sum(col("mse12")).as("smse12"),
+          sum(when(col("d6") > lit(QuantDistTau6), 1L).otherwise(0L)).as("n_above_tau"))
+        .select(col("n_vectors"),
+          roundPortable(col("sd6").cast(DoubleType) / col("n_vectors") / lit(1000000), 6)
+            .as("avg_cos_distortion"),
+          roundPortable(col("maxd6").cast(DoubleType) / lit(1e6), 6).as("max_cos_distortion"),
+          roundPortable(col("smse12").cast(DoubleType) / col("n_vectors") / lit(1e12), 9)
+            .as("avg_mse"),
+          col("n_above_tau"),
+          roundPortable(col("n_above_tau").cast(DoubleType) / col("n_vectors"), 6)
+            .as("share_above_tau"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+            |), sc AS (
+            |  SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS s FROM e
+            |), qz AS (
+            |  SELECT vec_id, v, list_transform(v, x -> floor(x * s + 0.5) / s) AS qv FROM sc
+            |), per AS (
+            |  SELECT vec_id,
+            |    CAST(floor((1.0 - list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2]))
+            |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+            |         * sqrt(list_sum(list_transform(qv, x -> x * x))))) * 1000000 + 0.5) AS BIGINT) AS d6,
+            |    CAST(floor(list_sum(list_transform(list_zip(v, qv), p -> (p[1] - p[2]) * (p[1] - p[2]))) / $Dim * 1000000000000 + 0.5) AS BIGINT) AS mse12
+            |  FROM qz
+            |), g AS (
+            |  SELECT count(*) AS n_vectors, CAST(sum(d6) AS BIGINT) AS sd6,
+            |         CAST(max(d6) AS BIGINT) AS maxd6, CAST(sum(mse12) AS BIGINT) AS smse12,
+            |         CAST(sum(CASE WHEN d6 > $QuantDistTau6 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_tau
+            |  FROM per
+            |)
+            |SELECT n_vectors,
+            |  floor(CAST(sd6 AS DOUBLE) / n_vectors / 1000000 * 1000000 + 0.5) / 1000000 AS avg_cos_distortion,
+            |  floor(CAST(maxd6 AS DOUBLE) / 1000000 * 1000000 + 0.5) / 1000000 AS max_cos_distortion,
+            |  floor(CAST(smse12 AS DOUBLE) / n_vectors / 1000000000000 * 1000000000 + 0.5) / 1000000000 AS avg_mse,
+            |  n_above_tau,
+            |  floor(CAST(n_above_tau AS DOUBLE) / n_vectors * 1000000 + 0.5) / 1000000 AS share_above_tau
+            |FROM g""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // Corpus ISOTROPY — the mean pairwise cosine of the normalized
   // corpus, computed in closed form from the resultant vector:
   // Σ_{i≠j} cos(v_i, v_j) = ‖Σv̂‖² − n, so the mean is
@@ -1976,6 +2058,7 @@ object Similarity {
     "ann_cosine_topk" -> bruteForceTopK,
     "ann_hard_negatives" -> hardNegatives,
     "emb_isotropy" -> isotropy,
+    "emb_quantization_error" -> quantizationError,
     "ann_dot_topk" -> dotTopK,
     "ann_lsh_topk" -> lshTopK,
     "ann_ivf_topk" -> ivfTopK,
