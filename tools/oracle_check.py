@@ -31,14 +31,35 @@ def main(sf_dir: str, out_dir: str, names=()) -> int:
             rel = con.sql(sql)
             # Driver-hash trap: DuckDB HUGEINT (from uncast sum()) is
             # canonicalized differently than INT64 by the driver's hash
-            # even when values are equal. Fail fast on schema, the same
-            # way PlanSpec guards DecimalType(p>18) on the Spark side.
-            bad_types = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
-                         if str(t).upper() in ("HUGEINT", "UHUGEINT",
-                                               "INT128", "UINT128")]
+            # even when values are equal; wide DECIMAL(p>18) routes
+            # through double the same way (the r11 saga's SECOND trap —
+            # PlanSpec sweeps it on the Spark side, this is the oracle
+            # twin). Non-canonical temporals (TIME/TIMETZ/interval/
+            # TIMESTAMP WITH TIME ZONE) have no stable driver
+            # canonicalization either. Fail fast on schema.
+            def bad_type(t: str):
+                u = t.upper()
+                if u in ("HUGEINT", "UHUGEINT", "INT128", "UINT128"):
+                    return "HUGEINT class — wrap in CAST(... AS BIGINT)"
+                if u.startswith("DECIMAL"):
+                    try:
+                        prec = int(u.split("(")[1].split(",")[0])
+                    except (IndexError, ValueError):
+                        prec = 38
+                    if prec > 18:
+                        return (f"wide {u} — driver canonicalizes through "
+                                "double; CAST to DOUBLE or DECIMAL(<=18)")
+                if u in ("TIME", "TIME WITH TIME ZONE",
+                         "TIMESTAMP WITH TIME ZONE") or "INTERVAL" in u:
+                    return f"non-canonical temporal {u} — CAST to TIMESTAMP/BIGINT"
+                return None
+
+            bad_types = [(c, str(t), bad_type(str(t)))
+                         for c, t in zip(rel.columns, rel.types)
+                         if bad_type(str(t))]
             if bad_types:
-                print(f"FAIL {name}: oracle schema has HUGEINT columns "
-                      f"{bad_types} — wrap in CAST(... AS BIGINT)")
+                for c, t, why in bad_types:
+                    print(f"FAIL {name}: oracle column {c}: {why}")
                 failures += 1
                 continue
             expected = rel.df()
