@@ -177,8 +177,19 @@ object Bench {
     }.append('"').toString
     val failed = results.collect { case (k, _, _, Some(m)) => (k, m) }
     val errJson = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    // A query that fails in exactly ONE pass is healed by best-of-2
+    // (the success is chosen), but the flake must stay LOUD in the
+    // audited artifact, not just stderr (ADVICE r13): per-pass error
+    // maps ride beside the per-pass durations.
+    val passErrJson = Seq("errors_p1" -> pass1, "errors_p2" -> pass2).map { case (label, p) =>
+      "\"" + label + "\":" + p.collect { case (k, _, _, Some(m)) => (k, m) }
+        .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    }.mkString(",")
     val total = results.map(_._2).sum
-    val blob = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"errors":$errJson,"sf":"$sfDir"}"""
+    // "timing":"min_of_2" marks the r13 methodology change IN the
+    // artifact (ADVICE r13): cross-round readers must not attribute
+    // the best-of-2 vs single-pass delta to code.
+    val blob = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","queries":$qs,"n_failed":${failed.size},"errors":$errJson,"sf":"$sfDir"}"""
     println(blob)
     // The driver captures only a ~3.5 KB TAIL of stdout, and the
     // 100+-query blob no longer fits in it (BENCH_r06/r07 both landed
@@ -192,7 +203,7 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$passJson,"task_metrics":$tmJson,"n_failed":${failed.size},"errors":$errJson,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","queries":$qs,$passJson,$passErrJson,"task_metrics":$tmJson,"n_failed":${failed.size},"errors":$errJson,"sf":"$sfDir"}"""
       java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench.json","sf":"$sfDir"}""")

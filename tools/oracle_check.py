@@ -17,6 +17,48 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# Driver-hash trap: DuckDB HUGEINT (from uncast sum()) is canonicalized
+# differently than INT64 by the driver's hash even when values are
+# equal; wide DECIMAL(p>18) routes through double the same way (the r11
+# saga's SECOND trap — PlanSpec sweeps it on the Spark side, this is
+# the oracle twin). Non-canonical temporals (TIME/TIMETZ/interval/
+# TIMESTAMP WITH TIME ZONE) have no stable driver canonicalization
+# either. Fail fast on schema.
+def bad_type(t: str):
+    u = t.upper()
+    if u in ("HUGEINT", "UHUGEINT", "INT128", "UINT128"):
+        return "HUGEINT class — wrap in CAST(... AS BIGINT)"
+    if u.startswith("DECIMAL"):
+        try:
+            prec = int(u.split("(")[1].split(",")[0])
+        except (IndexError, ValueError):
+            prec = 38
+        if prec > 18:
+            return (f"wide {u} — driver canonicalizes through "
+                    "double; CAST to DOUBLE or DECIMAL(<=18)")
+    if u in ("TIME", "TIME WITH TIME ZONE",
+             "TIMESTAMP WITH TIME ZONE") or "INTERVAL" in u:
+        return f"non-canonical temporal {u} — CAST to TIMESTAMP/BIGINT"
+    return None
+
+
+def selftest() -> int:
+    """Negative-test the type guard (VERDICT r13 ask #7): every type
+    the driver cannot canonicalize must FAIL, every canonical type must
+    pass. Run: python3 tools/oracle_check.py --selftest"""
+    must_fail = ["HUGEINT", "UHUGEINT", "DECIMAL(38,0)", "DECIMAL(19,4)",
+                 "TIMESTAMP WITH TIME ZONE", "TIME", "INTERVAL"]
+    must_pass = ["BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE",
+                 "TIMESTAMP", "DECIMAL(18,2)", "DECIMAL(10,0)", "BOOLEAN"]
+    bad = ([t for t in must_fail if not bad_type(t)] +
+           [t for t in must_pass if bad_type(t)])
+    for t in bad:
+        print(f"SELFTEST FAIL: bad_type({t!r}) = {bad_type(t)!r}")
+    print(f"selftest: {len(must_fail + must_pass) - len(bad)}/"
+          f"{len(must_fail + must_pass)} type classifications correct")
+    return 1 if bad else 0
+
+
 def main(sf_dir: str, out_dir: str, names=()) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -29,36 +71,10 @@ def main(sf_dir: str, out_dir: str, names=()) -> int:
     for name, sql in sorted(oracles.items()):
         try:
             rel = con.sql(sql)
-            # Driver-hash trap: DuckDB HUGEINT (from uncast sum()) is
-            # canonicalized differently than INT64 by the driver's hash
-            # even when values are equal; wide DECIMAL(p>18) routes
-            # through double the same way (the r11 saga's SECOND trap —
-            # PlanSpec sweeps it on the Spark side, this is the oracle
-            # twin). Non-canonical temporals (TIME/TIMETZ/interval/
-            # TIMESTAMP WITH TIME ZONE) have no stable driver
-            # canonicalization either. Fail fast on schema.
-            def bad_type(t: str):
-                u = t.upper()
-                if u in ("HUGEINT", "UHUGEINT", "INT128", "UINT128"):
-                    return "HUGEINT class — wrap in CAST(... AS BIGINT)"
-                if u.startswith("DECIMAL"):
-                    try:
-                        prec = int(u.split("(")[1].split(",")[0])
-                    except (IndexError, ValueError):
-                        prec = 38
-                    if prec > 18:
-                        return (f"wide {u} — driver canonicalizes through "
-                                "double; CAST to DOUBLE or DECIMAL(<=18)")
-                if u in ("TIME", "TIME WITH TIME ZONE",
-                         "TIMESTAMP WITH TIME ZONE") or "INTERVAL" in u:
-                    return f"non-canonical temporal {u} — CAST to TIMESTAMP/BIGINT"
-                return None
-
-            bad_types = [(c, str(t), bad_type(str(t)))
-                         for c, t in zip(rel.columns, rel.types)
-                         if bad_type(str(t))]
+            bad_types = [(c, why) for c, t in zip(rel.columns, rel.types)
+                         if (why := bad_type(str(t)))]
             if bad_types:
-                for c, t, why in bad_types:
+                for c, why in bad_types:
                     print(f"FAIL {name}: oracle column {c}: {why}")
                 failures += 1
                 continue
@@ -95,4 +111,6 @@ def main(sf_dir: str, out_dir: str, names=()) -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[2], sys.argv[1], sys.argv[3:]))
