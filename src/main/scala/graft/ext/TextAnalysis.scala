@@ -1299,56 +1299,34 @@ object TextAnalysis {
   // averaged over a forward and a backward pass, with the standard
   // (1−TTR_end)/(1−0.72) partial-factor remainder).
   //
-  // Engine shape: the whole fold runs per ROW inside two `aggregate`
-  // higher-order projections over the token array (forward, and over
-  // reverse()) — no explode, no shuffle, a pure projection pass like
-  // the rest of the text family. The fold state carries the current
-  // run's distinct-token array; MTLD's own reset discipline bounds it
-  // (a run ends as soon as TTR dips, so state stays tens of tokens
-  // regardless of document length — the same reason the metric is
-  // length-robust makes the state bounded). Both engines fold the
-  // same tokens in the same order with the same double TTR compares,
-  // so factor counts are identical and the final doubles bit-agree;
-  // docs whose factor count is 0 in a direction (short, all-distinct)
-  // publish NULL for that direction by the stated guard.
+  // Engine shape: ONE fused projection pass per row — the native
+  // [[graft.functions.MtldFold]] expression walks the token array
+  // once, advancing the forward and backward folds together (element
+  // i beside element n−1−i), and returns struct(n_tokens, fcf, fcb).
+  // No explode, no shuffle, and no reverse() materialization; the
+  // run-distinct state is a HashSet that MTLD's own reset discipline
+  // bounds (a run ends as soon as TTR dips, so state stays tens of
+  // tokens regardless of document length — the same reason the
+  // metric is length-robust makes the state bounded). This replaced
+  // two `aggregate` higher-order projections whose per-element
+  // lambdas evaluated through the interpreted expression walker —
+  // same grid math (ExtSpec pins native ≡ dual-HOF bit-parity), ~7×
+  // the wall (3.7 → 0.5 s at sf0.1), and the expression stays inside
+  // whole-stage codegen.
+  // Both engines fold the same tokens in the same order with the
+  // same double TTR compares, so factor counts are identical and the
+  // final doubles bit-agree; docs whose factor count is 0 in a
+  // direction (short, all-distinct) publish NULL for that direction
+  // by the stated guard.
   // ------------------------------------------------------------------
-  val MtldThreshold = 0.72
+  val MtldThreshold: Double = graft.functions.MtldFold.Threshold
 
   val mtld: Q = Q(
     (s, d) => {
-      import org.apache.spark.sql.types.IntegerType
-      val zero = struct(
-        array().cast("array<string>").as("types"),
-        lit(0).as("tokc"), lit(0).as("typec"), lit(0).as("factors"))
-      def fold(toksCol: Column): Column = {
-        val folded = aggregate(
-          toksCol, zero,
-          (acc, t) => {
-            val isNew = when(array_contains(acc.getField("types"), t), 0).otherwise(1)
-            val typec2 = acc.getField("typec") + isNew
-            val tokc2 = acc.getField("tokc") + 1
-            val drop = typec2.cast(DoubleType) / tokc2.cast(DoubleType) < MtldThreshold
-            struct(
-              when(drop, array().cast("array<string>"))
-                .when(isNew === 1, concat(acc.getField("types"), array(t)))
-                .otherwise(acc.getField("types")).as("types"),
-              when(drop, 0).otherwise(tokc2).cast(IntegerType).as("tokc"),
-              when(drop, 0).otherwise(typec2).cast(IntegerType).as("typec"),
-              (acc.getField("factors") + when(drop, 1).otherwise(0)).cast(IntegerType)
-                .as("factors"))
-          },
-          acc => acc.getField("factors").cast(DoubleType) +
-            when(acc.getField("tokc") > 0,
-              (lit(1.0) - acc.getField("typec").cast(DoubleType) /
-                acc.getField("tokc").cast(DoubleType)) / lit(1.0 - MtldThreshold))
-              .otherwise(lit(0.0)))
-        folded
-      }
-      val toks = tokens(col("text"))
-      val n = size(toks).cast(DoubleType)
       val out = s.read.parquet(s"$d/documents.parquet")
-        .select(col("doc_id"), size(toks).as("n_tokens"),
-          fold(toks).as("fcf"), fold(reverse(toks)).as("fcb"))
+        .select(col("doc_id"), graft.functions.MtldFold(tokens(col("text"))).as("f"))
+        .select(col("doc_id"), col("f.n_tokens").as("n_tokens"),
+          col("f.fcf").as("fcf"), col("f.fcb").as("fcb"))
         .select(col("doc_id"), col("n_tokens"),
           when(col("fcf") > 0, col("n_tokens").cast(DoubleType) / col("fcf")).as("mf"),
           when(col("fcb") > 0, col("n_tokens").cast(DoubleType) / col("fcb")).as("mb"))

@@ -1698,6 +1698,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("mtld: native MtldFold edges — empty, all-distinct, repeated-token resets, null") {
+    import spark.implicits._
+    // empty doc (tokenizer yields [""] on blank text, but the raw
+    // expression must also survive a genuinely empty array), a run
+    // that never factors (all distinct -> fc carries only the partial
+    // remainder = 0 for TTR 1.0), a degenerate repeat that resets on
+    // every 4th token (aaa a: TTR dips below 0.72 at the 4th), and a
+    // null array (expression is null-safe -> null struct).
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("a", "b", "c", "d")),
+      (3L, Seq("a", "a", "a", "a", "a", "a", "a", "a")),
+      (4L, null.asInstanceOf[Seq[String]])
+    ).toDF("id", "toks")
+      .select(col("id"), graft.functions.MtldFold(col("toks")).as("f"))
+      .select(col("id"), col("f.n_tokens"), col("f.fcf"), col("f.fcb"))
+    val m = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getInt(1) === 0 && m(1L).getDouble(2) === 0.0 && m(1L).getDouble(3) === 0.0)
+    // all-distinct: factors 0, remainder (1 - 4/4)/0.28 = 0 both ways
+    assert(m(2L).getInt(1) === 4 && m(2L).getDouble(2) === 0.0 && m(2L).getDouble(3) === 0.0)
+    // aaaaaaaa: TTR 1/1=1 keeps, 1/2=0.5 dips -> reset; the run
+    // alternates fresh-keep then dip, so 8 tokens = 4 factors with a
+    // zero-token end state (partial 0) in both directions
+    assert(m(3L).getInt(1) === 8 && m(3L).getDouble(2) === 4.0 && m(3L).getDouble(3) === 4.0)
+    assert(m(4L).isNullAt(1) && m(4L).isNullAt(2) && m(4L).isNullAt(3))
+  }
+
   test("holt forecast: replays the recursion from the daily aggregate; init contract holds") {
     val r = Sessions.forecastHolt.build(spark, d).collect()
     val byKey = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap
