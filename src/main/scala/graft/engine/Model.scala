@@ -144,7 +144,7 @@ object TableSink {
     }
   }
 
-  /** BUCKETED parquet materialization — the co-located-join path.
+  /** BUCKETED parquet materialization — the physical-layout path.
     * Models named in `buckets` write via `bucketBy(n, cols).sortBy`
     * + `saveAsTable` into the session catalog (Spark's bucketing
     * metadata lives in the catalog, not the files — a plain
@@ -157,6 +157,16 @@ object TableSink {
     * `EngineSpec` pins the exchange-free plan. Unbucketed models fall
     * back to plain parquet-dir writes.
     *
+    * Models named in `partitions` additionally (or instead) write
+    * directory-partitioned — the pruning layout: a join or literal
+    * predicate on the partition column prunes whole directories at
+    * plan time (static) or via dynamic partition pruning at run time
+    * (the ANN index stores PQ codes cell-major this way, so an IVF
+    * probe reads only the probed cells' directories — PlanSpec pins
+    * the `dynamicpruning` filter on the scan). A column may appear in
+    * a model's partition spec or its bucket spec, not both (Spark's
+    * rule); partition-by-low-cardinality + bucket-by-key composes.
+    *
     * Caveats stated: bucket pruning/colocation applies only while the
     * defining catalog is alive (table metadata is session-scoped
     * here; production uses a shared metastore), and the bucket count
@@ -165,23 +175,33 @@ object TableSink {
     */
   final class BucketedParquet(
       dir: String,
-      buckets: Map[String, (Int, Seq[String])])
+      buckets: Map[String, (Int, Seq[String])],
+      partitions: Map[String, Seq[String]] = Map.empty)
       extends TableSink {
 
     override def write(name: String, df: DataFrame): DataFrame = {
-      buckets.get(name) match {
-        case Some((n, cols)) =>
+      (buckets.get(name), partitions.get(name)) match {
+        case (None, None) =>
+          df.write.mode("overwrite").parquet(s"$dir/$name")
+          df.sparkSession.read.parquet(s"$dir/$name")
+        case (None, Some(pcols)) =>
+          // partition-only layout needs no catalog entry: partition
+          // DISCOVERY carries the pruning metadata in the directory
+          // names themselves (dynamic partition pruning fires on the
+          // discovered scan — PlanSpec pins it), so skip saveAsTable's
+          // catalog round-trips
+          df.write.mode("overwrite").partitionBy(pcols: _*).parquet(s"$dir/$name")
+          df.sparkSession.read.parquet(s"$dir/$name")
+        case (Some((n, cols)), p) =>
           val spark = df.sparkSession
           spark.sql(s"DROP TABLE IF EXISTS `$name`")
-          df.write.mode("overwrite").format("parquet")
+          val w0 = df.write.mode("overwrite").format("parquet")
             .option("path", s"$dir/$name")
-            .bucketBy(n, cols.head, cols.tail: _*)
+          val w1 = p.fold(w0)(pcols => w0.partitionBy(pcols: _*))
+          w1.bucketBy(n, cols.head, cols.tail: _*)
             .sortBy(cols.head, cols.tail: _*)
             .saveAsTable(name)
           spark.table(name)
-        case None =>
-          df.write.mode("overwrite").parquet(s"$dir/$name")
-          df.sparkSession.read.parquet(s"$dir/$name")
       }
     }
   }

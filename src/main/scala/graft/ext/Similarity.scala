@@ -785,12 +785,27 @@ object Similarity {
   def pqEncodeCodes(raw: DataFrame, cb: DataFrame): DataFrame =
     pqAssign(pqSub(toDoubleVecs(raw)), broadcast(cb)).select("vec_id", "blk", "code")
 
-  /** IVF+PQ search against MATERIALIZED index tables (cells,
-    * centroids, codebook, codes) — the query side of [[ivfpqTopK]]
+  /** IVF+PQ search against MATERIALIZED index tables (centroids,
+    * codebook, cell-major codes) — the query side of [[ivfpqTopK]]
     * with all training replaced by table reads. Must return exactly
     * the registry query's rows (EngineSpec pins it).
+    *
+    * `codes` is CELL-MAJOR: (vec_id, cluster, blk, code), cluster
+    * stamped at build time from the assignment table — so search
+    * needs ONE corpus-scale input instead of two (the earlier shape
+    * probe-joined the assignment table, then joined codes on vec_id:
+    * a second full-corpus scan plus a corpus-wide shuffle or
+    * size-estimate-dependent broadcast). The probe join lands
+    * directly on codes' cluster column; with the index written
+    * partitioned by cluster ([[graft.models.AnnIndexPipeline]]), that
+    * join is DYNAMIC PARTITION PRUNING — only the probed cells'
+    * directories are read, which is IVF's entire point expressed as
+    * Spark's native pruning (SCALING.md: "IVF's probe pruning is
+    * partition pruning once the corpus is laid out by cell"; PlanSpec
+    * pins the `dynamicpruning` scan filter and the absence of any
+    * assignment-table scan).
     */
-  def ivfpqSearchFromIndex(raw: DataFrame, cents: DataFrame, assigned: DataFrame,
+  def ivfpqSearchFromIndex(raw: DataFrame, cents: DataFrame,
       cb: DataFrame, codes: DataFrame): DataFrame = {
     val e = toDoubleVecs(raw)
     val queries = raw.filter(col("vec_id") < NumQueries)
@@ -802,9 +817,8 @@ object Similarity {
       .withColumn("cr", row_number().over(wCell))
       .filter(col("cr") <= NProbe)
       .select("q_id", "cluster")
-    val adist = assigned.join(broadcast(probes), Seq("cluster"))
+    val adist = codes.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(codes, Seq("vec_id"))
       .join(broadcast(pqQlut(pqSub(e), cb)), Seq("q_id", "blk", "code"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("dv")).as("adist"))

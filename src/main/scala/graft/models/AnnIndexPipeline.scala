@@ -14,20 +14,22 @@ import graft.ext.{KMeans, Similarity}
   * version and every query after that reads the index tables:
   *
   * {{{
-  *   embeddings ──> ann_centroids (Table) ──> ann_cells (Table) ──┐
-  *   embeddings ──> ann_pq_codebook (Table) ──> ann_pq_codes ─────┼─> ann_index_report (View)
-  *                                             (Table)            │
-  *                                       search reads all four ───┘
+  *   embeddings ──> ann_centroids (Table) ──> ann_cells (Table) ──────┐
+  *   embeddings ──> ann_pq_codebook (Table) ──> ann_pq_codes (Table) ─┼─> ann_index_report (View)
+  *                         (cells ⋈ encode: cell-major, by-cluster)   │
+  *                  search reads centroids + codebook + codes ────────┘
   * }}}
   *
   * Why this shape at 100 TB: the codes table IS the stored index —
   * PqBlocks 4-bit-ish codes per vector, ~64× smaller than the float
-  * corpus — and cells/codebook/centroids are broadcast-sized. Search
-  * cost is then probe-join + LUT-sum over materialized parquet
-  * (bucketing the codes table by cell makes the probe join partition
-  * pruning). Model tests gate the build the dbt way: duplicate cell
-  * assignments or a hole in the codebook skip the downstream emit
-  * instead of shipping a corrupt index.
+  * corpus — and cells/codebook/centroids are broadcast-sized. Codes
+  * are stored CELL-MAJOR (cluster stamped at build, directory
+  * partitioned by cluster under [[cellMajorSink]]), so search cost is
+  * a probe join that DYNAMICALLY PRUNES to the probed cells'
+  * directories + LUT-sum — and the assignment table drops out of the
+  * query path entirely. Model tests gate the build the dbt way:
+  * duplicate cell assignments or a hole in the codebook skip the
+  * downstream emit instead of shipping a corrupt index.
   *
   * EngineSpec pins the contract that matters: [[search]] over the
   * MATERIALIZED tables returns row-for-row the registry query's
@@ -54,10 +56,23 @@ object AnnIndexPipeline {
       Similarity.pqTrainCodebook(in("embeddings"))
     }
 
+  /** CELL-MAJOR codes: the PQ encode joined (on vec_id, the key both
+    * tables are unique on) with the cell assignment, so every code row
+    * carries its IVF cluster. This is what lets the index store codes
+    * partitioned BY CELL — search then probe-joins codes directly
+    * (dynamic partition pruning reads only probed cells) and never
+    * scans the assignment table at query time. The join happens once
+    * at build; the assignment side reads the MATERIALIZED ann_cells
+    * (bucketed by vec_id under [[cellMajorSink]], so its scan arrives
+    * pre-partitioned for the join).
+    */
   val codes: Model =
-    Model("ann_pq_codes", Seq("embeddings", "ann_pq_codebook"), Materialization.Table,
-      tests = Seq(NotNull("code"))) { in =>
+    Model("ann_pq_codes", Seq("embeddings", "ann_pq_codebook", "ann_cells"),
+      Materialization.Table,
+      tests = Seq(NotNull("code"), NotNull("cluster"))) { in =>
       Similarity.pqEncodeCodes(in("embeddings"), in("ann_pq_codebook"))
+        .join(in("ann_cells").select("vec_id", "cluster"), Seq("vec_id"))
+        .select("vec_id", "cluster", "blk", "code")
     }
 
   /** Index health: cell-size balance and code-usage coverage — the
@@ -84,14 +99,33 @@ object AnnIndexPipeline {
 
   val all: Seq[Model] = Seq(centroids, cells, codebook, codes, report)
 
+  /** The production physical layout (VERDICT r12 ask #3): both index
+    * fact tables directory-partitioned by cluster — cell-major, the
+    * IVF layout, so a probe's cluster join prunes to the probed
+    * cells' directories — and ann_cells additionally bucketed by its
+    * unique key vec_id, so the build's codes⋈cells join and any
+    * index-maintenance id-join read it pre-partitioned (cluster may
+    * not appear in both specs — Spark's rule). Bucket count is
+    * harness-sized; size it to the larger table's target partition
+    * bytes in production (the class scaladoc's caveat).
+    */
+  def cellMajorSink(dir: String): TableSink =
+    new TableSink.BucketedParquet(dir,
+      buckets = Map("ann_cells" -> (4, Seq("vec_id"))),
+      partitions = Map(
+        "ann_pq_codes" -> Seq("cluster"),
+        "ann_cells" -> Seq("cluster")))
+
   /** IVF+PQ top-k against the MATERIALIZED index. `embeddings` is the
     * raw corpus (query vectors come from it by the registry's
-    * vec_id < NumQueries convention).
+    * vec_id < NumQueries convention). Search reads centroids,
+    * codebook, and the cell-major codes — the assignment table is a
+    * build-time input only.
     */
   def search(embeddings: org.apache.spark.sql.DataFrame,
       catalogRead: String => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     Similarity.ivfpqSearchFromIndex(embeddings,
-      catalogRead("ann_centroids"), catalogRead("ann_cells"),
+      catalogRead("ann_centroids"),
       catalogRead("ann_pq_codebook"), catalogRead("ann_pq_codes"))
 
   /** INCREMENTAL refresh: encode a NEW vector batch against the
@@ -110,9 +144,15 @@ object AnnIndexPipeline {
       "ann_pq_codes" -> Seq("vec_id", "blk")))
     val cents = spark.read.parquet(s"$warehouse/ann_centroids")
     val cb = spark.read.parquet(s"$warehouse/ann_pq_codebook")
-    sink.write("ann_cells",
-      KMeans.assign(batch, cents).select("vec_id", "cluster"))
-    sink.write("ann_pq_codes", Similarity.pqEncodeCodes(batch, cb))
+    val assigned = KMeans.assign(batch, cents).select("vec_id", "cluster")
+    sink.write("ann_cells", assigned)
+    // codes are cell-major: stamp the batch's fresh assignments on its
+    // codes (batch-sized join; at scale pair the upsert with dynamic
+    // partition overwrite so only the touched cells' directories
+    // rewrite)
+    sink.write("ann_pq_codes",
+      Similarity.pqEncodeCodes(batch, cb).join(assigned, Seq("vec_id"))
+        .select("vec_id", "cluster", "blk", "code"))
   }
 
   /** Build the index over a harness data directory. */
@@ -136,11 +176,29 @@ object AnnIndexPipeline {
     */
   val fromIndex: graft.queries.Inventory.Q = graft.queries.Inventory.Q(
     (s, d) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-annidx-reg").toString
-      val r = run(s, d, new TableSink.Parquet(wh))
-      require(r.allTestsPassed && r.skipped.isEmpty,
-        s"index build gated: ${r.tests.filterNot(_.passed).mkString(", ")}")
-      search(s.read.parquet(s"$d/embeddings.parquet"), r(_))
+      val wh = java.nio.file.Files.createTempDirectory("graft-annidx-reg")
+      try {
+        val r = run(s, d, cellMajorSink(wh.toString))
+        require(r.allTestsPassed && r.skipped.isEmpty,
+          s"index build gated: ${r.tests.filterNot(_.passed).mkString(", ")}")
+        val out = search(s.read.parquet(s"$d/embeddings.parquet"), r(_))
+        // The result is bounded (NumQueries × TopK rows): materialize
+        // it eagerly so the temp warehouse can be deleted HERE instead
+        // of leaking one directory (and two catalog entries) per run —
+        // the caller gets a local relation with the identical schema.
+        s.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally {
+        // only ann_cells gets a catalog entry under cellMajorSink
+        // (bucket metadata needs one; the partition-only codes table
+        // does not) — drop just it, so a session's own ann_* tables
+        // survive a registry run
+        s.sql("DROP TABLE IF EXISTS `ann_cells`")
+        // temp-dir delete (deepest-first walk); best-effort by design
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     },
     graft.ext.Similarity.ivfpqTopK.oracle)
 

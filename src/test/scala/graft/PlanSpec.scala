@@ -659,6 +659,43 @@ class PlanSpec extends SparkSpec {
     assert(!fin.contains("CartesianProduct"), fin)
   }
 
+  test("cell-major ANN index: probe join is dynamic partition pruning; no assignment-table scan") {
+    // The index layout contract (VERDICT r12 ask #3): ann_pq_codes is
+    // stored partitioned BY CLUSTER (cell-major — the IVF layout), so
+    // the probe join must reach the codes scan as a DYNAMIC PARTITION
+    // PRUNING filter (only probed cells' directories are read:
+    // SCALING.md's "IVF's probe pruning is partition pruning once the
+    // corpus is laid out by cell"), and search must scan ONE
+    // corpus-scale input — the assignment table dropped out of the
+    // query path when codes became cell-major.
+    val wh = java.nio.file.Files.createTempDirectory("graft-annidx-plan")
+    try {
+      val r = graft.models.AnnIndexPipeline.run(
+        spark, d, graft.models.AnnIndexPipeline.cellMajorSink(wh.toString))
+      assert(r.allTestsPassed, r.tests.filterNot(_.passed).mkString(", "))
+      val raw = spark.read.parquet(s"$d/embeddings.parquet")
+      val df = graft.models.AnnIndexPipeline.search(raw, r(_))
+      val codesScan = plan(df).linesIterator
+        .filter(l => l.contains("Scan parquet") && l.contains("ann_pq_codes"))
+        .mkString("\n")
+      assert(codesScan.nonEmpty, plan(df))
+      assert(codesScan.contains("dynamicpruning"),
+        s"probe join must prune codes partitions dynamically:\n$codesScan")
+      assert(!plan(df).contains("ann_cells"),
+        s"search must not scan the assignment table:\n${plan(df)}")
+      // and the layout never changes answers (EngineSpec pins the
+      // same equality for the plain-parquet sink)
+      assert(df.collect().toSeq ===
+        Similarity.ivfpqTopK.build(spark, d).collect().toSeq)
+    } finally {
+      Seq("ann_cells", "ann_pq_codes").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("centroid drift collapses the corpus map-side on (label, slice, i)") {
     val p = plan(Similarity.centroidDrift.build(spark, d))
     assert(parquetScans(p) === 1, p)
