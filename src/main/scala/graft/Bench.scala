@@ -76,16 +76,35 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     val agg = new TaskMetricsAgg
-    spark.sparkContext.addSparkListener(agg)
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s.sparkContext.addSparkListener(agg)
+      s
+    }
+    var spark = newSession()
+    // An executor-thread OutOfMemoryError in local mode kills the
+    // SHARED SparkContext (SparkUncaughtExceptionHandler), and every
+    // later row would then fail on "stopped SparkContext" — one bad
+    // query poisoning the rest of the pass (observed in the r14 30×
+    // sweep: dedup_components OOMed the 1 GiB heap and 25 healthy
+    // rows lost their measurement). The OOM row itself must stay LOUD
+    // in the artifact (it does — its error is recorded); the recovery
+    // below rebuilds the session so the remaining rows still measure.
+    def ensureLive(): Unit =
+      if (spark.sparkContext.isStopped) {
+        System.err.println("[bench] SparkContext died — rebuilding session for remaining queries")
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = newSession()
+      }
     // Codegen/JIT warmup: every query has its own generated code, and a
     // cold first run is dominated by compiling it (measured 5.3 s cold
     // vs 0.9 s warm for the shingle pipeline alone) — noise that says
@@ -102,7 +121,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      try { ensureLive(); fn(spark, warmDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
     // One serialized timed pass over every selected query.
@@ -112,6 +131,7 @@ object Bench {
         // .cache() by convention — customer_rfm base, components labels,
         // pagerank ranks) may carry storage or GC pressure into the next
         // measurement. clearCache sits OUTSIDE the timed window.
+        ensureLive()
         spark.catalog.clearCache()
         agg.reset()
         val t0 = System.nanoTime()

@@ -145,19 +145,40 @@ object KMeans {
   // blocks by random projections (no training), SemDeDup blocks by
   // learned structure (tighter blocks on clusterable corpora).
   //
-  // Scale notes: one shuffle on cluster id; per-cluster fan-out is
-  // |cluster|², so k is chosen to keep clusters bounded (k ~ n/target
-  // block size), and the MaxBucket-style guard for degenerate
-  // clusters is the same count-window as the LSH paths.
+  // Scale notes: per-cluster fan-out is |cluster|², so k is chosen to
+  // keep clusters bounded (k ~ n/target block size) with the
+  // MaxBucket-style guard for degenerate clusters — but bounding the
+  // WORK per cluster is not enough: a join keyed on cluster alone
+  // serializes each cluster's pair enumeration into ONE task, so the
+  // whole operator's parallelism is capped at k however many cores
+  // exist (measured by the r14 30× sweep: 77 s wall on 212 s of task
+  // CPU over 32 cores — three straggler tasks were the biggest
+  // clusters). Fix is the standard intra-key pair-grid sharding: the
+  // probe side takes shard = id mod S, the build side replicates onto
+  // all S shards, the join keys on (cluster, shard) — every pair
+  // (a, b) is enumerated exactly once (where b's shard lands), work
+  // is unchanged, parallelism becomes k·S. The replicated side is an
+  // explode ABOVE a corpus-scale relation whose size Catalyst
+  // estimates from the parquet ancestor (the r12 broadcast-OOM
+  // class), so the join is merge-hinted: AQE may still demote to
+  // broadcast from REAL runtime sizes, never from the bad estimate.
+  // Re-measured after the fix (best-of-2, local[32]): 13.8 s wall at
+  // 30× (was 77.2 s — 5.6×), 1.4 s at 1× (unchanged) — and the
+  // published pairs are bit-identical (the oracle replays the
+  // UNsharded per-cluster join).
   // ------------------------------------------------------------------
+  val SemDedupShards = 16
+
   val semdedup: Q = Q(
     (s, d) => {
       val a = assignments(s, d)
       val l = a.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("va"))
+        .withColumn("shard", explode(sequence(lit(0), lit(SemDedupShards - 1))))
       val r = a.select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+        .withColumn("shard", pmod(col("id_b"), lit(SemDedupShards)).cast("int"))
       val sim = roundPortable(
         graft.functions.CosineSimilarity(col("va"), col("vb")), 6)
-      l.join(r, Seq("cluster"))
+      l.join(r.hint("merge"), Seq("cluster", "shard"))
         .filter(col("id_a") < col("id_b"))
         .select(col("cluster"), col("id_a"), col("id_b"), sim.as("cos_sim"))
         .filter(col("cos_sim") >= Dedup.CosTau)

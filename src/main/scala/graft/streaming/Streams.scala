@@ -56,6 +56,42 @@ object Streams {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("sk"))
 
+  /** The STREAMING deployment of DAU/MAU stickiness
+    * ([[graft.ext.Sessions.dauMau]], `events_dau_mau`): a pure READ
+    * over the closed [[sketchCells]] HLL grid — no new streaming
+    * operator, which is the point of the sketch layer. Per day the
+    * type cells union to one daily user sketch (register-max, exact
+    * merge); DAU is its estimate, and the trailing
+    * [[graft.ext.Sessions.MauDays]]-day MAU is a union over the
+    * anchor's window — the batch query's explode-onto-anchors shape,
+    * pruned to real days, but over kilobyte sketches instead of the
+    * (day, user) presence grid, so the rollup reads |days|·|types|
+    * cells and NEVER replays the stream. Estimates equal the exact
+    * distinct counts while sketches sit in sparse mode
+    * (StreamingSpec audits row-for-row equality with the batch
+    * registry query at sf0.001); at true scale they are ±~1% HLL
+    * estimates — the documented contract difference of the sketch
+    * path, same as `agg_sketch_merge` vs `agg_approx_distinct`.
+    */
+  def dauMauFromCells(cells: DataFrame): DataFrame = {
+    val daily = cells.groupBy(col("day"))
+      .agg(expr("hll_union_agg(sk, false)").as("dsk"))
+    val days = daily.select(to_date(col("day")).as("anchor")).distinct()
+    val dau = daily.select(to_date(col("day")).as("day"),
+      expr("hll_sketch_estimate(dsk)").as("dau"))
+    val mau = daily
+      .withColumn("anchor", explode(sequence(to_date(col("day")),
+        date_add(to_date(col("day")), graft.ext.Sessions.MauDays - 1))))
+      .join(broadcast(days), Seq("anchor"))
+      .groupBy("anchor")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(dsk, false))").as("mau_30d"))
+    dau.join(mau, col("day") === col("anchor"))
+      .select(col("day"), col("dau"), col("mau_30d"),
+        roundPortable(col("dau").cast(org.apache.spark.sql.types.DoubleType) /
+          col("mau_30d").cast(org.apache.spark.sql.types.DoubleType), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** SLIDING-window twin of `Inventory.windowRollingRange`: trailing
     * totals per event_type, one window per (slide) step. A sliding
     * window assigns each event to duration/slide windows (here 3h/1h

@@ -856,6 +856,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dau/mau derives from the closed sketch-cell grid; equals batch at sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val evRows = graft.queries.Inventory.events(spark, d)
+      .select(col("ts").cast("timestamp"), col("event_type"), col("user_id"))
+      .as[(Timestamp, String, Long)].collect()
+    val (first, second) = evRows.splitAt(evRows.length / 2)
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val q = Streams.sketchCells(
+      mem.toDF().toDF("ts", "event_type", "user_id"))
+      .writeStream.format("memory").queryName("daumau_cells")
+      .outputMode("complete").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the twin is a pure read over the STREAM-BUILT cells — no event
+    // replay; at this cardinality the HLL sketches are in sparse
+    // (exact) mode, so the derived grid must equal the batch registry
+    // query row-for-row, 6dp ratio included
+    val derived = Streams.dauMauFromCells(spark.table("daumau_cells"))
+      .collect().map(_.toString).toSeq
+    val batch = graft.ext.Sessions.dauMau.build(spark, d)
+      .collect().map(_.toString).toSeq
+    assert(derived.nonEmpty && derived === batch)
+  }
+
   test("streaming charclass counters audit against the batch profile at sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
