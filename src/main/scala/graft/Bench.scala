@@ -78,9 +78,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val agg = new TaskMetricsAgg
     def newSession(): SparkSession = {
+      // Partition count decouples from thread count for the scale
+      // sweeps: at 30× data under a small heap, partitions=cpus(4)
+      // puts a quarter of the corpus in one task — the spill-merge
+      // fan-in (one read-ahead buffer per spill file) then OOMs the
+      // heap regardless of plan quality. Official rounds never set
+      // this; the default stays partitions = cpus.
+      val shufflePartitions =
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
@@ -166,8 +174,13 @@ object Bench {
     // only ever ADD time, never subtract it. Both raw passes are
     // persisted in target/bench.json (queries_p1/p2) so the headline
     // number stays auditable against its inputs.
+    // Pass count knob for the SCALE-SWEEP harness only (pass/fail
+    // memory-ceiling runs don't need best-of-2 and the second pass
+    // doubles a multi-hour 1 GiB sweep): official rounds never set it
+    // — the driver runs the default, which stays 2.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val pass1 = timedPass(1)
-    val pass2 = timedPass(2)
+    val pass2 = if (nPasses > 1) timedPass(2) else pass1
     val results = pass1.zip(pass2).map { case (r1 @ (n1, d1, _, e1), r2 @ (_, d2, _, e2)) =>
       // prefer a successful pass; among successes, the faster one
       (e1, e2) match {
@@ -206,10 +219,11 @@ object Bench {
         .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     }.mkString(",")
     val total = results.map(_._2).sum
-    // "timing":"min_of_2" marks the r13 methodology change IN the
-    // artifact (ADVICE r13): cross-round readers must not attribute
-    // the best-of-2 vs single-pass delta to code.
-    val blob = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","queries":$qs,"n_failed":${failed.size},"errors":$errJson,"sf":"$sfDir"}"""
+    // "timing" marks the methodology IN the artifact (ADVICE r13):
+    // cross-round readers must not attribute the best-of-2 vs
+    // single-pass delta to code.
+    val timing = if (nPasses > 1) "min_of_2" else "single_pass"
+    val blob = s"""{"metric":"total","value":$total,"unit":"sec","timing":"$timing","queries":$qs,"n_failed":${failed.size},"errors":$errJson,"sf":"$sfDir"}"""
     println(blob)
     // The driver captures only a ~3.5 KB TAIL of stdout, and the
     // 100+-query blob no longer fits in it (BENCH_r06/r07 both landed
@@ -223,7 +237,7 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","queries":$qs,$passJson,$passErrJson,"task_metrics":$tmJson,"n_failed":${failed.size},"errors":$errJson,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","timing":"$timing","queries":$qs,$passJson,$passErrJson,"task_metrics":$tmJson,"n_failed":${failed.size},"errors":$errJson,"sf":"$sfDir"}"""
       java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench.json","sf":"$sfDir"}""")

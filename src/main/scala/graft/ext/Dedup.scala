@@ -781,7 +781,13 @@ object Dedup {
       val a = posts.select(col("hs"), col("doc_id").as("inner_doc"), col("sz").as("sz_a"))
       val b = posts.select(col("hs"), col("doc_id").as("outer_doc"), col("sz").as("sz_b"))
       val contain = col("overlap").cast(DoubleType) / col("sz_a")
-      a.join(b, Seq("hs"))
+      // merge hint: both sides are corpus-derived posting lists whose
+      // size Catalyst estimates at the tiny parquet ancestor — the
+      // static planner would broadcast one (reproduced as a 1 GiB
+      // driver OOM on the 30× corpus; this query was the one member
+      // of the posting family the r12 hint audit missed). AQE may
+      // still demote to broadcast from REAL materialized sizes.
+      a.join(b.hint("merge"), Seq("hs"))
         .filter(col("inner_doc") =!= col("outer_doc") &&
           (col("sz_a") < col("sz_b") ||
             (col("sz_a") === col("sz_b") && col("inner_doc") < col("outer_doc"))))
@@ -815,8 +821,13 @@ object Dedup {
   //
   // Scale asymmetry is the whole point: the corpus posting list is
   // 100 TB-side and must NOT shuffle for a few-GB batch. The batch's
-  // posting list broadcasts; the corpus side is a map-side hash-join
-  // probe fused onto its scan. Only candidate (batch, corpus, shingle)
+  // posting list broadcasts — via AQE's runtime size decision, NOT a
+  // forced broadcast(): an ingest-bounded batch broadcasts from its
+  // real materialized size (corpus side stays a map-side hash-join
+  // probe fused onto its scan), while a batch that outgrows the
+  // contract degrades to a shuffle join instead of OOMing the driver
+  // (the r14 30× sweep hit exactly that with its half-corpus split).
+  // Only candidate (batch, corpus, shingle)
   // hits — bounded by batch size × df — reach the pair aggregation.
   // Same exact-Jaccard semantics as jaccardPairs (J from |A∩B| via the
   // posting join, |A∪B| by inclusion-exclusion), so the output is the
@@ -834,7 +845,15 @@ object Dedup {
         .select(col("hs"), col("doc_id").as("batch_doc"), col("sz").as("sz_b"))
       val jac = col("overlap").cast(DoubleType) /
         (col("sz_b") + col("sz_c") - col("overlap"))
-      val matches = corpus.join(broadcast(batch), Seq("hs"))
+      // NO forced broadcast (r14 sweep lesson): the batch posting list
+      // is broadcast-sized by CONTRACT (ingest-bounded), but a forced
+      // broadcast() turns a contract violation into a driver OOM — the
+      // 30× sweep's batch-is-half-the-corpus split killed the 1 GiB
+      // driver. Unhinted, AQE broadcasts a genuinely small batch from
+      // its REAL runtime size and degrades an outgrown one to a
+      // shuffle join — the failure mode becomes a slow query, not a
+      // dead driver.
+      val matches = corpus.join(batch, Seq("hs"))
         .filter(col("sz_b") >= col("sz_c") * JaccardTau && col("sz_c") >= col("sz_b") * JaccardTau)
         .groupBy("batch_doc", "corpus_doc", "sz_b", "sz_c")
         .agg(count(lit(1)).as("overlap"))

@@ -28,7 +28,8 @@ import graft.ext.{Dedup, Similarity}
   *      (MaxBucket guard included).
   *
   * Usage:
-  *   SPARK_DRIVER_MEM=1g sbt "runMain graft.tools.RebandEval <dir> <B,L[;B,L…]>"
+  *   SPARK_DRIVER_MEM=8g sbt "runMain graft.tools.RebandEval <dir> <B,L[:B,L…]>"
+  * (":" separates configs — sbt -batch treats ";" as a command break.)
   * Prints one JSON line per configuration.
   */
 object RebandEval {
@@ -42,7 +43,7 @@ object RebandEval {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val configs: Seq[(Int, Int)] = args(1).split(";").toSeq
+    val configs: Seq[(Int, Int)] = args(1).split("[;:]").toSeq
       .map { s => val Array(b, l) = s.split(","); (b.toInt, l.toInt) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -9,19 +9,32 @@ Replication is id-offset + deterministic perturbation, NOT plain
 duplication: a verbatim copy would make every original a near-dup of
 its replicas, quadratically exploding the dedup queries' OUTPUT for
 data reasons and masking any real plan pathology. Text replicas get a
-salt token interleaved every 3 tokens (destroys shingle overlap across
-replicas); embedding replicas get a cyclic dimension shift plus
-+-0.05 hash-noise per dim (together pushing replica cosine below the
-dedup taus; the r = 0 slice of every table is the source data
-verbatim). Events/orders/lineitem keep
+salt token interleaved every PERIOD tokens; embedding replicas get a
+cyclic dimension shift plus +-0.05 hash-noise per dim (together
+pushing replica cosine below the dedup taus; the r = 0 slice of every
+table is the source data verbatim). Events/orders/lineitem keep
 their key distributions (same users/customers, Nx depth) - the growth
 shape a production corpus actually has.
+
+SALT PERIOD matters more than intended (r14 finding): at the
+historical default PERIOD=3, one in three 3-token shingle windows
+contains no salt, so every replica still shares ~n/3 shingles with
+every other replica - cross-replica Jaccard ~0.14: BELOW the tau=0.3
+publish threshold (outputs stay clean) but ABOVE zero, so the exact
+posting join's candidate mass grows with replica-pair count - i.e.
+the default corpus deliberately carries boilerplate-like cross-
+replica overlap, a stress real corpora do exhibit. PERIOD=2 places a
+salt inside EVERY 3-token window (no salt-free window exists), fully
+decorrelating replicas at the shingle level - the controlled variant
+for separating data-driven candidate growth from plan-structural
+growth. r12's 10x measurements used PERIOD=3; keep 3 for continuity,
+generate a second corpus at 2 for the control.
 
 Row groups: DuckDB's default (~122k rows) produces SPLITTABLE files at
 this size, unlike the driver's single-row-group fixtures - scan
 parallelism at sfN reflects production, which is the point of the test.
 
-Usage: python3 tools/scale_corpus.py [N] [outDir]
+Usage: python3 tools/scale_corpus.py [N] [outDir] [saltPeriod=3]
 """
 import sys
 
@@ -30,6 +43,7 @@ import duckdb
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "target/scale/sf1"
+PERIOD = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
 import os
 
@@ -53,14 +67,14 @@ gen("documents", f"""
 SELECT doc_id + r * 1000000 AS doc_id,
   CASE WHEN r = 0 THEN text ELSE
     array_to_string(list_transform(string_split_regex(text, '\\s+'),
-      (t, i) -> CASE WHEN i % 3 = 0
+      (t, i) -> CASE WHEN i % {PERIOD} = 0
         THEN 'zz' || r || 'q' || ((hash(doc_id * 31 + i * 7 + r) % 97)::VARCHAR) || ' ' || t
         ELSE t END), ' ')
   END AS text,
   lang, source,
   CAST(length(CASE WHEN r = 0 THEN text ELSE
     array_to_string(list_transform(string_split_regex(text, '\\s+'),
-      (t, i) -> CASE WHEN i % 3 = 0
+      (t, i) -> CASE WHEN i % {PERIOD} = 0
         THEN 'zz' || r || 'q' || ((hash(doc_id * 31 + i * 7 + r) % 97)::VARCHAR) || ' ' || t
         ELSE t END), ' ')
   END) AS BIGINT) AS n_chars
