@@ -845,15 +845,20 @@ object Dedup {
         .select(col("hs"), col("doc_id").as("batch_doc"), col("sz").as("sz_b"))
       val jac = col("overlap").cast(DoubleType) /
         (col("sz_b") + col("sz_c") - col("overlap"))
-      // NO forced broadcast (r14 sweep lesson): the batch posting list
-      // is broadcast-sized by CONTRACT (ingest-bounded), but a forced
-      // broadcast() turns a contract violation into a driver OOM — the
-      // 30× sweep's batch-is-half-the-corpus split killed the 1 GiB
-      // driver. Unhinted, AQE broadcasts a genuinely small batch from
-      // its REAL runtime size and degrades an outgrown one to a
-      // shuffle join — the failure mode becomes a slow query, not a
-      // dead driver.
-      val matches = corpus.join(batch, Seq("hs"))
+      // merge hint, NOT a forced broadcast (r14 sweep lesson): the
+      // batch posting list is broadcast-sized by CONTRACT
+      // (ingest-bounded), but the static planner sizes it from the
+      // tiny parquet ancestor and picks a broadcast on its own even
+      // with the explicit broadcast() removed — at the 30× sweep's
+      // batch-is-half-the-corpus split that build killed the 1 GiB
+      // driver. The hint vetoes only the ESTIMATE-based static
+      // choice; AQE still demotes the sort-merge plan back to a
+      // broadcast from the batch's REAL materialized size whenever it
+      // genuinely fits (the r12-measured posting-family behavior), so
+      // a contract-sized batch keeps its map-side join and an
+      // outgrown one degrades to a shuffle join instead of a dead
+      // driver.
+      val matches = corpus.join(batch.hint("merge"), Seq("hs"))
         .filter(col("sz_b") >= col("sz_c") * JaccardTau && col("sz_c") >= col("sz_b") * JaccardTau)
         .groupBy("batch_doc", "corpus_doc", "sz_b", "sz_c")
         .agg(count(lit(1)).as("overlap"))
