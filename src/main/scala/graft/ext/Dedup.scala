@@ -706,7 +706,21 @@ object Dedup {
     val va = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     val sim = roundPortable(graft.functions.CosineSimilarity(col("va"), col("vb")), 6)
-    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+    // Vector-attach joins are SHUFFLE_HASH-hinted (r14 100× finding):
+    // left alone the planner sort-merges them at scale, and an SMJ
+    // SORTS the candidate stream — once id_a's vector is attached the
+    // rows are ~0.5 KB wide, so a policy-sized candidate mass
+    // (cand/row ≈ occ·L/2 ≈ 10³) sorts C·0.5 KB of data — measured
+    // >76 GB of sort spill (disk-full abort) at the 100× corpus's
+    // 246M candidates. A hash join streams the pair side with no
+    // sort: the skinny (id_a, id_b) stream shuffles once per attach
+    // and the vector side builds a per-partition hash table. No
+    // ordering is needed until the final publish sort, which runs on
+    // the tau-filtered survivors only. AQE still demotes to broadcast
+    // from the vector side's REAL size when it fits (the sf0.1 plan
+    // is unchanged).
+    cand.join(va.hint("shuffle_hash"), Seq("id_a"))
+      .join(vb.hint("shuffle_hash"), Seq("id_b"))
       .select(col("id_a"), col("id_b"), sim.as("cos_sim"))
       .filter(col("cos_sim") >= tau)
       .orderBy("id_a", "id_b")

@@ -80,14 +80,25 @@ object RebandEval {
     val nAll = all.count()
 
     // --- exact truth: within-block all-pairs at tau=0.85 ------------
-    val ea = all.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      blockOf(col("vec_id")).as("blk"))
-    val eb = all.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      blockOf(col("vec_id")).as("blk"))
+    // ids-only block join first, vectors attached afterwards by
+    // BROADCAST hash joins (the whole corpus of vectors is ~52 MB at
+    // 100× — broadcastable; forced, since the 10 MB default threshold
+    // would decline): a merge join carrying the embedding arrays
+    // sorts ~550 B rows for every candidate pair — measured >76 GB of
+    // spill at 100× (210M within-block pairs), which filled the disk.
+    // The pair stream stays (id_a, id_b) longs end to end; vectors
+    // attach in-flight with no sort.
+    val ids = all.select(col("vec_id"), blockOf(col("vec_id")).as("blk"))
+    val cand = ids.select(col("blk"), col("vec_id").as("id_a"))
+      .join(ids.select(col("blk"), col("vec_id").as("id_b")).hint("merge"), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+    val va = all.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val vb = all.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     val cosR = graft.engine.Functions.roundPortable(
       graft.functions.CosineSimilarity(col("va"), col("vb")), 6)
-    val truth = ea.join(eb.hint("merge"), Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
+    val truth = cand
+      .join(broadcast(va), Seq("id_a"))
+      .join(broadcast(vb), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosR.as("cos_sim"))
       .filter(col("cos_sim") >= 0.85)
       .select("id_a", "id_b").cache()

@@ -326,10 +326,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 2, s"want 2 hash exchanges (salted then merge), got $exchanges:\n$p")
   }
 
-  test("incremental dedup broadcasts the batch posting list (corpus never shuffles for the probe)") {
+  test("incremental dedup: batch probe join is never a STATIC broadcast; AQE restores it from real size") {
+    // r14 contract change: the static planner used to broadcast the
+    // batch posting list from its ancestor-derived estimate — at the
+    // 30× sweep's outgrown batch that build killed the 1 GiB driver.
+    // The static plan must now be the merge-hinted sort-merge join
+    // (the only safe estimate-free choice)...
     val p = plan(Dedup.incremental.build(spark, d))
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // ...and AQE must hand the map-side join BACK at runtime when the
+    // materialized batch genuinely fits a broadcast (it does at
+    // sf0.01): the corpus probe side stays shuffle-free in the final
+    // adaptive plan exactly as the scaladoc promises.
+    val fin = finalPlan(Dedup.incremental.build(spark, d))
+    assert(fin.contains("BroadcastHashJoin"), fin)
   }
 
   test("BM25 top-k is TakeOrderedAndProject (map-side partial top-k), never a global sort") {

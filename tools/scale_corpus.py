@@ -87,6 +87,13 @@ FROM src, {reps}
 # noise alone left ~0.86, which would have exploded the dedup outputs
 # quadratically for data reasons) while preserving the within-replica
 # pair structure exactly (both members of a planted pair shift alike).
+# WRAP CAVEAT (r14, caught by RebandEval's recalled_cross audit): the
+# shift lives mod 64, so at N > 64 replicas r and r+64 share a shift
+# and differ only by the +-0.05 noise - cosine ~0.997, i.e. GENUINE
+# echo near-dups across those replica pairs. Within-block truth sets
+# undercount at N > 64; planted-pair recall stays valid (planted
+# twins are within-block by construction), and the banded pipeline
+# finding the echoes is exact-verified output, not error.
 gen("embeddings", f"""
 SELECT vec_id + r * 1000000 AS vec_id,
   CASE WHEN r = 0 THEN embedding ELSE
