@@ -189,8 +189,13 @@ object TableSink {
           // DISCOVERY carries the pruning metadata in the directory
           // names themselves (dynamic partition pruning fires on the
           // discovered scan — PlanSpec pins it), so skip saveAsTable's
-          // catalog round-trips
-          df.write.mode("overwrite").partitionBy(pcols: _*).parquet(s"$dir/$name")
+          // catalog round-trips. Repartition ON the partition columns
+          // first: otherwise every upstream task writes a sliver into
+          // every directory (tasks × partitions small files — 32×5 for
+          // the harness ANN index); clustered, each directory gets
+          // whole files with full-size row groups.
+          df.repartition(pcols.map(org.apache.spark.sql.functions.col): _*)
+            .write.mode("overwrite").partitionBy(pcols: _*).parquet(s"$dir/$name")
           df.sparkSession.read.parquet(s"$dir/$name")
         case (Some((n, cols)), p) =>
           val spark = df.sparkSession
