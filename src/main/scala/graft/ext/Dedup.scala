@@ -686,6 +686,47 @@ object Dedup {
   lazy val embPlanes: Array[Array[Array[Double]]] =
     Similarity.gaussianPlanes(EmbTables, EmbBits, Similarity.Dim, 43)
 
+  /** The RE-BANDING POLICY as executable code (BENCHNOTES r12 policy,
+    * r14-measured): bits must grow with the corpus — B = ⌈log₂(n/S)⌉
+    * holds expected bucket occupancy at S ≈ 125 (the 1× contract's
+    * operating point), because at FIXED B the per-bucket population
+    * grows ∝ n until every bucket crosses the MaxBucket guard and the
+    * pipeline silently returns EMPTY (measured: the B=4 contract
+    * recalls 0 of 1500 planted pairs at the 30× corpus). Table count
+    * L restores recall 1−(1−p^B)^L at the operating τ
+    * (p = 1 − arccos τ/π). Measured at the policy values: recall
+    * 1.000 on planted near-dups at 30× (B=9/L=16) and 100×
+    * (B=11/L=24), candidates/row flat at ≈ occ·L/2
+    * (tools/RebandEval.scala; BENCHNOTES r14). The fixed B=4/L=16
+    * registry configuration stays the DRIVER CONTRACT at harness
+    * scale — this helper is what a production deployment calls
+    * instead:
+    * {{{
+    *   val (b, l) = Dedup.rebandedParams(corpusRows, tau = 0.85)
+    *   embeddingLshPairs(e, 0.85, Dedup.rebandedPlanes(corpusRows, 0.85))
+    * }}}
+    */
+  def rebandedParams(n: Long, tau: Double, targetOcc: Int = 125,
+      targetRecall: Double = 0.97): (Int, Int) = {
+    require(n > 0 && tau > 0 && tau < 1 && targetRecall < 1)
+    val b = math.max(EmbBits,
+      math.ceil(math.log(n.toDouble / targetOcc) / math.log(2.0)).toInt)
+    val p = 1.0 - math.acos(tau) / math.Pi
+    // smallest L with 1-(1-p^B)^L >= targetRecall
+    val l = math.max(1,
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - math.pow(p, b))).toInt)
+    (b, l)
+  }
+
+  /** Policy planes for a corpus of n vectors at threshold τ (same
+    * seed lineage as [[embPlanes]] so a fixed corpus size is
+    * reproducible).
+    */
+  def rebandedPlanes(n: Long, tau: Double): Array[Array[Array[Double]]] = {
+    val (b, l) = rebandedParams(n, tau)
+    Similarity.gaussianPlanes(l, b, Similarity.Dim, 43)
+  }
+
   /** Parameterized bucketed near-dup: candidates from any-shared-block,
     * verified with exact cosine ≥ τ. `e` must have (vec_id, embedding).
     */

@@ -362,6 +362,32 @@ class PropertySpec extends SparkSpec {
     assert(dense > 0, "dense graph must retain a 4-core")
   }
 
+  test("rebandedParams: occupancy-targeting B, recall-satisfying L, monotone in n") {
+    import graft.ext.Dedup.rebandedParams
+    // the measured anchor points (BENCHNOTES r14): harness 2k -> the
+    // B=4 contract floor; 30x (60k) -> 9; 100x (200k) -> 11
+    assert(rebandedParams(2000, 0.85)._1 === 4)
+    assert(rebandedParams(60000, 0.85)._1 === 9)
+    assert(rebandedParams(200000, 0.85)._1 === 11)
+    // the returned (B, L) must satisfy the recall identity it claims:
+    // 1 - (1 - p^B)^L >= target with p = 1 - acos(tau)/pi — and L-1
+    // must NOT (L is minimal)
+    Seq(2000L, 60000L, 200000L, 10000000L, 1000000000L).foreach { n =>
+      val (b, l) = rebandedParams(n, 0.85)
+      val p = 1.0 - math.acos(0.85) / math.Pi
+      def recall(ll: Int) = 1.0 - math.pow(1.0 - math.pow(p, b), ll)
+      assert(recall(l) >= 0.97, s"n=$n (B=$b, L=$l)")
+      if (l > 1) assert(recall(l - 1) < 0.97, s"n=$n L not minimal")
+      // expected occupancy lands at or below ~2x the target (ceil
+      // rounds B up, halving occupancy at worst)
+      assert(n.toDouble / (1L << b) <= 125 * 1.0001, s"n=$n occupancy")
+    }
+    // monotone: more rows never fewer bits
+    val bs = Seq(1000L, 10000L, 100000L, 1000000L, 100000000L)
+      .map(rebandedParams(_, 0.85)._1)
+    assert(bs === bs.sorted)
+  }
+
   // ------------------------------------------------------------------
   // Post-conditions for the FIXED-ITERATION operators (VERDICT r13
   // ask #3): a replay oracle proves the k iterations ran as written,
