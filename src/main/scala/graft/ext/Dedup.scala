@@ -174,9 +174,12 @@ object Dedup {
     // broadcast path. Catalyst sizes the exploded posting list at its
     // parquet ancestor's bytes, so the static planner happily
     // broadcasts a corpus-scale relation (measured driver OOM at the
-    // 10× corpus under a 1 GiB driver). hint("merge") plans a
-    // sort-merge join; AQE may still demote to broadcast at runtime
-    // using REAL materialized sizes — the safe direction.
+    // 10× corpus under a 1 GiB driver). hint("merge") pins a
+    // sort-merge join at EVERY scale — on Spark 4.1.2 a strategy hint
+    // is honored through AQE re-planning, so no runtime demotion back
+    // to broadcast happens (r15 correction of the earlier claim).
+    // That is the right trade here: both sides are corpus-sized by
+    // contract, so a broadcast would be wrong even from real sizes.
     val b = if (probe.isDefined) broadcast(b0) else b0.hint("merge")
     val jac = col("overlap").cast(DoubleType) /
       (col("sz_a") + col("sz_b") - col("overlap"))
@@ -242,7 +245,9 @@ object Dedup {
     val b = prefix.select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
     // merge hints: prefix table and postings are corpus-derived and
     // explode-size-underestimated (see pairsFromPosts) - never let the
-    // static planner broadcast them; AQE may demote at runtime
+    // static planner broadcast them. The hint pins SMJ through AQE
+    // too (hints are honored during re-planning on Spark 4.1.2) —
+    // intended: both sides are corpus-sized, broadcast is never right
     val cand = a.join(b.hint("merge"), Seq("hs"))
       .filter(col("doc_a") < col("doc_b") &&
         col("sz_a") >= col("sz_b") * tau && col("sz_b") >= col("sz_a") * tau)
@@ -757,9 +762,13 @@ object Dedup {
     // sort: the skinny (id_a, id_b) stream shuffles once per attach
     // and the vector side builds a per-partition hash table. No
     // ordering is needed until the final publish sort, which runs on
-    // the tau-filtered survivors only. AQE still demotes to broadcast
-    // from the vector side's REAL size when it fits (the sf0.1 plan
-    // is unchanged).
+    // the tau-filtered survivors only. The hint is binding at every
+    // scale: Spark 4.1.2 honors strategy hints through AQE
+    // re-planning, so the sf0.1 plan is ALSO a shuffled hash join now
+    // (not the old broadcast) — a deliberate ~0.6 s price at harness
+    // scale for surviving the 100× candidate mass (r15 correction:
+    // the r14 note claimed AQE would restore the small-scale
+    // broadcast; it does not).
     cand.join(va.hint("shuffle_hash"), Seq("id_a"))
       .join(vb.hint("shuffle_hash"), Seq("id_b"))
       .select(col("id_a"), col("id_b"), sim.as("cos_sim"))
@@ -840,8 +849,10 @@ object Dedup {
       // size Catalyst estimates at the tiny parquet ancestor — the
       // static planner would broadcast one (reproduced as a 1 GiB
       // driver OOM on the 30× corpus; this query was the one member
-      // of the posting family the r12 hint audit missed). AQE may
-      // still demote to broadcast from REAL materialized sizes.
+      // of the posting family the r12 hint audit missed). The hint
+      // holds through AQE as well — no runtime broadcast demotion on
+      // Spark 4.1.2 — which is correct here: both sides are
+      // corpus-sized posting lists at every scale.
       a.join(b.hint("merge"), Seq("hs"))
         .filter(col("inner_doc") =!= col("outer_doc") &&
           (col("sz_a") < col("sz_b") ||
@@ -875,14 +886,29 @@ object Dedup {
   // standing in for today's ingest vs yesterday's lake).
   //
   // Scale asymmetry is the whole point: the corpus posting list is
-  // 100 TB-side and must NOT shuffle for a few-GB batch. The batch's
-  // posting list broadcasts — via AQE's runtime size decision, NOT a
-  // forced broadcast(): an ingest-bounded batch broadcasts from its
-  // real materialized size (corpus side stays a map-side hash-join
-  // probe fused onto its scan), while a batch that outgrows the
-  // contract degrades to a shuffle join instead of OOMing the driver
-  // (the r14 30× sweep hit exactly that with its half-corpus split).
-  // Only candidate (batch, corpus, shingle)
+  // 100 TB-side and must NOT shuffle for a few-GB batch. No planner
+  // mechanism delivers that on its own (verified on the pinned Spark
+  // 4.1.2, r15): the STATIC planner sizes the batch posting list at
+  // its tiny parquet ancestor and would broadcast even an outgrown
+  // batch (the r14 30× half-corpus split killed a 1 GiB driver that
+  // way), while a user strategy hint is honored by JoinSelection
+  // through every AQE re-plan — a merge-hinted join NEVER demotes
+  // back to broadcast, however small the batch materializes (the r14
+  // scaladoc claimed AQE restores it; that claim was false, and it
+  // silently cost the in-contract batch its map-side join — the
+  // corpus shuffled on every ingest). So the engine makes the choice
+  // itself, from its own measurement: one cheap aggregate sums the
+  // batch's text chars (column-pruned scan, map-side combined),
+  // which bounds posting rows (≤ one per token ≈ chars/6). A
+  // contract-sized batch joins under an explicit broadcast() — the
+  // corpus side stays a map-side hash-join probe fused onto its
+  // scan, zero corpus shuffle. An outgrown batch degrades to a
+  // merge-hinted sort-merge join: both sides shuffle, but the rows
+  // are skinny (hs, doc, sz) longs — nothing like the 0.5 KB-wide
+  // vector-attach rows that forced shuffle_hash in embeddingLshPairs
+  // — so the SMJ sort is spill-safe instead of a dead driver.
+  // PlanSpec pins BOTH static shapes and that the hinted branch
+  // stays SMJ through AQE. Only candidate (batch, corpus, shingle)
   // hits — bounded by batch size × df — reach the pair aggregation.
   // Same exact-Jaccard semantics as jaccardPairs (J from |A∩B| via the
   // posting join, |A∪B| by inclusion-exclusion), so the output is the
@@ -891,35 +917,56 @@ object Dedup {
   // smallest matching corpus doc; -1 sentinel keeps the column
   // non-null for cross-engine hashing).
   // ------------------------------------------------------------------
+  /** Batch budget for the incremental map-side join: total batch text
+    * chars the measured-broadcast branch accepts. Chars bound posting
+    * rows at ≤ one per token ≈ chars/6, so 8M chars caps the
+    * broadcast hash relation at ~1.4M (hs, doc, sz) rows ≈ 64 MB —
+    * comfortably under executor memory at any contract scale, and two
+    * orders of magnitude under the r14 half-corpus split that killed
+    * a 1 GiB driver via the estimate-based static broadcast.
+    */
+  val IncrementalBroadcastMaxChars = 8L << 20
+
+  /** The measured-batch probe join, factored so PlanSpec can pin both
+    * branches: `fits = true` is the in-contract shape (explicit
+    * broadcast of the batch posting list — corpus probe fused onto
+    * its scan, zero corpus shuffle); `fits = false` the outgrown
+    * degradation (merge-hinted SMJ over skinny posting rows, which
+    * Spark 4.1.2 honors through AQE — it never silently re-broadcasts).
+    */
+  def incrementalMatches(corpus: DataFrame, batch: DataFrame,
+      fits: Boolean): DataFrame = {
+    val jac = col("overlap").cast(DoubleType) /
+      (col("sz_b") + col("sz_c") - col("overlap"))
+    val probed =
+      if (fits) corpus.join(broadcast(batch), Seq("hs"))
+      else corpus.join(batch.hint("merge"), Seq("hs"))
+    probed
+      .filter(col("sz_b") >= col("sz_c") * JaccardTau && col("sz_c") >= col("sz_b") * JaccardTau)
+      .groupBy("batch_doc", "corpus_doc", "sz_b", "sz_c")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(jac >= JaccardTau)
+      .groupBy("batch_doc")
+      .agg(count(lit(1)).as("n_matches"), min(col("corpus_doc")).as("first_dup"))
+  }
+
   val incremental: Q = Q(
     (s, d) => {
-      val posts = shinglePostsDf(s.read.parquet(s"$d/documents.parquet"))
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val posts = shinglePostsDf(docs)
       val corpus = posts.filter(col("doc_id") % 2 === 0)
         .select(col("hs"), col("doc_id").as("corpus_doc"), col("sz").as("sz_c"))
       val batch = posts.filter(col("doc_id") % 2 === 1)
         .select(col("hs"), col("doc_id").as("batch_doc"), col("sz").as("sz_b"))
-      val jac = col("overlap").cast(DoubleType) /
-        (col("sz_b") + col("sz_c") - col("overlap"))
-      // merge hint, NOT a forced broadcast (r14 sweep lesson): the
-      // batch posting list is broadcast-sized by CONTRACT
-      // (ingest-bounded), but the static planner sizes it from the
-      // tiny parquet ancestor and picks a broadcast on its own even
-      // with the explicit broadcast() removed — at the 30× sweep's
-      // batch-is-half-the-corpus split that build killed the 1 GiB
-      // driver. The hint vetoes only the ESTIMATE-based static
-      // choice; AQE still demotes the sort-merge plan back to a
-      // broadcast from the batch's REAL materialized size whenever it
-      // genuinely fits (the r12-measured posting-family behavior), so
-      // a contract-sized batch keeps its map-side join and an
-      // outgrown one degrades to a shuffle join instead of a dead
-      // driver.
-      val matches = corpus.join(batch.hint("merge"), Seq("hs"))
-        .filter(col("sz_b") >= col("sz_c") * JaccardTau && col("sz_c") >= col("sz_b") * JaccardTau)
-        .groupBy("batch_doc", "corpus_doc", "sz_b", "sz_c")
-        .agg(count(lit(1)).as("overlap"))
-        .filter(jac >= JaccardTau)
-        .groupBy("batch_doc")
-        .agg(count(lit(1)).as("n_matches"), min(col("corpus_doc")).as("first_dup"))
+      // The engine's own measurement picks the join strategy (see the
+      // header comment): one column-pruned agg over the batch half's
+      // text — O(batch) map-side work, no shingling, no shuffle beyond
+      // a single scalar.
+      val batchChars = docs.filter(col("doc_id") % 2 === 1)
+        .agg(coalesce(sum(length(col("text"))), lit(0L)).as("c"))
+        .head().getLong(0)
+      val matches =
+        incrementalMatches(corpus, batch, batchChars <= IncrementalBroadcastMaxChars)
       s.read.parquet(s"$d/documents.parquet")
         .filter(col("doc_id") % 2 === 1).select(col("doc_id"))
         .join(matches, col("doc_id") === col("batch_doc"), "left")

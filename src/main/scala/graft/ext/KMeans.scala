@@ -160,8 +160,12 @@ object KMeans {
   // is unchanged, parallelism becomes k·S. The replicated side is an
   // explode ABOVE a corpus-scale relation whose size Catalyst
   // estimates from the parquet ancestor (the r12 broadcast-OOM
-  // class), so the join is merge-hinted: AQE may still demote to
-  // broadcast from REAL runtime sizes, never from the bad estimate.
+  // class), so the join is merge-hinted. The hint pins SMJ at every
+  // scale — Spark 4.1.2 honors strategy hints through AQE
+  // re-planning, so there is NO runtime demotion to broadcast (r15
+  // correction of the earlier claim). That is the intended contract:
+  // the replicated side is corpus×S-sized, so a broadcast would be
+  // wrong from real sizes too, not only from the bad estimate.
   // Re-measured after the fix (best-of-2, local[32]): 13.8 s wall at
   // 30× (was 77.2 s — 5.6×), 1.4 s at 1× (unchanged) — and the
   // published pairs are bit-identical (the oracle replays the

@@ -326,21 +326,34 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 2, s"want 2 hash exchanges (salted then merge), got $exchanges:\n$p")
   }
 
-  test("incremental dedup: batch probe join is never a STATIC broadcast; AQE restores it from real size") {
-    // r14 contract change: the static planner used to broadcast the
-    // batch posting list from its ancestor-derived estimate — at the
-    // 30× sweep's outgrown batch that build killed the 1 GiB driver.
-    // The static plan must now be the merge-hinted sort-merge join
-    // (the only safe estimate-free choice)...
+  test("incremental dedup: measured in-contract batch broadcasts; outgrown branch stays SMJ through AQE") {
+    // r15 contract (replacing the r14 test, whose BroadcastHashJoin
+    // assertion matched the unrelated final left join): the strategy
+    // choice is made by the engine's own batch measurement, not by
+    // the planner. In-contract (the driver query at sf0.01 measures a
+    // tiny batch): the hs probe join itself must be a STATIC
+    // BroadcastHashJoin keyed on hs — corpus probe fused onto its
+    // scan, zero corpus shuffle.
     val p = plan(Dedup.incremental.build(spark, d))
-    assert(p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin \\[hs#".r.findFirstIn(p).isDefined,
+      s"hs probe join is not a static broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    // ...and AQE must hand the map-side join BACK at runtime when the
-    // materialized batch genuinely fits a broadcast (it does at
-    // sf0.01): the corpus probe side stays shuffle-free in the final
-    // adaptive plan exactly as the scaladoc promises.
-    val fin = finalPlan(Dedup.incremental.build(spark, d))
-    assert(fin.contains("BroadcastHashJoin"), fin)
+    // Outgrown: the merge-hinted degradation must NOT regain a
+    // broadcast at runtime — on Spark 4.1.2 JoinSelection honors a
+    // user strategy hint through AQE re-planning (this pin is the
+    // empirical check of the r15 scaladoc; the r14 scaladoc claimed
+    // the opposite). incrementalMatches ends at the match aggregate,
+    // so the only join in this plan IS the hs probe join.
+    val posts = Dedup.shinglePostsDf(spark.read.parquet(s"$d/documents.parquet"))
+    val corpus = posts.filter(col("doc_id") % 2 === 0)
+      .select(col("hs"), col("doc_id").as("corpus_doc"), col("sz").as("sz_c"))
+    val batch = posts.filter(col("doc_id") % 2 === 1)
+      .select(col("hs"), col("doc_id").as("batch_doc"), col("sz").as("sz_b"))
+    val fin = finalPlan(Dedup.incrementalMatches(corpus, batch, fits = false))
+    assert(fin.contains("SortMergeJoin"),
+      s"outgrown branch lost its SMJ:\n$fin")
+    assert(!fin.contains("BroadcastHashJoin"),
+      s"AQE demoted the hinted SMJ to broadcast — the honored-hint premise changed:\n$fin")
   }
 
   test("BM25 top-k is TakeOrderedAndProject (map-side partial top-k), never a global sort") {
