@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ext.KMeans
+
+/** Scale-sweep evaluation of the SemDeDup k POLICY (dev tool; VERDICT
+  * r14 ask #1): the registry's `dedup_semdedup` holds k = 5 by oracle
+  * contract, which makes within-cluster pair mass Σ|c|² ≈ n²/k — the
+  * r14 100× sweep measured 65.6× wall growth for 100× rows. The
+  * production knob is k ∝ n, executable since r15 as
+  * [[KMeans.semdedupParams]] (k = ⌈n/400⌉, contract-floored). This
+  * main times BOTH configurations on a (scaled) corpus through the
+  * shared [[KMeans.semdedupPairs]] body, so the fixed-k baseline and
+  * the formula-k policy are measured by the same harness in the same
+  * session:
+  *
+  *   - `semdedup_fixed_k5`: the oracle-contract configuration (the
+  *     superlinear-by-contract baseline), and
+  *   - `semdedup_formula_k`: k from [[KMeans.semdedupParams]](n) —
+  *     the row whose growth must be ~linear for the policy claim.
+  *
+  * Output identity at 1× (k(2000) = 5 = K) is pinned by ExtSpec, not
+  * here; this tool is the wall-clock/pair-count instrument. The
+  * timed action is count() for both rows (same plan semantics both
+  * sides — the publish sort is elided identically), and the pair
+  * count doubles as the output-mass audit: formula-k publishes a
+  * SUBSET of fixed-k pairs in general (finer clusters can split a
+  * near-dup pair), so the recall column against the fixed-k mass is
+  * printed when both modes run.
+  *
+  * Usage:
+  *   SPARK_DRIVER_MEM=8g sbt "runMain graft.tools.SemdedupEval <dir> [fixed|formula|both]"
+  * Prints one JSON line per configuration.
+  */
+object SemdedupEval {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val mode = if (args.length > 1) args(1) else "both"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = graft.queries.Inventory.rebalanced(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id")
+    val n = e.count()
+    val kFormula = KMeans.semdedupParams(n)
+
+    def run(tag: String, k: Int): Long = {
+      val t0 = System.nanoTime()
+      val pairs = KMeans.semdedupPairs(KMeans.assignK(e, k)).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(s"""{"config":"$tag","rows":$n,"k":$k,"pairs":$pairs,""" +
+        s""""wall_s":$dt,"dir":"$dir"}""")
+      pairs
+    }
+
+    val fixedPairs =
+      if (mode == "fixed" || mode == "both") Some(run("semdedup_fixed_k5", KMeans.K))
+      else None
+    val formulaPairs =
+      if (mode == "formula" || mode == "both") Some(run("semdedup_formula_k", kFormula))
+      else None
+    for (f <- fixedPairs; g <- formulaPairs if f > 0)
+      println(s"""{"config":"formula_vs_fixed_pair_recall","recall":${g.toDouble / f}}""")
+    spark.stop()
+  }
+}

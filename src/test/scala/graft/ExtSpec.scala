@@ -595,6 +595,32 @@ class ExtSpec extends SparkSpec {
     assert(m2 >= m1 - 1e-9, s"objective regressed: $m1 -> $m2")
   }
 
+  test("formula-k path at contract k is value-identical to the registry clustering and pairs") {
+    // the semdedupParams production path (assignK -> semdedupPairs)
+    // must reproduce the oracle-contract output exactly when the
+    // formula lands on k = K — the identity that licenses quoting the
+    // fixed-k driver row as the 1x baseline of the k-policy sweep
+    // (tools/SemdedupEval). assignK's argmax-by-aggregation and
+    // assign's argmax-by-window must agree on every row, including
+    // ties (6-dp csim grid, smaller-cluster tiebreak).
+    val e = graft.queries.Inventory.rebalanced(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id")
+    assert(KMeans.semdedupParams(e.count()) === KMeans.K,
+      "sf0.01 corpus must land on the contract floor for this identity to bind")
+    val viaPolicy = KMeans.assignK(e, KMeans.K)
+      .select("vec_id", "cluster", "csim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    val viaContract = KMeans.assignments(spark, d)
+      .select("vec_id", "cluster", "csim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(viaPolicy === viaContract)
+    val pairsPolicy = KMeans.semdedupPairs(KMeans.assignK(e, KMeans.K)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val pairsContract = KMeans.semdedup.build(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pairsPolicy === pairsContract)
+  }
+
   test("SemDeDup pairs are a subset of exact all-pairs with matching sims") {
     val sem = KMeans.semdedup.build(spark, d).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap

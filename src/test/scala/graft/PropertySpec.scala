@@ -388,6 +388,31 @@ class PropertySpec extends SparkSpec {
     assert(bs === bs.sorted)
   }
 
+  test("semdedupParams: contract-anchored k, floor at oracle K, monotone, linear pair mass") {
+    import graft.ext.KMeans.{semdedupParams, K, SemDedupTargetCluster}
+    // anchor points: the 1x harness corpus (2,000 vectors) reproduces
+    // the oracle contract k = 5 EXACTLY; 30x (60k) -> 150; 100x
+    // (200k) -> 500 (the BENCHNOTES r15 measured configurations)
+    assert(semdedupParams(2000) === 5)
+    assert(semdedupParams(60000) === 150)
+    assert(semdedupParams(200000) === 500)
+    // floor: corpora below K*target never drop under the contract k
+    assert(semdedupParams(1) === K)
+    assert(semdedupParams(500) === K)
+    // mean cluster size never exceeds the target above the floor, so
+    // expected pair mass sum|c|^2 ~ n * target stays LINEAR in n
+    Seq(2001L, 60000L, 200000L, 10000000L, 1000000000L).foreach { n =>
+      val k = semdedupParams(n)
+      assert(n.toDouble / k <= SemDedupTargetCluster, s"n=$n k=$k")
+      // and k never overshoots into sub-efficient slivers: one fewer
+      // cluster would break the target (ceil minimality)
+      if (k > K) assert(n.toDouble / (k - 1) > SemDedupTargetCluster, s"n=$n k not minimal")
+    }
+    // monotone: more rows never fewer clusters
+    val ks = Seq(1000L, 10000L, 100000L, 1000000L, 100000000L).map(semdedupParams(_))
+    assert(ks === ks.sorted)
+  }
+
   // ------------------------------------------------------------------
   // Post-conditions for the FIXED-ITERATION operators (VERDICT r13
   // ask #3): a replay oracle proves the k iterations ran as written,

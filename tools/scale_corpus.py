@@ -10,9 +10,9 @@ duplication: a verbatim copy would make every original a near-dup of
 its replicas, quadratically exploding the dedup queries' OUTPUT for
 data reasons and masking any real plan pathology. Text replicas get a
 salt token interleaved every PERIOD tokens; embedding replicas get a
-cyclic dimension shift plus +-0.05 hash-noise per dim (together
-pushing replica cosine below the dedup taus; the r = 0 slice of every
-table is the source data verbatim). Events/orders/lineitem keep
+seeded per-replica dimension permutation plus +-0.05 hash-noise per
+dim (together pushing replica cosine below the dedup taus; the r = 0
+slice of every table is the source data verbatim). Events/orders/lineitem keep
 their key distributions (same users/customers, Nx depth) - the growth
 shape a production corpus actually has.
 
@@ -81,28 +81,34 @@ SELECT doc_id + r * 1000000 AS doc_id,
 FROM src, {reps}
 """, row_group=5000)
 
-# embeddings: replicas get a cyclic DIMENSION SHIFT (i -> i + 7r mod 64)
-# plus small hash-noise. A shift decorrelates a replica from its
-# original (measured cross-replica cosine ~0.1 vs CosTau 0.4 - additive
-# noise alone left ~0.86, which would have exploded the dedup outputs
-# quadratically for data reasons) while preserving the within-replica
-# pair structure exactly (both members of a planted pair shift alike).
-# WRAP CAVEAT (r14, caught by RebandEval's recalled_cross audit): the
-# shift lives mod 64, so at N > 64 replicas r and r+64 share a shift
-# and differ only by the +-0.05 noise - cosine ~0.997, i.e. GENUINE
-# echo near-dups across those replica pairs. Within-block truth sets
-# undercount at N > 64; planted-pair recall stays valid (planted
-# twins are within-block by construction), and the banded pipeline
-# finding the echoes is exact-verified output, not error.
+# embeddings: replicas get a seeded per-replica DIMENSION PERMUTATION
+# plus small hash-noise. A permutation decorrelates a replica from its
+# original (same mechanism as the r10-r14 cyclic shift: measured
+# cross-replica cosine ~0.1 vs CosTau 0.4 - additive noise alone left
+# ~0.86, which would have exploded the dedup outputs quadratically for
+# data reasons) while preserving the within-replica pair structure
+# exactly (both members of a planted pair permute alike).
+# r15 change (VERDICT r14 ask #3): the old shift i -> i + 7r lived
+# mod 64, so at N > 64 replicas r and r+64 shared a shift and differed
+# only by the +-0.05 noise (cosine ~0.997) - 77,297 genuine echo
+# near-dups polluted the 100x recalled_cross audit. The permutation
+# space is 64! per replica (keyed on r through hash), so no two
+# replicas repeat a layout at any N; the RebandEval audit column is
+# expected ~0 at every scale. r = 0 stays the source data verbatim.
 gen("embeddings", f"""
+WITH perms AS (
+  SELECT r, list(i ORDER BY hash(r * 1000003 + i * 97), i) AS p
+  FROM {reps}, range(1, 65) t(i)  -- harness Dim = 64
+  GROUP BY r
+)
 SELECT vec_id + r * 1000000 AS vec_id,
   CASE WHEN r = 0 THEN embedding ELSE
     list_transform(range(1, len(embedding) + 1),
-      i -> CAST(embedding[CAST((i - 1 + 7 * r) % len(embedding) + 1 AS BIGINT)]
+      i -> CAST(embedding[p[i]]
         + (CAST(hash(vec_id * 131 + i * 17 + r) % 1000 AS BIGINT) - 500) * 0.0001 AS FLOAT))
   END AS embedding,
   label
-FROM src, {reps}
+FROM src, perms
 """, row_group=2000)
 
 # events: id offset + deterministic sub-hour jitter; same users (Nx depth)
