@@ -82,10 +82,18 @@ object Bench {
       // sweeps: at 30× data under a small heap, partitions=cpus(4)
       // puts a quarter of the corpus in one task — the spill-merge
       // fan-in (one read-ahead buffer per spill file) then OOMs the
-      // heap regardless of plan quality. Official rounds never set
-      // this; the default stays partitions = cpus.
-      val shufflePartitions =
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+      // heap regardless of plan quality. Since r15 the default is
+      // POLICY, not a hand-set knob: max(cpus, data-sized count from
+      // measured input bytes — engine.Partitioning). At the official
+      // sf0.1 this is exactly the old partitions = cpus (17 MiB of
+      // input → the cpus floor wins, so official numbers are
+      // unaffected); at 30×/100× the count grows with the corpus and
+      // the r14 sweep's hand-set 64 falls out as ~57/~178. The env
+      // override remains for explicit experiments.
+      val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        math.max(cpus.toInt,
+          graft.engine.Partitioning.partitionsFor(
+            graft.engine.Partitioning.dirBytes(sfDir))).toString)
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -189,7 +197,12 @@ object Bench {
         case _               => if (d1 <= d2) r1 else r2
       }
     }
-    val passJson = Seq("queries_p1" -> pass1, "queries_p2" -> pass2).map { case (label, p) =>
+    // Single-pass mode emits ONLY queries_p1 — duplicating pass 1 into
+    // a fabricated queries_p2 would show a reader two "passes" that
+    // never both ran (ADVICE r14); the "timing" marker names the mode.
+    val passes = Seq("queries_p1" -> pass1) ++
+      (if (nPasses > 1) Seq("queries_p2" -> pass2) else Nil)
+    val passJson = passes.map { case (label, p) =>
       "\"" + label + "\":" + p.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     }.mkString(",")
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -214,7 +227,9 @@ object Bench {
     // (the success is chosen), but the flake must stay LOUD in the
     // audited artifact, not just stderr (ADVICE r13): per-pass error
     // maps ride beside the per-pass durations.
-    val passErrJson = Seq("errors_p1" -> pass1, "errors_p2" -> pass2).map { case (label, p) =>
+    val errPasses = Seq("errors_p1" -> pass1) ++
+      (if (nPasses > 1) Seq("errors_p2" -> pass2) else Nil)
+    val passErrJson = errPasses.map { case (label, p) =>
       "\"" + label + "\":" + p.collect { case (k, _, _, Some(m)) => (k, m) }
         .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     }.mkString(",")

@@ -173,10 +173,30 @@ object TableSink {
     * must match on both sides — size it to the LARGER table's target
     * partition bytes, since re-bucketing is a rewrite.
     */
+  /** `catalogPrefix` namespaces the catalog entries a bucketed write
+    * creates (`saveAsTable(prefix + name)`): bucketing metadata MUST
+    * live in the session catalog, so a throwaway build (the registry's
+    * `ann_ivfpq_from_index` temp warehouse) would otherwise DROP and
+    * overwrite a session's real table of the same name (ADVICE r14).
+    * Readers are unaffected — write() returns the relation itself and
+    * the DAG wires DataFrames, not names.
+    */
+  /** `writersPerPartition` bounds the partition-only write's task
+    * fan-in: clustering on the partition columns alone serializes the
+    * write into ONE task per distinct partition value (the same
+    * per-key parallelism ceiling the semdedup pair join had — fine
+    * for the harness's handful of IVF cells, a straggler wall for a
+    * corpus-scale codes write). Values > 1 add a deterministic
+    * row-hash salt so each directory is written by up to that many
+    * tasks (= files); the harness default 1 keeps the
+    * one-whole-file-per-directory layout the small-files fix wanted.
+    */
   final class BucketedParquet(
       dir: String,
       buckets: Map[String, (Int, Seq[String])],
-      partitions: Map[String, Seq[String]] = Map.empty)
+      partitions: Map[String, Seq[String]] = Map.empty,
+      catalogPrefix: String = "",
+      writersPerPartition: Int = 1)
       extends TableSink {
 
     override def write(name: String, df: DataFrame): DataFrame = {
@@ -193,20 +213,28 @@ object TableSink {
           // first: otherwise every upstream task writes a sliver into
           // every directory (tasks × partitions small files — 32×5 for
           // the harness ANN index); clustered, each directory gets
-          // whole files with full-size row groups.
-          df.repartition(pcols.map(org.apache.spark.sql.functions.col): _*)
+          // whole files with full-size row groups. writersPerPartition
+          // (class scaladoc) widens this when one-task-per-value is
+          // the bottleneck rather than the fix.
+          import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+          val clustered =
+            if (writersPerPartition <= 1) df.repartition(pcols.map(col): _*)
+            else df.repartition(pcols.map(col) :+
+              pmod(hash(df.columns.map(col): _*), lit(writersPerPartition)): _*)
+          clustered
             .write.mode("overwrite").partitionBy(pcols: _*).parquet(s"$dir/$name")
           df.sparkSession.read.parquet(s"$dir/$name")
         case (Some((n, cols)), p) =>
           val spark = df.sparkSession
-          spark.sql(s"DROP TABLE IF EXISTS `$name`")
+          val tbl = catalogPrefix + name
+          spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
           val w0 = df.write.mode("overwrite").format("parquet")
             .option("path", s"$dir/$name")
           val w1 = p.fold(w0)(pcols => w0.partitionBy(pcols: _*))
           w1.bucketBy(n, cols.head, cols.tail: _*)
             .sortBy(cols.head, cols.tail: _*)
-            .saveAsTable(name)
-          spark.table(name)
+            .saveAsTable(tbl)
+          spark.table(tbl)
       }
     }
   }

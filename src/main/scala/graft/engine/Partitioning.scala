@@ -1,0 +1,69 @@
+package graft.engine
+
+/** Data-sized partition policy (VERDICT r14 ask #4): loop operators
+  * and the scale-sweep harness used to size shuffle partitions from
+  * THREAD COUNT (`local[n]` → n), which is a memory hazard, not a
+  * policy — at the 30× corpus, partitions = cpus(4) put a quarter of
+  * the exploded posting stream in one task and the spill-merge fan-in
+  * (one read-ahead buffer per spill file) OOMed any small heap
+  * regardless of plan quality; the r14 sweep survived only with a
+  * hand-set 64. This object makes the working number a computed one:
+  * partition counts derive from measured INPUT BYTES, so the same
+  * code is correct at 1× and 100× and under any heap — exactly how a
+  * production cluster sizes (executors scale with data volume, not
+  * with one box's core count).
+  */
+object Partitioning {
+
+  /** Target compressed-parquet input bytes per shuffle partition.
+    * 8 MiB of columnar-compressed text expands roughly 4–8× once
+    * exploded into posting/shingle rows on the shuffle wire, landing
+    * each in-flight partition near AQE's 64 MiB advisory partition
+    * size — small enough that a 1 GiB heap holds a few partitions
+    * plus their spill buffers (the r14 measured-good configuration:
+    * 454 MiB of 30× input over 57–64 partitions), large enough that
+    * the harness corpus never fans into scheduling noise.
+    */
+  val BytesPerPartition = 8L << 20
+
+  /** Shuffle-wire bytes per undirected edge in a loop operator's
+    * cached state: two longs plus row/serialization overhead.
+    */
+  val EdgeWireBytes = 48L
+
+  /** Target bytes of cached loop STATE per partition. Smaller than
+    * [[BytesPerPartition]] because a fixed-point round re-caches its
+    * whole partition every iteration and joins it against the edge
+    * set — ~4 MiB ≈ 87k edges keeps each round's tasks meaningful
+    * (the measured ~100k-edges-per-partition rule of r12) while
+    * bounding any round's per-task memory at any corpus size.
+    */
+  val EdgeStateBytesPerPartition = 4L << 20
+
+  /** Partitions for `inputBytes` of data at `bytesPerPartition` each;
+    * floored at 1, NO ceiling — the count grows with the data by
+    * design (a ceiling is how the thread-count hazard re-enters).
+    */
+  def partitionsFor(inputBytes: Long,
+      bytesPerPartition: Long = BytesPerPartition): Int = {
+    require(bytesPerPartition > 0)
+    math.max(1L, (inputBytes + bytesPerPartition - 1) / bytesPerPartition)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
+  /** Loop partitioning for an `nEdges`-edge graph state. */
+  def forEdges(nEdges: Long): Int =
+    partitionsFor(nEdges * EdgeWireBytes, EdgeStateBytesPerPartition)
+
+  /** Total file bytes under a directory (recursive) — the measured
+    * input-size feed for [[partitionsFor]] when sizing a session for
+    * a data directory (Bench's scale-sweep sessions).
+    */
+  def dirBytes(path: String): Long = {
+    val root = new java.io.File(path)
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    if (root.exists()) walk(root) else 0L
+  }
+}

@@ -51,19 +51,20 @@ object Clusters {
     // is what actually guarantees it runs exactly once.
     val directed = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
     val nEdges = directed.count()
-    // Size the ITERATION's partitioning to the measured pair graph, not
-    // the session default: after dedup thresholds the graph is a tiny
+    // Size the ITERATION's partitioning to the measured pair graph via
+    // the engine's data-sized policy (Partitioning.forEdges ≈ 87k
+    // edges per partition): after dedup thresholds the graph is a tiny
     // fraction of the corpus, and at the default partition count every
     // propagation round pays (stages × partitions) near-empty tasks —
     // measured 723 tasks / 3.7 s of pure scheduling overhead for a
-    // few-thousand-edge graph at sf0.1. ~100k edges per partition keeps
-    // each task meaningful; p is CLAMPED above by the session shuffle
-    // setting (a billion-edge production graph fans wider by raising
-    // that setting, not through this helper). The count() above already
-    // materialized the cache, so this sizing is free.
-    val p = math.max(1L, math.min(
-      pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toLong,
-      nEdges / 100000L)).toInt
+    // few-thousand-edge graph at sf0.1. The r14 sweep removed the old
+    // session-conf CLAMP's justification: capping p at the session
+    // setting re-introduces the thread-count hazard (at 1 GiB/local[4]
+    // the 30× loop OOMed at p = 4 and ran clean at a data-sized 64),
+    // so p now derives from nEdges alone — a billion-edge graph fans
+    // to ~10k partitions with no knob touched. The count() above
+    // already materialized the cache, so this sizing is free.
+    val p = graft.engine.Partitioning.forEdges(nEdges)
     val edges = directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(p, col("dst"))
       .cache()

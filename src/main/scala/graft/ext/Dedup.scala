@@ -1255,6 +1255,183 @@ object Dedup {
   )
 
   // ------------------------------------------------------------------
+  // Exact-substring spans at the Lee et al. operating point — the
+  // ACL'22 paper dedups on 50-TOKEN verbatim windows, an order of
+  // magnitude longer than the 8-token row above, and the difference
+  // is the point: 8-token windows flag every shared idiom and
+  // boilerplate fragment (high recall, over-flags for REMOVAL
+  // decisions), 50-token windows fire only on genuinely copied
+  // passages — the span length at which the paper measures LM
+  // improvement from removal. Both rows stay in the registry because
+  // a production funnel uses them differently (8 = analysis signal,
+  // 50 = removal gate).
+  //
+  // Scale shape differs from the 8-token row deliberately: 49 window
+  // leads would need a per-doc SORT (one window shuffle carrying
+  // 50-token-wide rows). Instead the windows come from a map-side
+  // higher-order transform over the per-doc token array — slice +
+  // join + hash per window position, O(W·tokens) char work, ZERO
+  // shuffles before the span-hash exchange. The HOF evaluates outside
+  // whole-stage codegen, but it replaces a corpus-wide sort — at
+  // 100 TB the exchange it saves dominates the interpreted-eval cost
+  // by orders of magnitude. Dup decision is the same single
+  // span-hash window (min ≠ max doc) as the 8-token row; hashes are
+  // md5-derived so DuckDB replays keys exactly.
+  // ------------------------------------------------------------------
+  val SpanTokensLong = 50
+
+  val substringSpansLong: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byHash = Window.partitionBy("hs")
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        // sequence(0, n-W) flips DESCENDING when n < W — guard first
+        .filter(size(col("toks")) >= SpanTokensLong)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("toks")) - SpanTokensLong),
+          i => hash60(array_join(slice(col("toks"), i + 1, lit(SpanTokensLong)), " ")))).as("hs"))
+        .withColumn("dup",
+          (min(col("doc_id")).over(byHash) =!= max(col("doc_id")).over(byHash))
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum(col("dup")).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          roundPortable(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 6)
+            .as("dup_span_frac"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sp AS (
+            |  SELECT doc_id,
+            |    ('0x' || substr(md5(array_to_string(toks[i:i+${SpanTokensLong - 1}], ' ')), 1, 15))::BIGINT AS hs
+            |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+            |       LATERAL unnest(range(1, len(toks) - ${SpanTokensLong - 2})) AS r(i)
+            |), pl AS (
+            |  SELECT hs, count(DISTINCT doc_id) AS n_docs FROM sp GROUP BY 1
+            |)
+            |SELECT sp.doc_id, count(*) AS n_spans,
+            |  CAST(sum(CAST(pl.n_docs >= 2 AS BIGINT)) AS BIGINT) AS n_dup_spans,
+            |  floor(CAST(sum(CAST(pl.n_docs >= 2 AS BIGINT)) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS dup_span_frac
+            |FROM sp JOIN pl USING (hs)
+            |GROUP BY 1 ORDER BY sp.doc_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // URL canonicalization + exact dedup — the FIRST dedup any
+  // web-crawl corpus runs, before any text is even read: the same
+  // page arrives under scheme/host case noise, default ports,
+  // tracking parameters (utm_*, fbclid, gclid), fragments, duplicate
+  // slashes, index.html suffixes, and shuffled query order. The
+  // operator surface is [[canonicalUrl]] — a pure codegen'd
+  // expression chain (regexp extract/replace + query-param
+  // filter/sort), usable on any URL column; the registry row derives
+  // a deterministic messy URL per document from harness columns
+  // (three variant spellings of the same logical page; the documents
+  // table carries no real crawl URL) and groups by the canonical
+  // form — the standard exact-dedup report (group size, min-id
+  // representative).
+  //
+  // Scale: canonicalization is per-row map work fused into the scan;
+  // the dedup is ONE hash exchange on the canonical key (the window
+  // agg) — the cheapest member of the dedup family, which is exactly
+  // why it runs first in a crawl funnel. RFC 3986 §6 is the public
+  // normalization spec this follows (case, default port, empty path).
+  // ------------------------------------------------------------------
+
+  /** Canonical form of a URL column: lowercased scheme and host,
+    * default port stripped (http:80 / https:443), fragment removed,
+    * duplicate slashes collapsed, trailing `/index.html` or `/`
+    * dropped (empty path → `/`), tracking params removed and the
+    * remaining query re-sorted byte-lexicographically.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val pathq = regexp_replace(rest, "^[^/?#]*", "")
+    val path = regexp_replace(
+      regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/{2,}", "/"),
+      "(/index\\.html|/)$", "")
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      p => !(p.rlike("^(utm_[^=]*|fbclid|gclid)=") || p === lit("")))), "&")
+    concat(scheme, lit("://"), host,
+      when(path === "", lit("/")).otherwise(path),
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  val urlCanonical: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = (col("doc_id") % 40).cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+        concat(lit("HTTP://"), col("source"), lit(".Example.COM:80/"), col("lang"),
+          lit("//doc"), k, lit("/index.html?b=2&a=1&utm_campaign=x")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("http://"), upper(concat(col("source"), lit(".Example.COM"))),
+            lit("/"), col("lang"), lit("/doc"), k, lit("?utm_source=feed&b=2&a=1")))
+        .otherwise(
+          concat(lit("http://"), lower(concat(col("source"), lit(".Example.COM"))),
+            lit("/"), col("lang"), lit("/doc"), k, lit("/?a=1&b=2&fbclid=xyz#sec-"),
+            col("doc_id").cast("string")))
+      val byUrl = Window.partitionBy("canonical_url")
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), canonicalUrl(url).as("canonical_url"))
+        .withColumn("group_size", count(lit(1)).over(byUrl))
+        .withColumn("is_representative",
+          col("doc_id") === min(col("doc_id")).over(byUrl))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH u AS (
+            |  SELECT doc_id,
+            |    CASE CAST(doc_id % 3 AS INTEGER)
+            |      WHEN 0 THEN 'HTTP://' || source || '.Example.COM:80/' || lang || '//doc' || CAST(doc_id % 40 AS VARCHAR) || '/index.html?b=2&a=1&utm_campaign=x'
+            |      WHEN 1 THEN 'http://' || upper(source || '.Example.COM') || '/' || lang || '/doc' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&b=2&a=1'
+            |      ELSE 'http://' || lower(source || '.Example.COM') || '/' || lang || '/doc' || CAST(doc_id % 40 AS VARCHAR) || '/?a=1&b=2&fbclid=xyz#sec-' || CAST(doc_id AS VARCHAR)
+            |    END AS url
+            |  FROM documents
+            |), parts AS (
+            |  SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag FROM u
+            |), split1 AS (
+            |  SELECT doc_id,
+            |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+            |  FROM parts
+            |), split2 AS (
+            |  SELECT doc_id, scheme,
+            |    lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+            |    regexp_replace(rest, '^[^/?#]*', '') AS pathq
+            |  FROM split1
+            |), norm AS (
+            |  SELECT doc_id, scheme,
+            |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+            |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+            |         ELSE hostport END AS host,
+            |    regexp_replace(
+            |      regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/{2,}', '/', 'g'),
+            |      '(/index\\.html|/)$$', '') AS path,
+            |    array_to_string(list_sort(list_filter(
+            |      string_split(regexp_extract(pathq, '\\?(.*)$$', 1), '&'),
+            |      p -> NOT (regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') OR p = ''))), '&') AS kept
+            |  FROM split2
+            |), c AS (
+            |  SELECT doc_id,
+            |    scheme || '://' || host ||
+            |    CASE WHEN path = '' THEN '/' ELSE path END ||
+            |    CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+            |  FROM norm
+            |)
+            |SELECT doc_id, canonical_url,
+            |  count(*) OVER (PARTITION BY canonical_url) AS group_size,
+            |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_representative
+            |FROM c ORDER BY doc_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
   // Bloom-filter exact-dedup PREFILTER — the incremental-ingest
   // membership shape at its cheapest: the standing corpus's content
   // hashes aggregate into ONE Bloom sketch (mergeable partial states,
@@ -1613,6 +1790,8 @@ object Dedup {
     "dedup_ngram_novelty" -> ngramNovelty,
     "dedup_minhash_estimate" -> minhashEstimate,
     "dedup_substring_spans" -> substringSpans,
+    "dedup_substring_spans50" -> substringSpansLong,
+    "dedup_url_canonical" -> urlCanonical,
     "dedup_bloom_prefilter" -> bloomPrefilter,
     "dedup_sorted_neighborhood" -> sortedNeighborhood,
     "dedup_record_linkage" -> recordLinkage

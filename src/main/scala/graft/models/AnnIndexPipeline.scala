@@ -109,12 +109,13 @@ object AnnIndexPipeline {
     * harness-sized; size it to the larger table's target partition
     * bytes in production (the class scaladoc's caveat).
     */
-  def cellMajorSink(dir: String): TableSink =
+  def cellMajorSink(dir: String, catalogPrefix: String = ""): TableSink =
     new TableSink.BucketedParquet(dir,
       buckets = Map("ann_cells" -> (4, Seq("vec_id"))),
       partitions = Map(
         "ann_pq_codes" -> Seq("cluster"),
-        "ann_cells" -> Seq("cluster")))
+        "ann_cells" -> Seq("cluster")),
+      catalogPrefix = catalogPrefix)
 
   /** IVF+PQ top-k against the MATERIALIZED index. `embeddings` is the
     * raw corpus (query vectors come from it by the registry's
@@ -177,8 +178,12 @@ object AnnIndexPipeline {
   val fromIndex: graft.queries.Inventory.Q = graft.queries.Inventory.Q(
     (s, d) => {
       val wh = java.nio.file.Files.createTempDirectory("graft-annidx-reg")
+      // catalog namespace unique to THIS build: the bucketed ann_cells
+      // write needs a catalog entry, and an unprefixed one would DROP a
+      // session's real `ann_cells` during a registry run (ADVICE r14)
+      val pfx = wh.getFileName.toString.toLowerCase.replaceAll("[^a-z0-9]", "_") + "_"
       try {
-        val r = run(s, d, cellMajorSink(wh.toString))
+        val r = run(s, d, cellMajorSink(wh.toString, pfx))
         require(r.allTestsPassed && r.skipped.isEmpty,
           s"index build gated: ${r.tests.filterNot(_.passed).mkString(", ")}")
         val out = search(s.read.parquet(s"$d/embeddings.parquet"), r(_))
@@ -191,9 +196,9 @@ object AnnIndexPipeline {
       } finally {
         // only ann_cells gets a catalog entry under cellMajorSink
         // (bucket metadata needs one; the partition-only codes table
-        // does not) — drop just it, so a session's own ann_* tables
-        // survive a registry run
-        s.sql("DROP TABLE IF EXISTS `ann_cells`")
+        // does not) — drop just the PREFIXED entry this run created,
+        // so a session's own ann_* tables survive a registry run
+        s.sql(s"DROP TABLE IF EXISTS `${pfx}ann_cells`")
         // temp-dir delete (deepest-first walk); best-effort by design
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse

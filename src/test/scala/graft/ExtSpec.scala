@@ -595,6 +595,61 @@ class ExtSpec extends SparkSpec {
     assert(m2 >= m1 - 1e-9, s"objective regressed: $m1 -> $m2")
   }
 
+  test("50-token span dedup implies 8-token span dedup, never the reverse") {
+    // containment: any duplicated 50-token window contains duplicated
+    // 8-token subwindows, so the long row's flagged docs must be a
+    // subset of the short row's — the over-flagging asymmetry that
+    // justifies keeping both operating points in the registry.
+    val short8 = Dedup.substringSpans.build(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2) > 0)).toMap
+    val long50 = Dedup.substringSpansLong.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(long50.nonEmpty, "no >=50-token docs in the fixture at all")
+    val flagged50 = long50.collect { case (id, _, nd) if nd > 0 => id }
+    assert(flagged50.nonEmpty, "fixture has exact-dup docs; 50-token spans must fire")
+    flagged50.foreach { id =>
+      assert(short8(id), s"doc $id flagged at 50 tokens but not at 8")
+    }
+    // and the long row genuinely under-flags relative to the short one
+    val flagged8 = short8.count(_._2)
+    assert(flagged50.length < flagged8,
+      s"50-token row flags ${flagged50.length} docs, 8-token $flagged8 — no asymmetry")
+  }
+
+  test("canonicalUrl: case, ports, fragments, slashes, index.html, tracking params, param order") {
+    val cases = Seq(
+      ("HTTP://WWW.Example.COM:80/A//b///c/index.html?utm_source=x&b=2&a=1#frag",
+        "http://www.example.com/A/b/c?a=1&b=2"),
+      ("https://Host.org:443/", "https://host.org/"),
+      ("https://host.org:8443/x/", "https://host.org:8443/x"),
+      ("http://h.io?fbclid=abc&gclid=d", "http://h.io/"),
+      ("http://h.io/p?z=1&y=2&utm_campaign=c", "http://h.io/p?y=2&z=1"))
+    val df = spark.createDataFrame(cases).toDF("url", "want")
+      .select(Dedup.canonicalUrl(col("url")).as("got"), col("want"))
+    df.collect().foreach(r =>
+      assert(r.getString(0) === r.getString(1), s"canonicalUrl mismatch"))
+  }
+
+  test("url dedup groups: every variant spelling collapses; representative is the group min") {
+    val rows = Dedup.urlCanonical.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val groups = rows.groupBy(_._2)
+    // the three deterministic variant spellings of one logical page
+    // must land in ONE canonical group: every group's size column
+    // equals its actual membership, exactly one representative, and
+    // it is the min doc_id
+    groups.foreach { case (cu, members) =>
+      assert(members.forall(_._3 === members.length), s"group_size drift at $cu")
+      val reps = members.filter(_._4)
+      assert(reps.length === 1 && reps.head._1 === members.map(_._1).min, cu)
+    }
+    // variants actually merged: strictly fewer groups than docs, and
+    // at least one group mixes doc_ids from different %3 variants
+    assert(groups.size < rows.length)
+    assert(groups.values.exists(ms => ms.map(_._1 % 3).distinct.length > 1),
+      "no group mixes variant spellings — canonicalization did no work")
+  }
+
   test("formula-k path at contract k is value-identical to the registry clustering and pairs") {
     // the semdedupParams production path (assignK -> semdedupPairs)
     // must reproduce the oracle-contract output exactly when the

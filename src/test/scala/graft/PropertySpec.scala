@@ -388,6 +388,31 @@ class PropertySpec extends SparkSpec {
     assert(bs === bs.sorted)
   }
 
+  test("partitionsFor: data-sized, floored at 1, no thread-count ceiling; edge-rule anchors") {
+    import graft.engine.Partitioning._
+    assert(partitionsFor(0) === 1)
+    assert(partitionsFor(1) === 1)
+    // the official harness input (~17.5 MiB measured) stays under the
+    // cpus floor in Bench -> official partitioning is unchanged by
+    // the policy
+    assert(partitionsFor(17508506L) === 3)
+    // the r14 hand-set 64 falls out of the measured 30x corpus bytes
+    // as ~55 - policy replaces operator lore within its working range
+    assert(partitionsFor(453764391L) === 55)
+    // monotone, and a ceiling never reappears: 1 TiB of input demands
+    // ~131k partitions regardless of the box
+    val ps = Seq(1L << 20, 100L << 20, 10L << 30, 1L << 40).map(partitionsFor(_))
+    assert(ps === ps.sorted)
+    assert(partitionsFor(1L << 40) === 131072)
+    // loop-state edge rule: ~87k edges per partition; harness-scale
+    // graphs stay single-partition (the r12 scheduling-noise fix),
+    // a billion-edge graph fans to ~11k tasks with no knob touched
+    assert(forEdges(3000) === 1)
+    assert(forEdges(87381) === 1)
+    assert(forEdges(87382) === 2)
+    assert(forEdges(1000000000L) === 11445)
+  }
+
   test("semdedupParams: contract-anchored k, floor at oracle K, monotone, linear pair mass") {
     import graft.ext.KMeans.{semdedupParams, K, SemDedupTargetCluster}
     // anchor points: the 1x harness corpus (2,000 vectors) reproduces
