@@ -47,14 +47,14 @@ object SemdedupEval {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val e = graft.queries.Inventory.rebalanced(
+    val emb = graft.queries.Inventory.rebalanced(
       spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id")
-    val n = e.count()
+    val n = emb.count()
     val kFormula = KMeans.semdedupParams(n)
 
     def run(tag: String, k: Int): Long = {
       val t0 = System.nanoTime()
-      val pairs = KMeans.semdedupPairs(KMeans.assignK(e, k)).count()
+      val pairs = KMeans.semdedupPairs(KMeans.assignK(emb, k)).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(s"""{"config":"$tag","rows":$n,"k":$k,"pairs":$pairs,""" +
         s""""wall_s":$dt,"dir":"$dir"}""")
@@ -69,6 +69,46 @@ object SemdedupEval {
       else None
     for (f <- fixedPairs; g <- formulaPairs if f > 0)
       println(s"""{"config":"formula_vs_fixed_pair_recall","recall":${g.toDouble / f}}""")
+
+    // --- planted-pair recall (mode "planted") -----------------------
+    // The τ=0.4 bulk-pair mass is NOT the policy's recall metric —
+    // finer clusters legitimately split low-similarity pairs (that is
+    // the blocking contract; the paper dedups within clusters). The
+    // metric that must hold is the same one the LSH re-banding policy
+    // is held to: recall of PLANTED near-dup twins (RebandEval's exact
+    // recipe — every 40th vector + 0.12 deterministic hash noise,
+    // cosine ~0.93-0.99). A twin recalls iff it lands in its source's
+    // cluster AND survives the pair stage — semantic blocking's
+    // analogue of "same bucket in some table".
+    if (mode == "planted") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DoubleType
+      val TwinOffset = 500000000L
+      val noisy = emb.filter(col("vec_id") % 40 === 0)
+        .select((col("vec_id") + TwinOffset).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => (x + (pmod(hash(col("vec_id"), i), lit(1000)).cast(DoubleType) / 1000.0 - 0.5)
+              * 0.12).cast("float")).as("embedding"))
+      val all = emb.select("vec_id", "embedding").unionByName(noisy)
+        .repartition(col("vec_id")).cache()
+      val nAll = all.count()
+      val nPlanted = noisy.count()
+      Seq(("planted_fixed_k5", KMeans.K),
+          ("planted_formula_k", KMeans.semdedupParams(nAll))).foreach { case (tag, k) =>
+        val t0 = System.nanoTime()
+        val pairs = KMeans.semdedupPairs(KMeans.assignK(all, k))
+          .select(col("id_a"), col("id_b")).cache()
+        val nPairs = pairs.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val hits = pairs
+          .filter(col("id_b") === col("id_a") + TwinOffset)
+          .count()
+        println(s"""{"config":"$tag","rows":$nAll,"k":$k,"pairs":$nPairs,""" +
+          s""""n_planted":$nPlanted,"n_hit":$hits,"recall":${hits.toDouble / nPlanted},""" +
+          s""""wall_s":$dt,"dir":"$dir"}""")
+        pairs.unpersist()
+      }
+    }
     spark.stop()
   }
 }
