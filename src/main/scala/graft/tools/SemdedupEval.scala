@@ -93,10 +93,15 @@ object SemdedupEval {
         .repartition(col("vec_id")).cache()
       val nAll = all.count()
       val nPlanted = noisy.count()
+      val kForm = KMeans.semdedupParams(nAll)
+      def pairsOf(tag: String, k: Int) =
+        if (tag.endsWith("_2t")) KMeans.semdedupPairsMulti(all, k, tables = 2)
+        else KMeans.semdedupPairs(KMeans.assignK(all, k))
       Seq(("planted_fixed_k5", KMeans.K),
-          ("planted_formula_k", KMeans.semdedupParams(nAll))).foreach { case (tag, k) =>
+          ("planted_formula_k", kForm),
+          ("planted_formula_k_2t", kForm)).foreach { case (tag, k) =>
         val t0 = System.nanoTime()
-        val pairs = KMeans.semdedupPairs(KMeans.assignK(all, k))
+        val pairs = pairsOf(tag, k)
           .select(col("id_a"), col("id_b")).cache()
         val nPairs = pairs.count()
         val dt = (System.nanoTime() - t0) / 1e9

@@ -676,6 +676,25 @@ class ExtSpec extends SparkSpec {
     assert(pairsPolicy === pairsContract)
   }
 
+  test("multi-clustering SemDeDup: T=1 is the single-table pair set; T=2 only ever adds recall") {
+    val e = graft.queries.Inventory.rebalanced(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = asSet(KMeans.semdedupPairs(KMeans.assignK(e, KMeans.K)))
+    val t1 = asSet(KMeans.semdedupPairsMulti(e, KMeans.K, tables = 1))
+    assert(t1 === single, "T=1 must reproduce the single-table pair set exactly")
+    val t2 = asSet(KMeans.semdedupPairsMulti(e, KMeans.K, tables = 2))
+    assert(single.subsetOf(t2), "a second table can only ADD pairs, never drop one")
+    // every added pair is still a verified tau-pair (exact all-pairs check)
+    val exact = Dedup.embeddingPairs.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (t2 -- single).foreach { case (a, b, s) =>
+      assert(exact((a, b)) === s, s"table-2 pair ($a,$b) not in the exact set")
+    }
+  }
+
   test("SemDeDup pairs are a subset of exact all-pairs with matching sims") {
     val sem = KMeans.semdedup.build(spark, d).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
