@@ -419,7 +419,12 @@ object Dedup {
     * [[recallEval]] so the banding recipe cannot drift between the
     * production path and its evaluation.
     */
-  private def minhashLshCtes: String = {
+  /** The signature/banding PREFIX of [[minhashLshCtes]] (shingle
+    * hashes → signature → `bands(doc_id, band, key)`) — shared with
+    * the occupancy audit so the banding recipe cannot drift between
+    * the pipeline and its gauge.
+    */
+  private def minhashBandCtes: String = {
     val minCols = (0 until NumHashes)
       .map(i => s"    min((${coefA(i)} * x + ${coefB(i)}) % $P) AS m$i")
       .mkString(",\n")
@@ -440,7 +445,11 @@ object Dedup {
        |  FROM (SELECT doc_id, hs % $P AS x FROM sh) GROUP BY doc_id
        |), bands AS (
        |$bandRows
-       |), sized AS (
+       |)""".stripMargin
+  }
+
+  private def minhashLshCtes: String = {
+    s"""$minhashBandCtes, sized AS (
        |  SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bucket_n FROM bands
        |), flt AS (
        |  SELECT * FROM sized WHERE bucket_n <= $MaxBucket
@@ -458,6 +467,52 @@ object Dedup {
        |  GROUP BY 1, 2, 3, 4
        |)""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // MinHash band-bucket occupancy audit — the [[lshOccupancy]] twin
+  // for the TEXT near-dup path (VERDICT r14 ask #2 names both): the
+  // (band, key) MaxBucket guard clips silently exactly like the
+  // embedding path's, and a corpus whose band keys degenerate
+  // (boilerplate-heavy, low-entropy shingles) loses candidate mass
+  // with no error. One row per band: bucket count, max occupancy,
+  // clipped buckets, rows dropped, drop fraction — all exact
+  // integers, replayed by the SAME signature/banding CTE prefix the
+  // pair oracle uses. Scale: one (band, key) aggregate with map-side
+  // partials over the band explode, then a Bands-group rollup —
+  // O(n·Bands) map work, output rows = Bands at any corpus size.
+  // ------------------------------------------------------------------
+  val minhashOccupancy: Q = Q(
+    (s, d) => {
+      val clipped = col("bucket_n") > MaxBucket
+      lshBands(shinglePosts(s, d, hash60))
+        .groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
+        .groupBy("band")
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("bucket_n")).as("rows_total"),
+          max(col("bucket_n")).as("max_bucket"),
+          sum(when(clipped, 1L).otherwise(0L)).as("clipped_buckets"),
+          sum(when(clipped, col("bucket_n")).otherwise(0L)).as("rows_dropped"))
+        .select(col("band").cast("long").as("band"), col("n_buckets"),
+          col("rows_total"), col("max_bucket"), col("clipped_buckets"),
+          col("rows_dropped"),
+          roundPortable(
+            col("rows_dropped").cast(DoubleType) / col("rows_total"), 6).as("drop_frac"))
+        .orderBy("band")
+    },
+    Some(
+      s"""WITH $minhashBandCtes, bs AS (
+         |  SELECT band, key, count(*) AS bucket_n FROM bands GROUP BY 1, 2
+         |)
+         |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_buckets,
+         |  CAST(sum(bucket_n) AS BIGINT) AS rows_total,
+         |  CAST(max(bucket_n) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN bucket_n > $MaxBucket THEN 1 ELSE 0 END) AS BIGINT) AS clipped_buckets,
+         |  CAST(sum(CASE WHEN bucket_n > $MaxBucket THEN bucket_n ELSE 0 END) AS BIGINT) AS rows_dropped,
+         |  floor(CAST(sum(CASE WHEN bucket_n > $MaxBucket THEN bucket_n ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(bucket_n) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS drop_frac
+         |FROM bs GROUP BY band ORDER BY band""".stripMargin)
+  )
 
   // ------------------------------------------------------------------
   // RECALL evaluation of the approximate dedup path — the dedup twin
@@ -1781,6 +1836,7 @@ object Dedup {
     "dedup_exact" -> exact,
     "dedup_jaccard_pairs" -> jaccardPairs,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_minhash_occupancy" -> minhashOccupancy,
     "dedup_simhash" -> simhashFingerprints,
     "dedup_embedding_pairs" -> embeddingPairs,
     "dedup_embedding_lsh" -> embeddingLsh,
