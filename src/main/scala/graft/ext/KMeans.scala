@@ -423,8 +423,69 @@ object KMeans {
             |ORDER BY cluster, rnk""".stripMargin)
   )
 
+  /** The table-1 oracle chain — [[kmeansCtes]]' recipe re-run from
+    * the SECOND seed slice (ids ranked [K, 2K), numbered 0..K−1 in
+    * rank order, exactly [[trainedSeededK]](e, K, 1)), ending in
+    * `a2b`. Appended after [[kmeansCtes]] (it references its `e`).
+    */
+  private[ext] def kmeansCtesTable1: String =
+    s"""c0b AS (
+       |  SELECT CAST(rn - 1 AS INTEGER) AS cluster, v AS centroid FROM (
+       |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+       |    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K OFFSET $K)
+       |  )
+       |), a1b AS (
+       |  SELECT vec_id, v, cluster, csim FROM (
+       |    SELECT e.vec_id, e.v, c.cluster, ${cosSql("e.v", "c.centroid")} AS csim,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.centroid")} DESC, c.cluster) AS rn
+       |    FROM e CROSS JOIN c0b c
+       |  ) WHERE rn = 1
+       |), c1b AS (
+       |  SELECT cluster, list(c ORDER BY i) AS centroid FROM (
+       |    SELECT cluster, i, avg(v[i]) AS c
+       |    FROM a1b, range(1, $Dim + 1) t(i)
+       |    GROUP BY cluster, i
+       |  ) GROUP BY cluster
+       |), a2b AS (
+       |  SELECT vec_id, v, cluster, csim FROM (
+       |    SELECT e.vec_id, e.v, c.cluster, ${cosSql("e.v", "c.centroid")} AS csim,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.centroid")} DESC, c.cluster) AS rn
+       |    FROM e CROSS JOIN c1b c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // The T-table union as a DRIVER-VERIFIED registry row (T = 2 at the
+  // oracle contract k = K): DuckDB replays BOTH clustering chains —
+  // the contract seeds and the second slice — then unions the
+  // within-cluster pair sets (UNION dedups), so the recall dial the
+  // r15 planted-twin measurement motivates is hash-match verified,
+  // not just spec'd. Within-cluster enumeration in the oracle is the
+  // UNsharded join, mirroring the fixed-k row's oracle.
+  // ------------------------------------------------------------------
+  val semdedupMulti: Q = Q(
+    (s, d) => semdedupPairsMulti(emb(s, d), K, tables = 2),
+    Some {
+      def pairsOf(rel: String) =
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         ${cosSql("a.v", "b.v")} AS cos_sim
+           |  FROM $rel a JOIN $rel b ON a.cluster = b.cluster AND a.vec_id < b.vec_id""".stripMargin
+      s"""WITH $kmeansCtes, $kmeansCtesTable1, u AS (
+         |  ${pairsOf("a2")}
+         |  UNION
+         |  ${pairsOf("a2b")}
+         |)
+         |SELECT id_a, id_b, cos_sim FROM u
+         |WHERE cos_sim >= ${Dedup.CosTau}
+         |ORDER BY id_a, id_b""".stripMargin
+    }
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "emb_kmeans_assign" -> kmeansAssign,
     "emb_cluster_keywords" -> clusterKeywords,
-    "dedup_semdedup" -> semdedup)
+    "dedup_semdedup" -> semdedup,
+    "dedup_semdedup_multi" -> semdedupMulti)
 }

@@ -356,6 +356,37 @@ class PlanSpec extends SparkSpec {
       s"AQE demoted the hinted SMJ to broadcast — the honored-hint premise changed:\n$fin")
   }
 
+  test("url canonical dedup: pruned scan (no text column), expression-only canonicalization, one hash exchange") {
+    val p = plan(Dedup.urlCanonical.build(spark, d))
+    // the whole canonicalization must ride the scan projection: the
+    // scan reads only the synthesis columns, never the document text
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(schema.contains("source") && schema.contains("lang"), p)
+    assert(!schema.contains("text"), s"url canonicalization must not read text:\n$schema")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // one hash exchange total: the canonical-key window; the publish
+    // sort adds only a range exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+  }
+
+  test("50-token span dedup: windows come from the map-side HOF, never 49 sort-window leads") {
+    val p = plan(Dedup.substringSpansLong.build(spark, d))
+    assert(!p.contains("lead("),
+      s"long spans must not be lead()-generated (per-doc sort of 50-token rows):\n$p")
+    assert(parquetScans(p) === 1, p)
+    assert(p.contains("lambdafunction"), s"expected the transform HOF in-plan:\n$p")
+  }
+
+  test("occupancy gauges: join-free, map-side partial aggregation throughout") {
+    Seq(Dedup.lshOccupancy, Dedup.minhashOccupancy).foreach { q =>
+      val p = plan(q.build(spark, d))
+      assert(!p.contains("Join"), s"occupancy must be aggregation-only:\n$p")
+      assert(p.contains("partial_count") || "HashAggregate\\(keys=[^)]*\\bpartial".r.findFirstIn(p).isDefined
+        || p.contains("Partial"), s"expected partial aggregation:\n$p")
+      assert(parquetScans(p) === 1, p)
+    }
+  }
+
   test("BM25 top-k is TakeOrderedAndProject (map-side partial top-k), never a global sort") {
     val p = plan(graft.ext.TextAnalysis.bm25TopK.build(spark, d))
     assert(p.contains("TakeOrderedAndProject"), p)
