@@ -133,6 +133,23 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming crawl-frontier dedup — the URL-canonical ingest gate,
+    * streaming twin of `dedup_url_canonical`: arriving (url, …, ts)
+    * rows canonicalize through the SAME [[graft.ext.Dedup.canonicalUrl]]
+    * expression chain the batch row publishes (gate and audit cannot
+    * fork), then dedup on the canonical key within the watermark
+    * horizon — frontier state bounded by arrival rate × horizon, not
+    * crawl lifetime. The first spelling of a page passes; every later
+    * variant (case/port/param-order/fragment noise) drops AT INGEST,
+    * before any fetch, text, or shingle work — the cheapest point in
+    * the whole funnel to shed duplicate mass.
+    */
+  def frontierUrls(urls: DataFrame): DataFrame =
+    urls
+      .withColumn("canonical_url", graft.ext.Dedup.canonicalUrl(col("url")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   /** Streaming ingest quality gate — the deployment shape of the
     * Gopher rules: documents stream in, sub-threshold ones never reach
     * the corpus. Stateless projection + filter (no watermark, no

@@ -122,6 +122,34 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === rows.map(_.event_id).sorted)
   }
 
+  test("crawl-frontier gate: variant spellings collapse to one pass per canonical URL; replays drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    // two logical pages, four spellings (case, default port, tracking
+    // params, duplicate slashes, fragments) — same noise classes the
+    // batch row's oracle replays
+    val urls = Seq(
+      (1L, "HTTP://A.example:80/x/index.html?b=2&a=1&utm_source=s", ts("2024-01-01 10:00:00")),
+      (2L, "http://a.EXAMPLE/x?a=1&b=2#frag", ts("2024-01-01 10:00:01")),
+      (3L, "https://b.org:443//", ts("2024-01-01 10:00:02")),
+      (4L, "https://B.ORG/", ts("2024-01-01 10:00:03")))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.frontierUrls(mem.toDF().toDF("id", "url", "ts"))
+      .writeStream.format("memory").queryName("frontier_stream")
+      .outputMode("append").start()
+    mem.addData(urls: _*)
+    q.processAllAvailable()
+    mem.addData(urls: _*) // full replay: every spelling re-delivered
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("frontier_stream")
+      .select("canonical_url").as[String].collect().sorted.toSeq
+    // exactly one pass per canonical page, and the canonical forms are
+    // the batch expression's (same code path — Dedup.canonicalUrl)
+    assert(kept === Seq("http://a.example/x?a=1&b=2", "https://b.org/"))
+  }
+
   test("stateless high-value filter streams through") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
