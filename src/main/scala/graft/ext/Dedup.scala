@@ -905,7 +905,13 @@ object Dedup {
   // Scale: one (table, bucket) aggregate with map-side partials over
   // the exploded bucket grid (L rows per vector), then a 16-group
   // rollup — O(n·L) map work, no joins, output rows = L regardless
-  // of corpus size.
+  // of corpus size. Measured (BENCHNOTES r15): CPU/row FLAT at
+  // 30×/100× (~14 ms/vector) — but that CPU is the full L·B
+  // hyperplane grid, the same class as the pipeline's own blocking
+  // stage, so a production funnel derives occupancy from the
+  // pipeline's OWN bucket-keys relation (shared scan/cache) rather
+  // than paying this standalone second pass; the registry row stays
+  // standalone so the gauge is independently oracle-replayable.
   // ------------------------------------------------------------------
   val lshOccupancy: Q = Q(
     (s, d) => {
