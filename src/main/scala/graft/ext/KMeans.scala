@@ -27,13 +27,22 @@ import graft.queries.Inventory.Q
   * (same recipe as `ann_ivf_topk`, whose centroid averages this
   * mirrors), so DuckDB replays both iterations exactly.
   *
-  * Scale notes: each iteration is one broadcast join (k centroids ≪
-  * corpus — they fit in a broadcast at any corpus size) + one
-  * (cluster, dim) aggregate with map-side partials; the corpus
-  * shuffles only for the posexplode aggregate, carrying (cluster,
-  * pos, x) triples. k and iteration count are compile-size knobs; a
-  * production run materializes the assignment between iterations
-  * instead of unrolling past a handful.
+  * Scale notes: each iteration is one broadcast join + one (cluster,
+  * dim) aggregate with map-side partials; the corpus shuffles only
+  * for the posexplode aggregate, carrying (cluster, pos, x) triples.
+  * The broadcast-the-centroids shape is k-BOUNDED, not unconditional:
+  * at a FIXED k the centroid relation is a constant-size broadcast
+  * and assignment is n·k cosines — linear in the corpus. Under the
+  * [[semdedupParams]] k ∝ n policy both bounds break (k = n/400 ⇒
+  * n²/400 cosines and a broadcast that grows with the corpus —
+  * ~1.3 GB of centroids at 10⁹ docs); the formula-k production path
+  * therefore routes through [[assignTwoLevel]], the IVF two-level
+  * shape: ⌈√k⌉ coarse centroids broadcast (bounded again), each
+  * vector refines only against the ~√k fine centroids of its probed
+  * coarse cells — n·√k cosines, no k-sized broadcast anywhere. k and
+  * iteration count are compile-size knobs; a production run
+  * materializes the assignment between iterations instead of
+  * unrolling past a handful.
   */
 object KMeans {
 
@@ -101,10 +110,13 @@ object KMeans {
     * sharded pair grid ([[semdedupPairs]]) holds parallelism at k·S
     * regardless of core count. The fixed k = 5 registry row stays the
     * DRIVER CONTRACT at harness scale — a production deployment calls
-    * this instead:
+    * this instead (via the TWO-LEVEL assignment: at k ∝ n the flat
+    * [[assignK]] grid is n²/400 cosines under a corpus-growing
+    * centroid broadcast, while [[assignKTwoLevel]] caps assignment at
+    * ~n·√k with a √k-bounded broadcast):
     * {{{
     *   val k = KMeans.semdedupParams(corpusRows)
-    *   KMeans.semdedupPairs(KMeans.assignK(e, k))
+    *   KMeans.semdedupPairs(KMeans.assignKTwoLevel(e, k))
     * }}}
     * Measured (tools/SemdedupEval, BENCHNOTES r15): formula-k turns
     * the fixed-k superlinear wall into ~linear growth at 30× and
@@ -124,25 +136,41 @@ object KMeans {
     math.max(K, math.ceil(n.toDouble / targetCluster).toInt)
   }
 
-  /** [[trained]] generalized to a policy-sized k: seeds are the k
-    * smallest vec_ids (a TakeOrdered, O(n log k) with no full sort),
-    * numbered 0..k-1 in id order — on the harness corpus (dense ids
-    * from 0) this is EXACTLY the `vec_id < K` oracle seeding, so
-    * `trainedK(e, K)` ≡ `trained(e)` and the formula-k path at 1×
-    * publishes bit-identical pairs. One Lloyd round, same as the
-    * contract quantizer; the k-sized window below runs over k rows
-    * (≪ corpus), never over the corpus itself.
+  /** Seed centroids from the ids ranked [t·k, (t+1)·k) by vec_id,
+    * numbered 0..k−1 in rank order — slice 0 is the [[trainedK]]
+    * seeding (on dense harness ids, exactly the `vec_id < K` oracle
+    * seeds), further slices feed [[trainedSeededK]]. Scale shape: the
+    * rank window runs over SKINNY (vec_id) rows only — at formula-k
+    * that single task carries k·8 B of longs, not k wide embedding
+    * arrays — and the vectors attach afterwards by a broadcast id
+    * join (k ids ≈ 12 B each ≪ the k×dim centroid relation itself,
+    * so if this broadcast doesn't fit nothing about k-means at that k
+    * does).
     */
-  def trainedK(e: DataFrame, k: Int): DataFrame = {
-    val init = e.orderBy("vec_id").limit(k)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("cluster"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("centroid"))
-    recompute(assign(e, init))
+  private def seedCentsSlice(e: DataFrame, k: Int, table: Int): DataFrame = {
+    val ids = e.select(col("vec_id")).orderBy("vec_id").limit(k * (table + 1))
+      .select(col("vec_id"), (row_number().over(Window.orderBy("vec_id")) - 1).as("rn"))
+      .filter(col("rn") >= k * table)
+      .select(col("vec_id"), (col("rn") - k * table).cast("int").as("cluster"))
+    e.join(broadcast(ids), Seq("vec_id"))
+      .select(col("cluster"), transform(col("embedding"), x => x.cast(DoubleType)).as("centroid"))
   }
 
-  /** Policy-k assignment: (vec_id, embedding, cluster, csim).
-    * Argmax-by-AGGREGATION, not by window: at k ∝ n the [[assign]]
-    * window formulation would push all n·k scored rows through a
+  /** [[trained]] generalized to a policy-sized k: seeds are the k
+    * smallest vec_ids ([[seedCentsSlice]] slice 0), numbered 0..k-1
+    * in id order — on the harness corpus (dense ids from 0) this is
+    * EXACTLY the `vec_id < K` oracle seeding, so `trainedK(e, K)` ≡
+    * `trained(e)` and the formula-k path at 1× publishes
+    * bit-identical pairs. One Lloyd round through the argmax-by-
+    * aggregation [[assignWith]] (the window [[assign]] would push the
+    * n·k training grid through a vec_id exchange at formula-k).
+    */
+  def trainedK(e: DataFrame, k: Int): DataFrame =
+    recompute(assignWith(e, seedCentsSlice(e, k, 0)))
+
+  /** Nearest-centroid argmax over ANY centroid relation, by
+    * AGGREGATION, not by window: at k ∝ n the [[assign]] window
+    * formulation would push all n·k scored rows through a
     * hashpartitioning(vec_id) exchange into the rank sort — ~n²/400
     * rows on the wire under the k policy. max_by with map-side
     * partials collapses the crossJoin output back to n rows BEFORE
@@ -150,11 +178,14 @@ object KMeans {
     * so every vec_id's k candidates co-reside in one partition and
     * the partial agg finishes the argmax locally). Same 6-dp csim,
     * same smaller-cluster tiebreak (max of (csim, −cluster) lex
-    * order), so the output is VALUE-identical to [[assign]] —
-    * ExtSpec pins assignK(e, K) ≡ assignments row-for-row.
+    * order), so the output is VALUE-identical to [[assign]] — ExtSpec
+    * pins it against the window form, and assignK(e, K) ≡
+    * assignments row-for-row. The one shape this does NOT fix is the
+    * broadcast of `cents` itself (k-sized): formula-k callers route
+    * through [[assignTwoLevel]], which never broadcasts more than
+    * ~√k centroids.
     */
-  def assignK(e: DataFrame, k: Int): DataFrame = {
-    val cents = trainedK(e, k)
+  def assignWith(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("csim",
         roundPortable(graft.functions.CosineSimilarity(col("embedding"), col("centroid")), 6))
@@ -163,7 +194,165 @@ object KMeans {
         struct(col("csim"), (-col("cluster")).as("nc"))).as("best"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
         col("best.cluster").as("cluster"), col("best.csim").as("csim"))
+
+  /** Policy-k assignment: (vec_id, embedding, cluster, csim) —
+    * [[assignWith]] over the [[trainedK]] quantizer.
+    */
+  def assignK(e: DataFrame, k: Int): DataFrame =
+    assignWith(e, trainedK(e, k))
+
+  // ------------------------------------------------------------------
+  // TWO-LEVEL (IVF-style) assignment — the formula-k scale path.
+  //
+  // Flat assignment against a k ∝ n codebook is the next quadratic
+  // wall after the pair grid was linearized (VERDICT r15): n·k
+  // cosines = n²/400 FLOPs under the semdedupParams policy, and the
+  // broadcast(cents) relation grows with the corpus (k·dim doubles ≈
+  // 1.3 GB at 10⁹ docs) — dead well before 100 TB, and far below the
+  // scales the 30×/100× sweeps can feel. The fix is the repo's own
+  // IVF pattern (ext/Similarity, models/AnnIndexPipeline) turned
+  // inward on the codebook itself: cluster the k fine centroids into
+  // ⌈√k⌉ coarse cells once (k-row work), route each corpus vector to
+  // its top-`nProbe` coarse cells against the √k-sized coarse
+  // broadcast, and refine only against the ~√k fine centroids of
+  // those cells. Assignment cost n·√k·(1 + nProbe) cosines; nothing
+  // k-sized ever broadcasts.
+  //
+  // Plan shape, stage by stage (each one already battle-tested
+  // elsewhere in the repo):
+  //   1. coarse codebook: one Lloyd round over the k centroid ROWS
+  //      (tiny — k ≪ n) via the same assignWith/recompute pair.
+  //   2. coarse routing: crossJoin(broadcast(coarse)) leaves the
+  //      corpus partitioned as scanned, so the per-vector top-nProbe
+  //      (a √k-bounded collect_list + sort + slice) completes in the
+  //      map-side partial agg — the exchange carries n rows.
+  //   3. refine join on (coarse, shard): the fine-centroid side
+  //      replicates over SemDedupShards shards (k·S skinny rows)
+  //      while the probe side shards by vec_id — the per-key
+  //      parallelism fix from the pair grid, because √k coarse keys
+  //      alone would serialize each cell's n/√k×√k candidate grid
+  //      into one task. shuffle_hash-hinted: an SMJ would SORT the
+  //      embedding-wide probe stream (the r14 >76 GB spill class),
+  //      and the build side is the bounded fine-centroid relation.
+  //   4. the final argmax is the same max_by partial agg; a vector's
+  //      candidates span at most nProbe partitions, so the final
+  //      exchange carries ≤ n·nProbe partial states.
+  //
+  // Semantics: APPROXIMATE by design — a vector whose true nearest
+  // fine centroid lives outside its probed coarse cells mis-assigns
+  // (the standard IVF trade; nProbe is the dial). With nProbe ≥ the
+  // coarse-cell count the routing is complete and the result is
+  // VALUE-IDENTICAL to assignK (ExtSpec pins it); planted-twin recall
+  // at the default nProbe = 2 is measured at 30×/100× by
+  // tools/SemdedupEval (BENCHNOTES r16).
+  // ------------------------------------------------------------------
+
+  /** Coarse cells for a k-centroid codebook: ⌈√k⌉. */
+  def coarseCells(k: Int): Int = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** One Lloyd round over the CENTROID rows themselves: a √k-sized
+    * coarse codebook (cluster = coarse id, centroid = coarse mean).
+    * Seeds are the first `nCoarse` fine clusters — deterministic, and
+    * the input is k rows, so every stage here is trivially small.
+    */
+  def coarseCodebook(cents: DataFrame, nCoarse: Int): DataFrame = {
+    val asVec = cents.select(col("cluster").cast("long").as("vec_id"),
+      col("centroid").as("embedding"))
+    val init = asVec.filter(col("vec_id") < nCoarse)
+      .select(col("vec_id").cast("int").as("cluster"), col("embedding").as("centroid"))
+    recompute(assignWith(asVec, init))
   }
+
+  /** Two-level assignment of `e` against the k-row codebook `cents`
+    * (see the section comment for the full shape): route via
+    * [[coarseCodebook]], refine within the probed cells. Output
+    * schema and tiebreak semantics match [[assignWith]] exactly.
+    */
+  def assignTwoLevel(e: DataFrame, cents: DataFrame, k: Int, nProbe: Int = 2,
+      shards: Int = SemDedupShards): DataFrame = {
+    val nCoarse = coarseCells(k)
+    val coarse = coarseCodebook(cents, nCoarse)
+    // each fine centroid's home cell — exact argmax, k·√k tiny work;
+    // carries the fine centroid through so no join back is needed
+    val fineTagged = assignWith(
+      cents.select(col("cluster").cast("long").as("vec_id"), col("centroid").as("embedding")),
+      coarse)
+      .select(col("vec_id").cast("int").as("cluster"), col("cluster").as("coarse"),
+        col("embedding").as("centroid"))
+    // top-nProbe coarse cells per corpus vector: map-side bounded
+    // (≤ nCoarse candidates per vector collect locally; the exchange
+    // after the partial agg carries n rows)
+    val probes = e.crossJoin(broadcast(
+        coarse.select(col("cluster").as("coarse"), col("centroid").as("ccent"))))
+      .withColumn("csim",
+        roundPortable(graft.functions.CosineSimilarity(col("embedding"), col("ccent")), 6))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        slice(array_sort(collect_list(struct((-col("csim")).as("nc"), col("coarse")))),
+          1, nProbe).as("top"))
+      .select(col("vec_id"), col("embedding"), explode(col("top.coarse")).as("coarse"))
+      .withColumn("shard", pmod(col("vec_id"), lit(shards)).cast("int"))
+    val fineRep = fineTagged
+      .withColumn("shard", explode(sequence(lit(0), lit(shards - 1))))
+    probes.join(fineRep.hint("shuffle_hash"), Seq("coarse", "shard"))
+      .withColumn("csim",
+        roundPortable(graft.functions.CosineSimilarity(col("embedding"), col("centroid")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cluster"), col("csim"), col("embedding")),
+        struct(col("csim"), (-col("cluster")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cluster").as("cluster"), col("best.csim").as("csim"))
+  }
+
+  /** [[trainedK]] with the Lloyd round itself two-level: the training
+    * assignment against the k seed centroids is the SAME n·k grid as
+    * final assignment, so at formula-k it must route the same way.
+    */
+  def trainedKTwoLevel(e: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
+    recompute(assignTwoLevel(e, seedCentsSlice(e, k, 0), k, nProbe))
+
+  /** The formula-k production assignment: two-level end to end
+    * (training round AND final assignment) — n·√k cosines total,
+    * coarse-sized broadcasts only. The [[semdedupParams]] scaladoc's
+    * production snippet calls this.
+    */
+  def assignKTwoLevel(e: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
+    assignTwoLevel(e, trainedKTwoLevel(e, k, nProbe), k, nProbe)
+
+  /** MULTI-PROBE fine assignment — the cheaper recall dial candidate
+    * (VERDICT r15 ask #4): each vector lands in its top-`probes` fine
+    * clusters of ONE clustering, vs [[semdedupPairsMulti]]'s T
+    * independent clusterings. A Voronoi-boundary twin pair splits
+    * because the two twins argmax to different cells; probing both
+    * cells from one side re-co-locates the pair without paying a
+    * second Lloyd round. Trade: within-cluster membership doubles, so
+    * the pair grid's per-cluster mass grows ~(probes)² — the
+    * measurement (tools/SemdedupEval mode "planted", BENCHNOTES r16)
+    * decides which dial wins. Output: one row per (vec, probed
+    * cluster), probe_rank 0-based; rank 0 restricted ≡ [[assignWith]]
+    * (ExtSpec pin).
+    */
+  def assignTopP(e: DataFrame, cents: DataFrame, probes: Int): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        roundPortable(graft.functions.CosineSimilarity(col("embedding"), col("centroid")), 6))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        slice(array_sort(collect_list(struct((-col("csim")).as("nc"), col("cluster")))),
+          1, probes).as("top"))
+      .select(col("vec_id"), col("embedding"), posexplode(col("top")).as(Seq("probe_rank", "t")))
+      .select(col("vec_id"), col("embedding"), col("t.cluster").as("cluster"),
+        (-col("t.nc")).as("csim"), col("probe_rank"))
+
+  /** SemDeDup pairs under multi-probe assignment: the pair grid over
+    * the (≤ probes)-way multi-assignment, deduped on the pair ids (a
+    * pair co-probed in two clusters must publish once).
+    */
+  def semdedupPairsProbe(e: DataFrame, k: Int, probes: Int = 2,
+      shards: Int = SemDedupShards): DataFrame =
+    pairGrid(assignTopP(e, trainedK(e, k), probes), shards)
+      .select("id_a", "id_b", "cos_sim")
+      .distinct().orderBy("id_a", "id_b")
 
   /** The cosine-with-portable-rounding SQL fragment. */
   private[ext] def cosSql(a: String, b: String) =
@@ -289,16 +478,8 @@ object KMeans {
     * one-round Voronoi partition draws DIFFERENT boundaries over the
     * same corpus. k·(t+1) rows bound the seed window (≪ corpus).
     */
-  def trainedSeededK(e: DataFrame, k: Int, table: Int): DataFrame = {
-    val w = Window.orderBy("vec_id")
-    val init = e.orderBy("vec_id").limit(k * (table + 1))
-      .select(col("vec_id"),
-        (row_number().over(w) - 1).as("rn"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("centroid"))
-      .filter(col("rn") >= k * table)
-      .select((col("rn") - k * table).cast("int").as("cluster"), col("centroid"))
-    recompute(assign(e, init))
-  }
+  def trainedSeededK(e: DataFrame, k: Int, table: Int): DataFrame =
+    recompute(assignWith(e, seedCentsSlice(e, k, table)))
 
   /** Multi-clustering SemDeDup — LSH's L-tables treatment transplanted
     * to semantic blocking (the recall mitigation the r15 planted-twin
@@ -322,7 +503,7 @@ object KMeans {
   def semdedupPairsMulti(e: DataFrame, k: Int, tables: Int = 2,
       shards: Int = SemDedupShards): DataFrame = {
     val per = (0 until tables).map { t =>
-      pairGrid(assign(e, trainedSeededK(e, k, t)), shards)
+      pairGrid(assignWith(e, trainedSeededK(e, k, t)), shards)
         .select("id_a", "id_b", "cos_sim")
     }
     per.reduce(_.unionByName(_)).distinct().orderBy("id_a", "id_b")

@@ -96,10 +96,14 @@ object SemdedupEval {
       val kForm = KMeans.semdedupParams(nAll)
       def pairsOf(tag: String, k: Int) =
         if (tag.endsWith("_2t")) KMeans.semdedupPairsMulti(all, k, tables = 2)
+        else if (tag.endsWith("_2l")) KMeans.semdedupPairs(KMeans.assignKTwoLevel(all, k))
+        else if (tag.endsWith("_mp2")) KMeans.semdedupPairsProbe(all, k, probes = 2)
         else KMeans.semdedupPairs(KMeans.assignK(all, k))
       Seq(("planted_fixed_k5", KMeans.K),
           ("planted_formula_k", kForm),
-          ("planted_formula_k_2t", kForm)).foreach { case (tag, k) =>
+          ("planted_formula_k_2t", kForm),
+          ("planted_formula_k_2l", kForm),
+          ("planted_formula_k_mp2", kForm)).foreach { case (tag, k) =>
         val t0 = System.nanoTime()
         val pairs = pairsOf(tag, k)
           .select(col("id_a"), col("id_b")).cache()

@@ -695,6 +695,60 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("two-level assignment: full coarse probing ≡ flat assignK; partial probing is total and never over-scores") {
+    // the formula-k scale path (assignKTwoLevel) must DEGENERATE to
+    // the flat argmax when every coarse cell is probed — routing that
+    // sees all fine centroids is just assignWith with extra steps, so
+    // any drift here is a bug in the two-level plumbing, not an IVF
+    // approximation. At k = K = 5 the coarse codebook has ceil(√5)=3
+    // cells, so nProbe = 3 is complete.
+    val e = graft.queries.Inventory.rebalanced(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id")
+    val nCoarse = KMeans.coarseCells(KMeans.K)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster", "csim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    val flat = rows(KMeans.assignK(e, KMeans.K))
+    assert(rows(KMeans.assignKTwoLevel(e, KMeans.K, nProbe = nCoarse)) === flat,
+      "complete coarse probing must be value-identical to the flat argmax")
+    // partial probing: still a total assignment over valid clusters,
+    // and an argmax over a SUBSET can never beat the flat argmax
+    val partial = rows(KMeans.assignTwoLevel(e, KMeans.trainedK(e, KMeans.K), KMeans.K, nProbe = 1))
+    assert(partial.length === flat.length, "two-level dropped or duplicated vectors")
+    val flatBy = flat.map(t => t._1 -> t._3).toMap
+    partial.foreach { case (id, c, s) =>
+      assert(c >= 0 && c < KMeans.K)
+      assert(s <= flatBy(id) + 1e-9, s"vec $id scored $s above the flat argmax ${flatBy(id)}")
+    }
+  }
+
+  test("multi-probe assignment: rank-0 slice is the flat argmax; probe pairs only add verified pairs") {
+    val e = graft.queries.Inventory.rebalanced(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id")
+    val cents = KMeans.trainedK(e, KMeans.K)
+    val top = KMeans.assignTopP(e, cents, probes = 2).cache()
+    val rank0 = top.filter(col("probe_rank") === 0)
+      .select("vec_id", "cluster", "csim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    val flat = KMeans.assignWith(e, cents)
+      .select("vec_id", "cluster", "csim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(rank0 === flat, "probe rank 0 must be exactly the single-probe argmax")
+    assert(top.count() === 2L * e.count(), "each vector must carry exactly 2 probes at k=5")
+    top.unpersist()
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = asSet(KMeans.semdedupPairs(KMeans.assignK(e, KMeans.K)))
+    val probed = asSet(KMeans.semdedupPairsProbe(e, KMeans.K, probes = 2))
+    assert(single.subsetOf(probed), "a second probe can only ADD pairs, never drop one")
+    val exact = Dedup.embeddingPairs.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (probed -- single).foreach { case (a, b, s) =>
+      assert(exact((a, b)) === s, s"probed pair ($a,$b) not in the exact tau set")
+    }
+  }
+
   test("SemDeDup pairs are a subset of exact all-pairs with matching sims") {
     val sem = KMeans.semdedup.build(spark, d).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap

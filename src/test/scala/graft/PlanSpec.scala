@@ -760,4 +760,33 @@ class PlanSpec extends SparkSpec {
     assert(exch >= 0 && partial >= 0 && exch < partial,
       s"partial aggregate must precede the (label, slice, i) exchange:\n$p")
   }
+
+  test("formula-k assignment paths: no n·k window exchange; two-level refines via shuffled hash") {
+    val e = graft.queries.Inventory.rebalanced(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id")
+    // assignWith (the argmax-by-aggregation shared by assignK and
+    // semdedupPairsMulti): the scored crossJoin collapses in a
+    // partial max_by BEFORE any exchange — a Window here would mean
+    // the n·k rank sort the scaladoc warns against has crept back
+    val pFlat = plan(graft.ext.KMeans.assignK(e, graft.ext.KMeans.K))
+    // the seed-ranking window over skinny ids is legitimate; a window
+    // that ranks the SCORED grid (csim) is the n·k hazard
+    assert(!pFlat.linesIterator.exists(l => l.contains("Window") && l.contains("csim")),
+      s"assignK plans a rank window over the scored grid:\n$pFlat")
+    val lines = pFlat.linesIterator.toSeq
+    val partial = lines.indexWhere(_.contains("partial_max_by"))
+    val join = lines.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    assert(partial >= 0 && join > partial, s"scored-grid join/partial shape missing:\n$pFlat")
+    assert(!lines.slice(partial + 1, join).exists(_.contains("Exchange")),
+      s"an exchange moves the scored n·k grid before the partial argmax collapses it:\n$pFlat")
+    // two-level: the refine join must be a ShuffledHashJoin on
+    // (coarse, shard) — SMJ would sort the embedding-wide probe
+    // stream (the r14 spill class), broadcast would carry the k-sized
+    // fine relation the two-level shape exists to avoid
+    val p2 = plan(graft.ext.KMeans.assignKTwoLevel(e, graft.ext.KMeans.K))
+    assert(p2.contains("ShuffledHashJoin [coarse"),
+      s"two-level refine join is not a shuffled hash join on coarse:\n$p2")
+    assert(!p2.contains("SortMergeJoin"),
+      s"two-level plans a sort-merge join over wide probe rows:\n$p2")
+  }
 }
