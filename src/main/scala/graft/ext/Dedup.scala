@@ -367,33 +367,46 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** The sized (band, key) relation — the minhash analogue of the
+    * embedding path's sized bucket keys, UNfiltered (the gauge needs
+    * the clipped buckets the pair path drops).
+    */
+  private def minhashSizedBands(posts: DataFrame): DataFrame =
+    lshBands(posts).withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+
+  /** [[minhashLsh]] body from an already-built sized bands relation
+    * (shared with [[minhashLshFunnel]] so the paths cannot drift).
+    */
+  private def minhashLshPairsFrom(sizedAll: DataFrame, posts: DataFrame): DataFrame = {
+    // degenerate-bucket guard via a count window (single pass, same
+    // (band,key) partitioning the join below reuses)
+    val sized = sizedAll.filter(col("bucket_n") <= MaxBucket)
+    val cand = sized.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(sized.select(col("band"), col("key"), col("doc_id").as("doc_b")).hint("merge"),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact-Jaccard verify of candidates via overlap counting (the
+    // same posting-list trick as jaccardPairs — no array ops)
+    val pa = posts.select(col("doc_id").as("doc_a"), col("hs"), col("sz").as("sz_a"))
+    val pb = posts.select(col("doc_id").as("doc_b"), col("hs"), col("sz").as("sz_b"))
+    val jac = col("overlap").cast(DoubleType) /
+      (col("sz_a") + col("sz_b") - col("overlap"))
+    cand
+      .join(pa.hint("merge"), Seq("doc_a"))
+      .join(pb.hint("merge"), Seq("doc_b", "hs"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(jac >= JaccardTau) // unrounded, same threshold semantics as jaccardPairs
+      .select(col("doc_a"), col("doc_b"), roundPortable(jac, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val minhashLsh: Q = Q(
     (s, d) => {
       val posts = shinglePosts(s, d, hash60)
-      // degenerate-bucket guard via a count window (single pass, same
-      // (band,key) partitioning the join below reuses)
-      val sized = lshBands(posts).withColumn("bucket_n",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
-        .filter(col("bucket_n") <= MaxBucket)
-      val cand = sized.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-        .join(sized.select(col("band"), col("key"), col("doc_id").as("doc_b")).hint("merge"),
-          Seq("band", "key"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      // exact-Jaccard verify of candidates via overlap counting (the
-      // same posting-list trick as jaccardPairs — no array ops)
-      val pa = posts.select(col("doc_id").as("doc_a"), col("hs"), col("sz").as("sz_a"))
-      val pb = posts.select(col("doc_id").as("doc_b"), col("hs"), col("sz").as("sz_b"))
-      val jac = col("overlap").cast(DoubleType) /
-        (col("sz_a") + col("sz_b") - col("overlap"))
-      cand
-        .join(pa.hint("merge"), Seq("doc_a"))
-        .join(pb.hint("merge"), Seq("doc_b", "hs"))
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(count(lit(1)).as("overlap"))
-        .filter(jac >= JaccardTau) // unrounded, same threshold semantics as jaccardPairs
-        .select(col("doc_a"), col("doc_b"), roundPortable(jac, 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+      minhashLshPairsFrom(minhashSizedBands(posts), posts)
     },
     // Full oracle: DuckDB replays the ENTIRE pipeline — md5-derived
     // shingle hashes, the same universal-hash coefficients, band
@@ -481,25 +494,37 @@ object Dedup {
   // partials over the band explode, then a Bands-group rollup —
   // O(n·Bands) map work, output rows = Bands at any corpus size.
   // ------------------------------------------------------------------
+  /** The occupancy-gauge rollup shared by the standalone registry
+    * gauges and the [[minhashLshFunnel]]/[[embeddingLshFunnel]]
+    * funnels (one recipe — the gauge a funnel gates on cannot drift
+    * from the oracle-replayable contract): `counts` has one row per
+    * bucket with its population, `groupCol` is the band/table id.
+    */
+  private def occupancyRollup(counts: DataFrame, groupCol: String,
+      outCol: String, maxBucket: Int): DataFrame = {
+    val clipped = col("bucket_n") > maxBucket
+    counts
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("bucket_n")).as("rows_total"),
+        max(col("bucket_n")).as("max_bucket"),
+        sum(when(clipped, 1L).otherwise(0L)).as("clipped_buckets"),
+        sum(when(clipped, col("bucket_n")).otherwise(0L)).as("rows_dropped"))
+      .select(col(groupCol).cast("long").as(outCol), col("n_buckets"),
+        col("rows_total"), col("max_bucket"), col("clipped_buckets"),
+        col("rows_dropped"),
+        roundPortable(
+          col("rows_dropped").cast(DoubleType) / col("rows_total"), 6).as("drop_frac"))
+      .orderBy(outCol)
+  }
+
   val minhashOccupancy: Q = Q(
-    (s, d) => {
-      val clipped = col("bucket_n") > MaxBucket
-      lshBands(shinglePosts(s, d, hash60))
-        .groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
-        .groupBy("band")
-        .agg(
-          count(lit(1)).as("n_buckets"),
-          sum(col("bucket_n")).as("rows_total"),
-          max(col("bucket_n")).as("max_bucket"),
-          sum(when(clipped, 1L).otherwise(0L)).as("clipped_buckets"),
-          sum(when(clipped, col("bucket_n")).otherwise(0L)).as("rows_dropped"))
-        .select(col("band").cast("long").as("band"), col("n_buckets"),
-          col("rows_total"), col("max_bucket"), col("clipped_buckets"),
-          col("rows_dropped"),
-          roundPortable(
-            col("rows_dropped").cast(DoubleType) / col("rows_total"), 6).as("drop_frac"))
-        .orderBy("band")
-    },
+    (s, d) =>
+      occupancyRollup(
+        lshBands(shinglePosts(s, d, hash60))
+          .groupBy("band", "key").agg(count(lit(1)).as("bucket_n")),
+        "band", "band", MaxBucket),
     Some(
       s"""WITH $minhashBandCtes, bs AS (
          |  SELECT band, key, count(*) AS bucket_n FROM bands GROUP BY 1, 2
@@ -787,6 +812,19 @@ object Dedup {
     Similarity.gaussianPlanes(l, b, Similarity.Dim, 43)
   }
 
+  /** The sized bucket-keys relation — (vec_id, table, bucket,
+    * bucket_n), UNfiltered: the one expensive blocking artifact (the
+    * full L·B hyperplane grid plus the (table, bucket) count window)
+    * that both the pair pipeline and the occupancy gauge derive from.
+    * Factored out so [[embeddingLshFunnel]] can pay it once.
+    */
+  private def embSizedKeys(e: DataFrame,
+      planes: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Similarity.bucketKeys(e, "vec_id", "embedding", planes)
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("table", "bucket")))
+  }
+
   /** Parameterized bucketed near-dup: candidates from any-shared-block,
     * verified with exact cosine ≥ τ. `e` must have (vec_id, embedding).
     */
@@ -794,11 +832,15 @@ object Dedup {
       e: DataFrame,
       tau: Double,
       planes: Array[Array[Array[Double]]],
-      maxBucket: Int = EmbMaxBucket): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keys = Similarity.bucketKeys(e, "vec_id", "embedding", planes)
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("table", "bucket")))
-      .filter(col("bucket_n") <= maxBucket)
+      maxBucket: Int = EmbMaxBucket): DataFrame =
+    embeddingLshPairsFrom(embSizedKeys(e, planes), e, tau, maxBucket)
+
+  /** [[embeddingLshPairs]] body from an already-built sized relation
+    * (shared with the funnel so the two paths cannot drift).
+    */
+  private def embeddingLshPairsFrom(sized: DataFrame, e: DataFrame,
+      tau: Double, maxBucket: Int): DataFrame = {
+    val keys = sized.filter(col("bucket_n") <= maxBucket)
     val cand = keys.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
       .join(keys.select(col("table"), col("bucket"), col("vec_id").as("id_b")).hint("merge"),
         Seq("table", "bucket"))
@@ -913,27 +955,20 @@ object Dedup {
   // than paying this standalone second pass; the registry row stays
   // standalone so the gauge is independently oracle-replayable.
   // ------------------------------------------------------------------
+  /** Parameterized standalone gauge (the registry row fixes the
+    * contract planes; tools/FunnelEval measures it at policy planes).
+    */
+  def lshOccupancyOf(e: DataFrame, planes: Array[Array[Array[Double]]],
+      maxBucket: Int = EmbMaxBucket): DataFrame =
+    occupancyRollup(
+      Similarity.bucketKeys(e, "vec_id", "embedding", planes)
+        .groupBy("table", "bucket").agg(count(lit(1)).as("bucket_n")),
+      "table", "tbl", maxBucket)
+
   val lshOccupancy: Q = Q(
-    (s, d) => {
-      val e = graft.queries.Inventory.rebalanced(
-        s.read.parquet(s"$d/embeddings.parquet"), "vec_id")
-      val clipped = col("bucket_n") > EmbMaxBucket
-      Similarity.bucketKeys(e, "vec_id", "embedding", embPlanes)
-        .groupBy("table", "bucket").agg(count(lit(1)).as("bucket_n"))
-        .groupBy("table")
-        .agg(
-          count(lit(1)).as("n_buckets"),
-          sum(col("bucket_n")).as("rows_total"),
-          max(col("bucket_n")).as("max_bucket"),
-          sum(when(clipped, 1L).otherwise(0L)).as("clipped_buckets"),
-          sum(when(clipped, col("bucket_n")).otherwise(0L)).as("rows_dropped"))
-        .select(col("table").cast("long").as("tbl"), col("n_buckets"),
-          col("rows_total"), col("max_bucket"), col("clipped_buckets"),
-          col("rows_dropped"),
-          roundPortable(
-            col("rows_dropped").cast(DoubleType) / col("rows_total"), 6).as("drop_frac"))
-        .orderBy("tbl")
-    },
+    (s, d) =>
+      lshOccupancyOf(graft.queries.Inventory.rebalanced(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id"), embPlanes),
     Some(
       s"""WITH $embBucketCtes, bs AS (
          |  SELECT tbl, bucket, count(*) AS bucket_n FROM buckets GROUP BY 1, 2
@@ -947,6 +982,67 @@ object Dedup {
          |    / CAST(sum(bucket_n) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS drop_frac
          |FROM bs GROUP BY tbl ORDER BY tbl""".stripMargin)
   )
+
+  // ------------------------------------------------------------------
+  // SHARED-SCAN FUNNELS — gauge and pairs from ONE blocking pass
+  // (VERDICT r15 ask #2). The standalone occupancy rows are
+  // independently oracle-replayable by design, but as a production
+  // gate they re-pay the full blocking CPU (the L·B hyperplane grid /
+  // the shingle+signature pass) that the pair pipeline is about to
+  // pay again — measured 27.6 s of pure recompute at the 30× corpus,
+  // 93.6 s at 100×. The funnel materializes the SIZED blocking
+  // relation once (skinny rows: ids, band/table, bucket, count — the
+  // vectors/texts stay behind) and derives BOTH consumers from it:
+  // the gauge (gating) and the pair pipeline (gated). Spark reuses
+  // exchanges, not sibling actions, so the sharing mechanism is an
+  // explicit MEMORY_AND_DISK persist — the caller runs the gauge
+  // first (populating the cache), decides, then runs pairs from the
+  // cached blocks, and unpersists. PlanSpec pins that both consumers
+  // read the InMemory relation; ExtSpec pins value identity with the
+  // standalone rows. At 10⁹ docs the cached relation is n·L 24-byte
+  // rows — disk-backed cache, orders of magnitude below recomputing
+  // the grid.
+  // ------------------------------------------------------------------
+
+  /** One-pass blocking artifacts: the persisted sized blocks, the
+    * occupancy gauge over them, and the verified pair output. Call
+    * [[LshFunnel.unpersist]] when both consumers are done.
+    */
+  final case class LshFunnel(blocked: DataFrame, occupancy: DataFrame, pairs: DataFrame) {
+    def unpersist(): Unit = { blocked.unpersist(); () }
+  }
+
+  /** The embedding-LSH funnel: [[lshOccupancy]]'s gauge and
+    * [[embeddingLshPairs]]' output from one persisted bucket-keys
+    * pass.
+    */
+  def embeddingLshFunnel(e: DataFrame, tau: Double,
+      planes: Array[Array[Array[Double]]],
+      maxBucket: Int = EmbMaxBucket): LshFunnel = {
+    val sized = embSizedKeys(e, planes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    LshFunnel(sized,
+      occupancyRollup(
+        sized.groupBy("table", "bucket").agg(count(lit(1)).as("bucket_n")),
+        "table", "tbl", maxBucket),
+      embeddingLshPairsFrom(sized, e, tau, maxBucket))
+  }
+
+  /** The MinHash funnel twin: [[minhashOccupancy]]'s gauge and
+    * [[minhashLsh]]'s output from one persisted banded-signature
+    * pass. `posts` (the shingle posting list) is passed through to
+    * the exact-verify stage unchanged — only the expensive
+    * signature/banding artifact is shared.
+    */
+  def minhashLshFunnel(posts: DataFrame): LshFunnel = {
+    val sized = minhashSizedBands(posts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    LshFunnel(sized,
+      occupancyRollup(
+        sized.groupBy("band", "key").agg(count(lit(1)).as("bucket_n")),
+        "band", "band", MaxBucket),
+      minhashLshPairsFrom(sized, posts))
+  }
 
   // ------------------------------------------------------------------
   // CONTAINMENT dedup — the case symmetric Jaccard MISSES: a short
@@ -1375,6 +1471,116 @@ object Dedup {
             |  floor(CAST(sum(CAST(pl.n_docs >= 2 AS BIGINT)) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS dup_span_frac
             |FROM sp JOIN pl USING (hs)
             |GROUP BY 1 ORDER BY sp.doc_id""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // Span REMOVAL — Lee et al.'s actual deliverable (VERDICT r15 ask
+  // #3): the spans50 row FLAGS duplicated 50-token windows; the
+  // paper's intervention is the corpus with those spans REMOVED,
+  // keeping exactly one occurrence of each duplicated passage. The
+  // policy here is keep-FIRST-occurrence: all occurrences of a span
+  // hash are ordered by (doc_id, pos) and every occurrence after the
+  // first is flagged for removal — deterministic, corpus-global (one
+  // copy of boilerplate survives, wherever it first appears), and it
+  // covers WITHIN-doc repeats too (the paper dedups all repeated
+  // substrings, not only cross-doc ones — a deliberate difference
+  // from the min≠max cross-doc test of the analysis rows).
+  //
+  // Removal surgery: flagged windows overlap heavily (a copied
+  // passage of length m flags m−49 windows), so per-doc removal is
+  // the UNION of flagged intervals [pos, pos+50). The merged-interval
+  // arithmetic is the classic running-max formulation — prev_end =
+  // max(pos+50) over preceding flagged windows; each window
+  // contributes max(0, end − max(pos, prev_end)) tokens and opens a
+  // new region iff pos ≥ prev_end — identical SQL both engines, so
+  // every published number is an exact integer (plus one 6dp ratio).
+  // The row publishes per-doc counts (tokens, flagged occurrences,
+  // merged regions, removed tokens) rather than re-materializing
+  // cleaned text through the driver's hash gate; the cleaned corpus
+  // itself is `slice`-surgery over the same merged intervals.
+  //
+  // Scale shape: windows from the same map-side HOF as spans50 (no
+  // 49-lead sort); ONE exchange on the span hash decides keep/flag
+  // (min-struct window — the argmin needs no join back); the interval
+  // window partitions by doc_id over FLAGGED rows only (sparse) and
+  // the final aggregate is per-doc. O(corpus windows), no pair join.
+  // ------------------------------------------------------------------
+
+  /** Per-doc span-removal report over any documents relation —
+    * factored from the registry row so specs can drive synthetic
+    * corpora through the merge/overlap semantics.
+    */
+  def substringCleanDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = SpanTokensLong
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"), col("toks"))
+    val wins = toks.filter(col("n_tokens") >= W)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - W),
+        i => hash60(array_join(slice(col("toks"), i + 1, lit(W)), " ")))).as(Seq("pos", "hs")))
+    val byHash = Window.partitionBy("hs")
+    val flagged = wins
+      .withColumn("keep", struct(col("doc_id"), col("pos")) ===
+        min(struct(col("doc_id"), col("pos"))).over(byHash))
+      .filter(!col("keep"))
+    val byDocPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = flagged
+      .withColumn("e", (col("pos") + W).cast("long"))
+      .withColumn("prev_end", max(col("e")).over(byDocPrev))
+      .withColumn("contrib",
+        greatest(lit(0L), col("e") - greatest(col("pos").cast("long"),
+          coalesce(col("prev_end"), col("pos").cast("long")))))
+      .withColumn("new_region",
+        (col("prev_end").isNull || col("pos") >= col("prev_end")).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_occurrences"),
+        sum("new_region").as("n_regions"),
+        sum("contrib").as("n_tokens_removed"))
+    toks.select("doc_id", "n_tokens")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_occurrences"), lit(0L)).as("n_dup_occurrences"),
+        coalesce(col("n_regions"), lit(0L)).as("n_regions"),
+        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"),
+        roundPortable(coalesce(col("n_tokens_removed"), lit(0L)).cast(DoubleType) /
+          col("n_tokens"), 6).as("removed_frac"))
+      .orderBy("doc_id")
+  }
+
+  val substringClean: Q = Q(
+    (s, d) => substringCleanDf(s.read.parquet(s"$d/documents.parquet")),
+    Some(s"""WITH sp AS (
+            |  SELECT doc_id, i - 1 AS pos,
+            |    ('0x' || substr(md5(array_to_string(toks[i:i+${SpanTokensLong - 1}], ' ')), 1, 15))::BIGINT AS hs
+            |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+            |       LATERAL unnest(range(1, len(toks) - ${SpanTokensLong - 2})) AS r(i)
+            |), f AS (
+            |  SELECT doc_id, pos FROM (
+            |    SELECT doc_id, pos,
+            |      row_number() OVER (PARTITION BY hs ORDER BY doc_id, pos) AS rn
+            |    FROM sp
+            |  ) WHERE rn > 1
+            |), cov AS (
+            |  SELECT doc_id, pos, pos + $SpanTokensLong AS e,
+            |    max(pos + $SpanTokensLong) OVER (PARTITION BY doc_id ORDER BY pos
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            |  FROM f
+            |), agg AS (
+            |  SELECT doc_id, count(*) AS n_dup_occurrences,
+            |    CAST(sum(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END) AS BIGINT) AS n_regions,
+            |    CAST(sum(greatest(0, e - greatest(pos, coalesce(prev_end, pos)))) AS BIGINT) AS n_tokens_removed
+            |  FROM cov GROUP BY 1
+            |), nt AS (
+            |  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens FROM documents
+            |)
+            |SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+            |  coalesce(a.n_dup_occurrences, 0) AS n_dup_occurrences,
+            |  coalesce(a.n_regions, 0) AS n_regions,
+            |  coalesce(a.n_tokens_removed, 0) AS n_tokens_removed,
+            |  floor(CAST(coalesce(a.n_tokens_removed, 0) AS DOUBLE) / nt.n_tokens * 1000000 + 0.5) / 1000000 AS removed_frac
+            |FROM nt LEFT JOIN agg a USING (doc_id) ORDER BY nt.doc_id""".stripMargin)
   )
 
   // ------------------------------------------------------------------
@@ -1853,6 +2059,7 @@ object Dedup {
     "dedup_minhash_estimate" -> minhashEstimate,
     "dedup_substring_spans" -> substringSpans,
     "dedup_substring_spans50" -> substringSpansLong,
+    "dedup_substring_clean" -> substringClean,
     "dedup_url_canonical" -> urlCanonical,
     "dedup_bloom_prefilter" -> bloomPrefilter,
     "dedup_sorted_neighborhood" -> sortedNeighborhood,

@@ -271,11 +271,17 @@ object KMeans {
   def assignTwoLevel(e: DataFrame, cents: DataFrame, k: Int, nProbe: Int = 2,
       shards: Int = SemDedupShards): DataFrame = {
     val nCoarse = coarseCells(k)
-    val coarse = coarseCodebook(cents, nCoarse)
+    // `cents` is consumed TWICE below (coarse codebook + fine tagging)
+    // and is usually itself a corpus-scale Lloyd plan — lazy
+    // re-evaluation would run that corpus pass once per reference (the
+    // lineage-multiplication class kcorePeel checkpoints against). It
+    // is k rows by contract, so materialize it once, eagerly.
+    val fine = cents.localCheckpoint()
+    val coarse = coarseCodebook(fine, nCoarse)
     // each fine centroid's home cell — exact argmax, k·√k tiny work;
     // carries the fine centroid through so no join back is needed
     val fineTagged = assignWith(
-      cents.select(col("cluster").cast("long").as("vec_id"), col("centroid").as("embedding")),
+      fine.select(col("cluster").cast("long").as("vec_id"), col("centroid").as("embedding")),
       coarse)
       .select(col("vec_id").cast("int").as("cluster"), col("cluster").as("coarse"),
         col("embedding").as("centroid"))

@@ -99,11 +99,15 @@ object SemdedupEval {
         else if (tag.endsWith("_2l")) KMeans.semdedupPairs(KMeans.assignKTwoLevel(all, k))
         else if (tag.endsWith("_mp2")) KMeans.semdedupPairsProbe(all, k, probes = 2)
         else KMeans.semdedupPairs(KMeans.assignK(all, k))
+      // optional 3rd arg: substring filter over the planted tags
+      // (cheap single-config re-passes without the fixed-k5 baseline)
+      val tagFilter = if (args.length > 2) args(2) else ""
       Seq(("planted_fixed_k5", KMeans.K),
           ("planted_formula_k", kForm),
           ("planted_formula_k_2t", kForm),
           ("planted_formula_k_2l", kForm),
-          ("planted_formula_k_mp2", kForm)).foreach { case (tag, k) =>
+          ("planted_formula_k_mp2", kForm))
+        .filter(_._1.contains(tagFilter)).foreach { case (tag, k) =>
         val t0 = System.nanoTime()
         val pairs = pairsOf(tag, k)
           .select(col("id_a"), col("id_b")).cache()

@@ -616,6 +616,56 @@ class ExtSpec extends SparkSpec {
       s"50-token row flags ${flagged50.length} docs, 8-token $flagged8 — no asymmetry")
   }
 
+  test("span removal: keep-first policy, overlap merge, within-doc repeats, count conservation") {
+    import spark.implicits._
+    // synthetic corpus built around the 50-token window size: X and Y
+    // are disjoint 50-token passages, u* tokens are unique fillers
+    val W = Dedup.SpanTokensLong
+    def toks(prefix: String, n: Int): Seq[String] = (0 until n).map(i => s"$prefix$i")
+    val X = toks("x", W); val Y = toks("y", W)
+    val docs = Seq(
+      // doc 0: the FIRST occurrence of X — kept in full
+      (0L, (X ++ toks("a", 10)).mkString(" ")),
+      // doc 1: verbatim copy of doc 0 — every window flagged, ONE
+      // merged region covering all 60 tokens
+      (1L, (X ++ toks("a", 10)).mkString(" ")),
+      // doc 2: X embedded mid-doc — exactly the X window flagged
+      (2L, (toks("b", 7) ++ X ++ toks("c", 8)).mkString(" ")),
+      // doc 3: X then Y then X again — within-doc repeat of X (second
+      // occurrence removed) plus the cross-doc dup of the leading X
+      (3L, (X ++ Y ++ X).mkString(" ")),
+      // doc 4: too short to carry any window — untouched
+      (4L, toks("d", 20).mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.substringCleanDf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 0 owns the first occurrences (doc order): nothing removed
+    assert(out(0L) === ((60L, 0L, 0L, 0L)))
+    // doc 1: 11 flagged windows (pos 0..10) merge into one region of 60
+    assert(out(1L) === ((60L, 11L, 1L, 60L)))
+    // doc 2: only the embedded X window (pos 7) duplicates doc 0's X
+    assert(out(2L) === ((65L, 1L, 1L, 50L)))
+    // doc 3: leading X (pos 0, dup of doc 0) and trailing X (pos 100,
+    // within-doc + cross-doc dup) — two disjoint regions, 100 removed
+    assert(out(3L) === ((150L, 2L, 2L, 100L)))
+    assert(out(4L) === ((20L, 0L, 0L, 0L)))
+    // conservation on the harness corpus: flagged occurrences =
+    // total windows − distinct span hashes (each hash keeps exactly
+    // one occurrence)
+    val harness = spark.read.parquet(s"$d/documents.parquet")
+    val wins = harness
+      .select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= W)
+      .select(explode(transform(
+        sequence(lit(0), size(col("toks")) - W),
+        i => Dedup.hash60(array_join(slice(col("toks"), i + 1, lit(W)), " ")))).as("hs"))
+    val total = wins.count()
+    val distinctHs = wins.distinct().count()
+    val flaggedSum = Dedup.substringClean.build(spark, d)
+      .agg(sum("n_dup_occurrences")).head.getLong(0)
+    assert(flaggedSum === total - distinctHs,
+      s"keep-first must flag exactly total-distinct occurrences: $flaggedSum vs $total-$distinctHs")
+  }
+
   test("canonicalUrl: case, ports, fragments, slashes, index.html, tracking params, param order") {
     val cases = Seq(
       ("HTTP://WWW.Example.COM:80/A//b///c/index.html?utm_source=x&b=2&a=1#frag",
@@ -747,6 +797,30 @@ class ExtSpec extends SparkSpec {
     (probed -- single).foreach { case (a, b, s) =>
       assert(exact((a, b)) === s, s"probed pair ($a,$b) not in the exact tau set")
     }
+  }
+
+  test("shared-scan funnels publish exactly the standalone gauge and pair rows") {
+    // the funnel variant must be a COST refactor only: same gauge
+    // values (it is the oracle-replayable contract a production run
+    // gates on) and same verified pairs, from one persisted blocking
+    // pass instead of two recomputes
+    val e = graft.queries.Inventory.rebalanced(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id")
+    val fe = Dedup.embeddingLshFunnel(e, Dedup.CosTau, Dedup.embPlanes)
+    try {
+      assert(fe.occupancy.collect().toSeq ===
+        Dedup.lshOccupancy.build(spark, d).collect().toSeq)
+      assert(fe.pairs.collect().toSeq ===
+        Dedup.embeddingLsh.build(spark, d).collect().toSeq)
+    } finally fe.unpersist()
+    val posts = Dedup.shinglePosts(spark, d, Dedup.hash60)
+    val fm = Dedup.minhashLshFunnel(posts)
+    try {
+      assert(fm.occupancy.collect().toSeq ===
+        Dedup.minhashOccupancy.build(spark, d).collect().toSeq)
+      assert(fm.pairs.collect().toSeq ===
+        Dedup.minhashLsh.build(spark, d).collect().toSeq)
+    } finally fm.unpersist()
   }
 
   test("SemDeDup pairs are a subset of exact all-pairs with matching sims") {

@@ -789,4 +789,36 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("SortMergeJoin"),
       s"two-level plans a sort-merge join over wide probe rows:\n$p2")
   }
+
+  test("lsh funnel: gauge and pairs both read the persisted blocks, not a recomputed grid") {
+    val e = graft.queries.Inventory.rebalanced(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id")
+    val f = graft.ext.Dedup.embeddingLshFunnel(e, graft.ext.Dedup.CosTau, graft.ext.Dedup.embPlanes)
+    try {
+      f.occupancy.collect() // the gate runs first and populates the cache
+      assert(plan(f.occupancy).contains("InMemoryTableScan"),
+        s"gauge does not read the shared blocks:\n${plan(f.occupancy)}")
+      // count scans on the physical TREE, not the rendering: the
+      // InMemoryRelation string re-renders its cached child plan
+      // (including the original parquet scan), which is storage
+      // provenance, not a live scan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      val root: SparkPlan = f.pairs.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      var (pq, im) = (0, 0)
+      root.foreach {
+        case _: FileSourceScanExec => pq += 1
+        case _: InMemoryTableScanExec => im += 1
+        case _ => ()
+      }
+      assert(im === 2, s"both candidate sides must read the shared blocks (got $im):\n$root")
+      // blocking comes from cache — parquet is scanned only for the
+      // two vector attaches of the verify stage
+      assert(pq === 2, s"pairs recompute the blocking grid from parquet ($pq scans):\n$root")
+    } finally f.unpersist()
+  }
 }
