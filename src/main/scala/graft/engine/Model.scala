@@ -217,10 +217,27 @@ object TableSink {
           // (class scaladoc) widens this when one-task-per-value is
           // the bottleneck rather than the fix.
           import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+          import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+          // Salt source (ADVICE r15): hash(all columns) breaks on
+          // MapType (unhashable — analysis error) and does needless
+          // per-row work on wide array columns (embeddings, codes)
+          // when a cheap scalar column exists. Prefer the narrow
+          // non-partition scalars; fall back to any hashable column;
+          // only the degenerate all-partition-column frame keeps the
+          // partition columns themselves (constant salt — no worse
+          // than writers = 1).
+          val nonPart = df.schema.fields.filterNot(f => pcols.contains(f.name))
+          val hashable = nonPart.filterNot(_.dataType.isInstanceOf[MapType])
+          val scalar = hashable.filterNot(f =>
+            f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[StructType])
+          val saltSrc = (if (scalar.nonEmpty) scalar
+            else if (hashable.nonEmpty) hashable
+            else df.schema.fields.filterNot(_.dataType.isInstanceOf[MapType]))
+            .map(f => col(f.name)).toSeq
           val clustered =
             if (writersPerPartition <= 1) df.repartition(pcols.map(col): _*)
             else df.repartition(pcols.map(col) :+
-              pmod(hash(df.columns.map(col): _*), lit(writersPerPartition)): _*)
+              pmod(hash(saltSrc: _*), lit(writersPerPartition)): _*)
           clustered
             .write.mode("overwrite").partitionBy(pcols: _*).parquet(s"$dir/$name")
           df.sparkSession.read.parquet(s"$dir/$name")

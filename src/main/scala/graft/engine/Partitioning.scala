@@ -55,15 +55,25 @@ object Partitioning {
   def forEdges(nEdges: Long): Int =
     partitionsFor(nEdges * EdgeWireBytes, EdgeStateBytesPerPartition)
 
-  /** Total file bytes under a directory (recursive) — the measured
-    * input-size feed for [[partitionsFor]] when sizing a session for
-    * a data directory (Bench's scale-sweep sessions).
+  /** Total DATA-file bytes under a directory (recursive) — the
+    * measured input-size feed for [[partitionsFor]] when sizing a
+    * session for a data directory (Bench's scale-sweep sessions).
+    * Directory symlinks are NOT followed (a cycle under the data dir
+    * would otherwise hang session construction — ADVICE r15), and
+    * write-metadata files that Spark's own readers skip (`_SUCCESS`,
+    * `_metadata`, dot-files, checkpoint dirs) don't count: they are
+    * not scan input, so they must not inflate the partition count.
     */
   def dirBytes(path: String): Long = {
-    val root = new java.io.File(path)
+    import java.nio.file.Files
+    def metadata(name: String) = name.startsWith("_") || name.startsWith(".")
     def walk(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      if (Files.isSymbolicLink(f.toPath) && f.isDirectory) 0L
+      else if (f.isDirectory)
+        Option(f.listFiles()).map(_.iterator.filterNot(c => metadata(c.getName)).map(walk).sum)
+          .getOrElse(0L)
       else f.length()
+    val root = new java.io.File(path)
     if (root.exists()) walk(root) else 0L
   }
 }

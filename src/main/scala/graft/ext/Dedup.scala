@@ -1143,13 +1143,26 @@ object Dedup {
   // ------------------------------------------------------------------
   /** Batch budget for the incremental map-side join: total batch text
     * chars the measured-broadcast branch accepts. Chars bound posting
-    * rows at ≤ one per token ≈ chars/6, so 8M chars caps the
-    * broadcast hash relation at ~1.4M (hs, doc, sz) rows ≈ 64 MB —
-    * comfortably under executor memory at any contract scale, and two
-    * orders of magnitude under the r14 half-corpus split that killed
-    * a 1 GiB driver via the estimate-based static broadcast.
+    * rows at ≤ one per token ≈ chars/6 for prose-like token lengths,
+    * so 8M chars caps the broadcast hash relation at ~1.4M
+    * (hs, doc, sz) rows ≈ 64 MB — comfortably under executor memory
+    * at any contract scale, and two orders of magnitude under the r14
+    * half-corpus split that killed a 1 GiB driver via the
+    * estimate-based static broadcast. The chars/6 step is HEURISTIC
+    * (1–2-char-token corpora pack ~3× more postings per char — ADVICE
+    * r15), so it is only the cheap FIRST gate: a batch that passes it
+    * is small enough that the exact second gate below is trivial to
+    * measure.
     */
   val IncrementalBroadcastMaxChars = 8L << 20
+
+  /** Exact second gate: posting rows the broadcast relation may carry
+    * (≈64 MB of (hs, doc, sz) rows). Token count bounds posting rows
+    * from ABOVE (postings are per-doc DISTINCT shingles ≤ windows =
+    * tokens − 2), so a token-counted batch can never out-pack the
+    * bound the way the chars/6 heuristic can.
+    */
+  val IncrementalBroadcastMaxPostings = 1400000L
 
   /** The measured-batch probe join, factored so PlanSpec can pin both
     * branches: `fits = true` is the in-contract shape (explicit
@@ -1183,14 +1196,27 @@ object Dedup {
       val batch = posts.filter(col("doc_id") % 2 === 1)
         .select(col("hs"), col("doc_id").as("batch_doc"), col("sz").as("sz_b"))
       // The engine's own measurement picks the join strategy (see the
-      // header comment): one column-pruned agg over the batch half's
-      // text — O(batch) map-side work, no shingling, no shuffle beyond
-      // a single scalar.
+      // header comment), in two stages: (1) a column-pruned char-sum
+      // over the batch half — O(batch) map-side work, no shingling, no
+      // shuffle beyond a single scalar — rejects outgrown batches
+      // cheaply; (2) only when chars pass (the batch is contract-small
+      // by then, so the pass is trivial) an EXACT token count bounds
+      // the posting rows the broadcast will carry — closing the
+      // chars/6 heuristic's short-token hole (ADVICE r15: 1–2-char
+      // tokens pack ~3× more postings per char than the heuristic
+      // assumed). Tokenization here is the same split the postings
+      // use, but WITHOUT the explode/window/distinct — still one
+      // map-side agg to one scalar.
       val batchChars = docs.filter(col("doc_id") % 2 === 1)
         .agg(coalesce(sum(length(col("text"))), lit(0L)).as("c"))
         .head().getLong(0)
-      val matches =
-        incrementalMatches(corpus, batch, batchChars <= IncrementalBroadcastMaxChars)
+      val fits = batchChars <= IncrementalBroadcastMaxChars && {
+        val batchTokens = docs.filter(col("doc_id") % 2 === 1)
+          .agg(coalesce(sum(size(tokens(col("text"))).cast("long")), lit(0L)).as("t"))
+          .head().getLong(0)
+        batchTokens <= IncrementalBroadcastMaxPostings
+      }
+      val matches = incrementalMatches(corpus, batch, fits)
       s.read.parquet(s"$d/documents.parquet")
         .filter(col("doc_id") % 2 === 1).select(col("doc_id"))
         .join(matches, col("doc_id") === col("batch_doc"), "left")
@@ -1607,9 +1633,15 @@ object Dedup {
 
   /** Canonical form of a URL column: lowercased scheme and host,
     * default port stripped (http:80 / https:443), fragment removed,
-    * duplicate slashes collapsed, trailing `/index.html` or `/`
-    * dropped (empty path → `/`), tracking params removed and the
+    * duplicate slashes collapsed, trailing `/` dropped and THEN a
+    * trailing `/index.html` dropped (ordered so `/a/index.html/`,
+    * `/a/index.html` and `/a/` all canonicalize to `/a` — a single
+    * alternation pass left the first form one strip behind, ADVICE
+    * r15), empty path → `/`, tracking params removed and the
     * remaining query re-sorted byte-lexicographically.
+    * Percent-encoding normalization (case of %-escapes, decoding
+    * unreserved characters) is OUT of scope — RFC 3986 §6.2.2.1-2
+    * needs a real tokenizer, not a regex chain.
     */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
@@ -1621,8 +1653,10 @@ object Dedup {
       .otherwise(hostport)
     val pathq = regexp_replace(rest, "^[^/?#]*", "")
     val path = regexp_replace(
-      regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/{2,}", "/"),
-      "(/index\\.html|/)$", "")
+      regexp_replace(
+        regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/{2,}", "/"),
+        "/$", ""),
+      "/index\\.html$", "")
     val query = regexp_extract(pathq, "\\?(.*)$", 1)
     val kept = array_join(array_sort(filter(split(query, "&"),
       p => !(p.rlike("^(utm_[^=]*|fbclid|gclid)=") || p === lit("")))), "&")
@@ -1679,8 +1713,10 @@ object Dedup {
             |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
             |         ELSE hostport END AS host,
             |    regexp_replace(
-            |      regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/{2,}', '/', 'g'),
-            |      '(/index\\.html|/)$$', '') AS path,
+            |      regexp_replace(
+            |        regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/{2,}', '/', 'g'),
+            |        '/$$', ''),
+            |      '/index\\.html$$', '') AS path,
             |    array_to_string(list_sort(list_filter(
             |      string_split(regexp_extract(pathq, '\\?(.*)$$', 1), '&'),
             |      p -> NOT (regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') OR p = ''))), '&') AS kept

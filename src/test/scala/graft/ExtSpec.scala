@@ -672,6 +672,11 @@ class ExtSpec extends SparkSpec {
         "http://www.example.com/A/b/c?a=1&b=2"),
       ("https://Host.org:443/", "https://host.org/"),
       ("https://host.org:8443/x/", "https://host.org:8443/x"),
+      // strip order (ADVICE r15): trailing '/' first, THEN index.html —
+      // all three spellings of the same page converge
+      ("http://h.io/a/index.html/", "http://h.io/a"),
+      ("http://h.io/a/index.html", "http://h.io/a"),
+      ("http://h.io/a/", "http://h.io/a"),
       ("http://h.io?fbclid=abc&gclid=d", "http://h.io/"),
       ("http://h.io/p?z=1&y=2&utm_campaign=c", "http://h.io/p?y=2&z=1"))
     val df = spark.createDataFrame(cases).toDF("url", "want")
