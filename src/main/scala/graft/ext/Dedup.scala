@@ -1196,26 +1196,22 @@ object Dedup {
       val batch = posts.filter(col("doc_id") % 2 === 1)
         .select(col("hs"), col("doc_id").as("batch_doc"), col("sz").as("sz_b"))
       // The engine's own measurement picks the join strategy (see the
-      // header comment), in two stages: (1) a column-pruned char-sum
-      // over the batch half — O(batch) map-side work, no shingling, no
-      // shuffle beyond a single scalar — rejects outgrown batches
-      // cheaply; (2) only when chars pass (the batch is contract-small
-      // by then, so the pass is trivial) an EXACT token count bounds
-      // the posting rows the broadcast will carry — closing the
-      // chars/6 heuristic's short-token hole (ADVICE r15: 1–2-char
-      // tokens pack ~3× more postings per char than the heuristic
-      // assumed). Tokenization here is the same split the postings
-      // use, but WITHOUT the explode/window/distinct — still one
-      // map-side agg to one scalar.
-      val batchChars = docs.filter(col("doc_id") % 2 === 1)
-        .agg(coalesce(sum(length(col("text"))), lit(0L)).as("c"))
-        .head().getLong(0)
-      val fits = batchChars <= IncrementalBroadcastMaxChars && {
-        val batchTokens = docs.filter(col("doc_id") % 2 === 1)
-          .agg(coalesce(sum(size(tokens(col("text"))).cast("long")), lit(0L)).as("t"))
-          .head().getLong(0)
-        batchTokens <= IncrementalBroadcastMaxPostings
-      }
+      // header comment): ONE column-pruned pass over the batch half's
+      // text emits two scalars — the char-sum (the cheap size signal)
+      // and an EXACT token count, which bounds the posting rows the
+      // broadcast will carry from above (postings = per-doc distinct
+      // shingles ≤ windows = tokens − 2) and closes the chars/6
+      // heuristic's short-token hole (ADVICE r15: 1–2-char tokens
+      // pack ~3× more postings per char than the heuristic assumed).
+      // Tokenization here is the same split the postings use but
+      // WITHOUT the explode/window/distinct — map-side work folded
+      // into the same scan as the char-sum, no second pass.
+      val gate = docs.filter(col("doc_id") % 2 === 1)
+        .agg(coalesce(sum(length(col("text"))), lit(0L)).as("c"),
+          coalesce(sum(size(tokens(col("text"))).cast("long")), lit(0L)).as("t"))
+        .head()
+      val fits = gate.getLong(0) <= IncrementalBroadcastMaxChars &&
+        gate.getLong(1) <= IncrementalBroadcastMaxPostings
       val matches = incrementalMatches(corpus, batch, fits)
       s.read.parquet(s"$d/documents.parquet")
         .filter(col("doc_id") % 2 === 1).select(col("doc_id"))

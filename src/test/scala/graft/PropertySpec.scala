@@ -413,6 +413,26 @@ class PropertySpec extends SparkSpec {
     assert(forEdges(1000000000L) === 11445)
   }
 
+  test("dirBytes: counts data files only, ignores write metadata, survives a symlink cycle") {
+    import graft.engine.Partitioning.dirBytes
+    val root = java.nio.file.Files.createTempDirectory("graft-dirbytes")
+    try {
+      val sub = java.nio.file.Files.createDirectory(root.resolve("part=0"))
+      java.nio.file.Files.write(sub.resolve("data.parquet"), new Array[Byte](1000))
+      // write metadata Spark's readers skip must not inflate the count
+      java.nio.file.Files.write(root.resolve("_SUCCESS"), new Array[Byte](50))
+      java.nio.file.Files.write(root.resolve(".data.parquet.crc"), new Array[Byte](60))
+      // a directory symlink CYCLE under the data dir (ADVICE r15:
+      // File.listFiles follows it — unbounded recursion)
+      java.nio.file.Files.createSymbolicLink(sub.resolve("loop"), root)
+      assert(dirBytes(root.toString) === 1000L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+      ()
+    }
+  }
+
   test("semdedupParams: contract-anchored k, floor at oracle K, monotone, linear pair mass") {
     import graft.ext.KMeans.{semdedupParams, K, SemDedupTargetCluster}
     // anchor points: the 1x harness corpus (2,000 vectors) reproduces
