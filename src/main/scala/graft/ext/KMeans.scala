@@ -116,7 +116,7 @@ object KMeans {
     * ~n·√k with a √k-bounded broadcast):
     * {{{
     *   val k = KMeans.semdedupParams(corpusRows)
-    *   KMeans.semdedupPairs(KMeans.assignKTwoLevel(e, k))
+    *   KMeans.semdedupPairs(KMeans.assignKAuto(e, k))
     * }}}
     * Measured (tools/SemdedupEval, BENCHNOTES r15): formula-k turns
     * the fixed-k superlinear wall into ~linear growth at 30× and
@@ -263,13 +263,14 @@ object KMeans {
     recompute(assignWith(asVec, init))
   }
 
-  /** Two-level assignment of `e` against the k-row codebook `cents`
-    * (see the section comment for the full shape): route via
-    * [[coarseCodebook]], refine within the probed cells. Output
-    * schema and tiebreak semantics match [[assignWith]] exactly.
+  /** The scored in-cell candidate relation — (vec_id, embedding,
+    * coarse, cluster, csim), one row per (vector, fine centroid of a
+    * probed coarse cell) — shared by [[assignTwoLevel]] (argmax) and
+    * [[assignTwoLevelTopP]] (bounded top-P), so the routing recipe
+    * cannot drift between the assignment and its recall-dial variant.
     */
-  def assignTwoLevel(e: DataFrame, cents: DataFrame, k: Int, nProbe: Int = 2,
-      shards: Int = SemDedupShards): DataFrame = {
+  private def twoLevelCandidates(e: DataFrame, cents: DataFrame, k: Int, nProbe: Int,
+      shards: Int): DataFrame = {
     val nCoarse = coarseCells(k)
     // `cents` is consumed TWICE below (coarse codebook + fine tagging)
     // and is usually itself a corpus-scale Lloyd plan — lazy
@@ -303,11 +304,47 @@ object KMeans {
     probes.join(fineRep.hint("shuffle_hash"), Seq("coarse", "shard"))
       .withColumn("csim",
         roundPortable(graft.functions.CosineSimilarity(col("embedding"), col("centroid")), 6))
+      .select("vec_id", "embedding", "coarse", "cluster", "csim")
+  }
+
+  /** Two-level assignment of `e` against the k-row codebook `cents`
+    * (see the section comment for the full shape): route via
+    * [[coarseCodebook]], refine within the probed cells. Output
+    * schema and tiebreak semantics match [[assignWith]] exactly.
+    */
+  def assignTwoLevel(e: DataFrame, cents: DataFrame, k: Int, nProbe: Int = 2,
+      shards: Int = SemDedupShards): DataFrame =
+    twoLevelCandidates(e, cents, k, nProbe, shards)
       .groupBy("vec_id")
       .agg(max_by(struct(col("cluster"), col("csim"), col("embedding")),
         struct(col("csim"), (-col("cluster")).as("nc"))).as("best"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
         col("best.cluster").as("cluster"), col("best.csim").as("csim"))
+
+  /** The scale path COMPOSED with the winning recall dial: top-`probes`
+    * FINE clusters through coarse routing — what a formula-k
+    * production multi-probe run calls (flat [[assignTopP]] would
+    * broadcast the k-sized codebook). Top-P is taken in two bounded
+    * stages so no wire row ever carries more than `probes` structs: a
+    * per-(vector, coarse-cell) top-P completes map-side (all of a
+    * vector's in-cell candidates co-reside after the refine join),
+    * then the ≤ nProbe small lists merge per vector. With every
+    * coarse cell probed this is VALUE-identical to the flat
+    * [[assignTopP]] (ExtSpec pins it, probe_rank included).
+    */
+  def assignTwoLevelTopP(e: DataFrame, cents: DataFrame, k: Int, probes: Int,
+      nProbe: Int = 2, shards: Int = SemDedupShards): DataFrame = {
+    val nc = struct((-col("csim")).as("nc"), col("cluster"))
+    twoLevelCandidates(e, cents, k, nProbe, shards)
+      .groupBy("vec_id", "coarse")
+      .agg(first(col("embedding")).as("embedding"),
+        slice(array_sort(collect_list(nc)), 1, probes).as("top"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        slice(array_sort(flatten(collect_list(col("top")))), 1, probes).as("top"))
+      .select(col("vec_id"), col("embedding"), posexplode(col("top")).as(Seq("probe_rank", "t")))
+      .select(col("vec_id"), col("embedding"), col("t.cluster").as("cluster"),
+        (-col("t.nc")).as("csim"), col("probe_rank"))
   }
 
   /** [[trainedK]] with the Lloyd round itself two-level: the training
@@ -324,6 +361,21 @@ object KMeans {
     */
   def assignKTwoLevel(e: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
     assignTwoLevel(e, trainedKTwoLevel(e, k, nProbe), k, nProbe)
+
+  /** Executable assignment-strategy policy (the incremental-gate
+    * pattern applied to the codebook): FLAT argmax while k is small
+    * enough that the codebook broadcast is cheap and the n·k grid
+    * undercuts two-level's stage constant; IVF two-level beyond. The
+    * threshold sits between the measured crossover points
+    * (BENCHNOTES r16: flat wins at k=154 — 4.5 vs 12.2 s; two-level
+    * wins at k=513 — 11.0 vs 27.7 s); k is a compile-visible input,
+    * so unlike the incremental batch gate no runtime measurement is
+    * needed. `semdedupParams` production callers use this.
+    */
+  val TwoLevelMinK = 300
+
+  def assignKAuto(e: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
+    if (k < TwoLevelMinK) assignK(e, k) else assignKTwoLevel(e, k, nProbe)
 
   /** MULTI-PROBE fine assignment — the cheaper recall dial candidate
     * (VERDICT r15 ask #4): each vector lands in its top-`probes` fine
@@ -357,6 +409,17 @@ object KMeans {
   def semdedupPairsProbe(e: DataFrame, k: Int, probes: Int = 2,
       shards: Int = SemDedupShards): DataFrame =
     pairGrid(assignTopP(e, trainedK(e, k), probes), shards)
+      .select("id_a", "id_b", "cos_sim")
+      .distinct().orderBy("id_a", "id_b")
+
+  /** [[semdedupPairsProbe]] with two-level routing end to end
+    * (training round, assignment, and the top-P dial all n·√k) — the
+    * formula-k production multi-probe; measured beside the flat forms
+    * by tools/SemdedupEval (tag `_2lmp2`).
+    */
+  def semdedupPairsProbeTwoLevel(e: DataFrame, k: Int, probes: Int = 2,
+      nProbe: Int = 2, shards: Int = SemDedupShards): DataFrame =
+    pairGrid(assignTwoLevelTopP(e, trainedKTwoLevel(e, k, nProbe), k, probes, nProbe), shards)
       .select("id_a", "id_b", "cos_sim")
       .distinct().orderBy("id_a", "id_b")
 
@@ -670,9 +733,43 @@ object KMeans {
     }
   )
 
+  // ------------------------------------------------------------------
+  // The MULTI-PROBE union as a DRIVER-VERIFIED registry row (P = 2 at
+  // the oracle contract k = K) — the r16 head-to-head's WINNING
+  // recall dial (BENCHNOTES r16: planted recall 0.955/0.938 vs the
+  // T=2 tables' 0.929/0.864 at lower wall) gets the same hash-match
+  // treatment `dedup_semdedup_multi` gave T-tables: DuckDB replays
+  // the contract clustering, keeps each vector's TOP-2 clusters
+  // (rn ≤ 2 in the very window the single-assignment oracle already
+  // ranks), enumerates within-cluster pairs over the multi-
+  // assignment, and dedups on the pair ids. The Spark side is
+  // [[semdedupPairsProbe]] — trainedK quantizer, assignTopP
+  // multi-assignment, the same sharded pair grid.
+  // ------------------------------------------------------------------
+  val semdedupProbe: Q = Q(
+    (s, d) => semdedupPairsProbe(emb(s, d), K, probes = 2),
+    Some(
+      s"""WITH $kmeansCtes, a2p AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, c.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.v", "c.centroid")} DESC, c.cluster) AS rn
+         |    FROM e CROSS JOIN c1 c
+         |  ) WHERE rn <= 2
+         |), u AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${cosSql("a.v", "b.v")} AS cos_sim
+         |  FROM a2p a JOIN a2p b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |)
+         |SELECT DISTINCT id_a, id_b, cos_sim FROM u
+         |WHERE cos_sim >= ${Dedup.CosTau}
+         |ORDER BY id_a, id_b""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "emb_kmeans_assign" -> kmeansAssign,
     "emb_cluster_keywords" -> clusterKeywords,
     "dedup_semdedup" -> semdedup,
-    "dedup_semdedup_multi" -> semdedupMulti)
+    "dedup_semdedup_multi" -> semdedupMulti,
+    "dedup_semdedup_probe" -> semdedupProbe)
 }

@@ -96,6 +96,7 @@ object SemdedupEval {
       val kForm = KMeans.semdedupParams(nAll)
       def pairsOf(tag: String, k: Int) =
         if (tag.endsWith("_2t")) KMeans.semdedupPairsMulti(all, k, tables = 2)
+        else if (tag.endsWith("_2lmp2")) KMeans.semdedupPairsProbeTwoLevel(all, k, probes = 2)
         else if (tag.endsWith("_2l")) KMeans.semdedupPairs(KMeans.assignKTwoLevel(all, k))
         else if (tag.endsWith("_mp2")) KMeans.semdedupPairsProbe(all, k, probes = 2)
         else KMeans.semdedupPairs(KMeans.assignK(all, k))
@@ -106,7 +107,8 @@ object SemdedupEval {
           ("planted_formula_k", kForm),
           ("planted_formula_k_2t", kForm),
           ("planted_formula_k_2l", kForm),
-          ("planted_formula_k_mp2", kForm))
+          ("planted_formula_k_mp2", kForm),
+          ("planted_formula_k_2lmp2", kForm))
         .filter(_._1.contains(tagFilter)).foreach { case (tag, k) =>
         val t0 = System.nanoTime()
         val pairs = pairsOf(tag, k)

@@ -797,6 +797,16 @@ class ExtSpec extends SparkSpec {
     val single = asSet(KMeans.semdedupPairs(KMeans.assignK(e, KMeans.K)))
     val probed = asSet(KMeans.semdedupPairsProbe(e, KMeans.K, probes = 2))
     assert(single.subsetOf(probed), "a second probe can only ADD pairs, never drop one")
+    // the composed scale path: two-level top-P with every coarse cell
+    // probed must reproduce flat top-P row-for-row, probe_rank included
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "probe_rank", "cluster", "csim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    assert(ranked(KMeans.assignTwoLevelTopP(e, cents, KMeans.K, probes = 2,
+        nProbe = KMeans.coarseCells(KMeans.K))) ===
+      ranked(KMeans.assignTopP(e, cents, probes = 2)),
+      "two-level top-P with complete probing must equal flat top-P")
     val exact = Dedup.embeddingPairs.build(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     (probed -- single).foreach { case (a, b, s) =>

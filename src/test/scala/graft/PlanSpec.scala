@@ -820,5 +820,28 @@ class PlanSpec extends SparkSpec {
       // two vector attaches of the verify stage
       assert(pq === 2, s"pairs recompute the blocking grid from parquet ($pq scans):\n$root")
     } finally f.unpersist()
+    // the minhash twin: same contract — cached bands feed both
+    // candidate sides, parquet scans only for the posting verify
+    val posts = graft.ext.Dedup.shinglePosts(spark, d, graft.ext.Dedup.hash60)
+    val fm = graft.ext.Dedup.minhashLshFunnel(posts)
+    try {
+      fm.occupancy.collect()
+      assert(plan(fm.occupancy).contains("InMemoryTableScan"), plan(fm.occupancy))
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      val root: SparkPlan = fm.pairs.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      var (pq, im) = (0, 0)
+      root.foreach {
+        case _: FileSourceScanExec => pq += 1
+        case _: InMemoryTableScanExec => im += 1
+        case _ => ()
+      }
+      assert(im === 2, s"minhash candidate sides must read cached bands (got $im):\n$root")
+      assert(pq === 2, s"minhash pairs re-tokenize beyond the two posting attaches ($pq):\n$root")
+    } finally fm.unpersist()
   }
 }
