@@ -1571,6 +1571,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The cleaned corpus itself — (doc_id, cleaned_text, n_kept_tokens):
+    * the token surgery the counts row prices, for callers that want
+    * the Lee-et-al deliverable materialized. Same flagged set and
+    * keep-first policy as [[substringCleanDf]]; flagged windows merge
+    * into maximal intervals per doc (an `aggregate` HOF over the
+    * sorted positions — interval count is doc-bounded), and tokens
+    * covered by any interval are dropped. ExtSpec pins token-count
+    * conservation against the counts row (kept = n_tokens −
+    * n_tokens_removed, every doc) and the synthetic-corpus surgeries.
+    * Not a registry row: the counts row is the driver-hashed
+    * contract; this is its materialization.
+    */
+  def substringCleanedDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = SpanTokensLong
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val wins = toks.filter(size(col("toks")) >= W)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - W),
+        i => hash60(array_join(slice(col("toks"), i + 1, lit(W)), " ")))).as(Seq("pos", "hs")))
+    val byHash = Window.partitionBy("hs")
+    val intervals = wins
+      .withColumn("keep", struct(col("doc_id"), col("pos")) ===
+        min(struct(col("doc_id"), col("pos"))).over(byHash))
+      .filter(!col("keep"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), aggregate(col("ps"),
+        array().cast("array<struct<s:int,e:int>>"),
+        (acc, p) => when(size(acc) > 0 && p < element_at(acc, -1).getField("e"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(element_at(acc, -1).getField("s").as("s"),
+              greatest(element_at(acc, -1).getField("e"), p + W).cast("int").as("e")))))
+          .otherwise(concat(acc,
+            array(struct(p.cast("int").as("s"), (p + W).cast("int").as("e")))))).as("iv"))
+    toks.join(intervals, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("iv").isNull, col("toks")).otherwise(
+          filter(col("toks"), (t, i) =>
+            !exists(col("iv"), v => i >= v.getField("s") && i < v.getField("e"))))
+          .as("kept"))
+      .select(col("doc_id"), array_join(col("kept"), " ").as("cleaned_text"),
+        size(col("kept")).cast("long").as("n_kept_tokens"))
+      .orderBy("doc_id")
+  }
+
   val substringClean: Q = Q(
     (s, d) => substringCleanDf(s.read.parquet(s"$d/documents.parquet")),
     Some(s"""WITH sp AS (

@@ -664,6 +664,22 @@ class ExtSpec extends SparkSpec {
       .agg(sum("n_dup_occurrences")).head.getLong(0)
     assert(flaggedSum === total - distinctHs,
       s"keep-first must flag exactly total-distinct occurrences: $flaggedSum vs $total-$distinctHs")
+    // the MATERIALIZED surgery: cleaned text drops exactly the counted
+    // tokens (conservation per doc, harness corpus) and performs the
+    // synthetic-corpus surgeries verbatim
+    val cleaned = Dedup.substringCleanedDf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(cleaned(0L)._1 === (X ++ toks("a", 10)).mkString(" "))
+    assert(cleaned(1L)._1 === "")
+    assert(cleaned(2L)._1 === (toks("b", 7) ++ toks("c", 8)).mkString(" "))
+    assert(cleaned(3L)._1 === Y.mkString(" "))
+    assert(cleaned(4L)._1 === toks("d", 20).mkString(" "))
+    val harnessKept = Dedup.substringCleanedDf(harness).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Dedup.substringClean.build(spark, d).collect().foreach { r =>
+      assert(harnessKept(r.getLong(0)) === r.getLong(1) - r.getLong(4),
+        s"doc ${r.getLong(0)}: kept tokens must equal n_tokens - n_tokens_removed")
+    }
   }
 
   test("canonicalUrl: case, ports, fragments, slashes, index.html, tracking params, param order") {
