@@ -766,10 +766,72 @@ object KMeans {
          |ORDER BY id_a, id_b""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // Semantic-blocking occupancy gauge — the third member of the
+  // blocking-health family (minhash bands, LSH buckets, and now
+  // k-means clusters): within-cluster pair enumeration costs Σ|c|²/2,
+  // so the cluster-size distribution PREDICTS the pair stage's cost
+  // and its straggler ceiling (the biggest cluster is the longest
+  // task even under the shard grid) BEFORE any pair is scored. A
+  // production funnel gates on pair_mass ≈ n·targetCluster (the
+  // semdedupParams operating point): a degenerate clustering (one
+  // mega-cluster — the semantic analogue of a saturated LSH bucket)
+  // publishes max_share → 1 and quadratic pair_mass instead of
+  // silently serializing the grid. One k-group aggregate + a 1-row
+  // rollup — scan-cost, like the other gauges; exact integers plus
+  // one 6dp ratio, oracle-replayed from the same clustering CTEs as
+  // the pair rows.
+  // ------------------------------------------------------------------
+  val semdedupOccupancy: Q = Q(
+    (s, d) =>
+      assignments(s, d)
+        .groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("cluster_n")).as("rows_total"),
+          max(col("cluster_n")).as("max_cluster"),
+          sum(col("cluster_n") * col("cluster_n")).as("pair_mass"))
+        .select(col("n_clusters"), col("rows_total"), col("max_cluster"),
+          col("pair_mass"),
+          roundPortable(col("max_cluster").cast(DoubleType) /
+            col("rows_total"), 6).as("max_share")),
+    Some(
+      s"""WITH $kmeansCtes, cs AS (
+         |  SELECT cluster, count(*) AS n FROM a2 GROUP BY 1
+         |)
+         |SELECT count(*) AS n_clusters,
+         |  CAST(sum(n) AS BIGINT) AS rows_total,
+         |  CAST(max(n) AS BIGINT) AS max_cluster,
+         |  CAST(sum(n * n) AS BIGINT) AS pair_mass,
+         |  floor(CAST(max(n) AS DOUBLE) / sum(n) * 1000000 + 0.5) / 1000000 AS max_share
+         |FROM cs""".stripMargin)
+  )
+
+  // ------------------------------------------------------------------
+  // The PRODUCTION ENTRY POINT as a driver-verified row: what the
+  // semdedupParams scaladoc tells a deployment to call —
+  // k = semdedupParams(count) → assignKAuto (flat under the measured
+  // TwoLevelMinK crossover, IVF two-level beyond) → the sharded pair
+  // grid — wired end to end and hash-matched. At the harness corpus
+  // the formula lands on the contract floor k = K and assignKAuto
+  // takes the flat branch, so the published pairs are the oracle
+  // contract's exactly (the identity ExtSpec pins); a harness-data
+  // change that moved k off the floor would fail THIS row loudly
+  // rather than silently drifting the production path.
+  // ------------------------------------------------------------------
+  val semdedupAuto: Q = Q(
+    (s, d) => {
+      val e = emb(s, d)
+      semdedupPairs(assignKAuto(e, semdedupParams(e.count())))
+    },
+    semdedup.oracle)
+
   val queries: Seq[(String, Q)] = Seq(
     "emb_kmeans_assign" -> kmeansAssign,
     "emb_cluster_keywords" -> clusterKeywords,
     "dedup_semdedup" -> semdedup,
     "dedup_semdedup_multi" -> semdedupMulti,
-    "dedup_semdedup_probe" -> semdedupProbe)
+    "dedup_semdedup_probe" -> semdedupProbe,
+    "dedup_semdedup_occupancy" -> semdedupOccupancy,
+    "dedup_semdedup_auto" -> semdedupAuto)
 }
