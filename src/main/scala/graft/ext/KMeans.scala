@@ -782,19 +782,41 @@ object KMeans {
   // one 6dp ratio, oracle-replayed from the same clustering CTEs as
   // the pair rows.
   // ------------------------------------------------------------------
+  /** The gauge rollup over any assignment relation — shared by the
+    * registry row and [[semdedupFunnel]] (one recipe, like
+    * Dedup.occupancyRollup for the hash-blocking gauges).
+    */
+  def clusterOccupancy(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_n")).as("rows_total"),
+        max(col("cluster_n")).as("max_cluster"),
+        sum(col("cluster_n") * col("cluster_n")).as("pair_mass"))
+      .select(col("n_clusters"), col("rows_total"), col("max_cluster"),
+        col("pair_mass"),
+        roundPortable(col("max_cluster").cast(DoubleType) /
+          col("rows_total"), 6).as("max_share"))
+
+  /** The shared-scan SEMANTIC funnel — the k-means twin of
+    * [[Dedup.embeddingLshFunnel]]: the assignment (the expensive
+    * stage — one or two corpus-scale scoring rounds) persists once
+    * and feeds BOTH the occupancy gauge (the Σ|c|² pair-mass gate)
+    * and the sharded pair grid. A production run collects the gauge
+    * first, decides (re-k on a degenerate clustering instead of
+    * serializing the grid), then scores pairs from the cached
+    * assignment, and unpersists.
+    */
+  def semdedupFunnel(e: DataFrame, k: Int, nProbe: Int = 2,
+      shards: Int = SemDedupShards): Dedup.LshFunnel = {
+    val a = assignKAuto(e, k, nProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.LshFunnel(a, clusterOccupancy(a), semdedupPairs(a, shards))
+  }
+
   val semdedupOccupancy: Q = Q(
-    (s, d) =>
-      assignments(s, d)
-        .groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
-        .agg(
-          count(lit(1)).as("n_clusters"),
-          sum(col("cluster_n")).as("rows_total"),
-          max(col("cluster_n")).as("max_cluster"),
-          sum(col("cluster_n") * col("cluster_n")).as("pair_mass"))
-        .select(col("n_clusters"), col("rows_total"), col("max_cluster"),
-          col("pair_mass"),
-          roundPortable(col("max_cluster").cast(DoubleType) /
-            col("rows_total"), 6).as("max_share")),
+    (s, d) => clusterOccupancy(assignments(s, d)),
     Some(
       s"""WITH $kmeansCtes, cs AS (
          |  SELECT cluster, count(*) AS n FROM a2 GROUP BY 1

@@ -852,7 +852,20 @@ class ExtSpec extends SparkSpec {
       assert(fm.pairs.collect().toSeq ===
         Dedup.minhashLsh.build(spark, d).collect().toSeq)
     } finally fm.unpersist()
+    // the semantic twin: cached assignment feeds gauge + pair grid
+    val fs = KMeans.semdedupFunnel(e, KMeans.K)
+    try {
+      assert(fs.occupancy.collect().toSeq ===
+        KMeans.semdedupOccupancy.build(spark, d).collect().toSeq)
+      assert(fs.pairs.collect().toSeq ===
+        KMeans.semdedup.build(spark, d).collect().toSeq)
+      assert(plan(fs.pairs).contains("InMemoryTableScan"),
+        s"funnel pairs must read the cached assignment:\n${plan(fs.pairs)}")
+    } finally fs.unpersist()
   }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
 
   test("SemDeDup pairs are a subset of exact all-pairs with matching sims") {
     val sem = KMeans.semdedup.build(spark, d).collect()
