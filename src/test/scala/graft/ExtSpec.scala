@@ -699,6 +699,15 @@ class ExtSpec extends SparkSpec {
       .select(Dedup.canonicalUrl(col("url")).as("got"), col("want"))
     df.collect().foreach(r =>
       assert(r.getString(0) === r.getString(1), s"canonicalUrl mismatch"))
+    // idempotence (a canonicalizer that moves twice isn't canonical):
+    // fixpoint on the messy cases AND on every canonical form the
+    // registry row publishes over the harness corpus
+    val once = spark.createDataFrame(cases).toDF("url", "want")
+      .select(Dedup.canonicalUrl(col("url")).as("c"))
+      .unionByName(Dedup.urlCanonical.build(spark, d).select(col("canonical_url").as("c")))
+    once.select(col("c"), Dedup.canonicalUrl(col("c")).as("cc")).collect().foreach(r =>
+      assert(r.getString(0) === r.getString(1),
+        s"canonicalUrl not idempotent on ${r.getString(0)} -> ${r.getString(1)}"))
   }
 
   test("url dedup groups: every variant spelling collapses; representative is the group min") {
