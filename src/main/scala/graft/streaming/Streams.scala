@@ -150,6 +150,34 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("canonical_url")
 
+  /** Streaming SEMANTIC ROUTER — the online twin of the batch
+    * k-means assignment (`emb_kmeans_assign` / `KMeans.assignWith`):
+    * arriving embeddings route to their nearest trained centroid AT
+    * INGEST, the shape that shards a live embedding feed across IVF
+    * cells / semdedup blocks before anything downstream runs. The
+    * quantizer is k-bounded by the same contracts that let the batch
+    * side broadcast it, so it rides into the stream as a literal and
+    * the whole router is a STATELESS projection — no watermark, no
+    * state, append mode, per-row cost k (or √k when fed the coarse
+    * codebook of the two-level path). Identical determinism recipe as
+    * batch (6-dp rounded cosine, smaller-cluster tiebreak) —
+    * StreamingSpec audits the stream output row-identical to
+    * `assignWith` over the same rows.
+    */
+  def semanticRouter(embs: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val scored = array(cents.map { case (c, v) =>
+      struct(
+        (-roundPortable(
+          graft.functions.CosineSimilarity(col("embedding"), typedLit(v)), 6)).as("nc"),
+        lit(c).as("cluster"))
+    }: _*)
+    embs
+      .withColumn("best", element_at(array_sort(scored), 1))
+      .withColumn("cluster", col("best.cluster"))
+      .withColumn("csim", -col("best.nc"))
+      .drop("best")
+  }
+
   /** Streaming ingest quality gate — the deployment shape of the
     * Gopher rules: documents stream in, sub-threshold ones never reach
     * the corpus. Stateless projection + filter (no watermark, no

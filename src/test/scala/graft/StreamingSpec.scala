@@ -150,6 +150,35 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Seq("http://a.example/x?a=1&b=2", "https://b.org/"))
   }
 
+  test("semantic router: stream assignment row-identical to the batch argmax") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf("0.01")
+    val e = graft.queries.Inventory.rebalanced(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id")
+    val centsDf = graft.ext.KMeans.trained(e)
+    val cents = centsDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val batch = graft.ext.KMeans.assignWith(e, centsDf)
+      .select("vec_id", "cluster", "csim").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.semanticRouter(mem.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.format("memory").queryName("router_stream")
+      .outputMode("append").start()
+    mem.addData(e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val routed = spark.table("router_stream")
+      .select("vec_id", "cluster", "csim").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(routed.size === batch.size)
+    routed.foreach { case (id, got) =>
+      assert(got === batch(id), s"vec $id routed to $got, batch says ${batch(id)}")
+    }
+  }
+
   test("stateless high-value filter streams through") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
