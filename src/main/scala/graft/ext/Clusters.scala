@@ -281,7 +281,63 @@ object Clusters {
            |FROM sized WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // SEMANTIC keep list — SemDeDup's end deliverable, composed from
+  // the pieces the registry already verifies one by one: the
+  // within-cluster verified pair graph (dedup_semdedup), connected
+  // components over the embedding ids, and the keep-longest
+  // representative policy (the dedup_keep_best argmax, via the
+  // vec_id ≡ doc_id harness convention). This is the row a user runs
+  // to act on semantic dedup — gauge (dedup_semdedup_occupancy) →
+  // pairs → THIS keep list — and the oracle replays the whole chain:
+  // the clustering CTEs, the τ-verified pair set, recursive
+  // reachability, and the argmax.
+  //
+  // Scale notes: pair-graph cost dominates (see dedup_semdedup); the
+  // component fixpoint runs over near-dup VERTICES only (vertices
+  // with no τ-pair are singletons by construction and never enter the
+  // loop state), and the keep argmax windows over the labeled vertex
+  // table. In a production DAG the pairs materialize once
+  // (models.DedupFunnel shape); registry rows are standalone by
+  // contract.
+  // ------------------------------------------------------------------
+  val semdedupKeep: Q = Q(
+    (s, d) => {
+      val ids = s.read.parquet(s"$d/embeddings.parquet").select(col("vec_id").as("doc_id"))
+      val pairs = KMeans.semdedup.build(s, d)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "n_chars")
+      keepBest(connectedComponents(ids, pairs), docs)
+    },
+    Some(s"""WITH RECURSIVE ${KMeans.kmeansCtes}, spairs AS (
+           |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  WHERE ${KMeans.cosSql("a.v", "b.v")} >= ${Dedup.CosTau}
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM spairs
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM spairs
+           |), walk(v, label) AS (
+           |  SELECT vec_id, vec_id FROM embeddings
+           |  UNION
+           |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.v
+           |), labels AS (
+           |  SELECT v AS doc_id, min(label) AS cluster_id FROM walk GROUP BY v
+           |), sized AS (
+           |  SELECT l.doc_id, l.cluster_id, dd.n_chars,
+           |         row_number() OVER (PARTITION BY l.cluster_id
+           |                            ORDER BY dd.n_chars DESC, l.doc_id) AS rn,
+           |         count(*) OVER (PARTITION BY l.cluster_id) AS csize
+           |  FROM labels l JOIN documents dd USING (doc_id)
+           |)
+           |SELECT cluster_id, doc_id AS kept_doc, n_chars AS kept_chars,
+           |       CAST(csize AS BIGINT) AS cluster_size,
+           |       CAST(csize - 1 AS BIGINT) AS n_dropped
+           |FROM sized WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_components" -> dedupComponents,
-    "dedup_keep_best" -> dedupKeepBest)
+    "dedup_keep_best" -> dedupKeepBest,
+    "dedup_semdedup_keep" -> semdedupKeep)
 }
