@@ -42,14 +42,18 @@ object Clusters {
       vertices: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    // cache the VERIFIED pair list before mirroring it, and FORCE the
-    // materialization with a count(): cache() alone is lazy, so the
-    // union's two branches would race to populate it in the same stage
-    // and the loser could re-run the (expensive) upstream
-    // candidate-generation + verification pipeline — pair verification
-    // is the dominant cost of the whole operator, and the eager count
-    // is what actually guarantees it runs exactly once.
-    val directed = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
+    // LOCALCHECKPOINT the verified pair list (eager): this both
+    // guarantees the expensive candidate-generation + verification
+    // pipeline runs exactly once AND — unlike the cache() this used
+    // to be — truncates the LOGICAL plan. The distinction is
+    // load-bearing (r16 finding): cache() short-circuits execution
+    // but every loop round still COMPOSES the full upstream plan tree
+    // into its own, and Spark renders `explainString` on every
+    // action — with a heavyweight edge pipeline (the semantic pair
+    // graph) and a high-diameter graph the plan string alone OOMed an
+    // 8 GiB driver at the 30× corpus before any data did.
+    val directed = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
     val nEdges = directed.count()
     // Size the ITERATION's partitioning to the measured pair graph via
     // the engine's data-sized policy (Partitioning.forEdges ≈ 87k
@@ -114,18 +118,31 @@ object Clusters {
         val viaNeighbor = edges
           .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
           .select(col("src").as("doc_id"), col("label"))
-        val next = labels.union(viaNeighbor)
+        val propagated = labels.union(viaNeighbor)
           .groupBy("doc_id").agg(min("label").as("label"))
+        // POINTER JUMP (r16): one neighbor round moves a label one hop,
+        // so plain propagation needs diameter rounds — the semantic
+        // τ-graph's chains blew past maxIter where the Jaccard graph's
+        // compact cliques never did. Following each neighbor round
+        // with label(v) := min(label(v), label(label(v))) halves the
+        // remaining distance to the component minimum (labels are
+        // themselves vertex ids of the same component, so the self-join
+        // always resolves) — convergence in O(log diameter) rounds for
+        // one extra vertex-sized join per round.
+        val byId = propagated
+          .select(col("doc_id").as("label"), col("label").as("jump"))
+        val next = propagated.join(byId, Seq("label"), "left")
+          .select(col("doc_id"),
+            coalesce(least(col("label"), col("jump")), col("label")).as("label"))
           .repartition(p, col("doc_id"))
-          .cache()
-        // materialize next BEFORE dropping the old cache (next's
-        // lineage reads `labels`; unpersisting first would recompute
-        // the whole chain) — but if the action itself throws, `labels`
-        // still points at the previous round, so the outer catch would
-        // miss the frame just cached: unpersist it here
-        val nextSum =
-          try labelSum(next)
-          catch { case e: Throwable => next.unpersist(); throw e }
+          // EAGER localCheckpoint, not cache: materializes this round
+          // exactly once AND resets the logical plan to a leaf — with
+          // cache() every round's plan still composed the full chain
+          // back through the edge pipeline, and rendering that string
+          // per action OOMed the driver before the data ever could
+          // (the kcorePeel lesson, re-learned on the semantic graph).
+          .localCheckpoint()
+        val nextSum = labelSum(next)
         converged = nextSum == prevSum
         prevSum = nextSum
         labels.unpersist()
@@ -138,7 +155,6 @@ object Clusters {
         throw e
     } finally {
       edges.unpersist()
-      directed.unpersist()
     }
     // singletons (no edges) label themselves; the final `labels` cache
     // stays alive on the success path because the returned plan reads it
