@@ -33,6 +33,14 @@ import graft.queries.Inventory.Q
   */
 object Clusters {
 
+  /** Rounds of plain neighbor propagation before pointer jumping
+    * engages: near-dup clique graphs converge inside this budget and
+    * never pay the jump's extra exchanges (which push the measured
+    * 1 GiB-heap regime over its cliff), while high-diameter chain
+    * graphs switch to O(log diameter) convergence from here.
+    */
+  val JumpAfterRounds = 4
+
   /** Min-label propagation to fixpoint. `vertices` must have a
     * `doc_id` column; `pairs` columns (doc_a, doc_b) are undirected
     * edges. Returns (doc_id, cluster_id) where cluster_id = min doc_id
@@ -42,18 +50,19 @@ object Clusters {
       vertices: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    // LOCALCHECKPOINT the verified pair list (eager): this both
-    // guarantees the expensive candidate-generation + verification
-    // pipeline runs exactly once AND — unlike the cache() this used
-    // to be — truncates the LOGICAL plan. The distinction is
-    // load-bearing (r16 finding): cache() short-circuits execution
-    // but every loop round still COMPOSES the full upstream plan tree
-    // into its own, and Spark renders `explainString` on every
-    // action — with a heavyweight edge pipeline (the semantic pair
-    // graph) and a high-diameter graph the plan string alone OOMed an
-    // 8 GiB driver at the 30× corpus before any data did.
-    val directed = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint()
+    // cache the VERIFIED pair list before mirroring it, and FORCE the
+    // materialization with a count(): cache() alone is lazy, so the
+    // union's two branches would race to populate it in the same stage
+    // and the loser could re-run the (expensive) upstream
+    // candidate-generation + verification pipeline — pair verification
+    // is the dominant cost of the whole operator, and the eager count
+    // is what actually guarantees it runs exactly once. cache, NOT
+    // localCheckpoint: the columnar InMemoryRelation stores compressed
+    // batches where a checkpoint stores raw row objects — swapping
+    // this for a localCheckpoint OOMed the 1 GiB-heap regime during
+    // materialization (r16 measured). The plan-growth hazard cache
+    // does not solve is handled per round in the loop below.
+    val directed = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
     val nEdges = directed.count()
     // Size the ITERATION's partitioning to the measured pair graph via
     // the engine's data-sized policy (Partitioning.forEdges ≈ 87k
@@ -118,31 +127,53 @@ object Clusters {
         val viaNeighbor = edges
           .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
           .select(col("src").as("doc_id"), col("label"))
-        val propagated = labels.union(viaNeighbor)
+        val doJump = iter >= JumpAfterRounds
+        // in jump rounds, cache the propagated labels: the pointer jump
+        // self-joins this relation, and uncached each side would re-run
+        // the round's EDGE join (the dominant per-round cost — measured
+        // as a 1 GiB-heap spill thrash when both copies ran
+        // concurrently); the cache is vertex-sized. Plain rounds
+        // reference it once and skip the extra materialization.
+        val propagated0 = labels.union(viaNeighbor)
           .groupBy("doc_id").agg(min("label").as("label"))
-        // POINTER JUMP (r16): one neighbor round moves a label one hop,
-        // so plain propagation needs diameter rounds — the semantic
-        // τ-graph's chains blew past maxIter where the Jaccard graph's
-        // compact cliques never did. Following each neighbor round
-        // with label(v) := min(label(v), label(label(v))) halves the
-        // remaining distance to the component minimum (labels are
-        // themselves vertex ids of the same component, so the self-join
-        // always resolves) — convergence in O(log diameter) rounds for
-        // one extra vertex-sized join per round.
-        val byId = propagated
-          .select(col("doc_id").as("label"), col("label").as("jump"))
-        val next = propagated.join(byId, Seq("label"), "left")
-          .select(col("doc_id"),
-            coalesce(least(col("label"), col("jump")), col("label")).as("label"))
-          .repartition(p, col("doc_id"))
-          // EAGER localCheckpoint, not cache: materializes this round
-          // exactly once AND resets the logical plan to a leaf — with
-          // cache() every round's plan still composed the full chain
-          // back through the edge pipeline, and rendering that string
-          // per action OOMed the driver before the data ever could
-          // (the kcorePeel lesson, re-learned on the semantic graph).
-          .localCheckpoint()
-        val nextSum = labelSum(next)
+        val propagated = if (doJump) propagated0.cache() else propagated0
+        // POINTER JUMP (r16), engaged only past the early rounds: one
+        // neighbor round moves a label one hop, so plain propagation
+        // needs diameter rounds — the semantic τ-graph's chains blew
+        // past plain propagation where the Jaccard graph's compact
+        // cliques never did. label(v) := min(label(v), label(label(v)))
+        // halves the remaining distance per round (labels are vertex
+        // ids of the same component, so the self-join resolves) —
+        // O(log diameter) convergence. Gated on round number because
+        // low-diameter graphs converge before the gate and never pay
+        // the jump's extra concurrent exchanges — which measurably
+        // pushed the 1 GiB-heap regime over its memory cliff when run
+        // unconditionally.
+        val grown = (if (!doJump) propagated
+          else {
+            val byId = propagated
+              .select(col("doc_id").as("label"), col("label").as("jump"))
+            propagated.join(byId, Seq("label"), "left")
+              .select(col("doc_id"),
+                coalesce(least(col("label"), col("jump")), col("label")).as("label"))
+          }).repartition(p, col("doc_id"))
+        // TRUNCATE the logical plan every round (via the RDD boundary —
+        // storage-free, unlike a localCheckpoint whose per-round blocks
+        // squeezed the 1 GiB-heap regime), THEN cache: the pointer jump
+        // references `propagated` twice, so an untruncated plan doubles
+        // per round — and even linear growth was fatal here, because
+        // Spark renders `explainString` on every action and a plan that
+        // composes the full semantic-pair pipeline per round OOMed an
+        // 8 GiB driver at 30× before any data did (the kcorePeel
+        // lesson, re-learned on the semantic graph).
+        val next = labels.sparkSession.createDataFrame(grown.rdd, grown.schema).cache()
+        val nextSum =
+          try labelSum(next)
+          catch {
+            case e: Throwable =>
+              next.unpersist(); if (doJump) propagated.unpersist(); throw e
+          }
+        if (doJump) propagated.unpersist()
         converged = nextSum == prevSum
         prevSum = nextSum
         labels.unpersist()
@@ -155,6 +186,7 @@ object Clusters {
         throw e
     } finally {
       edges.unpersist()
+      directed.unpersist()
     }
     // singletons (no edges) label themselves; the final `labels` cache
     // stays alive on the success path because the returned plan reads it
