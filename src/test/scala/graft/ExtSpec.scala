@@ -1131,6 +1131,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("keep-best aggregate form is value-identical to the window argmax on a degenerate cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // a hot cluster (the 10⁸-member boilerplate class, scaled down) +
+    // singleton + tie-on-n_chars: the shapes where window vs aggregate
+    // argmax could diverge
+    val labels = ((0L until 5000L).map(i => (i, 0L)) ++ // one mega-cluster, label 0
+      Seq((9000L, 9000L), (9001L, 9001L), (9002L, 9001L))) // singleton + tied pair
+      .toDF("doc_id", "cluster_id")
+    val docs = labels.select(col("doc_id"),
+      // mega-cluster: length cycles mod 1000, so the max (999) is
+      // itself tied five ways → min id wins; tied pair: both length 7
+      when(col("doc_id") < 5000L, col("doc_id") % 1000).otherwise(lit(7L)).as("n_chars"))
+    val got = Clusters.keepBest(labels, docs).collect().toSeq
+    val w = Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    val sized = labels.join(docs, Seq("doc_id"))
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val want = sized.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"), col("n_chars").as("kept_chars"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("kept_doc"), col("kept_chars"),
+        col("cluster_size"), (col("cluster_size") - lit(1L)).as("n_dropped"))
+      .orderBy("cluster_id").collect().toSeq
+    assert(got === want)
+    // the tie lands on the smaller doc_id, matching the window's ORDER BY
+    assert(got.find(_.getLong(0) == 9001L).get.getLong(1) === 9001L)
+  }
+
   test("approximate distinct stays within the configured error of the exact count") {
     // The query itself encodes the 3-sigma contract (|approx−exact|/exact
     // ≤ 3×0.02 = 0.06) as approx_within_rsd; every group must satisfy it,
