@@ -682,6 +682,37 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("span keep-first aggregate flagging is value-identical to the window argmin on a hot span") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // a synthetic posting with one degenerate hash (the billion-
+    // occurrence boilerplate class, scaled down), a two-occurrence
+    // hash, and singletons — (doc_id, pos, hs) as spanWins emits
+    val wins = ((0L until 2000L).map(i => (i / 4, i % 4, 7L)) ++ // hot span
+      Seq((1L, 900L, 11L), (0L, 5L, 11L)) ++ // cross-doc pair: doc 0 first
+      (0L until 50L).map(i => (i, 77L, 100L + i))) // unique spans — never flagged
+      .toDF("doc_id", "pos", "hs")
+    val got = Dedup.spanFlagged(wins).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byHash = Window.partitionBy("hs")
+    val want = wins
+      .withColumn("keep", struct(col("doc_id"), col("pos")) ===
+        min(struct(col("doc_id"), col("pos"))).over(byHash))
+      .filter(!col("keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.size === 2000) // 1999 hot non-firsts + the pair's second
+    assert(!got.contains((0L, 0L)) && got.contains((1L, 900L)))
+  }
+
+  test("substring funnel outputs are value-identical to the standalone counts and cleaned rows") {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val f = Dedup.substringFunnel(docs)
+    try {
+      assert(f.counts.collect().toSeq === Dedup.substringCleanDf(docs).collect().toSeq)
+      assert(f.cleaned.collect().toSeq === Dedup.substringCleanedDf(docs).collect().toSeq)
+    } finally f.unpersist()
+  }
+
   test("canonicalUrl: case, ports, fragments, slashes, index.html, tracking params, param order") {
     val cases = Seq(
       ("HTTP://WWW.Example.COM:80/A//b///c/index.html?utm_source=x&b=2&a=1#frag",

@@ -231,12 +231,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("substring spans hash the corpus once: window over hs, no join, no second scan") {
-    val p = plan(graft.ext.Dedup.substringSpans.build(spark, d))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"span dedup must not enumerate pairs:\n$p")
-    // the one-pass property: a single parquet scan feeds the whole
-    // plan (the posting-list formulation scans + hashes twice)
+  test("substring spans: no window over the span hash, and the tokenize/md5 pass runs once (reused exchange)") {
+    // VERDICT r16: a window over hs serializes the hottest span into
+    // one task. The two-level shape must (a) carry no hs window and
+    // (b) still hash the corpus once — both join branches of the
+    // dup-decision shuffle the SAME (hs, doc_id) aggregate, so the
+    // executed plan reuses its exchange instead of re-tokenizing.
+    val df = graft.ext.Dedup.substringSpans.build(spark, d)
+    val p0 = plan(df)
+    assert(!p0.linesIterator.exists(l => l.contains("Window") && l.contains("hs")),
+      s"span dup decision plans a window over hs:\n$p0")
+    assert(!p0.contains("CartesianProduct") && !p0.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must not enumerate pairs:\n$p0")
+    val p = finalPlan(df)
     assert(parquetScans(p) === 1, s"tokenize/hash pipeline duplicated:\n$p")
     val hashed = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(hashed.nonEmpty &&
@@ -370,11 +377,64 @@ class PlanSpec extends SparkSpec {
   }
 
   test("50-token span dedup: windows come from the map-side HOF, never 49 sort-window leads") {
-    val p = plan(Dedup.substringSpansLong.build(spark, d))
-    assert(!p.contains("lead("),
-      s"long spans must not be lead()-generated (per-doc sort of 50-token rows):\n$p")
-    assert(parquetScans(p) === 1, p)
-    assert(p.contains("lambdafunction"), s"expected the transform HOF in-plan:\n$p")
+    val df = Dedup.substringSpansLong.build(spark, d)
+    val p0 = plan(df)
+    assert(!p0.contains("lead("),
+      s"long spans must not be lead()-generated (per-doc sort of 50-token rows):\n$p0")
+    assert(!p0.linesIterator.exists(l => l.contains("Window") && l.contains("hs")),
+      s"span dup decision plans a window over hs:\n$p0")
+    assert(p0.contains("lambdafunction"), s"expected the transform HOF in-plan:\n$p0")
+    // the executed plan reuses the (hs, doc_id) aggregate exchange:
+    // one live tokenize/md5 pass despite the join-back
+    assert(parquetScans(finalPlan(df)) === 1, finalPlan(df))
+  }
+
+  test("span keep-first flagging: no window over hs; partial min-struct collapses before the hs exchange") {
+    // both the counts row and the cleaned-corpus row share
+    // spanFlagged; the only windows allowed in these plans are the
+    // per-doc interval merge (partitioned on doc_id — sparse flagged
+    // rows, never the corpus-wide hash posting)
+    for (q <- Seq(Dedup.substringClean, Dedup.substringCleaned)) {
+      val p = plan(q.build(spark, d))
+      val hsWindows = p.linesIterator.filter(l => l.contains("Window") && l.contains("hs")).toSeq
+      assert(hsWindows.isEmpty, s"keep-first plans a window over hs:\n$hsWindows")
+      val lines = p.linesIterator.toSeq
+      val partial = lines.indexWhere(l => l.contains("partial_min") && l.contains("pos"))
+      val exch = lines.indexWhere(l => l.contains("Exchange hashpartitioning") && l.contains("hs"))
+      assert(partial >= 0 && exch >= 0 && exch < partial,
+        s"min-struct partial must sit below the hs exchange (map-side combine):\n$p")
+    }
+  }
+
+  test("substring funnel: counts and cleaned both read the persisted flagged blocks") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // AQE wraps executed subtrees in QueryStage nodes (leaf nodes whose
+    // real plan hangs off `plan`, including TableCacheQueryStage around
+    // cache reads) — descend through them, but never into an
+    // InMemoryRelation's cached child (storage provenance, not a live
+    // scan)
+    def live(n: SparkPlan): Iterator[SparkPlan] = Iterator(n) ++ (n match {
+      case a: AdaptiveSparkPlanExec => live(a.executedPlan)
+      case _ if n.getClass.getName.contains("QueryStage") =>
+        n.getClass.getMethods.find(m => m.getName == "plan" && m.getParameterCount == 0)
+          .iterator.flatMap(m => live(m.invoke(n).asInstanceOf[SparkPlan]))
+      case _ => n.children.iterator.flatMap(live)
+    })
+    val f = Dedup.substringFunnel(spark.read.parquet(s"$d/documents.parquet"))
+    try {
+      for (c <- Seq(f.counts, f.cleaned)) {
+        c.collect()
+        val nodes = live(c.queryExecution.executedPlan).toSeq
+        val im = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
+        val pq = nodes.count(_.isInstanceOf[FileSourceScanExec])
+        assert(im === 1, s"consumer must read the cached flagged relation (got $im):\n${nodes.head}")
+        // parquet is scanned only for the per-doc token pass — the
+        // window/hash/flag pipeline never re-runs
+        assert(pq === 1, s"consumer rebuilds the window pipeline ($pq scans):\n${nodes.head}")
+      }
+    } finally f.unpersist()
   }
 
   test("occupancy gauges: join-free, map-side partial aggregation throughout") {
