@@ -336,6 +336,32 @@ class EngineSpec extends SparkSpec {
       s"keep list recomputes the pair graph:\n$consumerPlan")
   }
 
+  test("semantic dedup funnel DAG materializes the assignment once and matches the standalone rows") {
+    val d = sf("0.001")
+    val wh = java.nio.file.Files.createTempDirectory("graft-semfunnel").toString
+    val r = graft.models.SemanticDedupFunnel.run(spark, d, new TableSink.Parquet(wh))
+    assert(r.allTestsPassed, r.tests.filterNot(_.passed).mkString(", "))
+    assert(r.skipped.isEmpty)
+    // every emit is row-identical to its standalone registry row (the
+    // k policy lands on the contract floor at harness scale)
+    assert(r("sem_occupancy").collect().toSeq ===
+      graft.ext.KMeans.semdedupOccupancy.build(spark, d).collect().toSeq)
+    assert(r("sem_pairs").orderBy("cluster", "id_a", "id_b").collect().toSeq ===
+      graft.ext.KMeans.semdedupAuto.build(spark, d).collect().toSeq)
+    assert(r("sem_keep_list").orderBy("cluster_id").collect().toSeq ===
+      graft.ext.Clusters.semdedupKeep.build(spark, d).collect().toSeq)
+    // consumers of the materialized assignment read the sink's
+    // parquet — the n·k centroid scoring (assignWith's
+    // BroadcastNestedLoopJoin grid) never survives into their plans;
+    // the cosine that remains is the pair grid's own within-cluster
+    // verify, which is its job
+    val consumerPlan = graft.ext.KMeans.semdedupPairs(r("sem_assignments"))
+      .queryExecution.executedPlan.toString
+    assert(consumerPlan.contains(wh), consumerPlan)
+    assert(!consumerPlan.contains("BroadcastNestedLoopJoin"),
+      s"pair grid re-runs the centroid assignment grid:\n$consumerPlan")
+  }
+
   test("ANN index DAG: materialized search equals the in-query registry result; report conserves") {
     val d = sf("0.001")
     val wh = java.nio.file.Files.createTempDirectory("graft-annidx").toString
