@@ -217,7 +217,7 @@ object TableSink {
           // (class scaladoc) widens this when one-task-per-value is
           // the bottleneck rather than the fix.
           import org.apache.spark.sql.functions.{col, hash, lit, pmod}
-          import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+          import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
           // Salt source (ADVICE r15): hash(all columns) breaks on
           // MapType (unhashable — analysis error) and does needless
           // per-row work on wide array columns (embeddings, codes)
@@ -225,14 +225,22 @@ object TableSink {
           // non-partition scalars; fall back to any hashable column;
           // only the degenerate all-partition-column frame keeps the
           // partition columns themselves (constant salt — no worse
-          // than writers = 1).
+          // than writers = 1). The map check is RECURSIVE (ADVICE
+          // r16): a struct/array with a NESTED map is just as
+          // unhashable as a top-level one.
+          def hasMap(dt: DataType): Boolean = dt match {
+            case _: MapType => true
+            case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+            case a: ArrayType => hasMap(a.elementType)
+            case _ => false
+          }
           val nonPart = df.schema.fields.filterNot(f => pcols.contains(f.name))
-          val hashable = nonPart.filterNot(_.dataType.isInstanceOf[MapType])
+          val hashable = nonPart.filterNot(f => hasMap(f.dataType))
           val scalar = hashable.filterNot(f =>
             f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[StructType])
           val saltSrc = (if (scalar.nonEmpty) scalar
             else if (hashable.nonEmpty) hashable
-            else df.schema.fields.filterNot(_.dataType.isInstanceOf[MapType]))
+            else df.schema.fields.filterNot(f => hasMap(f.dataType)))
             .map(f => col(f.name)).toSeq
           val clustered =
             if (writersPerPartition <= 1) df.repartition(pcols.map(col): _*)

@@ -58,21 +58,32 @@ object Partitioning {
   /** Total DATA-file bytes under a directory (recursive) — the
     * measured input-size feed for [[partitionsFor]] when sizing a
     * session for a data directory (Bench's scale-sweep sessions).
-    * Directory symlinks are NOT followed (a cycle under the data dir
-    * would otherwise hang session construction — ADVICE r15), and
-    * write-metadata files that Spark's own readers skip (`_SUCCESS`,
-    * `_metadata`, dot-files, checkpoint dirs) don't count: they are
-    * not scan input, so they must not inflate the partition count.
+    * Directory symlinks ARE followed — Spark's file listing follows
+    * them, and a data dir laid out via symlinks (dataset version
+    * switching) must not size to ~0 (ADVICE r16) — but each REAL
+    * directory is visited once, so a symlink cycle terminates instead
+    * of hanging session construction (the ADVICE r15 hazard the old
+    * skip-all-symlinks rule over-fixed). Write-metadata files that
+    * Spark's own readers skip (`_SUCCESS`, `_metadata`, dot-files,
+    * checkpoint dirs) don't count: they are not scan input, so they
+    * must not inflate the partition count.
     */
   def dirBytes(path: String): Long = {
-    import java.nio.file.Files
     def metadata(name: String) = name.startsWith("_") || name.startsWith(".")
+    val seen = scala.collection.mutable.Set[java.nio.file.Path]()
     def walk(f: java.io.File): Long =
-      if (Files.isSymbolicLink(f.toPath) && f.isDirectory) 0L
-      else if (f.isDirectory)
-        Option(f.listFiles()).map(_.iterator.filterNot(c => metadata(c.getName)).map(walk).sum)
-          .getOrElse(0L)
-      else f.length()
+      if (f.isDirectory) {
+        val real =
+          try Some(f.toPath.toRealPath())
+          catch { case _: java.io.IOException => None }
+        real match {
+          case Some(r) if seen.add(r) =>
+            Option(f.listFiles())
+              .map(_.iterator.filterNot(c => metadata(c.getName)).map(walk).sum)
+              .getOrElse(0L)
+          case _ => 0L // cycle (already visited) or unresolvable link
+        }
+      } else f.length()
     val root = new java.io.File(path)
     if (root.exists()) walk(root) else 0L
   }

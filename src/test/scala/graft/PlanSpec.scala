@@ -363,7 +363,7 @@ class PlanSpec extends SparkSpec {
       s"AQE demoted the hinted SMJ to broadcast — the honored-hint premise changed:\n$fin")
   }
 
-  test("url canonical dedup: pruned scan (no text column), expression-only canonicalization, one hash exchange") {
+  test("url canonical dedup: pruned scan (no text column), expression-only canonicalization, no url window") {
     val p = plan(Dedup.urlCanonical.build(spark, d))
     // the whole canonicalization must ride the scan projection: the
     // scan reads only the synthesis columns, never the document text
@@ -371,9 +371,15 @@ class PlanSpec extends SparkSpec {
     assert(schema.contains("source") && schema.contains("lang"), p)
     assert(!schema.contains("text"), s"url canonicalization must not read text:\n$schema")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
-    // one hash exchange total: the canonical-key window; the publish
-    // sort adds only a range exchange
-    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    // the group report is a partial-aggregated count/min + join-back,
+    // never a window over canonical_url (a crawler trap's canonical
+    // key is a degenerate partition — the r16 window family)
+    assert(!p.contains("Window"), s"url dedup plans a window over the canonical key:\n$p")
+    val lines = p.linesIterator.toSeq
+    val partial = lines.indexWhere(l => l.contains("partial_count") && l.contains("partial_min"))
+    val exch = lines.indexWhere(l => l.contains("Exchange hashpartitioning") && l.contains("canonical_url"))
+    assert(partial >= 0 && exch >= 0 && exch < partial,
+      s"count/min partials must sit below the canonical_url exchange:\n$p")
   }
 
   test("50-token span dedup: windows come from the map-side HOF, never 49 sort-window leads") {

@@ -426,6 +426,18 @@ class PropertySpec extends SparkSpec {
       // File.listFiles follows it — unbounded recursion)
       java.nio.file.Files.createSymbolicLink(sub.resolve("loop"), root)
       assert(dirBytes(root.toString) === 1000L)
+      // a symlink to a REAL data directory must count (ADVICE r16:
+      // Spark's listing follows it — version-switch layouts would
+      // otherwise size to ~0 and get the minimum partition count);
+      // only REVISITS of an already-walked real path are skipped
+      val other = java.nio.file.Files.createTempDirectory("graft-dirbytes-v")
+      java.nio.file.Files.write(other.resolve("more.parquet"), new Array[Byte](500))
+      java.nio.file.Files.createSymbolicLink(root.resolve("v1"), other)
+      try assert(dirBytes(root.toString) === 1500L)
+      finally {
+        import scala.reflect.io.Directory
+        new Directory(other.toFile).deleteRecursively(); ()
+      }
     } finally {
       import scala.reflect.io.Directory
       new Directory(root.toFile).deleteRecursively()
