@@ -1407,7 +1407,12 @@ object Dedup {
     * 50-token rows (scale rationale in the block comment above).
     */
   private def spanDupReport(wins: DataFrame): DataFrame = {
-    val g = wins.groupBy("hs", "doc_id").agg(count(lit(1)).as("c"))
+    // explicit isnotnull(hs) on the shared relation: the INNER build
+    // branch infers it from its join key, and without the same
+    // predicate on the LEFT probe branch the two copies of g stop
+    // canonicalizing equal — exchange reuse lost, tokenize ×2
+    val g = wins.filter(col("hs").isNotNull)
+      .groupBy("hs", "doc_id").agg(count(lit(1)).as("c"))
     // cross-doc dup ⟺ ≥2 distinct docs carry the hash ⟺ ≥2 rows of
     // g ⟺ sum(c) ≠ max(c) (every c ≥ 1, so a second row strictly
     // raises the sum above the max). The formulation is chosen for
@@ -1419,12 +1424,18 @@ object Dedup {
     // count(c) is count(1)-normalized and then column-pruned into a
     // bare DISTINCT with a different partial shape (both observed
     // in-plan; PlanSpec pins the single live scan)
+    // the build side carries ONLY duplicated hashes (unique spans —
+    // the vast majority — never enter the join state; a LEFT join
+    // keeps their rows for n_spans), so it broadcasts at any corpus
+    // size where dup mass is sane and the probe never re-exchanges
     val pl = g.groupBy("hs")
-      .agg((sum(col("c")) =!= max(col("c"))).cast("long").as("dup"))
-    g.join(pl, Seq("hs"))
+      .agg((sum(col("c")) =!= max(col("c"))).as("dup"))
+      .filter(col("dup"))
+      .select(col("hs"), lit(1L).as("dup"))
+    g.join(pl, Seq("hs"), "left")
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_spans"),
-        sum(col("c") * col("dup")).as("n_dup_spans"))
+        sum(col("c") * coalesce(col("dup"), lit(0L))).as("n_dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         roundPortable(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 6)
           .as("dup_span_frac"))
@@ -1842,20 +1853,20 @@ object Dedup {
     * chain, and the oracle mirrors the same contract.
     */
 
-  /** (pattern, replacement) per unreserved character: `(?i)%41` → `A`
-    * etc. Sequential single-char decodes are idempotent here because
-    * no unreserved decode can mint a new `%` (percent itself is not
-    * unreserved, so `%25` never decodes).
+  /** Leading 2-hex value of a split piece `x` for the oracle's decode
+    * replay, −1 when absent/invalid (mirrors the expression's
+    * malformed-escape pass-through).
     */
-  private val UnreservedDecode: Seq[(String, String)] =
-    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~')).map { c =>
-      (f"(?i)%%${c.toInt}%02X", c.toString)
-    }
+  private val UrlHexValSql: String =
+    "CASE WHEN length(x) >= 2 THEN coalesce(try_cast('0x' || substr(x, 1, 2) AS INT), -1) ELSE -1 END"
 
   def canonicalUrl(url: Column): Column = {
-    val decoded = UnreservedDecode.foldLeft(url) { case (c, (pat, rep)) =>
-      regexp_replace(c, pat, rep)
-    }
+    // single-pass unreserved percent-decode — a native codegen
+    // expression, not a 66-pattern regexp_replace chain (the chain
+    // measured 6.9× on the registry row and its sequential semantics
+    // cascade on crafted inputs; scale/semantics rationale in
+    // [[graft.functions.UnreservedDecode]])
+    val decoded = graft.functions.UnreservedDecode(url)
     val noFrag = regexp_replace(decoded, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -1914,11 +1925,23 @@ object Dedup {
             |      ELSE 'http://' || lower(source || '.Example.COM') || '/' || lang || '/doc' || CAST(doc_id % 40 AS VARCHAR) || '/?a=1&b=2&fbclid=xyz#sec-' || CAST(doc_id AS VARCHAR)
             |    END AS url
             |  FROM documents
+            |), dec AS (
+            |  -- single-pass unreserved percent-decode, replaying
+            |  -- graft.functions.UnreservedDecode exactly: split on '%',
+            |  -- decode each piece's leading 2-hex value iff unreserved,
+            |  -- else keep the '%' literally; decoded output is never
+            |  -- re-scanned (no regexp-chain cascades)
+            |  SELECT doc_id, CASE WHEN strpos(url, '%') = 0 THEN url
+            |    ELSE p[1] || array_to_string(list_transform(p[2:], x ->
+            |      CASE WHEN ${Seq("BETWEEN 65 AND 90", "BETWEEN 97 AND 122",
+                      "BETWEEN 48 AND 57", "IN (45, 46, 95, 126)")
+                      .map(t => s"($UrlHexValSql $t)").mkString(" OR ")}
+            |           THEN chr($UrlHexValSql) || substr(x, 3)
+            |           ELSE '%' || x END), '')
+            |    END AS url
+            |  FROM (SELECT doc_id, url, string_split(url, '%') AS p FROM u)
             |), parts AS (
-            |  SELECT doc_id, regexp_replace(${
-              UnreservedDecode.foldLeft("url") { case (acc, (pat, rep)) =>
-                s"regexp_replace($acc, '$pat', '$rep', 'g')"
-              }}, '#.*$$', '') AS nofrag FROM u
+            |  SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag FROM dec
             |), split1 AS (
             |  SELECT doc_id,
             |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,

@@ -36,5 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val (jwInfo, jwBuilder) =
       FunctionRegistryBase.build[JaroWinkler]("jaro_winkler", since = None)
     ext.injectFunction((FunctionIdentifier("jaro_winkler"), jwInfo, jwBuilder))
+    val (udInfo, udBuilder) =
+      FunctionRegistryBase.build[UnreservedDecode]("unreserved_decode", since = None)
+    ext.injectFunction((FunctionIdentifier("unreserved_decode"), udInfo, udBuilder))
   }
 }

@@ -733,6 +733,7 @@ class ExtSpec extends SparkSpec {
       ("http://h.io/%7Ealice/%41b%63?x=%31", "http://h.io/~alice/Abc?x=1"),
       ("http://h.io/%7ealice", "http://h.io/~alice"),
       ("http://h.io/a%2Fb", "http://h.io/a%2Fb"),
+      ("http://h.io/x%", "http://h.io/x%"),
       ("http://h.io?fbclid=abc&gclid=d", "http://h.io/"),
       ("http://h.io/p?z=1&y=2&utm_campaign=c", "http://h.io/p?y=2&z=1"))
     val df = spark.createDataFrame(cases).toDF("url", "want")
@@ -748,6 +749,16 @@ class ExtSpec extends SparkSpec {
     once.select(col("c"), Dedup.canonicalUrl(col("c")).as("cc")).collect().foreach(r =>
       assert(r.getString(0) === r.getString(1),
         s"canonicalUrl not idempotent on ${r.getString(0)} -> ${r.getString(1)}"))
+    // malformed stray-'%' inputs (RFC-invalid: every '%' must start a
+    // valid escape) decode in ONE pass without cascading — %41→A must
+    // not mint a fresh %4A and decode it again, the way a sequential
+    // regex chain would. Such inputs sit outside the idempotence
+    // contract above, which covers valid percent-encodings.
+    val crafted = spark.createDataFrame(Seq(
+      ("http://h.io/%4%41", "http://h.io/%4A"))).toDF("url", "want")
+      .select(Dedup.canonicalUrl(col("url")).as("got"), col("want"))
+    crafted.collect().foreach(r =>
+      assert(r.getString(0) === r.getString(1), "single-pass decode cascaded"))
   }
 
   test("url dedup groups: every variant spelling collapses; representative is the group min") {
