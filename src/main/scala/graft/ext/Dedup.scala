@@ -1381,8 +1381,16 @@ object Dedup {
   // (MinHash/SimHash) stays low, which is exactly why span-level
   // dedup is run IN ADDITION to near-dup dedup on LLM corpora.
   //
-  // Scale shape: tokenize + hash ONCE (posexplode + 7 window leads,
-  // all codegen — no interpreted HOFs), then decide cross-doc
+  // Scale shape: tokenize + hash ONCE via the same map-side
+  // higher-order transform as the 50-token row (an earlier form built
+  // windows from 7 lead() calls over a per-doc sort — all codegen,
+  // but the sort's doc_id partitioning SATISFIES the dup decision's
+  // (hs, doc_id) clustering, so Catalyst plans NO exchange between
+  // them and the whole window+md5 pipeline re-executes once per join
+  // branch with no shareable boundary: measured 1.7 → 3.8 s task CPU
+  // at sf0.1. The HOF form's explicit (hs, doc_id) exchange IS the
+  // shared boundary, and it drops the per-doc sort exchange
+  // entirely), then decide cross-doc
   // duplication with TWO-LEVEL partial aggregation, never a window
   // over the span hash (VERDICT r16 "what's wrong" #1: a WindowExec
   // over hs puts every occurrence of the hottest span — license
@@ -1443,18 +1451,9 @@ object Dedup {
   }
 
   val substringSpans: Q = Q(
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val leads = (1 until SpanTokens).map(i => lead("t", i).over(w).as(s"t$i"))
-      val spanCols = col("t") +: (1 until SpanTokens).map(i => col(s"t$i"))
-      spanDupReport(
-        s.read.parquet(s"$d/documents.parquet")
-          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-          .select(col("doc_id") +: col("t") +: leads: _*)
-          .filter(col(s"t${SpanTokens - 1}").isNotNull)
-          .select(col("doc_id"), hash60(concat_ws(" ", spanCols: _*)).as("hs")))
-    },
+    (s, d) => spanDupReport(
+      spanWins(s.read.parquet(s"$d/documents.parquet"), SpanTokens)
+        .select("doc_id", "hs")),
     Some(s"""WITH sp AS (
             |  SELECT doc_id,
             |    ('0x' || substr(md5(array_to_string(toks[i:i+${SpanTokens - 1}], ' ')), 1, 15))::BIGINT AS hs
@@ -1499,13 +1498,8 @@ object Dedup {
 
   val substringSpansLong: Q = Q(
     (s, d) => spanDupReport(
-      s.read.parquet(s"$d/documents.parquet")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        // sequence(0, n-W) flips DESCENDING when n < W — guard first
-        .filter(size(col("toks")) >= SpanTokensLong)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), size(col("toks")) - SpanTokensLong),
-          i => hash60(array_join(slice(col("toks"), i + 1, lit(SpanTokensLong)), " ")))).as("hs"))),
+      spanWins(s.read.parquet(s"$d/documents.parquet"))
+        .select("doc_id", "hs")),
     Some(s"""WITH sp AS (
             |  SELECT doc_id,
             |    ('0x' || substr(md5(array_to_string(toks[i:i+${SpanTokensLong - 1}], ' ')), 1, 15))::BIGINT AS hs
@@ -1562,18 +1556,17 @@ object Dedup {
   // O(corpus windows), no pair join.
   // ------------------------------------------------------------------
 
-  /** Raw 50-token window occurrences over a documents relation —
+  /** Raw `w`-token window occurrences over a documents relation —
     * (doc_id, pos, hs) from the map-side HOF; the shared first stage
-    * of the span-removal family.
+    * of the span family (both analysis widths and removal).
     */
-  def spanWins(docs: DataFrame): DataFrame = {
-    val W = SpanTokensLong
+  def spanWins(docs: DataFrame, w: Int = SpanTokensLong): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    // sequence(0, n-W) flips DESCENDING when n < W — guard first
-    toks.filter(size(col("toks")) >= W)
+    // sequence(0, n-w) flips DESCENDING when n < w — guard first
+    toks.filter(size(col("toks")) >= w)
       .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("toks")) - W),
-        i => hash60(array_join(slice(col("toks"), i + 1, lit(W)), " ")))).as(Seq("pos", "hs")))
+        sequence(lit(0), size(col("toks")) - w),
+        i => hash60(array_join(slice(col("toks"), i + 1, lit(w)), " ")))).as(Seq("pos", "hs")))
   }
 
   /** Keep-first flagging over a window-occurrence relation: every

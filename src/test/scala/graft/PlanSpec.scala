@@ -239,12 +239,18 @@ class PlanSpec extends SparkSpec {
     // executed plan reuses its exchange instead of re-tokenizing.
     val df = graft.ext.Dedup.substringSpans.build(spark, d)
     val p0 = plan(df)
-    assert(!p0.linesIterator.exists(l => l.contains("Window") && l.contains("hs")),
-      s"span dup decision plans a window over hs:\n$p0")
+    // no window ANYWHERE: the hs window was the r16 straggler, and
+    // the earlier lead()-window span formation re-executed per join
+    // branch (its doc_id partitioning satisfies the (hs, doc_id)
+    // clustering, so no shareable exchange boundary ever formed —
+    // measured 2.2× task CPU); windows come from the map-side HOF
+    assert(!p0.contains("Window"), s"span row plans a window:\n$p0")
     assert(!p0.contains("CartesianProduct") && !p0.contains("BroadcastNestedLoopJoin"),
       s"span dedup must not enumerate pairs:\n$p0")
     val p = finalPlan(df)
     assert(parquetScans(p) === 1, s"tokenize/hash pipeline duplicated:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"dup-decision branches must share the (hs, doc_id) exchange:\n$p")
     val hashed = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(hashed.nonEmpty &&
       hashed.forall(l => l.contains("doc_id") || l.contains("hs")), s"$hashed")
