@@ -26,8 +26,9 @@ import graft.queries.Inventory.Q
   * cliques and chains, so diameter stays in the single digits at any
   * corpus size (the pathological long-chain case is bounded by
   * `maxIter`, and non-convergence THROWS rather than returning a wrong
-  * answer — for adversarial graphs, switch to the large-star/small-star
-  * variant, which converges in O(log² n)). The driver loop holds only a
+  * answer — for adversarial graphs, [[Clusters.connectedComponentsStar]]
+  * implements the large-star/small-star variant, which converges in
+  * O(log² n) regardless of diameter). The driver loop holds only a
   * per-round changed-row COUNT (a scalar) — never row data; each round
   * is cached and the previous round unpersisted, so lineage stays flat.
   */
@@ -193,6 +194,125 @@ object Clusters {
     vertices.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // ALTERNATING-STAR connected components (Kiveris et al., "Connected
+  // Components in MapReduce and Beyond", SoCC 2014 — public paper):
+  // the adversarial-diameter variant the propagation loop's scaladoc
+  // defers to. Min-label propagation converges in O(diameter) rounds
+  // (O(log diameter) with the pointer jump), each round touching the
+  // FULL edge relation; the two-phase star algorithm instead rewrites
+  // the EDGES themselves — large-star hangs every bigger neighbor of
+  // v under min(Γ⁺(v)), small-star re-hangs the smaller ones — and
+  // provably converges in O(log² n) rounds on ANY graph while the
+  // edge relation it carries monotonically flattens toward stars
+  // centered at component minima. The shapes are this round's idiom:
+  // per-vertex min is a partial-aggregated scalar min + join-back
+  // (never a collect of neighborhoods — a web-scale hub's Γ stays
+  // distributed), emissions are per-edge maps, and dedup is a
+  // distinct on (src, dst). Fixpoint detection is EXACT: same edge
+  // count AND empty anti-join vs the previous round (no hash-sum
+  // heuristics), one edge-sized join on the already-shrunken relation.
+  // Same loop hygiene as the propagation loop: RDD-boundary plan
+  // truncation per round, scalar-only driver state, data-sized
+  // partitioning, eager cache rotation.
+  // ------------------------------------------------------------------
+
+  /** Connected components via alternating large-star/small-star.
+    * Same contract as [[connectedComponents]]: (doc_id, cluster_id)
+    * with cluster_id = min doc_id of the component — the two are
+    * value-identical on every graph (ExtSpec pins it on cliques,
+    * chains, and the harness pair graph); this one trades a constant
+    * factor of per-round edge rewriting for convergence that does not
+    * depend on diameter at all.
+    *
+    * Measured honestly (tools/ComponentsEval, BENCHNOTES r17): on
+    * THIS engine the propagation loop with its gated pointer jump
+    * wins both adversarial shapes — 28.4 vs 192.0 s on a 10⁶-vertex
+    * chain, 6.3 vs 11.5 s on a 10⁶-edge hub forest — because a star
+    * round costs ~6 shuffle stages against propagation's ~2, and the
+    * pointer jump already removes the diameter dependence that is
+    * this algorithm's headline. Keep [[connectedComponents]] as the
+    * default; reach for this variant as published-bound insurance on
+    * graphs that defeat the jump (the label chain must live INSIDE
+    * the jump relation — adversarial inputs where labels churn
+    * non-monotonically per round would slow it), or on engines where
+    * rounds dominate and total round count is the only currency.
+    */
+  def connectedComponentsStar(
+      vertices: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 40): DataFrame = {
+    val spark = pairs.sparkSession
+    val init = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    val nEdges = init.count()
+    val p = graft.engine.Partitioning.forEdges(nEdges)
+
+    // one star phase: per-vertex minimum over Γ⁺(v) via aggregate +
+    // join-back, then the phase's emission rule over the symmetric
+    // edge view. `large` emits (u, m(v)) for the strictly LARGER
+    // neighbors of every v; small emits it for the smaller-or-equal
+    // ones plus (v, m(v)) itself. Self-loops filtered; output
+    // deduplicated and always directed big → small (m is a minimum).
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src")
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("v"), least(col("mn"), col("src")).as("m"))
+      val neigh = sym.select(col("src").as("v"), col("dst").as("u"))
+        .join(mins, Seq("v"))
+      val fromNeighbors = neigh
+        .filter(if (large) col("u") > col("v") else col("u") <= col("v"))
+        .select(col("u").as("src"), col("m").as("dst"))
+      val base =
+        if (large) fromNeighbors
+        else fromNeighbors.union(mins.select(col("v").as("src"), col("m").as("dst")))
+      base.filter(col("src") =!= col("dst")).distinct()
+    }
+
+    var edges = spark.createDataFrame(
+      init.repartition(p, col("src")).rdd, init.schema).cache()
+    var prevCount = edges.count()
+    init.unpersist()
+    try {
+      var iter = 0
+      var converged = prevCount == 0L
+      while (!converged) {
+        if (iter >= maxIter)
+          throw new IllegalStateException(
+            s"connectedComponentsStar did not converge in $maxIter rounds")
+        val round = star(star(edges, large = true), large = false)
+        // RDD-boundary truncation per round (the r16 lesson: plans that
+        // compose per-round grow without bound and OOM explainString
+        // long before data does), then cache for the fixpoint check +
+        // next round
+        val next = spark.createDataFrame(
+          round.repartition(p, col("src")).rdd, round.schema).cache()
+        val nextCount = next.count()
+        // EXACT fixpoint: identical cardinality and no row of the new
+        // set outside the old one ⟹ set equality
+        converged = nextCount == prevCount &&
+          next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
+        edges.unpersist()
+        edges = next
+        prevCount = nextCount
+        iter += 1
+      }
+    } catch {
+      case e: Throwable => edges.unpersist(); throw e
+    }
+    // at the fixpoint every non-center vertex carries exactly one edge
+    // to its component's minimum; min(dst) is belt-and-braces
+    val labels = edges.groupBy("src")
+      .agg(min(col("dst")).as("cluster_id"))
+      .select(col("src").as("doc_id"), col("cluster_id"))
+    vertices.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   // ------------------------------------------------------------------
@@ -396,8 +516,24 @@ object Clusters {
            |FROM sized WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // The star variant, driver-verified on the same contract: identical
+  // report, identical oracle (the recursive reachability CTE knows
+  // nothing about which fixpoint algorithm produced the labels). A
+  // star-phase bug that produced a plausible-but-wrong partition
+  // (merged components, off-by-one centers) fails the hash gate here.
+  // ------------------------------------------------------------------
+  val dedupComponentsStar: Q = Q(
+    (s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+      val pairs = Dedup.jaccardPairs.build(s, d).select("doc_a", "doc_b")
+      componentReport(connectedComponentsStar(docs, pairs))
+    },
+    dedupComponents.oracle)
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_components" -> dedupComponents,
+    "dedup_components_star" -> dedupComponentsStar,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_semdedup_keep" -> semdedupKeep)
 }

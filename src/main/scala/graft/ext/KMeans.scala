@@ -868,6 +868,27 @@ object KMeans {
     },
     semdedup.oracle)
 
+  // ------------------------------------------------------------------
+  // The TWO-LEVEL path itself, driver-verified (r17): assignKAuto
+  // takes the flat branch at the harness k, so until now the IVF
+  // two-level machinery — coarse codebook training, top-probe
+  // routing, the sharded shuffle_hash refine, the local-relation
+  // codebook materialization — was covered by specs but never by the
+  // driver's hash gate. At nProbe = coarseCells(k) the routing is
+  // COMPLETE and the two-level result is value-identical to flat
+  // (the ExtSpec degeneracy pin), so the contract oracle applies
+  // verbatim: this row pushes the whole scale path through the same
+  // DuckDB hash-match as the production flat row. A routing or
+  // refine-join bug that preserved "approximately right" pairs would
+  // fail HERE exactly, not only in a recall sweep.
+  // ------------------------------------------------------------------
+  val semdedupTwoLevel: Q = Q(
+    (s, d) => {
+      val e = emb(s, d)
+      semdedupPairs(assignKTwoLevel(e, K, nProbe = coarseCells(K)))
+    },
+    semdedup.oracle)
+
   val queries: Seq[(String, Q)] = Seq(
     "emb_kmeans_assign" -> kmeansAssign,
     "emb_cluster_keywords" -> clusterKeywords,
@@ -875,5 +896,6 @@ object KMeans {
     "dedup_semdedup_multi" -> semdedupMulti,
     "dedup_semdedup_probe" -> semdedupProbe,
     "dedup_semdedup_occupancy" -> semdedupOccupancy,
-    "dedup_semdedup_auto" -> semdedupAuto)
+    "dedup_semdedup_auto" -> semdedupAuto,
+    "dedup_semdedup_twolevel" -> semdedupTwoLevel)
 }

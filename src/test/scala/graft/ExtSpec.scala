@@ -554,6 +554,31 @@ class ExtSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("alternating-star components match propagation on chains, cliques, forests, and the harness graph") {
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the adversarial shape for propagation: one LONG chain (diameter
+    // = n), plus a clique, a star, and singletons — the star variant
+    // must resolve all of them to min-id labels, identically
+    val chain = (0L until 400L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val clique = for (a <- 1000L to 1006L; b <- 1000L to 1006L if a < b) yield (a, b)
+    val hub = (2001L to 2020L).map(x => (2000L, x))
+    val verts = ((0L until 400L) ++ (1000L to 1006L) ++ (2000L to 2020L) ++
+      Seq(9000L, 9001L)).toDF("doc_id")
+    val pairs = (chain ++ clique ++ hub).toDF("doc_a", "doc_b")
+    val star = labelsOf(Clusters.connectedComponentsStar(verts, pairs))
+    val prop = labelsOf(Clusters.connectedComponents(verts, pairs))
+    assert(star === prop)
+    assert(star(399L) === 0L && star(1006L) === 1000L &&
+      star(2020L) === 2000L && star(9000L) === 9000L)
+    // and on the real harness pair graph (registry contract)
+    val docs = spark.read.parquet(s"$d/documents.parquet").select("doc_id")
+    val hp = Dedup.jaccardPairs.build(spark, d).select("doc_a", "doc_b")
+    assert(labelsOf(Clusters.connectedComponentsStar(docs, hp)) ===
+      labelsOf(Clusters.connectedComponents(docs, hp)))
+  }
+
   test("dedup_components: representatives are cluster minima and sizes are consistent") {
     val rows = Clusters.dedupComponents.build(spark, d).collect()
     val byCluster = rows.groupBy(_.getLong(1))
