@@ -25,6 +25,64 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("globalRowNumber with a descending sort key equals the window form") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ((i * 7) % 23, i.toLong)).toDF("k", "id")
+    val expected = df
+      .withColumn("rn", row_number().over(Window.orderBy(col("k").desc, col("id"))))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2).toLong)).sorted
+    val got = Windows.globalRowNumber(df, Seq(col("k").desc, col("id")), partitions = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("groupedPrefixSum equals the per-group running-sum window for every partitioning") {
+    import spark.implicits._
+    // one degenerate group (g=0 holds ~80% of rows) + singleton groups,
+    // so range partitions split the hot group across boundaries
+    val rows = (1 to 800).map(i => (0, i.toLong, (i % 37).toLong + 1)) ++
+      (801 to 1000).map(i => (i % 17 + 1, i.toLong, (i % 11).toLong + 1))
+    val df = rows.toDF("g", "id", "v")
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cum", sum(col("v")).over(w))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    for (parts <- Seq(1, 3, 32)) {
+      val got = Windows.groupedPrefixSum(df, Seq("g"), Seq(col("id")), col("v"), "cum", parts)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+      assert(got.toSeq === expected.toSeq, s"partitions=$parts")
+    }
+  }
+
+  test("groupedPrefixSum with no groups is the global running sum (double values)") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, (i % 7) * 0.5)).toDF("id", "v")
+    val w = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cum", sum(col("v")).over(w))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
+    val got = Windows.groupedPrefixSum(df, Nil, Seq(col("id")), col("v"), "cum", 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("topKPerGroup equals row_number-then-filter, ties toward the smaller id") {
+    import spark.implicits._
+    // heavy score ties (scores drawn from 5 values) + one hot group
+    val rows = (1 to 900).map(i => (0, i.toLong, (i % 5).toDouble)) ++
+      (901 to 1000).map(i => (i % 13 + 1, i.toLong, (i % 4).toDouble))
+    val df = rows.toDF("g", "id", "s")
+    for (k <- Seq(1, 3, 50)) {
+      val w = Window.partitionBy("g").orderBy(col("s").desc, col("id"))
+      val expected = df.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .collect().map(r => (r.getInt(0), r.getLong(3), r.getDouble(2), r.getLong(1))).sorted
+      val got = Windows.topKPerGroup(df, Seq("g"), col("s"), col("id"), k)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+      assert(got.toSeq === expected.toSeq, s"k=$k")
+    }
+  }
+
   test("ntileFromRowNumber matches Spark ntile across n mod buckets boundaries") {
     import spark.implicits._
     for (n <- Seq(3, 5, 7, 100, 101, 104)) {
