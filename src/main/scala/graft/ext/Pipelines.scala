@@ -176,33 +176,38 @@ object Pipelines {
   // 6-dp-rounded quality score with doc_id tiebreak, so the kept SET
   // is deterministic and cross-engine identical.
   //
-  // Scale notes: one shuffle on the group key; row_number needs no
-  // full sort of the corpus, only per-group ordering. For web-scale
-  // groups (one domain = millions of pages) the same time-bucket
-  // sub-keying as the as-of join applies before the final per-group
-  // merge.
+  // Scale notes: ONE partial-aggregated shuffle, no window. The former
+  // `row_number over lang` form needed every row of a group in one
+  // sorted task — at 100 TB the `en` group is most of the corpus in
+  // ONE straggler (the r17 SkewEval family). Here the whole published
+  // row derives from a single groupBy(lang) carrying count(*) plus the
+  // bounded TopKPairs heap (functions/TopKAggregate.scala): each map
+  // task reduces its slice to ≤ DomainCap pairs, the shuffle moves
+  // K·tasks rows per lang, and n_kept / n_dropped / min_kept_quality
+  // are closed forms of the heap (its length and its last — i.e.
+  // worst-kept — score; the array sorts (q desc, doc_id asc), exactly
+  // the window's order, and q is never NaN by the gate upstream).
   // ------------------------------------------------------------------
   val DomainCap = 50
 
   val domainCap: Q = Q(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       // quality scoring (three tokenizations per doc) parallelizes off
       // a narrow scan; no-op on a wide one
       val docs = graft.queries.Inventory.rebalanced(
         s.read.parquet(s"$d/documents.parquet"), "doc_id")
       val qc = TextAnalysis.qualityCols(col("text"))
       val q6 = roundPortable(qc.score, 6)
-      val ranked = docs.select(col("doc_id"), col("lang"), q6.as("q"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))))
-        .withColumn("kept", col("rnk") <= DomainCap)
-      ranked.groupBy("lang")
+      docs.select(col("doc_id"), col("lang"), q6.as("q"))
+        .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
-          min(when(col("kept"), col("q"))).as("min_kept_quality"))
+          graft.functions.TopKPairs.topk(col("q"), col("doc_id"), DomainCap).as("__tk"))
+        .select(col("lang"), col("n_docs"),
+          size(col("__tk")).cast("long").as("n_kept"),
+          (col("n_docs") - size(col("__tk"))).cast("long").as("n_dropped"),
+          element_at(col("__tk"), size(col("__tk"))).getField("score")
+            .as("min_kept_quality"))
         .orderBy("lang")
     },
     Some(s"""WITH scored AS (
@@ -234,23 +239,23 @@ object Pipelines {
   // documents are never split and assignment is a pure window
   // computation — integer arithmetic end to end, exactly replayable.
   //
-  // Scale notes: one shuffle on the shard key; the running sum is the
-  // standard per-shard window. Shards bound window skew the same way
-  // the bucketed as-of does — at 100 TB the shard key is
-  // (lang, shard_hash) rather than lang alone.
+  // Scale notes: the running sum is Windows.groupedPrefixSum's
+  // two-level offset algebra — range-partition on (lang, doc_id)
+  // splits a degenerate lang across partitions, per-(partition, lang)
+  // totals collapse to a ≤|langs|+partitions row offset table, and the
+  // local window only ever sees one partition's slice of a group. The
+  // former per-lang window form needed the whole `en` corpus in one
+  // sorted task at 100 TB (the r17 SkewEval straggler family).
   // ------------------------------------------------------------------
   val PackBudget = 2048
 
   val packSequences: Q = Q(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = s.read.parquet(s"$d/documents.parquet")
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs
-        .select(col("doc_id"), col("lang"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+      graft.engine.Windows.groupedPrefixSum(
+        docs.select(col("doc_id"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        Seq("lang"), Seq(col("doc_id")), col("n_tokens"), "cum")
         .withColumn("pack_id", expr(s"(cum - n_tokens) div $PackBudget"))
         .groupBy("lang", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),

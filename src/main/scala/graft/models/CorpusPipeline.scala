@@ -1,11 +1,10 @@
 package graft.models
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.engine.{Catalog, DagRunner, Materialization, Model, NotNull, ParquetCatalog, RunResult, TableSink, Unique}
+import graft.engine.{Catalog, DagRunner, Materialization, Model, NotNull, ParquetCatalog, RunResult, TableSink, Unique, Windows}
 import graft.engine.Functions.roundPortable
 import graft.ext.{Clusters, Dedup, Pipelines, TextAnalysis}
 
@@ -41,15 +40,19 @@ import graft.ext.{Clusters, Dedup, Pipelines, TextAnalysis}
   * every downstream consumer read kilobyte-scale parquet. A failed
   * stage test (duplicate doc, missing label, leaked benchmark doc)
   * gates the descendants instead of shipping a corrupt training set.
-  * At 100 TB each stage is one bounded pass: clean is scan+window,
+  * At 100 TB each stage is one bounded pass: clean is a scan + one
+  * partial-aggregated keep-first (min_by per content hash),
   * postings one shingle pass, pairs a posting-list equi-join, labels
-  * vertex-set-only propagation, keep/near-dup one window + semi-join,
+  * vertex-set-only propagation, keep/near-dup one argmax aggregate + semi-join,
   * decontaminate broadcasts the benchmark shingles, resample trains
   * the bigram LM on the surviving checkpoint and gates on per-lang
   * perplexity thirds (the one post-clean stage that re-reads text,
-  * by design), cap is one per-lang window, budget the two-level
-  * waterline (bin aggregate + per-bin running sum — never a global
-  * ordered window), pack one per-shard running sum.
+  * by design), cap a bounded top-K heap aggregate per lang, budget the
+  * two-level waterline (bin aggregate + per-bin running sum — never a
+  * global ordered window), pack the two-level per-lang offset sum —
+  * no stage windows over a degeneracy-prone key (`text_hash` and
+  * `lang` both fan wide at web scale; see Windows.topKPerGroup /
+  * groupedPrefixSum scaladocs).
   */
 object CorpusPipeline {
 
@@ -81,10 +84,18 @@ object CorpusPipeline {
         qc.stopRatio.as("stop_ratio"),
         md5(encode(col("text"), "UTF-8")).as("text_hash"))
       .filter(col("quality_raw") >= QualityMin && col("stop_ratio") > 0)
-    // exact dedup: keep the smallest doc_id per content hash
-    val w = Window.partitionBy("text_hash").orderBy("doc_id")
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("text_hash") +: CleanedCols.map(col): _*)
+    // exact dedup: keep the smallest doc_id per content hash — as ONE
+    // partial-aggregated min_by, not a window. The hottest content
+    // hash in a web corpus (empty page, boilerplate) repeats 10⁸
+    // times; a `row_number over text_hash` window serializes that
+    // whole posting into one sorted task, while min_by map-side
+    // combines to ≤1 surviving row per (hash, task) before the
+    // shuffle (same family as the registry `dedup_exact` at
+    // ext/Dedup.scala and the r17 spanFlagged conversion; doc_id is
+    // unique, so the argmin is tie-free and order-independent).
+    scored.groupBy("text_hash")
+      .agg(min_by(struct(CleanedCols.map(col): _*), col("doc_id")).as("__w"))
+      .select(col("text_hash") +: CleanedCols.map(c => col(s"__w.$c").as(c)): _*)
   }
 
   val cleaned: Model =
@@ -170,11 +181,19 @@ object CorpusPipeline {
   val capped: Model =
     Model("corpus_capped", Seq("corpus_resampled"), Materialization.Table,
       tests = Seq(Unique("doc_id"))) { in =>
-      val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+      // bounded top-K per lang (quality desc, doc_id tiebreak) — the
+      // partial-aggregated Windows.topKPerGroup, not a per-lang rank
+      // window: at 100 TB the `en` partition is most of the corpus in
+      // ONE sorted task under the window form, while the heap
+      // aggregate ships ≤ DomainCap rows per (lang, task). The kept
+      // id set is identical to `row_number() <= DomainCap` (ties
+      // toward the smaller doc_id; quality is the gated 6dp score, so
+      // never NaN), and the ≤ DomainCap·|langs|-row keep list
+      // broadcasts back as a semi-join on the unique doc_id.
+      val kept = Windows.topKPerGroup(in("corpus_resampled"), Seq("lang"),
+        col("quality"), col("doc_id"), Pipelines.DomainCap, idCol = "doc_id")
       in("corpus_resampled")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= Pipelines.DomainCap)
-        .drop("rnk")
+        .join(broadcast(kept.select("doc_id")), Seq("doc_id"), "left_semi")
     }
 
   val budgeted: Model =
@@ -199,11 +218,14 @@ object CorpusPipeline {
   val packed: Model =
     Model("corpus_packed", Seq("corpus_budget"), Materialization.Table,
       tests = Seq(NotNull("pack_id"))) { in =>
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      in("corpus_budget")
-        .select(col("doc_id"), col("lang"), col("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+      // per-lang running token sum via the two-level offset algebra
+      // (Windows.groupedPrefixSum) — value-identical to
+      // `sum OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED
+      // PRECEDING)` but a degenerate lang is range-split across
+      // partitions instead of serializing into one sorted task
+      Windows.groupedPrefixSum(
+        in("corpus_budget").select(col("doc_id"), col("lang"), col("n_tokens")),
+        Seq("lang"), Seq(col("doc_id")), col("n_tokens"), "cum")
         .withColumn("pack_id", expr(s"(cum - n_tokens) div ${Pipelines.PackBudget}"))
         .select("doc_id", "lang", "n_tokens", "pack_id")
     }

@@ -622,6 +622,63 @@ class EngineSpec extends SparkSpec {
       s"near-dup stage recomputes the pair graph:\n$np")
   }
 
+  test("skew-safe corpus stages equal their window forms on adversarial shapes") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.models.CorpusPipeline
+    import graft.ext.Pipelines
+    val d = sf("0.001")
+    // (a) cleaned keep-first: duplicate every text under a higher id —
+    // the min_by aggregate must keep exactly the window form's rn=1 rows
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val dupDocs = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val gotClean = CorpusPipeline.cleaned.transform(Map("documents" -> dupDocs))
+      .orderBy("doc_id").collect().toSeq
+    val qc = graft.ext.TextAnalysis.qualityCols(col("text"))
+    val scored = dupDocs
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        qc.nTokens.cast("long").as("n_tokens"), qc.score.as("qr"),
+        graft.engine.Functions.roundPortable(qc.score, 6).as("quality"),
+        qc.stopRatio.as("sr"))
+      .withColumn("text_hash", md5(encode(col("text"), "UTF-8")))
+      .filter(col("qr") >= CorpusPipeline.QualityMin && col("sr") > 0)
+    val wHash = Window.partitionBy("text_hash").orderBy("doc_id")
+    val expClean = scored.withColumn("rn", row_number().over(wHash))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "text", "n_tokens", "quality")
+      .orderBy("doc_id").collect().toSeq
+    assert(gotClean === expClean)
+    assert(gotClean.nonEmpty && gotClean.forall(_.getLong(0) < 1000000L),
+      "a duplicated text survived under the higher id")
+    // (b) capped: one hot lang (2700 of 3000 rows) + heavy quality ties
+    val res = spark.range(0, 3000).select(col("id").as("doc_id"),
+      when(col("id") < 2700, lit("en"))
+        .otherwise(concat(lit("l"), (col("id") % 7).cast("string"))).as("lang"),
+      lit("s").as("source"), lit("t").as("text"),
+      (col("id") % 97 + 1).as("n_tokens"),
+      ((col("id") % 9).cast("double") / 10.0).as("quality"))
+    val gotCap = CorpusPipeline.capped.transform(Map("corpus_resampled" -> res))
+      .orderBy("doc_id").collect().toSeq
+    val wCap = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    val expCap = res.withColumn("rnk", row_number().over(wCap))
+      .filter(col("rnk") <= Pipelines.DomainCap).drop("rnk")
+      .orderBy("doc_id").collect().toSeq
+    assert(gotCap === expCap)
+    // (c) packed: degenerate lang split across range partitions
+    val bud = spark.range(0, 2500).select(col("id").as("doc_id"),
+      when(col("id") < 2200, lit("en")).otherwise(lit("fr")).as("lang"),
+      (col("id") % 313 + 1).as("n_tokens"))
+    val gotPack = CorpusPipeline.packed.transform(Map("corpus_budget" -> bud))
+      .orderBy("doc_id").collect().toSeq
+    val wP = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expPack = bud.withColumn("cum", sum(col("n_tokens")).over(wP))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div ${Pipelines.PackBudget}"))
+      .select("doc_id", "lang", "n_tokens", "pack_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(gotPack === expPack)
+  }
+
   test("incremental corpus refresh merges batch deltas and matches a full rebuild row-for-row") {
     import graft.models.CorpusPipeline
     val d = sf("0.01")

@@ -1040,6 +1040,44 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("domain cap heap aggregate equals the row_number-window replay row-for-row") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.queries.Inventory.rebalanced(
+      spark.read.parquet(s"$d/documents.parquet"), "doc_id")
+    val qc = TextAnalysis.qualityCols(col("text"))
+    val q6 = graft.engine.Functions.roundPortable(qc.score, 6)
+    val ranked = docs.select(col("doc_id"), col("lang"), q6.as("q"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))))
+      .withColumn("kept", col("rnk") <= Pipelines.DomainCap)
+    val expected = ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        min(when(col("kept"), col("q"))).as("min_kept_quality"))
+      .orderBy("lang").collect().toSeq
+    val got = Pipelines.domainCap.build(spark, d).collect().toSeq
+    assert(got === expected)
+  }
+
+  test("pack sequences two-level prefix sum equals the per-lang window replay") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = docs
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div ${Pipelines.PackBudget}"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "pack_id").collect().toSeq
+    val got = Pipelines.packSequences.build(spark, d).collect().toSeq
+    assert(got === expected)
+  }
+
   test("repetition ratios are in (0, 1] over every document") {
     val rows = TextAnalysis.repetition.build(spark, d).collect()
     assert(rows.length === 500)

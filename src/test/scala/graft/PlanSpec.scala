@@ -256,6 +256,44 @@ class PlanSpec extends SparkSpec {
       hashed.forall(l => l.contains("doc_id") || l.contains("hs")), s"$hashed")
   }
 
+  test("corpus cap/pack/keep-first paths plan no window over lang or text_hash") {
+    // VERDICT r17 lead finding: the corpus-pipeline models carried the
+    // same window-on-a-degenerate-key family the registry dedup paths
+    // had already eliminated — row_number over text_hash (cleanBody),
+    // per-lang rank (capped / pipeline_domain_cap), per-lang prefix
+    // sum (packed / pipeline_pack_sequences). Converted forms: min_by
+    // keep-first, bounded TopKPairs heap, two-level groupedPrefixSum.
+    // The ONLY window any of these paths may plan is groupedPrefixSum's
+    // local cumsum, whose partition spec carries the range-partition id
+    // (__pid) — a window line without __pid means a whole group
+    // serializes into one sorted task again.
+    import graft.models.CorpusPipeline
+    val pCap = plan(graft.ext.Pipelines.domainCap.build(spark, d))
+    assert(!pCap.contains("Window"), s"domain cap plans a window:\n$pCap")
+    assert(pCap.contains("ObjectHashAggregate"),
+      s"domain cap lost the bounded heap aggregate:\n$pCap")
+    val pPack = plan(graft.ext.Pipelines.packSequences.build(spark, d))
+    val packWins = pPack.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(packWins.nonEmpty && packWins.forall(_.contains("__pid")),
+      s"pack sequences windows outside the range-partitioned local cumsum:\n${packWins.mkString("\n")}")
+    assert(pPack.contains("rangepartitioning"),
+      s"pack sequences lost the range split of degenerate langs:\n$pPack")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val pClean = plan(CorpusPipeline.cleaned.transform(Map("documents" -> docs)))
+    assert(!pClean.contains("Window"),
+      s"cleanBody plans a window over text_hash:\n$pClean")
+    val res = docs.select(col("doc_id"), col("lang"), col("source"), col("text"),
+      lit(5L).as("n_tokens"), lit(0.5).as("quality"))
+    val pCapped = plan(CorpusPipeline.capped.transform(Map("corpus_resampled" -> res)))
+    assert(!pCapped.contains("Window"), s"corpus_capped plans a window:\n$pCapped")
+    assert(pCapped.contains("ObjectHashAggregate"),
+      s"corpus_capped lost the bounded heap aggregate:\n$pCapped")
+    val pPacked = plan(CorpusPipeline.packed.transform(Map("corpus_budget" -> res)))
+    val packedWins = pPacked.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(packedWins.nonEmpty && packedWins.forall(_.contains("__pid")),
+      s"corpus_packed windows outside the range-partitioned local cumsum:\n${packedWins.mkString("\n")}")
+  }
+
   test("heavy hitters re-ranks sketch candidates via broadcasts (vocab never shuffles twice)") {
     val p = plan(graft.ext.TextAnalysis.heavyHitters.build(spark, d))
     // the candidate set reaches both the semi-join filter and the
