@@ -60,31 +60,40 @@ object Partitioning {
     * session for a data directory (Bench's scale-sweep sessions).
     * Directory symlinks ARE followed — Spark's file listing follows
     * them, and a data dir laid out via symlinks (dataset version
-    * switching) must not size to ~0 (ADVICE r16) — but each REAL
-    * directory is visited once, so a symlink cycle terminates instead
-    * of hanging session construction (the ADVICE r15 hazard the old
-    * skip-all-symlinks rule over-fixed). Write-metadata files that
-    * Spark's own readers skip (`_SUCCESS`, `_metadata`, dot-files,
-    * checkpoint dirs) don't count: they are not scan input, so they
-    * must not inflate the partition count.
+    * switching) must not size to ~0 (ADVICE r16). The visited set is
+    * keyed by traversal EDGE — (real parent dir, child entry name) —
+    * not by real path alone (ADVICE r17): two sibling links resolving
+    * to the same data directory are each counted, matching Spark's
+    * per-link listing, while a symlink cycle repeats an edge after one
+    * lap and terminates instead of hanging session construction (the
+    * ADVICE r15 hazard the old skip-all-symlinks rule over-fixed).
+    * Remaining documented slack: a subtree multiply linked from
+    * DIFFERENT parents is sized once per distinct edge at its top but
+    * its sub-directories dedup on the second pass — sizes land between
+    * "once" and Spark's "per link", which is the right side to err on
+    * for a partition-count floor. Write-metadata files that Spark's
+    * own readers skip (`_SUCCESS`, `_metadata`, dot-files, checkpoint
+    * dirs) don't count: they are not scan input, so they must not
+    * inflate the partition count.
     */
   def dirBytes(path: String): Long = {
     def metadata(name: String) = name.startsWith("_") || name.startsWith(".")
-    val seen = scala.collection.mutable.Set[java.nio.file.Path]()
-    def walk(f: java.io.File): Long =
+    val seen = scala.collection.mutable.Set[(java.nio.file.Path, String)]()
+    def walk(f: java.io.File, edge: (java.nio.file.Path, String)): Long =
       if (f.isDirectory) {
         val real =
           try Some(f.toPath.toRealPath())
           catch { case _: java.io.IOException => None }
         real match {
-          case Some(r) if seen.add(r) =>
+          case Some(r) if seen.add(edge) =>
             Option(f.listFiles())
-              .map(_.iterator.filterNot(c => metadata(c.getName)).map(walk).sum)
+              .map(_.iterator.filterNot(c => metadata(c.getName))
+                .map(c => walk(c, (r, c.getName))).sum)
               .getOrElse(0L)
-          case _ => 0L // cycle (already visited) or unresolvable link
+          case _ => 0L // repeated edge (cycle lap) or unresolvable link
         }
       } else f.length()
     val root = new java.io.File(path)
-    if (root.exists()) walk(root) else 0L
+    if (root.exists()) walk(root, (null, path)) else 0L
   }
 }

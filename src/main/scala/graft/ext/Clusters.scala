@@ -252,16 +252,23 @@ object Clusters {
     val nEdges = init.count()
     val p = graft.engine.Partitioning.forEdges(nEdges)
 
-    // one star phase: per-vertex minimum over Γ⁺(v) via aggregate +
-    // join-back, then the phase's emission rule over the symmetric
-    // edge view. `large` emits (u, m(v)) for the strictly LARGER
-    // neighbors of every v; small emits it for the smaller-or-equal
-    // ones plus (v, m(v)) itself. Self-loops filtered; output
+    // one star phase: per-vertex minimum via aggregate + join-back,
+    // then the phase's emission rule over the symmetric edge view.
+    // The min set is PER PHASE, matching Kiveris et al. exactly
+    // (ADVICE r17): large-star hangs the strictly LARGER neighbors of
+    // v under m = min(Γ⁺(v) ∪ {v}); small-star re-hangs the
+    // smaller-or-equal ones (plus v itself) under m = min({u ∈ Γ(v) :
+    // u ≤ v} ∪ {v}) — the conditional min's `when` leaves larger
+    // neighbors null and `min`/`least` skip nulls, so a vertex with
+    // no smaller neighbor gets m = v. The published O(log² n) round
+    // bound is proven for THIS min, not the widened full-neighborhood
+    // one an earlier draft used. Self-loops filtered; output
     // deduplicated and always directed big → small (m is a minimum).
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = sym.groupBy("src")
-        .agg(min(col("dst")).as("mn"))
+        .agg(min(if (large) col("dst")
+                 else when(col("dst") <= col("src"), col("dst"))).as("mn"))
         .select(col("src").as("v"), least(col("mn"), col("src")).as("m"))
       val neigh = sym.select(col("src").as("v"), col("dst").as("u"))
         .join(mins, Seq("v"))

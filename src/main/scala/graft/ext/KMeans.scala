@@ -274,14 +274,25 @@ object KMeans {
     * storage (a localCheckpoint's k-row cached blocks live for the
     * session and accumulate across calls in loop harnesses — ADVICE
     * r16) and a plan whose coarse side broadcasts from driver memory.
-    * ~64k rows × (d floats + ints) bounds the driver copy at a few
-    * tens of MB; beyond it the localCheckpoint path returns, and its
+    * The cap is BYTE-derived (ADVICE r17): a pure row cap only bounds
+    * bytes at the harness Dim=64 — at reference-scale dims (768–4096
+    * doubles) 2^16 rows is hundreds of MB embedded in every consumer
+    * plan. Folding the module's embedding width into the cap keeps the
+    * driver/plan copy at a few tens of MB regardless of dimension
+    * (still the full 2^16 rows at Dim=64, so harness behavior is
+    * unchanged). Beyond it the localCheckpoint path returns, and its
     * per-call retention is the documented contract (one k-row block —
     * noise against any job whose k is that large; freeing it exactly
     * would need a funnel-style unpersist handle on every assignment
     * API).
     */
-  val LocalCodebookMaxRows: Int = 1 << 16
+  val LocalCodebookMaxBytes: Long = 48L << 20
+
+  /** Rows of (Dim doubles + ~32B of ids/struct overhead) fitting the
+    * byte budget, never above the historical 2^16 row ceiling.
+    */
+  val LocalCodebookMaxRows: Int =
+    math.min(1L << 16, LocalCodebookMaxBytes / (Dim.toLong * 8 + 32)).toInt
 
   private def twoLevelCandidates(e: DataFrame, cents: DataFrame, k: Int, nProbe: Int,
       shards: Int): DataFrame = {

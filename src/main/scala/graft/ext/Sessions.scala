@@ -523,18 +523,17 @@ object Sessions {
   // sum rides DECIMAL(38,0) (exact, order-free — i·x products
   // overflow LONG near 10^9 users × heavy tails) and ONE double
   // division lands on the 6dp grid. Scale: one corpus aggregate to
-  // |users| rows; the rank is a global window over that collapse —
-  // the repo's bounded-collapse convention (production at 10^9 users
-  // two-levels it: per-range partial ranks + offset, same algebra).
+  // |users| rows; the Lorenz rank over that collapse runs through
+  // Windows.globalRowNumber (range partition + per-partition offsets),
+  // so even 10^9 users never sort in a single task — no unpartitioned
+  // window anywhere on this path.
   // ------------------------------------------------------------------
   val gini: Q = Q(
     (s, d) => {
       val perUser = Inventory.events(s, d)
         .groupBy("user_id").agg(count(lit(1)).as("x"))
-      val wAsc = Window.orderBy(col("x"), col("user_id"))
       val d18 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 0))
-      perUser
-        .withColumn("i", row_number().over(wAsc))
+      graft.engine.Windows.globalRowNumber(perUser, Seq(col("x"), col("user_id")), "i")
         .agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_events"),
           sum(d18(lit(2L) * col("i") - lit(1L)) * d18(col("x"))).as("num0"))
         .select(col("n_users"), col("total_events"),

@@ -1667,25 +1667,28 @@ object TextAnalysis {
   // this prices the cut).
   //
   // Scale: one corpus token pass map-side combines to the Heaps-law
-  // vocab table; the rank window and cumulative sum run over THAT
-  // (single partition by the repo's vocab-rank convention, vocab-sized
-  // state); the k-grid join is a broadcast of a literal table. Integer
-  // counts; one 6dp ratio per published row.
+  // vocab table; the frequency rank and running coverage over THAT
+  // run through the two-phase Windows primitives (range partition +
+  // per-partition offsets — vocab-sized but never single-task); the
+  // k-grid join is a broadcast of a literal table. Integer counts;
+  // one 6dp ratio per published row.
   // ------------------------------------------------------------------
   val VocabCoverageGrid: Seq[Int] = Seq(10, 50, 100, 500, 1000, 5000)
 
   val vocabCoverage: Q = Q(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val counts = s.read.parquet(s"$d/documents.parquet")
         .select(explode(tokens(col("text"))).as("t"))
         .groupBy("t").agg(count(lit(1)).as("c"))
-      val wRank = Window.orderBy(col("c").desc, col("t"))
-      val wCum = Window.orderBy(col("rnk"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = counts
-        .withColumn("rnk", row_number().over(wRank))
-        .withColumn("cum", sum(col("c")).over(wCum))
+      // frequency rank + running coverage via the two-phase
+      // primitives (globalRowNumber, then groupedPrefixSum with no
+      // group = a global running sum): a 10^9-type vocabulary never
+      // sorts or sums in a single task, and no stage on this path
+      // plans an unpartitioned window
+      val ranked = graft.engine.Windows.groupedPrefixSum(
+        graft.engine.Windows.globalRowNumber(
+          counts, Seq(col("c").desc, col("t")), "rnk"),
+        Nil, Seq(col("rnk")), col("c"), "cum")
       val total = counts.agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_types"))
       val grid = s.createDataFrame(

@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   * ExtSpec value-identity tests pin that both forms agree; this tool
   * prices them.
   *
+  * Round 18 adds the corpus-pipeline family the r17 VERDICT flagged:
+  * `lang_cap` (rank-flag window vs bounded TopKPairs heap aggregate),
+  * `lang_prefix_sum` (per-lang running-sum window vs
+  * Windows.groupedPrefixSum's two-level offsets), and
+  * `hash_keep_first` (rn=1 window vs one-shot min_by) — each on a
+  * planted mega-lang / mega-content-hash.
+  *
   * Usage: sbt "runMain graft.tools.SkewEval [hot] [cold]"
   * Prints one JSON line per (operator, form); a warm pass on a 1000-row
   * sliver precedes each timed pair so codegen/JIT is out of the window.
@@ -110,6 +117,80 @@ object SkewEval {
     val wins = mkWins(hot, cold)
     timed("span_keep_first", "window", flaggedWindow(wins))
     timed("span_keep_first", "aggregate", graft.ext.Dedup.spanFlagged(wins))
+
+    // ---- r18 corpus-pipeline family (VERDICT r17 What's-wrong #1–2):
+    // one mega-lang (`en` = the hot rows) over 50 cold langs, and one
+    // mega content-hash over unique hashes — the keys CorpusPipeline /
+    // Pipelines used to window over.
+    def mkLangDocs(h: Long, c: Long): DataFrame =
+      spark.range(h).select(col("id").as("doc_id"), lit("en").as("lang"),
+        (col("id") % 1000L).cast("double").as("q"),
+        (col("id") % 97L + 1L).as("n_tokens"))
+        .unionAll(spark.range(h, h + c).select(col("id").as("doc_id"),
+          concat(lit("l"), (col("id") % 50L).cast("string")).as("lang"),
+          (col("id") % 1000L).cast("double").as("q"),
+          (col("id") % 97L + 1L).as("n_tokens")))
+
+    // lang cap — the pre-r18 pipeline_domain_cap shape (rank flag over
+    // every row of the group) vs the bounded TopKPairs heap aggregate
+    def capWindow(docs: DataFrame): DataFrame = {
+      val w = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
+      docs.withColumn("kept", row_number().over(w) <= 50)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("kept"), col("q"))).as("min_kept_quality"))
+    }
+    def capAgg(docs: DataFrame): DataFrame =
+      docs.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        graft.functions.TopKPairs.topk(col("q"), col("doc_id"), 50).as("tk"))
+        .select(col("lang"), col("n_docs"),
+          size(col("tk")).cast("long").as("n_kept"),
+          element_at(col("tk"), size(col("tk"))).getField("score").as("min_kept_quality"))
+    val warmDocs = mkLangDocs(500L, 500L)
+    timed("lang_cap", "warm", capWindow(warmDocs), silent = true)
+    timed("lang_cap", "warm", capAgg(warmDocs), silent = true)
+    val langDocs = mkLangDocs(hot, cold)
+    timed("lang_cap", "window", capWindow(langDocs))
+    timed("lang_cap", "aggregate", capAgg(langDocs))
+
+    // lang prefix sum — the pre-r18 corpus_packed / pack_sequences
+    // shape vs Windows.groupedPrefixSum's two-level offset algebra
+    def packWindow(docs: DataFrame): DataFrame = {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum(col("n_tokens")).over(w))
+    }
+    def packAgg(docs: DataFrame): DataFrame =
+      graft.engine.Windows.groupedPrefixSum(docs, Seq("lang"),
+        Seq(col("doc_id")), col("n_tokens"), "cum")
+    timed("lang_prefix_sum", "warm", packWindow(warmDocs), silent = true)
+    timed("lang_prefix_sum", "warm", packAgg(warmDocs), silent = true)
+    timed("lang_prefix_sum", "window", packWindow(langDocs))
+    timed("lang_prefix_sum", "aggregate", packAgg(langDocs))
+
+    // content-hash keep-first — the pre-r18 cleanBody shape (rn = 1
+    // over text_hash) vs the one-shot partial-aggregated min_by
+    def mkHashDocs(h: Long, c: Long): DataFrame =
+      spark.range(h).select(col("id").as("doc_id"), lit("boilerplate").as("text_hash"),
+        (col("id") % 1000L).as("payload"))
+        .unionAll(spark.range(h, h + c).select(col("id").as("doc_id"),
+          concat(lit("h"), col("id").cast("string")).as("text_hash"),
+          (col("id") % 1000L).as("payload")))
+    def keepFirstWindow(docs: DataFrame): DataFrame = {
+      val w = Window.partitionBy("text_hash").orderBy("doc_id")
+      docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("text_hash", "doc_id", "payload")
+    }
+    def keepFirstAgg(docs: DataFrame): DataFrame =
+      docs.groupBy("text_hash")
+        .agg(min_by(struct(col("doc_id"), col("payload")), col("doc_id")).as("w"))
+        .select(col("text_hash"), col("w.doc_id").as("doc_id"), col("w.payload").as("payload"))
+    val warmH = mkHashDocs(500L, 500L)
+    timed("hash_keep_first", "warm", keepFirstWindow(warmH), silent = true)
+    timed("hash_keep_first", "warm", keepFirstAgg(warmH), silent = true)
+    val hashDocs = mkHashDocs(hot, cold)
+    timed("hash_keep_first", "window", keepFirstWindow(hashDocs))
+    timed("hash_keep_first", "aggregate", keepFirstAgg(hashDocs))
 
     spark.stop()
   }

@@ -1078,6 +1078,32 @@ class ExtSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("vocab coverage equals the single-partition rank/cumsum window replay") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val gotV = TextAnalysis.vocabCoverage.build(spark, d).collect().toSeq
+    val counts = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val wRank = Window.orderBy(col("c").desc, col("t"))
+    val wCum = Window.orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts.withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+    val total = counts.agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val grid = spark.createDataFrame(
+      TextAnalysis.VocabCoverageGrid.map(Tuple1(_))).toDF("k")
+    val expV = grid.crossJoin(broadcast(total))
+      .join(ranked, col("rnk") === least(col("k"), col("n_types")), "left")
+      .select(col("k"), col("n_types"),
+        least(col("k").cast("long"), col("n_types")).as("types_used"),
+        col("cum").as("covered_tokens"), col("n_tokens"),
+        graft.engine.Functions.roundPortable(
+          col("cum").cast(DoubleType) / col("n_tokens"), 6).as("coverage"))
+      .orderBy("k").collect().toSeq
+    assert(gotV === expV)
+  }
+
   test("repetition ratios are in (0, 1] over every document") {
     val rows = TextAnalysis.repetition.build(spark, d).collect()
     assert(rows.length === 500)

@@ -43,6 +43,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("unpartitioned windows appear ONLY over bounded collapses (exact allowlist)") {
+    // The mechanical form of SURVEY §9.3's window audit (r17 VERDICT
+    // falsified the prose version): an empty partitionSpec moves the
+    // whole relation into ONE task — the accidental-serialization
+    // family this repo keeps engineering out. Every UNBOUNDED global
+    // ordering now routes through Windows.globalRowNumber /
+    // groupedPrefixSum (range partition + windowless offset fold);
+    // what remains is the bounded-collapse convention: a grand-total /
+    // share window over a relation ALREADY aggregated to a fixed
+    // domain (≤25 nations, NumShards shards, |langs|, calibration
+    // bins, k centroids, day grain) — a few dozen rows by
+    // construction, where one task IS the right plan. The allowlist
+    // is exact in both directions, so adding an unpartitioned window
+    // to any other row fails here, and converting one of these
+    // without pruning the list fails too.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val boundedCollapse = Set(
+      "dedup_semdedup_auto", "dedup_semdedup_multi", "dedup_semdedup_probe",
+      "dedup_shingle_profile", "events_concurrency", "events_decayed_counts",
+      "events_seasonal_decompose", "orders_backlog", "orders_benford",
+      "pipeline_classifier_calibration", "pipeline_classifier_eval",
+      "pipeline_dsir_weights", "pipeline_lang_mix", "pipeline_mixture_kl",
+      "pipeline_quality_classifier", "pipeline_rater_agreement",
+      "pipeline_shard_balance", "pipeline_token_budget",
+      "privacy_k_anonymity", "privacy_l_diversity", "privacy_t_closeness",
+      "text_countmin_hitters", "text_heaps_law", "text_heavy_hitters",
+      "text_jsd_sources", "text_langid_eval", "text_rake_keywords")
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val bad = fn(spark, d).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (bad.isEmpty) None else Some(name)
+    }.toSet
+    assert((offenders -- boundedCollapse).isEmpty,
+      s"NEW unpartitioned window (route through Windows.globalRowNumber/" +
+        s"groupedPrefixSum or justify here): ${(offenders -- boundedCollapse).toSeq.sorted.mkString(", ")}")
+    assert((boundedCollapse -- offenders).isEmpty,
+      s"stale allowlist entries (row converted — prune): ${(boundedCollapse -- offenders).toSeq.sorted.mkString(", ")}")
+  }
+
   test("no query in the registry plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))

@@ -433,8 +433,14 @@ class PropertySpec extends SparkSpec {
       val other = java.nio.file.Files.createTempDirectory("graft-dirbytes-v")
       java.nio.file.Files.write(other.resolve("more.parquet"), new Array[Byte](500))
       java.nio.file.Files.createSymbolicLink(root.resolve("v1"), other)
-      try assert(dirBytes(root.toString) === 1500L)
-      finally {
+      try {
+        assert(dirBytes(root.toString) === 1500L)
+        // TWO sibling links to the same data directory count once
+        // EACH — Spark's listing reads the data per link (ADVICE r17:
+        // visits are keyed by traversal edge, not by real path alone)
+        java.nio.file.Files.createSymbolicLink(root.resolve("v2"), other)
+        assert(dirBytes(root.toString) === 2000L)
+      } finally {
         import scala.reflect.io.Directory
         new Directory(other.toFile).deleteRecursively(); ()
       }
