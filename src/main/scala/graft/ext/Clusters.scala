@@ -538,9 +538,44 @@ object Clusters {
     },
     dedupComponents.oracle)
 
+  // ------------------------------------------------------------------
+  // The PRODUCTION-DAG emit through the driver's hash gate (VERDICT
+  // r17 ask #8): dedup_semdedup_keep verifies the standalone
+  // composition; this row materializes models.SemanticDedupFunnel
+  // (assign once → occupancy gate → pairs → components → keep) into a
+  // temp warehouse, gates on its model tests, and returns the
+  // sem_keep_list TABLE AS WRITTEN — so the DAG form, not just the
+  // standalone chain, is driver-verified against the identical oracle
+  // (assignKAuto lands on the contract k at the 500-vector harness
+  // corpus, so the fixed-k recursive-CTE replay applies verbatim;
+  // EngineSpec pins that equality too, this promotes it to the hash
+  // gate). Bounded collect by construction: one row per keep cluster,
+  // ≤ |embeddings| = 500 — the ann_ivfpq_from_index precedent — so
+  // the temp warehouse deletes here instead of leaking per run.
+  // ------------------------------------------------------------------
+  val semdedupFunnelKeep: Q = Q(
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-semfunnel-reg")
+      try {
+        val r = graft.models.SemanticDedupFunnel.run(s, d,
+          new graft.engine.TableSink.Parquet(wh.toString))
+        require(r.allTestsPassed && r.skipped.isEmpty,
+          s"funnel gated: ${r.tests.filterNot(_.passed).mkString(", ")}")
+        val out = r("sem_keep_list")
+        s.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    semdedupKeep.oracle)
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_components" -> dedupComponents,
     "dedup_components_star" -> dedupComponentsStar,
     "dedup_keep_best" -> dedupKeepBest,
-    "dedup_semdedup_keep" -> semdedupKeep)
+    "dedup_semdedup_keep" -> semdedupKeep,
+    "dedup_semdedup_funnel_keep" -> semdedupFunnelKeep)
 }

@@ -1710,7 +1710,55 @@ object Pipelines {
             |FROM present CROSS JOIN qt ORDER BY c_nationkey""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // The cleaned corpus TABLE through the driver's hash gate (VERDICT
+  // r17 ask #8): pipeline_clean_corpus verifies the per-lang ROLLUP of
+  // the clean stage; this row publishes the per-document table itself
+  // — and it is built by CALLING the production model
+  // (models.CorpusPipeline.cleaned.transform), so the r18 min_by
+  // keep-first conversion, the gate-on-raw-score rule, and the 6dp
+  // quality rounding are all driver-verified on the exact code the
+  // DAG runs, not a registry re-derivation. Text is published as its
+  // md5 (the dedup_substring_cleaned convention — hash the content,
+  // not the blob). Scale: the model body — one scan, one
+  // partial-aggregated keep-first shuffle.
+  // ------------------------------------------------------------------
+  val cleanedDocs: Q = Q(
+    (s, d) => {
+      val docs = graft.queries.Inventory.rebalanced(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id")
+      graft.models.CorpusPipeline.cleaned.transform(Map("documents" -> docs))
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(encode(col("text"), "UTF-8")).as("text_md5"),
+          col("n_tokens"), col("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, lang, source, text,
+           |    string_split_regex(lower(trim(text)), '\s+') AS toks
+           |  FROM documents
+           |), sc AS (
+           |  SELECT doc_id, lang, source, text,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+           |      + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+           |      + CAST(len(list_filter(toks, x -> x IN ('the','of','and','to','in','is','it','a'))) AS DOUBLE)
+           |        / len(toks) * 0.2 AS q_raw,
+           |    CAST(len(list_filter(toks, x -> x IN ('the','of','and','to','in','is','it','a'))) AS DOUBLE)
+           |        / len(toks) AS stop_ratio,
+           |    md5(text) AS text_hash
+           |  FROM c
+           |), g AS (
+           |  SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+           |  FROM sc WHERE q_raw >= 0.5 AND stop_ratio > 0
+           |)
+           |SELECT doc_id, lang, source, md5(text) AS text_md5, n_tokens,
+           |       floor(q_raw * 1000000 + 0.5) / 1000000 AS quality
+           |FROM g WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+  )
+
   val queries: Seq[(String, Q)] = Seq(
+    "pipeline_cleaned_docs" -> cleanedDocs,
     "privacy_t_closeness" -> tCloseness,
     "pipeline_classifier_eval" -> classifierEval,
     "pipeline_classifier_calibration" -> classifierCalibration,
