@@ -556,6 +556,14 @@ object Clusters {
   val semdedupFunnelKeep: Q = Q(
     (s, d) => {
       val wh = java.nio.file.Files.createTempDirectory("graft-semfunnel-reg")
+      // the component fixpoint returns labels on a cached RDD (the
+      // loop-state truncation) that normally lives until the session
+      // ends — the documented retention every in-session consumer of
+      // connectedComponents carries. THIS row collects its bounded
+      // output, so nothing downstream reads the cache: snapshot the
+      // persisted-RDD ids before the run and free exactly the run's
+      // delta, making repeated registry builds storage-neutral.
+      val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
       try {
         val r = graft.models.SemanticDedupFunnel.run(s, d,
           new graft.engine.TableSink.Parquet(wh.toString))
@@ -565,6 +573,9 @@ object Clusters {
         s.createDataFrame(
           java.util.Arrays.asList(out.collect(): _*), out.schema)
       } finally {
+        s.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => persistedBefore(id) }
+          .values.foreach(_.unpersist(blocking = false))
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))

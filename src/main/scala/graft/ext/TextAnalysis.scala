@@ -1667,11 +1667,12 @@ object TextAnalysis {
   // this prices the cut).
   //
   // Scale: one corpus token pass map-side combines to the Heaps-law
-  // vocab table; the frequency rank and running coverage over THAT
-  // run through the two-phase Windows primitives (range partition +
-  // per-partition offsets — vocab-sized but never single-task); the
-  // k-grid join is a broadcast of a literal table. Integer counts;
-  // one 6dp ratio per published row.
+  // vocab table; the frequency rank over THAT runs through the
+  // two-phase Windows.globalRowNumber (range partition + offsets —
+  // vocab-sized but never single-task), and coverage needs no running
+  // sum at all: the |grid| prefix points are conditional sums in one
+  // partial-aggregated pass. Integer counts; one 6dp ratio per
+  // published row.
   // ------------------------------------------------------------------
   val VocabCoverageGrid: Seq[Int] = Seq(10, 50, 100, 500, 1000, 5000)
 
@@ -1680,26 +1681,29 @@ object TextAnalysis {
       val counts = s.read.parquet(s"$d/documents.parquet")
         .select(explode(tokens(col("text"))).as("t"))
         .groupBy("t").agg(count(lit(1)).as("c"))
-      // frequency rank + running coverage via the two-phase
-      // primitives (globalRowNumber, then groupedPrefixSum with no
-      // group = a global running sum): a 10^9-type vocabulary never
-      // sorts or sums in a single task, and no stage on this path
-      // plans an unpartitioned window
-      val ranked = graft.engine.Windows.groupedPrefixSum(
-        graft.engine.Windows.globalRowNumber(
-          counts, Seq(col("c").desc, col("t")), "rnk"),
-        Nil, Seq(col("rnk")), col("c"), "cum")
-      val total = counts.agg(sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_types"))
+      // frequency rank via the two-phase globalRowNumber (a 10^9-type
+      // vocabulary never sorts in one task), then coverage WITHOUT a
+      // running sum at all: the grid consumes only |grid| prefix
+      // points, so each is a conditional sum — one partial-aggregated
+      // pass computing sum(c WHERE rnk <= k) per grid k alongside the
+      // totals, collapsing to a single row that the literal grid
+      // unpivots. No window (partitioned or not) anywhere downstream
+      // of the rank, and no second range exchange.
+      val ranked = graft.engine.Windows.globalRowNumber(
+        counts, Seq(col("c").desc, col("t")), "rnk")
+      val aggs = Seq(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types")) ++
+        VocabCoverageGrid.map(k => sum(when(col("rnk") <= k, col("c"))).as(s"cov_$k"))
+      val one = ranked.agg(aggs.head, aggs.tail: _*)
+      val covered = coalesce(
+        VocabCoverageGrid.map(k => when(col("k") === k, col(s"cov_$k"))): _*)
       val grid = s.createDataFrame(
         VocabCoverageGrid.map(Tuple1(_))).toDF("k")
-      grid.crossJoin(broadcast(total))
-        .join(ranked, col("rnk") === least(col("k"), col("n_types")), "left")
+      grid.crossJoin(broadcast(one))
         .select(col("k"), col("n_types"),
           least(col("k").cast("long"), col("n_types")).as("types_used"),
-          col("cum").as("covered_tokens"), col("n_tokens"),
+          covered.as("covered_tokens"), col("n_tokens"),
           graft.engine.Functions.roundPortable(
-            col("cum").cast(org.apache.spark.sql.types.DoubleType) / col("n_tokens"), 6)
+            covered.cast(org.apache.spark.sql.types.DoubleType) / col("n_tokens"), 6)
             .as("coverage"))
         .orderBy("k")
     },
