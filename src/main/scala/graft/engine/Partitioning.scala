@@ -67,11 +67,17 @@ object Partitioning {
     * per-link listing, while a symlink cycle repeats an edge after one
     * lap and terminates instead of hanging session construction (the
     * ADVICE r15 hazard the old skip-all-symlinks rule over-fixed).
-    * Remaining documented slack: a subtree multiply linked from
-    * DIFFERENT parents is sized once per distinct edge at its top but
-    * its sub-directories dedup on the second pass — sizes land between
-    * "once" and Spark's "per link", which is the right side to err on
-    * for a partition-count floor. Write-metadata files that Spark's
+    * Remaining documented slack (deliberately err-high — this feeds a
+    * partition-count FLOOR): a subtree multiply linked from DIFFERENT
+    * parents is sized once per distinct edge at its top but its
+    * sub-directories dedup on the second pass — sizes land between
+    * "once" and Spark's "per link"; and a symlink CYCLE terminates
+    * after one extra lap, so regular files inside the cycle count
+    * TWICE (ADVICE r18) — inflation on a layout Spark's own recursive
+    * listing cannot enumerate at all (it would loop), accepted over
+    * re-keying files by real path, which would undo the per-link
+    * sibling counting that matches Spark's listing on the layouts
+    * that actually occur. Write-metadata files that Spark's
     * own readers skip (`_SUCCESS`, `_metadata`, dot-files, checkpoint
     * dirs) don't count: they are not scan input, so they must not
     * inflate the partition count.

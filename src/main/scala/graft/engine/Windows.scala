@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StructField, StructType}
 
 import graft.functions.TopKPairs
 
@@ -50,7 +50,7 @@ object Windows {
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__s"))
-    val offsets = prefixOffsets(counts, Nil, lit(0L))
+    val offsets = prefixOffsets(counts, Nil)
     val local = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val out = ranged
       .withColumn("__lrn", row_number().over(local))
@@ -64,26 +64,38 @@ object Windows {
     * WITHOUT a window: each group's per-partition totals collapse into
     * one sorted array (bounded — range partitions are contiguous, so a
     * group spans at most `partitions` pids and the whole relation has
-    * ≤ |groups| + partitions − 1 rows), the running sum is a
-    * `transform`+`aggregate` HOF over that array (O(partitions²) per
-    * group, driver-free), and `explode` restores (group, __pid, __off)
-    * rows. This replaces the one remaining `WindowExec: No Partition
-    * Defined` site the two-phase primitives used to carry — no stage
-    * in any Windows primitive now runs an unpartitioned window.
+    * ≤ |groups| + partitions − 1 rows), the running sum is ONE
+    * `aggregate` HOF pass whose accumulator carries (emitted offsets,
+    * running total) — linear lambda evaluations, vs the earlier
+    * aggregate-over-`slice`-per-index form that re-folded a prefix per
+    * element (O(partitions²) aggregate evaluations; ADVICE r18) — and
+    * `explode` restores (group, __pid, __off) rows. `array_append`
+    * still copies the accumulator array per step, but that is
+    * O(partitions²) copies of a 12-byte struct inside one codegen'd
+    * projection (~100 ms at partitions = 10⁴), not partitions² nested
+    * fold evaluations. No stage in any Windows primitive runs an
+    * unpartitioned window (`WindowExec: No Partition Defined`).
     */
-  private def prefixOffsets(sums: DataFrame, groupCols: Seq[String],
-      zero: Column): DataFrame = {
+  private def prefixOffsets(sums: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val sumType = sums.schema("__s").dataType
+    val zero = lit(0L).cast(sumType)
     val gcols = groupCols.map(col)
     val packedAgg = sort_array(
       collect_list(struct(col("__pid"), col("__s")))).as("__arr")
     val packed =
       if (groupCols.isEmpty) sums.agg(packedAgg)
       else sums.groupBy(gcols: _*).agg(packedAgg)
-    val offs = transform(col("__arr"), (x, i) =>
-      struct(
-        x.getField("__pid").as("__pid"),
-        aggregate(slice(col("__arr"), lit(1), i), zero,
-          (acc, y) => acc + y.getField("__s")).as("__off")))
+    val emptyOffs = array().cast(ArrayType(StructType(Seq(
+      StructField("__pid", IntegerType), StructField("__off", sumType)))))
+    val offs = aggregate(
+      col("__arr"),
+      struct(emptyOffs.as("a"), zero.as("run")),
+      (acc, y) => struct(
+        array_append(acc.getField("a"),
+          struct(y.getField("__pid").as("__pid"),
+            acc.getField("run").as("__off"))).as("a"),
+        (acc.getField("run") + y.getField("__s")).as("run")),
+      acc => acc.getField("a"))
     packed.select((gcols :+ explode(offs).as("__po")): _*)
       .select((gcols ++ Seq(col("__po.__pid").as("__pid"),
         col("__po.__off").as("__off"))): _*)
@@ -128,7 +140,7 @@ object Windows {
     val zero = lit(0L).cast(sumType)
     val sums = ranged.groupBy((col("__pid") +: gcols): _*)
       .agg(coalesce(sum(value), zero).as("__s"))
-    val offsets = prefixOffsets(sums, groupCols, zero)
+    val offsets = prefixOffsets(sums, groupCols)
     val local = Window.partitionBy((col("__pid") +: gcols): _*)
       .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -138,6 +150,57 @@ object Windows {
       .drop("__pid", "__lc", "__off")
   }
 
+  /** Appends `rnCol` = per-group 1-based row number by `sortCols` —
+    * exactly `row_number() OVER (PARTITION BY group ORDER BY sort)`,
+    * typed LONG — as [[groupedPrefixSum]] of the constant 1: the
+    * running count of rows at-or-before a row within its group IS its
+    * row number. Same scale contract: a degenerate group (one `lang`
+    * = most of the corpus) range-splits across `partitions` instead
+    * of serializing into one sorted task. `sortCols` must totally
+    * order rows within a group (include a unique id).
+    */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], rnCol: String = "rn",
+      partitions: Int = 32): DataFrame =
+    groupedPrefixSum(df, groupCols, sortCols, lit(1L), rnCol, partitions)
+
+  /** Appends `ntileCol` = `ntile(buckets) OVER (PARTITION BY group
+    * ORDER BY sort)` (INT, SQL-standard bucket distribution) without
+    * a per-group window: the grouped two-phase row number
+    * ([[groupedRowNumber]]'s algebra, inlined so the range exchange
+    * is built once) plus a |groups|-row broadcast of group counts,
+    * finished by the closed-form [[ntileFromRowNumber]]. ntile is a
+    * flag-producer over EVERY row of its partition, so Spark's
+    * WindowGroupLimit rescue never applies to the window form — at
+    * 100 TB the `en` partition of a per-lang ntile is most of the
+    * corpus in ONE sorted task (the straggler family SkewEval
+    * measures); here it range-splits like any other group.
+    * `sortCols` must totally order rows within a group.
+    */
+  def groupedNtile(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], buckets: Int, ntileCol: String = "ntile",
+      partitions: Int = 32): DataFrame = {
+    val gcols = groupCols.map(col)
+    val rangeCols = gcols ++ sortCols
+    val ranged = df.repartitionByRange(partitions, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val sums = ranged.groupBy((col("__pid") +: gcols): _*)
+      .agg(count(lit(1)).as("__s"))
+    val offsets = prefixOffsets(sums, groupCols)
+    // group totals fall out of the same per-(pid, group) counts the
+    // offsets are built from — no second pass over the input
+    val totals = sums.groupBy(gcols: _*).agg(sum("__s").as("__gn"))
+    val local = Window.partitionBy((col("__pid") +: gcols): _*)
+      .orderBy(sortCols: _*)
+    ranged.withColumn("__lrn", row_number().over(local))
+      .join(broadcast(offsets), "__pid" +: groupCols)
+      .join(broadcast(totals), groupCols)
+      .withColumn(ntileCol,
+        ntileFromRowNumber(col("__off") + col("__lrn"), col("__gn"), buckets))
+      .drop("__pid", "__lrn", "__off", "__gn")
+  }
+
   /** Bounded top-K per group: the rows `row_number() OVER (PARTITION
     * BY group ORDER BY score DESC, id ASC) <= k` — as a partial
     * aggregate, not a window. Each map task reduces its slice of a
@@ -145,10 +208,20 @@ object Windows {
     * shuffle carries ≤ k·tasks rows per group however degenerate the
     * key, versus the window form's every-candidate-to-one-sorted-task.
     * Output: groupCols ++ (`rankCol` 1-based LONG, `scoreCol` DOUBLE,
-    * `idCol` LONG), one row per kept pair. Ties break toward the
-    * smaller id (same as the window form's id tiebreak); NaN scores
-    * are dropped (a NaN quality carries no ranking information —
-    * callers gate upstream). `score`/`id` are cast to double/long, so
+    * `idCol` LONG), one row per kept pair.
+    *
+    * HARD CALLER CONTRACT (ADVICE r18): scores must be non-NaN and
+    * non-null. The heap DROPS NaN/null scores, while Spark's
+    * `ORDER BY score DESC` ranks NaN as LARGEST — so "identical to
+    * row_number() <= k" holds only for clean scores, and a group
+    * whose candidates are all NaN vanishes from the keep list where
+    * the window form would keep its NaN rows first. Callers must
+    * gate upstream (a quality-gate filter makes NaN impossible — the
+    * [[graft.models.CorpusPipeline]] pattern) or pre-filter
+    * `!isnan(score) && score.isNotNull` explicitly.
+    *
+    * Ties break toward the smaller id (same as the window form's id
+    * tiebreak). `score`/`id` are cast to double/long, so
     * any numeric rank key works; keep-set selection needs the ranked
     * relation joined back by `idCol` (unique ids ⇒ an equi-join on the
     * id alone, perfectly spread).

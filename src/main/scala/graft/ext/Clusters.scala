@@ -190,7 +190,10 @@ object Clusters {
       directed.unpersist()
     }
     // singletons (no edges) label themselves; the final `labels` cache
-    // stays alive on the success path because the returned plan reads it
+    // stays alive on the success path because the returned plan reads
+    // it — consumers that fully materialize the result reclaim it via
+    // graft.engine.Caches.scoped (the funnel registry rows)
+    graft.engine.Caches.retain(labels)
     vertices.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
@@ -313,7 +316,10 @@ object Clusters {
       case e: Throwable => edges.unpersist(); throw e
     }
     // at the fixpoint every non-center vertex carries exactly one edge
-    // to its component's minimum; min(dst) is belt-and-braces
+    // to its component's minimum; min(dst) is belt-and-braces. The
+    // final `edges` cache is read by the returned plan — scoped
+    // consumers reclaim it (graft.engine.Caches)
+    graft.engine.Caches.retain(edges)
     val labels = edges.groupBy("src")
       .agg(min(col("dst")).as("cluster_id"))
       .select(col("src").as("doc_id"), col("cluster_id"))
@@ -560,26 +566,23 @@ object Clusters {
       // loop-state truncation) that normally lives until the session
       // ends — the documented retention every in-session consumer of
       // connectedComponents carries. THIS row collects its bounded
-      // output, so nothing downstream reads the cache: snapshot the
-      // persisted-RDD ids before the run and free exactly the run's
-      // delta, making repeated registry builds storage-neutral.
-      val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
+      // output, so nothing downstream reads the cache: the run executes
+      // inside a Caches scope, which releases exactly the caches the
+      // fixpoint explicitly retained on this thread — never a
+      // concurrent query's (the r18 persistent-RDD delta-diff freed
+      // ANY cache that appeared during the run; ADVICE r18) — keeping
+      // repeated registry builds storage-neutral.
       try {
-        val r = graft.models.SemanticDedupFunnel.run(s, d,
-          new graft.engine.TableSink.Parquet(wh.toString))
-        require(r.allTestsPassed && r.skipped.isEmpty,
-          s"funnel gated: ${r.tests.filterNot(_.passed).mkString(", ")}")
-        val out = r("sem_keep_list")
-        s.createDataFrame(
-          java.util.Arrays.asList(out.collect(): _*), out.schema)
-      } finally {
-        s.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => persistedBefore(id) }
-          .values.foreach(_.unpersist(blocking = false))
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+        graft.engine.Caches.scoped {
+          val r = graft.models.SemanticDedupFunnel.run(s, d,
+            new graft.engine.TableSink.Parquet(wh.toString))
+          require(r.allTestsPassed && r.skipped.isEmpty,
+            s"funnel gated: ${r.tests.filterNot(_.passed).mkString(", ")}")
+          val out = r("sem_keep_list")
+          s.createDataFrame(
+            java.util.Arrays.asList(out.collect(): _*), out.schema)
+        }
+      } finally graft.engine.Scratch.deleteTree(wh)
     },
     semdedupKeep.oracle)
 

@@ -847,9 +847,17 @@ object TextAnalysis {
     * ends at `perdoc(doc_id, n_bigrams, avg_nll_raw)`. Shared by the
     * perplexity report and the resampling oracle.
     */
-  lazy val perDocNllOracleCtes: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+  lazy val perDocNllOracleCtes: String = "WITH " + perDocNllOracleCtesOver("documents")
+
+  /** The same CTE chain WITHOUT the leading WITH, trained on an
+    * arbitrary (doc_id, text) relation `src` — the oracle twin of
+    * [[perDocNllOf]], so composed oracles (the end-to-end corpus DAG
+    * replay) can train the LM on a mid-chain CTE. Internal CTE names
+    * d/toks/bg/cuni/cbg/vocab/nllterms/perdoc are reserved.
+    */
+  def perDocNllOracleCtesOver(src: String): String =
+    s"""d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM $src
        |), toks AS (
        |  SELECT doc_id, unnest(toks) AS t FROM d
        |), bg AS (

@@ -199,10 +199,8 @@ object AnnIndexPipeline {
         // does not) — drop just the PREFIXED entry this run created,
         // so a session's own ann_* tables survive a registry run
         s.sql(s"DROP TABLE IF EXISTS `${pfx}ann_cells`")
-        // temp-dir delete (deepest-first walk); best-effort by design
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        // temp-dir delete; best-effort by design (stream-closing walk)
+        graft.engine.Scratch.deleteTree(wh)
       }
     },
     graft.ext.Similarity.ivfpqTopK.oracle)

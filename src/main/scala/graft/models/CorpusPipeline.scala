@@ -186,10 +186,15 @@ object CorpusPipeline {
       // window: at 100 TB the `en` partition is most of the corpus in
       // ONE sorted task under the window form, while the heap
       // aggregate ships ≤ DomainCap rows per (lang, task). The kept
-      // id set is identical to `row_number() <= DomainCap` (ties
-      // toward the smaller doc_id; quality is the gated 6dp score, so
-      // never NaN), and the ≤ DomainCap·|langs|-row keep list
-      // broadcasts back as a semi-join on the unique doc_id.
+      // id set is identical to `row_number() <= DomainCap` under
+      // topKPerGroup's HARD no-NaN/no-null score contract (see its
+      // scaladoc: the heap drops NaN where the window ranks it first)
+      // — satisfied here BY CONSTRUCTION: `quality` is the 6dp
+      // rounding of a score that passed `quality_raw >= QualityMin`
+      // in cleanBody (NaN fails every comparison), so no NaN or null
+      // reaches the heap. Ties break toward the smaller doc_id; the
+      // ≤ DomainCap·|langs|-row keep list broadcasts back as a
+      // semi-join on the unique doc_id.
       val kept = Windows.topKPerGroup(in("corpus_resampled"), Seq("lang"),
         col("quality"), col("doc_id"), Pipelines.DomainCap, idCol = "doc_id")
       in("corpus_resampled")

@@ -145,7 +145,8 @@ object SkewEval {
         graft.functions.TopKPairs.topk(col("q"), col("doc_id"), 50).as("tk"))
         .select(col("lang"), col("n_docs"),
           size(col("tk")).cast("long").as("n_kept"),
-          element_at(col("tk"), size(col("tk"))).getField("score").as("min_kept_quality"))
+          when(size(col("tk")) > 0,
+            element_at(col("tk"), size(col("tk"))).getField("score")).as("min_kept_quality"))
     val warmDocs = mkLangDocs(500L, 500L)
     timed("lang_cap", "warm", capWindow(warmDocs), silent = true)
     timed("lang_cap", "warm", capAgg(warmDocs), silent = true)
@@ -191,6 +192,57 @@ object SkewEval {
     val hashDocs = mkHashDocs(hot, cold)
     timed("hash_keep_first", "window", keepFirstWindow(hashDocs))
     timed("hash_keep_first", "aggregate", keepFirstAgg(hashDocs))
+
+    // ---- r19 arms (VERDICT r18 What's-wrong #1–2) -------------------
+
+    // lang ntile — the pre-r19 pipeline_curriculum shape: ntile flags
+    // EVERY row of its partition (no WindowGroupLimit rescue), so the
+    // window form sorts the whole mega-lang in one task; the grouped
+    // closed-form ntile range-splits it
+    def ntileWindow(docs: DataFrame): DataFrame =
+      docs.withColumn("phase", ntile(4).over(
+        Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))))
+    def ntileAgg(docs: DataFrame): DataFrame =
+      graft.engine.Windows.groupedNtile(docs, Seq("lang"),
+        Seq(col("q").desc, col("doc_id")), 4, "phase")
+    timed("lang_ntile", "warm", ntileWindow(warmDocs), silent = true)
+    timed("lang_ntile", "warm", ntileAgg(warmDocs), silent = true)
+    timed("lang_ntile", "window", ntileWindow(langDocs))
+    timed("lang_ntile", "aggregate", ntileAgg(langDocs))
+
+    // bin waterline — the pre-r19 budgetWaterline shape: a planted
+    // mega-bin (the boundary bin of a quality distribution with a
+    // heavy mode) serializes its within-bin prefix sum into one sorted
+    // task under the window form; groupedPrefixSum range-splits it.
+    // Both forms share the tiny per-bin rollup + unpartitioned
+    // ≤|bins|-row window, so the delta prices ONLY the within-bin sum.
+    def mkBinDocs(h: Long, c: Long): DataFrame =
+      spark.range(h).select(col("id").as("doc_id"), lit(500L).as("qbin"),
+        (col("id") % 97L + 1L).as("n_tokens"))
+        .unionAll(spark.range(h, h + c).select(col("id").as("doc_id"),
+          (col("id") % 1000L).as("qbin"), (col("id") % 97L + 1L).as("n_tokens")))
+    def waterlineWindow(base: DataFrame): DataFrame = {
+      val bins = base.groupBy("qbin").agg(sum("n_tokens").as("bin_tokens"))
+        .withColumn("better_tokens",
+          coalesce(sum(col("bin_tokens")).over(
+            Window.orderBy(col("qbin").desc).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("qbin", "better_tokens")
+      val wDoc = Window.partitionBy("qbin").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.join(bins, "qbin")
+        .withColumn("prior_tokens",
+          col("better_tokens") + coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
+        .withColumn("selected", col("prior_tokens") + col("n_tokens") <= 1000000L)
+    }
+    def waterlineAgg(base: DataFrame): DataFrame =
+      graft.ext.Pipelines.budgetWaterline(base, 1000000L)
+    val warmB = mkBinDocs(500L, 500L)
+    timed("bin_waterline", "warm", waterlineWindow(warmB), silent = true)
+    timed("bin_waterline", "warm", waterlineAgg(warmB), silent = true)
+    val binDocs = mkBinDocs(hot, cold)
+    timed("bin_waterline", "window", waterlineWindow(binDocs))
+    timed("bin_waterline", "aggregate", waterlineAgg(binDocs))
 
     spark.stop()
   }

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump every Window node in every registry plan with its partition
+  * keys (expr-ids stripped) — the generator for PlanSpec's mechanical
+  * partitioned-window allowlist (VERDICT r18 ask #3): the
+  * unpartitioned-window sweep made ONE degenerate class mechanical;
+  * this catalogs the partitioned-but-possibly-degenerate class so the
+  * spec can pin, per query, exactly which partition keys windows are
+  * allowed over.
+  *
+  * Usage: sbt "runMain graft.tools.WindowAudit [sfDir]"
+  * Prints one line per (query, window partition-key set).
+  */
+object WindowAudit {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val keys = fn(spark, d).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.nonEmpty =>
+            w.partitionSpec.map(e => e.sql.replaceAll("#\\d+", "")).sorted.mkString(",")
+        }.toSet
+        keys.toSeq.sorted.foreach(k => println(s"""WINAUDIT\t$name\t$k"""))
+      } catch {
+        case e: Throwable => println(s"""WINAUDIT_ERR\t$name\t${e.getClass.getSimpleName}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -57,8 +57,10 @@ object WritersEval {
         val t0 = System.nanoTime()
         sink.write("codes", codes)
         val dt = (System.nanoTime() - t0) / 1e9
-        val files = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/w$w"))
-          .filter(p => p.toString.endsWith(".parquet")).count()
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/w$w"))
+        val files =
+          try st.filter(p => p.toString.endsWith(".parquet")).count()
+          finally st.close()
         println(s"""{"config":"writers_$w","rows":$n,"cells":$Cells,""" +
           s""""files":$files,"wall_s":$dt,"dir":"$dir"}""")
       }

@@ -83,6 +83,74 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("groupedRowNumber equals the per-group row_number window for every partitioning") {
+    import spark.implicits._
+    // one degenerate group (~80% of rows) with a DESC sort key and
+    // heavy ties forcing the id tiebreak, plus singleton groups
+    val rows = (1 to 800).map(i => (0, i.toLong, (i % 7).toDouble)) ++
+      (801 to 1000).map(i => (i % 17 + 1, i.toLong, (i % 3).toDouble))
+    val df = rows.toDF("g", "id", "s")
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("id"))
+    val expected = df.withColumn("rn", row_number().over(w).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    for (parts <- Seq(1, 3, 32)) {
+      val got = Windows.groupedRowNumber(df, Seq("g"),
+        Seq(col("s").desc, col("id")), "rn", parts)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+      assert(got.toSeq === expected.toSeq, s"partitions=$parts")
+    }
+  }
+
+  test("groupedNtile equals the per-group ntile window for every partitioning") {
+    import spark.implicits._
+    // the curriculum shape: a mega-group, groups around the n mod
+    // buckets boundaries, and groups SMALLER than the bucket count
+    val rows = (1 to 800).map(i => (0, i.toLong, (i % 9).toDouble)) ++
+      (801 to 980).map(i => (i % 11 + 1, i.toLong, (i % 4).toDouble)) ++
+      (981 to 983).map(i => (99, i.toLong, 0.0)) // group of 3 < 4 buckets
+    val df = rows.toDF("g", "id", "s")
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("id"))
+    val expected = df.withColumn("phase", ntile(4).over(w))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    for (parts <- Seq(1, 3, 32)) {
+      val got = Windows.groupedNtile(df, Seq("g"),
+        Seq(col("s").desc, col("id")), 4, "phase", parts)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+      assert(got.toSeq === expected.toSeq, s"partitions=$parts")
+    }
+  }
+
+  test("budgetWaterline equals its per-qbin-window form on a mega-bin shape") {
+    import spark.implicits._
+    // one boundary mega-bin + sparse bins, budget landing INSIDE the
+    // mega-bin so the greedy within-bin fill decides selection
+    val rows = (1 to 700).map(i => (i.toLong, 500L, (i % 13).toLong + 1)) ++
+      (701 to 1000).map(i => (i.toLong, (i % 40).toLong * 25, (i % 7).toLong + 1))
+    val base = rows.toDF("doc_id", "qbin", "n_tokens")
+    val budget = 1500L
+    val bins = base.groupBy("qbin").agg(sum("n_tokens").as("bin_tokens"))
+      .withColumn("better_tokens",
+        coalesce(sum(col("bin_tokens")).over(
+          Window.orderBy(col("qbin").desc).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("qbin", "better_tokens")
+    val wDoc = Window.partitionBy("qbin").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = base.join(bins, "qbin")
+      .withColumn("prior_tokens",
+        col("better_tokens") + coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
+      .withColumn("selected", col("prior_tokens") + col("n_tokens") <= budget)
+      .select("doc_id", "qbin", "n_tokens", "prior_tokens", "selected")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).sorted
+    val got = graft.ext.Pipelines.budgetWaterline(base, budget)
+      .select("doc_id", "qbin", "n_tokens", "prior_tokens", "selected")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).sorted
+    assert(got.toSeq === expected.toSeq)
+    // sanity: the budget actually bites inside the mega-bin
+    val sel = got.filter(_._5)
+    assert(sel.nonEmpty && sel.length < got.length)
+  }
+
   test("ntileFromRowNumber matches Spark ntile across n mod buckets boundaries") {
     import spark.implicits._
     for (n <- Seq(3, 5, 7, 100, 101, 104)) {
