@@ -69,9 +69,14 @@ object Sessions {
   // THE SCALE SHAPE IS THE POINT: a naive global running sum is a
   // single-partition window over a corpus-sized transition table. This
   // plan is the two-level prefix sum expressed declaratively — the
-  // intra-day running sum partitions BY DAY (parallel, day-bounded),
+  // intra-day running sum is [[graft.engine.Windows.groupedPrefixSum]]
+  // over `day` (a per-day WINDOW would bound the TASK COUNT by the
+  // calendar but not the task SIZE: one day of a 100 TB event stream
+  // is billions of distinct boundary timestamps in ONE sorted task —
+  // the same mass-vs-task-size trap as the budget waterline's qbin;
+  // the primitive range-splits a hot day across partitions instead),
   // the daily NET deltas collapse to a |days|-row table, and the only
-  // global window runs over THAT (the repo's daily-collapse
+  // unpartitioned window runs over THAT (the repo's daily-collapse
   // convention: bounded by the calendar, not the corpus). Peak(day) =
   // start-of-day concurrency (global cumsum of prior days' nets) +
   // max intra-day prefix. Identical algebra to the oracle's direct
@@ -98,10 +103,8 @@ object Sessions {
         .select(col("t.us").as("us"), col("t.delta").as("delta"))
         .groupBy("us").agg(sum(col("delta")).as("delta"))
         .withColumn("day", to_date(timestamp_micros(col("us"))))
-      val wIntra = Window.partitionBy("day").orderBy("us")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val perDay = trans
-        .withColumn("run", sum(col("delta")).over(wIntra))
+      val perDay = graft.engine.Windows
+        .groupedPrefixSum(trans, Seq("day"), Seq(col("us")), col("delta"), "run")
         .groupBy("day")
         .agg(max(col("run")).as("max_run"), sum(col("delta")).as("net"),
           count(lit(1)).as("n_transitions"))

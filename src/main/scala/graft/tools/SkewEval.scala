@@ -244,6 +244,36 @@ object SkewEval {
     timed("bin_waterline", "window", waterlineWindow(binDocs))
     timed("bin_waterline", "aggregate", waterlineAgg(binDocs))
 
+    // day sweep-line — the pre-r19 events_concurrency shape: the
+    // intra-day running sum of boundary deltas partitioned BY DAY
+    // bounds the task COUNT by the calendar but not the task SIZE (a
+    // hot day's distinct timestamps all land in one sorted task);
+    // groupedPrefixSum range-splits the hot day. Planted: one mega-day
+    // holding `hot` distinct-microsecond deltas over `cold` deltas
+    // spread across ~1000 cold days.
+    def mkDayTrans(h: Long, c: Long): DataFrame =
+      spark.range(h).select((lit(86400000000L) + col("id")).as("us"),
+        when(col("id") % 3 === 0, -1L).otherwise(1L).as("delta"))
+        .unionAll(spark.range(c).select(
+          ((col("id") % 1000L + 2L) * 86400000000L + col("id")).as("us"),
+          when(col("id") % 2 === 0, -1L).otherwise(1L).as("delta")))
+        .withColumn("day", to_date(timestamp_micros(col("us"))))
+    def sweepWindow(trans: DataFrame): DataFrame =
+      trans.withColumn("run", sum(col("delta")).over(
+        Window.partitionBy("day").orderBy("us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("day").agg(max("run").as("max_run"), sum("delta").as("net"))
+    def sweepAgg(trans: DataFrame): DataFrame =
+      graft.engine.Windows.groupedPrefixSum(trans, Seq("day"),
+        Seq(col("us")), col("delta"), "run")
+        .groupBy("day").agg(max("run").as("max_run"), sum("delta").as("net"))
+    val warmT = mkDayTrans(500L, 500L)
+    timed("day_sweepline", "warm", sweepWindow(warmT), silent = true)
+    timed("day_sweepline", "warm", sweepAgg(warmT), silent = true)
+    val dayTrans = mkDayTrans(hot, cold)
+    timed("day_sweepline", "window", sweepWindow(dayTrans))
+    timed("day_sweepline", "aggregate", sweepAgg(dayTrans))
+
     spark.stop()
   }
 }

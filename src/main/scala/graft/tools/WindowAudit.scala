@@ -24,13 +24,21 @@ object WindowAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // The ANALYZED plan, not the optimized one: cache substitution
+    // (CacheManager.useCachedData) rewrites optimized plans through
+    // InMemoryRelation whenever an EARLIER query persisted a matching
+    // subtree, so optimized-plan window sets depend on build ORDER —
+    // the analyzed plan is cache-independent (and cache-hidden windows
+    // still run on a cold cache, so it is also truer to the audit's
+    // intent). Lineage truncated through RDDs (checkpointed loops)
+    // stays invisible either way; those stages are priced separately.
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val keys = fn(spark, d).queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.nonEmpty =>
-            w.partitionSpec.map(e => e.sql.replaceAll("#\\d+", "")).sorted.mkString(",")
-        }.toSet
-        keys.toSeq.sorted.foreach(k => println(s"""WINAUDIT\t$name\t$k"""))
+        val wins = fn(spark, d).queryExecution.analyzed.collect { case w: LWindow => w }
+        if (wins.exists(_.partitionSpec.isEmpty)) println(s"""WINAUDIT\t$name\t<GLOBAL>""")
+        wins.filter(_.partitionSpec.nonEmpty)
+          .map(_.partitionSpec.map(e => e.sql.replaceAll("#\\d+", "")).sorted.mkString(","))
+          .toSet.toSeq.sorted.foreach(k => println(s"""WINAUDIT\t$name\t$k"""))
       } catch {
         case e: Throwable => println(s"""WINAUDIT_ERR\t$name\t${e.getClass.getSimpleName}""")
       }

@@ -43,6 +43,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  /** One ANALYZED-plan pass over the whole registry, shared by both
+    * window sweeps (building every plan — including the rows that
+    * materialize whole DAGs — is the expensive part; collecting twice
+    * would double it). Analyzed, NOT optimized: cache substitution
+    * (CacheManager.useCachedData) rewrites optimized plans through
+    * InMemoryRelation whenever an earlier-built query persisted a
+    * matching subtree, making optimized-plan window sets depend on
+    * build ORDER; the analyzed plan is cache-independent, and a
+    * cache-hidden window still runs on a cold cache, so analyzed is
+    * also truer to the sweep's intent. Maps name → Window nodes.
+    */
+  private lazy val registryWindows
+      : Map[String, Seq[org.apache.spark.sql.catalyst.plans.logical.Window]] =
+    SparkEntry.queries.toSeq.map { case (name, fn) =>
+      name -> fn(spark, d).queryExecution.analyzed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    }.toMap
+
   test("unpartitioned windows appear ONLY over bounded collapses (exact allowlist)") {
     // The mechanical form of SURVEY §9.3's window audit (r17 VERDICT
     // falsified the prose version): an empty partitionSpec moves the
@@ -58,7 +77,6 @@ class PlanSpec extends SparkSpec {
     // is exact in both directions, so adding an unpartitioned window
     // to any other row fails here, and converting one of these
     // without pruning the list fails too.
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val boundedCollapse = Set(
       "dedup_semdedup_auto", "dedup_semdedup_multi", "dedup_semdedup_probe",
       "dedup_shingle_profile", "events_concurrency", "events_decayed_counts",
@@ -70,17 +88,143 @@ class PlanSpec extends SparkSpec {
       "privacy_k_anonymity", "privacy_l_diversity", "privacy_t_closeness",
       "text_countmin_hitters", "text_heaps_law", "text_heavy_hitters",
       "text_jsd_sources", "text_langid_eval", "text_rake_keywords")
-    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      val bad = fn(spark, d).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty => w
-      }
-      if (bad.isEmpty) None else Some(name)
+    val offenders = registryWindows.collect {
+      case (name, ws) if ws.exists(_.partitionSpec.isEmpty) => name
     }.toSet
     assert((offenders -- boundedCollapse).isEmpty,
       s"NEW unpartitioned window (route through Windows.globalRowNumber/" +
         s"groupedPrefixSum or justify here): ${(offenders -- boundedCollapse).toSeq.sorted.mkString(", ")}")
     assert((boundedCollapse -- offenders).isEmpty,
       s"stale allowlist entries (row converted — prune): ${(boundedCollapse -- offenders).toSeq.sorted.mkString(", ")}")
+  }
+
+  test("partitioned windows run only over scale-safe keys (exact allowlist)") {
+    // The PARTITIONED analogue of the sweep above (VERDICT r18 ask #3):
+    // a keyed window is scale-safe only if no single key's posting can
+    // grow with the corpus — a window PARTITION BY lang/qbin/day over
+    // row-scaled data bounds the task COUNT, not the task SIZE (the
+    // degenerate-group family: r18 converted cap/pack/keep-first, r19
+    // converted curriculum/waterline/concurrency). Every window below
+    // is classified by WHY its key is safe; the map is exact in both
+    // directions, so a new window over an unclassified key fails here
+    // and a converted one fails until pruned. Key-set strings are the
+    // window's partition columns, name-sorted, comma-joined
+    // (expr-ids stripped) — `tools/WindowAudit` regenerates them.
+    //
+    // Classes:
+    //  ENTITY    key cardinality scales WITH the data, so per-key
+    //            postings stay bounded by construction (per-doc,
+    //            per-query, per-vector, per-user, per-node, per-token,
+    //            LSH bucket/band, PQ block, audio fingerprint).
+    //  TASK      key includes __pid (spark_partition_id) — the
+    //            two-phase Windows primitives' local pass; one task's
+    //            slice by definition.
+    //  COLLAPSED the window's INPUT is already aggregated to a bounded
+    //            domain before the window (vocab per lang, |types|²
+    //            transition matrix, attribute-domain privacy counts,
+    //            calendar grain), so even a degenerate key sees a
+    //            bounded relation.
+    //  DEMO      demo-contract rows (scaladoc'd): the plain as-of
+    //            variants whose bucketed twins are the scale path, and
+    //            the window_* showcase rows (GroupLimit-pinned or
+    //            calendar-collapsed).
+    val allowed: Map[String, Set[String]] = Map(
+      // ---- ENTITY --------------------------------------------------
+      "ann_hybrid_rrf" -> Set("q_id"),
+      "ann_ivf_kmeans_topk" -> Set("q_id", "vec_id"),
+      "ann_ivf_topk" -> Set("q_id"),
+      "ann_ivfpq_topk" -> Set("blk,vec_id", "q_id", "vec_id"),
+      "ann_mmr_rerank" -> Set("q_id"),
+      "ann_pq_topk" -> Set("blk,vec_id"),
+      "dedup_containment" -> Set("doc_id"),
+      "dedup_cross_source" -> Set("doc_id"),
+      "dedup_embedding_lsh" -> Set("bucket,table"),
+      "dedup_incremental" -> Set("doc_id"),
+      "dedup_jaccard_pairs" -> Set("doc_id"),
+      "dedup_minhash_estimate" -> Set("doc_id"),
+      "dedup_minhash_lsh" -> Set("band,key", "doc_id"),
+      "dedup_minhash_occupancy" -> Set("doc_id"),
+      "dedup_ngram_novelty" -> Set("doc_id"),
+      "dedup_recall_eval" -> Set("band,key", "doc_id"),
+      "dedup_semdedup" -> Set("vec_id"),
+      "dedup_semdedup_occupancy" -> Set("vec_id"),
+      "dedup_shingle_profile" -> Set("doc_id"),
+      "dedup_substring_clean" -> Set("doc_id"),
+      "emb_cluster_keywords" -> Set("cluster", "vec_id"), // cluster: vocab×k COLLAPSED
+      "emb_kmeans_assign" -> Set("vec_id"),
+      "events_asof_nearest" -> Set("user_id"),
+      "events_asof_tolerance" -> Set("user_id"),
+      "events_attribution" -> Set("p_id,user_id"),
+      "events_cadence" -> Set("user_id"),
+      "events_debounce" -> Set("event_type,user_id"),
+      "events_growth_accounting" -> Set("user_id"),
+      "events_sessionize" -> Set("user_id"),
+      "events_streaks" -> Set("user_id"),
+      "events_survival_km" -> Set("sess,user_id", "user_id"),
+      "events_top_paths" -> Set("user_id"),
+      "graph_link_prediction" -> Set("doc_id"),
+      "graph_pagerank" -> Set("src", "user_id"),
+      "graph_triangles" -> Set("user_id"),
+      "join_interval_overlap" -> Set("user_id"),
+      "multimodal_audio_dedup" -> Set("envelope_bits,peak_window"),
+      "pipeline_decontaminate" -> Set("doc_id"),
+      "pipeline_quality_resample" -> Set("doc_id"),
+      "text_collocation_pmi" -> Set("doc_id", "lang"), // lang: bigram-vocab COLLAPSED
+      "text_heaps_law" -> Set("t"), // per-token over (t, bucket) counts
+      "text_lm_perplexity" -> Set("doc_id"),
+      "text_rake_keywords" -> Set("doc_id"),
+      "text_repetition" -> Set("doc_id"),
+      "text_tfidf_top_terms" -> Set("doc_id"),
+      "text_winnow_fingerprints" -> Set("doc_id"),
+      // ---- TASK (two-phase Windows primitives) ---------------------
+      "customer_rfm" -> Set("__pid"),
+      "dedup_record_linkage" -> Set("__pid"),
+      "dedup_sorted_neighborhood" -> Set("__pid"),
+      "events_concurrency" -> Set("__pid,day", "user_id"), // r19 conversion
+      "events_gini" -> Set("__pid"),
+      "pipeline_curriculum" -> Set("__pid,lang"),
+      "pipeline_pack_sequences" -> Set("__pid,lang"),
+      "pipeline_token_budget" -> Set("__pid,qbin"),
+      "text_vocab_coverage" -> Set("__pid"),
+      // ---- COLLAPSED (bounded-domain input) ------------------------
+      "events_entropy_daily" -> Set("day"), // over (day, type) counts
+      "events_transition_matrix" -> Set("from_type", "user_id"), // |types|² matrix
+      "graph_kcore_words" -> Set("lang"), // vocab-bounded core degrees
+      "privacy_t_closeness" -> Set("c_mktsegment", "c_nationkey"), // 25×5 domain
+      "text_jsd_sources" -> Set("source"), // (source, t) vocab counts
+      "text_langid_eval" -> Set("declared_lang"), // |langs|² confusion
+      "text_term_drift" -> Set("lang"), // (lang, t) vocab counts
+      "text_textrank_keywords" -> Set("doc_id", "lang", "lang,src"), // vocab graph
+      "text_top_bigrams" -> Set("doc_id", "lang"), // bigram-vocab ranks
+      "text_zipf_slope" -> Set("lang"), // (lang, t) vocab counts
+      "window_pareto_share" -> Set("n_name"), // ≤25-nation collapse
+      // ---- DEMO (scaladoc'd demo contract; bucketed/GroupLimit twins)
+      "events_asof_next" -> Set("event_type"),
+      "events_asof_next_bucketed" -> Set("_bucket,event_type", "event_type"),
+      "events_asof_rates" -> Set("event_type"),
+      "events_asof_rates_bucketed" -> Set("_bucket,event_type", "event_type"),
+      "window_rank_suite" -> Set("c_nationkey"),
+      "window_rolling_range" -> Set("event_type"),
+      "window_topk_per_group" -> Set("event_type"),
+      "window_wow_change" -> Set("event_type"))
+    val got: Map[String, Set[String]] = registryWindows.flatMap { case (name, ws) =>
+      val keys = ws.filter(_.partitionSpec.nonEmpty)
+        .map(_.partitionSpec.map(_.sql.replaceAll("#\\d+", "")).sorted.mkString(","))
+        .toSet
+      if (keys.isEmpty) None else Some(name -> keys)
+    }
+    val newQueries = got.keySet -- allowed.keySet
+    assert(newQueries.isEmpty,
+      s"UNCLASSIFIED partitioned window (classify its key here or convert): " +
+        newQueries.toSeq.sorted.map(n => s"$n=${got(n).toSeq.sorted.mkString("|")}").mkString(", "))
+    val stale = allowed.keySet -- got.keySet
+    assert(stale.isEmpty,
+      s"stale allowlist entries (windows converted — prune): ${stale.toSeq.sorted.mkString(", ")}")
+    val drifted = allowed.keySet.intersect(got.keySet).filter(n => allowed(n) != got(n))
+    assert(drifted.isEmpty,
+      "partition-key drift (re-classify): " + drifted.toSeq.sorted
+        .map(n => s"$n got=${got(n).toSeq.sorted.mkString("|")} allowed=${allowed(n).toSeq.sorted.mkString("|")}")
+        .mkString(", "))
   }
 
   test("no query in the registry plans a cartesian product") {
@@ -713,10 +857,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("concurrency sweep line scans events ONCE; no corpus-sized global window") {
-    // sessions -> +-1 transitions -> per-day prefix + days-collapse
-    // global cumsum: the whole pipeline forks from ONE events scan
-    // (the transition fan-out is an in-plan explode, not a re-read),
-    // and the only unpartitioned window runs over the |days| collapse
+    // sessions -> +-1 transitions -> groupedPrefixSum intra-day prefix
+    // (r19: a per-day WINDOW bounded task count, not task size) +
+    // days-collapse global cumsum: the whole pipeline forks from ONE
+    // events scan (the transition fan-out is an in-plan explode, the
+    // prefix primitive's offsets side reuses the range exchange), and
+    // the only unpartitioned window runs over the |days| collapse
     val p = finalPlan(graft.ext.Sessions.concurrency.build(spark, d))
     assert(parquetScans(p) === 1, s"events must be scanned once:\n$p")
   }

@@ -151,6 +151,34 @@ class WindowsSpec extends SparkSpec {
     assert(sel.nonEmpty && sel.length < got.length)
   }
 
+  test("concurrency two-level sweep equals the direct global running-sum form") {
+    import spark.implicits._
+    // synthetic boundary deltas spanning 3 days with one HOT day (~80%
+    // of transitions) — the shape whose per-day window serializes; the
+    // two-level algebra (groupedPrefixSum intra-day + |days| net
+    // cumsum) must reproduce the direct global cumsum's per-day peaks
+    val rows = (1 to 800).map(i => (86400000000L + i * 1000L, if (i % 3 == 0) -1L else 1L)) ++
+      (1 to 100).map(i => (2 * 86400000000L + i * 7000L, if (i % 2 == 0) -1L else 1L)) ++
+      (1 to 100).map(i => (3 * 86400000000L + i * 3000L, if (i % 4 == 0) -1L else 1L))
+    val trans = rows.toDF("us", "delta")
+      .groupBy("us").agg(sum("delta").as("delta"))
+      .withColumn("day", to_date(timestamp_micros(col("us"))))
+    val direct = trans
+      .withColumn("run", sum(col("delta")).over(
+        Window.orderBy("us").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("day").agg(max("run").as("peak"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).sorted
+    val perDay = Windows.groupedPrefixSum(trans, Seq("day"), Seq(col("us")), col("delta"), "run")
+      .groupBy("day")
+      .agg(max(col("run")).as("max_run"), sum(col("delta")).as("net"))
+    val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val twoLevel = perDay
+      .withColumn("day_start", coalesce(sum(col("net")).over(wDays), lit(0L)))
+      .select(col("day"), (col("day_start") + col("max_run")).as("peak"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).sorted
+    assert(twoLevel.toSeq === direct.toSeq)
+  }
+
   test("ntileFromRowNumber matches Spark ntile across n mod buckets boundaries") {
     import spark.implicits._
     for (n <- Seq(3, 5, 7, 100, 101, 104)) {
