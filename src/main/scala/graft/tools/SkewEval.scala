@@ -274,6 +274,31 @@ object SkewEval {
     timed("day_sweepline", "window", sweepWindow(dayTrans))
     timed("day_sweepline", "aggregate", sweepAgg(dayTrans))
 
+    // cap KEEP-SET selection (VERDICT r18 ask #7): topKPerGroup's
+    // contract returns (rank, score, id) pairs and callers join back
+    // to keep full rows (the corpus_capped shape). Price the three
+    // forms on the planted mega-lang: the rn≤k FILTER window (this one
+    // IS WindowGroupLimit-rescued, so it is the strongest fair
+    // baseline, unlike lang_cap's un-rescued flag shape), the heap +
+    // join-back, and the heap alone (isolating what the join-back
+    // costs — the decision input for a struct-payload heap variant).
+    def keepWindow(docs: DataFrame): DataFrame = {
+      val w = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
+      docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 50)
+        .select("doc_id", "lang", "q", "n_tokens")
+    }
+    def keepHeapOnly(docs: DataFrame): DataFrame =
+      graft.engine.Windows.topKPerGroup(docs, Seq("lang"), col("q"),
+        col("doc_id"), 50, idCol = "doc_id")
+    def keepJoinBack(docs: DataFrame): DataFrame =
+      docs.join(keepHeapOnly(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "q", "n_tokens")
+    timed("cap_keepset", "warm", keepWindow(warmDocs), silent = true)
+    timed("cap_keepset", "warm", keepJoinBack(warmDocs), silent = true)
+    timed("cap_keepset", "window_grouplimit", keepWindow(langDocs))
+    timed("cap_keepset", "heap_only", keepHeapOnly(langDocs))
+    timed("cap_keepset", "heap_join_back", keepJoinBack(langDocs))
+
     spark.stop()
   }
 }
