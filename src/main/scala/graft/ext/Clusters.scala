@@ -586,10 +586,46 @@ object Clusters {
     },
     semdedupKeep.oracle)
 
+  // ------------------------------------------------------------------
+  // The near-dup funnel's PRODUCTION-DAG emit through the driver's
+  // hash gate — completing the pattern across all three DAG models
+  // (SemanticDedupFunnel r18, CorpusPipeline r19's packed_docs, and
+  // now models.DedupFunnel): dedup_keep_best verifies the standalone
+  // composition that rebuilds the pair graph in-query; this row
+  // materializes the funnel (pairs table → label fixpoint → keep
+  // list) into a temp warehouse, gates on its model tests (unique
+  // label per doc, one row per cluster), and returns the
+  // dedup_keep_list TABLE AS WRITTEN against the identical
+  // recursive-CTE + argmax oracle — so the materialized shape a
+  // production user actually runs (pairs verified ONCE, consumers
+  // read kilobyte parquet) is driver-verified, not just
+  // EngineSpec-pinned. Bounded collect by construction: one row per
+  // keep cluster ≤ |documents| = 500 by harness contract.
+  // Storage-neutral: the component fixpoint's retained loop-state
+  // caches release with the Caches scope; the temp warehouse deletes.
+  // ------------------------------------------------------------------
+  val dedupFunnelKeep: Q = Q(
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-dedupfunnel-reg")
+      try {
+        graft.engine.Caches.scoped {
+          val r = graft.models.DedupFunnel.run(s, d,
+            new graft.engine.TableSink.Parquet(wh.toString))
+          require(r.allTestsPassed && r.skipped.isEmpty,
+            s"funnel gated: ${r.tests.filterNot(_.passed).mkString(", ")}")
+          val out = r("dedup_keep_list")
+          s.createDataFrame(
+            java.util.Arrays.asList(out.collect(): _*), out.schema)
+        }
+      } finally graft.engine.Scratch.deleteTree(wh)
+    },
+    dedupKeepBest.oracle)
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_components" -> dedupComponents,
     "dedup_components_star" -> dedupComponentsStar,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_semdedup_keep" -> semdedupKeep,
-    "dedup_semdedup_funnel_keep" -> semdedupFunnelKeep)
+    "dedup_semdedup_funnel_keep" -> semdedupFunnelKeep,
+    "dedup_funnel_keep" -> dedupFunnelKeep)
 }

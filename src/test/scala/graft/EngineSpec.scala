@@ -381,6 +381,18 @@ class EngineSpec extends SparkSpec {
       s"pair grid re-runs the centroid assignment grid:\n$consumerPlan")
   }
 
+  test("dedup_funnel_keep registry row equals the standalone keep-best through the materialized DAG") {
+    // the r19 row materializes models.DedupFunnel into a temp
+    // warehouse, gates on its model tests, and publishes the WRITTEN
+    // keep list — this pins the whole lifecycle (writes, read-back,
+    // bounded collect, cache scope) row-identical to the standalone
+    // composition whose oracle the row shares
+    val d = sf("0.001")
+    assert(graft.ext.Clusters.dedupFunnelKeep.build(spark, d)
+      .orderBy("cluster_id").collect().toSeq ===
+      graft.ext.Clusters.dedupKeepBest.build(spark, d).collect().toSeq)
+  }
+
   test("ANN index DAG: materialized search equals the in-query registry result; report conserves") {
     val d = sf("0.001")
     val wh = java.nio.file.Files.createTempDirectory("graft-annidx").toString
