@@ -10,8 +10,18 @@ import org.apache.spark.sql.SparkSession
   * spec can pin, per query, exactly which partition keys windows are
   * allowed over.
   *
+  * Since r19 the dump also catalogs UNBOUNDED-STATE COLLECTORS
+  * (`collect_list`/`collect_set`) with their grouping keys (COLAUDIT
+  * lines) — the aggregate-side twin of the degenerate-key window
+  * family: partial aggregation bounds a sum/min/heap state by
+  * CONSTRUCTION, but a collector's state is the group's row count, so
+  * a collector grouped by a hot key rebuilds the very
+  * whole-group-in-one-buffer shape the window conversions engineered
+  * out. PlanSpec pins these to an exact per-query key allowlist too.
+  *
   * Usage: sbt "runMain graft.tools.WindowAudit [sfDir]"
-  * Prints one line per (query, window partition-key set).
+  * Prints one line per (query, window partition-key set) and one per
+  * (query, collector grouping-key set).
   */
 object WindowAudit {
   def main(args: Array[String]): Unit = {
@@ -23,7 +33,8 @@ object WindowAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     // The ANALYZED plan, not the optimized one: cache substitution
     // (CacheManager.useCachedData) rewrites optimized plans through
     // InMemoryRelation whenever an EARLIER query persisted a matching
@@ -34,11 +45,21 @@ object WindowAudit {
     // stays invisible either way; those stages are priced separately.
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val wins = fn(spark, d).queryExecution.analyzed.collect { case w: LWindow => w }
+        val plan = fn(spark, d).queryExecution.analyzed
+        val wins = plan.collect { case w: LWindow => w }
         if (wins.exists(_.partitionSpec.isEmpty)) println(s"""WINAUDIT\t$name\t<GLOBAL>""")
         wins.filter(_.partitionSpec.nonEmpty)
           .map(_.partitionSpec.map(e => e.sql.replaceAll("#\\d+", "")).sorted.mkString(","))
           .toSet.toSeq.sorted.foreach(k => println(s"""WINAUDIT\t$name\t$k"""))
+        plan.collect {
+          case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+                case _: CollectList | _: CollectSet => true
+                case _ => false
+              }) =>
+            if (a.groupingExpressions.isEmpty) "<GLOBAL>"
+            else a.groupingExpressions
+              .map(_.sql.replaceAll("#\\d+", "")).sorted.mkString(",")
+        }.toSet.toSeq.sorted.foreach(k => println(s"""COLAUDIT\t$name\t$k"""))
       } catch {
         case e: Throwable => println(s"""WINAUDIT_ERR\t$name\t${e.getClass.getSimpleName}""")
       }

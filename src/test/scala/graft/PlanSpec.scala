@@ -43,24 +43,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  /** One ANALYZED-plan pass over the whole registry, shared by both
-    * window sweeps (building every plan — including the rows that
-    * materialize whole DAGs — is the expensive part; collecting twice
-    * would double it). Analyzed, NOT optimized: cache substitution
-    * (CacheManager.useCachedData) rewrites optimized plans through
-    * InMemoryRelation whenever an earlier-built query persisted a
-    * matching subtree, making optimized-plan window sets depend on
-    * build ORDER; the analyzed plan is cache-independent, and a
-    * cache-hidden window still runs on a cold cache, so analyzed is
-    * also truer to the sweep's intent. Maps name → Window nodes.
+  /** One ANALYZED-plan pass over the whole registry, shared by the
+    * window sweeps AND the collector sweep (building every plan —
+    * including the rows that materialize whole DAGs — is the expensive
+    * part; collecting per-sweep would multiply it). Analyzed, NOT
+    * optimized: cache substitution (CacheManager.useCachedData)
+    * rewrites optimized plans through InMemoryRelation whenever an
+    * earlier-built query persisted a matching subtree, making
+    * optimized-plan node sets depend on build ORDER; the analyzed plan
+    * is cache-independent, and a cache-hidden node still runs on a
+    * cold cache, so analyzed is also truer to the sweeps' intent.
     */
+  private lazy val registryPlans
+      : Map[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    SparkEntry.queries.toSeq.map { case (name, fn) =>
+      name -> fn(spark, d).queryExecution.analyzed
+    }.toMap
+
   private lazy val registryWindows
       : Map[String, Seq[org.apache.spark.sql.catalyst.plans.logical.Window]] =
-    SparkEntry.queries.toSeq.map { case (name, fn) =>
-      name -> fn(spark, d).queryExecution.analyzed.collect {
+    registryPlans.map { case (name, p) =>
+      name -> p.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
-    }.toMap
+    }
 
   test("unpartitioned windows appear ONLY over bounded collapses (exact allowlist)") {
     // The mechanical form of SURVEY §9.3's window audit (r17 VERDICT
@@ -225,6 +231,129 @@ class PlanSpec extends SparkSpec {
       "partition-key drift (re-classify): " + drifted.toSeq.sorted
         .map(n => s"$n got=${got(n).toSeq.sorted.mkString("|")} allowed=${allowed(n).toSeq.sorted.mkString("|")}")
         .mkString(", "))
+  }
+
+  test("unbounded-state collectors group only over scale-safe keys (exact allowlist)") {
+    // The third operator class of the degenerate-key audit (r18:
+    // unpartitioned windows; r19: partitioned windows; this sweep:
+    // AGGREGATES). Partial aggregation bounds a sum/min/max/heap state
+    // by CONSTRUCTION, so groupBy over a hot key is safe for those —
+    // but `collect_list`/`collect_set` state is the group's ELEMENT
+    // COUNT: a collector grouped by a degeneracy-prone key rebuilds
+    // exactly the whole-group-in-one-buffer shape the window
+    // conversions engineered out (the map-side partial buffers every
+    // element too, so it is the collector's INPUT that must be
+    // bounded, not just its post-shuffle merge). Every collector
+    // below is classified by WHY its per-group element count cannot
+    // scale with the corpus; the map is exact in both directions.
+    // Key strings are the Aggregate's grouping expressions,
+    // name-sorted, comma-joined, expr-ids stripped, "<GLOBAL>" for a
+    // global aggregate — `tools/WindowAudit` (COLAUDIT lines)
+    // regenerates them.
+    //
+    // Classes:
+    //  ENTITY    grouped per doc/vector/query/media/session — the
+    //            collected elements are the entity's own tokens /
+    //            shingles / codebook candidates, bounded by the
+    //            entity, never the corpus.
+    //  PARTS     the two-phase Windows primitives' offset assembly:
+    //            elements are per-(pid, group) partial sums, ≤ the
+    //            shuffle-partition count per group regardless of key
+    //            skew. Mechanically verified below: every collector
+    //            under a PARTS keyset must reference __pid.
+    //  COLLAPSED the collector's input is already aggregated to a
+    //            bounded domain (embedding dims per centroid/codeword,
+    //            calendar days per series, duration grain per stratum)
+    //            — a degenerate group still sees a bounded relation.
+    val ENTITY = "ENTITY"; val PARTS = "PARTS"; val COLLAPSED = "COLLAPSED"
+    val allowed: Map[String, Map[String, String]] = Map(
+      "ann_ivf_kmeans_topk" -> Map("cluster" -> COLLAPSED), // centroid recompute: ≤Dim (pos, avg) structs
+      "ann_ivf_topk" -> Map("label" -> COLLAPSED), // centroids(): ≤Dim structs
+      "ann_ivfpq_topk" -> Map("blk,code" -> COLLAPSED, "cluster" -> COLLAPSED), // PQ codebook + coarse centroids: ≤Dim
+      "ann_mmr_rerank" -> Map("q_id" -> ENTITY), // ≤C candidates / C² sims per query (posting-capped)
+      "ann_pq_topk" -> Map("blk,code" -> COLLAPSED), // PQ codebook: ≤Dim structs per codeword
+      "customer_rfm" -> Map("<GLOBAL>" -> PARTS),
+      "dedup_containment" -> Map("doc_id" -> ENTITY),
+      "dedup_incremental" -> Map("doc_id" -> ENTITY),
+      "dedup_jaccard_pairs" -> Map("doc_id" -> ENTITY),
+      "dedup_minhash_estimate" -> Map("doc_id" -> ENTITY),
+      "dedup_minhash_lsh" -> Map("doc_id" -> ENTITY),
+      "dedup_minhash_occupancy" -> Map("doc_id" -> ENTITY),
+      "dedup_ngram_novelty" -> Map("doc_id" -> ENTITY),
+      "dedup_recall_eval" -> Map("doc_id" -> ENTITY),
+      "dedup_record_linkage" -> Map("<GLOBAL>" -> PARTS),
+      "dedup_semdedup" -> Map("cluster" -> COLLAPSED), // Lloyd recompute: ≤Dim per cluster
+      "dedup_semdedup_auto" -> Map("cluster" -> COLLAPSED),
+      "dedup_semdedup_multi" -> Map("cluster" -> COLLAPSED),
+      "dedup_semdedup_occupancy" -> Map("cluster" -> COLLAPSED),
+      "dedup_semdedup_probe" -> Map("cluster" -> COLLAPSED, "vec_id" -> ENTITY), // probe pick: ≤|coarse cells| per vector
+      "dedup_semdedup_twolevel" -> Map("cluster" -> COLLAPSED, "vec_id" -> ENTITY),
+      "dedup_shingle_profile" -> Map("doc_id" -> ENTITY),
+      "dedup_sorted_neighborhood" -> Map("<GLOBAL>" -> PARTS),
+      "dedup_substring_cleaned" -> Map("doc_id" -> ENTITY), // flagged positions per doc
+      "emb_cluster_keywords" -> Map("cluster" -> COLLAPSED),
+      "emb_kmeans_assign" -> Map("cluster" -> COLLAPSED),
+      "emb_outliers_maha" -> Map("<GLOBAL>" -> COLLAPSED), // ≤Dim (dim, mu, v) structs after groupBy(dim)
+      "events_changepoint" -> Map("event_type" -> COLLAPSED), // daily-collapsed series
+      "events_concurrency" -> Map("day" -> PARTS),
+      "events_forecast_holt" -> Map("event_type" -> COLLAPSED),
+      "events_gini" -> Map("<GLOBAL>" -> PARTS),
+      "events_survival_km" -> Map("stratum" -> COLLAPSED), // duration-grain (dur_min, d, c) counts
+      "events_top_paths" -> Map("sess_no,user_id" -> ENTITY), // one session's events (scaladoc'd bound)
+      "multimodal_frame_dedup" -> Map("media_id" -> ENTITY),
+      "pipeline_curriculum" -> Map("lang" -> PARTS),
+      "pipeline_decontaminate" -> Map("doc_id" -> ENTITY),
+      "pipeline_pack_sequences" -> Map("lang" -> PARTS),
+      "pipeline_token_budget" -> Map("qbin" -> PARTS),
+      "text_rake_keywords" -> Map("doc_id,pid" -> ENTITY), // one candidate phrase's tokens
+      "text_vocab_coverage" -> Map("<GLOBAL>" -> PARTS))
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // keyset → does EVERY collector under it reference __pid (the
+    // PARTS signature: collect_list(struct(__pid, partial)))
+    val got: Map[String, Map[String, Boolean]] = registryPlans.flatMap { case (name, p) =>
+      val sites = p.collect {
+        case a: Aggregate =>
+          val collectors = a.aggregateExpressions.flatMap(_.collect {
+            case c: CollectList => c.child
+            case c: CollectSet => c.child
+          })
+          if (collectors.isEmpty) None
+          else {
+            val key =
+              if (a.groupingExpressions.isEmpty) "<GLOBAL>"
+              else a.groupingExpressions
+                .map(_.sql.replaceAll("#\\d+", "")).sorted.mkString(",")
+            val allPid = collectors.forall(_.exists {
+              case ar: AttributeReference => ar.name == "__pid"
+              case _ => false
+            })
+            Some(key -> allPid)
+          }
+      }.flatten
+      if (sites.isEmpty) None
+      else Some(name -> sites.groupBy(_._1).map { case (k, v) => k -> v.forall(_._2) })
+    }
+    val newQueries = got.keySet -- allowed.keySet
+    assert(newQueries.isEmpty,
+      s"UNCLASSIFIED collector (bound its group's element count or classify here): " +
+        newQueries.toSeq.sorted.map(n => s"$n=${got(n).keys.toSeq.sorted.mkString("|")}").mkString(", "))
+    val stale = allowed.keySet -- got.keySet
+    assert(stale.isEmpty,
+      s"stale collector allowlist entries (prune): ${stale.toSeq.sorted.mkString(", ")}")
+    val drifted = allowed.keySet.intersect(got.keySet)
+      .filter(n => allowed(n).keySet != got(n).keySet)
+    assert(drifted.isEmpty,
+      "collector grouping-key drift (re-classify): " + drifted.toSeq.sorted
+        .map(n => s"$n got=${got(n).keys.toSeq.sorted.mkString("|")} allowed=${allowed(n).keys.toSeq.sorted.mkString("|")}")
+        .mkString(", "))
+    val badParts = allowed.toSeq.flatMap { case (n, ks) =>
+      ks.collect { case (k, cls) if cls == PARTS && !got(n).getOrElse(k, false) => s"$n=$k" }
+    }
+    assert(badParts.isEmpty,
+      s"PARTS-classified collector does not reference __pid (not the two-phase " +
+        s"offset assembly — re-classify): ${badParts.sorted.mkString(", ")}")
   }
 
   test("no query in the registry plans a cartesian product") {
