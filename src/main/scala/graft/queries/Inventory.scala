@@ -518,8 +518,15 @@ object Inventory {
   // of the engine's capability set. DECIMAL(18,4) per-item cast makes
   // the sum order-independent and exact in both engines; final DOUBLE
   // cast normalizes the schema.
-  // Scale note: nation/customer are broadcast (dims ≪ fact);
-  // lineitem⋈orders shuffles on orderkey — the one unavoidable shuffle.
+  // Scale note: nation is broadcast by HINT (25 rows at ANY scale
+  // factor — a true fixed-cardinality dim). customer is NOT hinted:
+  // its cardinality scales with SF (the r19 broadcast-hint sweep
+  // caught an explicit broadcast(cust) here — fits at harness SF,
+  // guaranteed OOM at 100 TB), so the customer join is left to
+  // size-based planning: AQE auto-broadcasts it while it fits and
+  // falls back to a shuffle join when it doesn't — the self-correcting
+  // behavior an explicit hint forfeits. lineitem⋈orders shuffles on
+  // orderkey — the one unavoidable shuffle.
   // ------------------------------------------------------------------
   val joinRevenueByNation: Q = Q(
     (s, d) => {
@@ -530,7 +537,7 @@ object Inventory {
       li.select(col("l_orderkey"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)).as("rev"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(sum(col("rev")).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
@@ -1308,6 +1315,14 @@ object Inventory {
   // arithmetic ((cum − own)·10 < total·8), so no double comparison can
   // flip a boundary row between engines; only the published shares
   // convert to double, once, in the same op order on both sides.
+  // DEMO CONTRACT (window_* showcase family): the window's input is
+  // supplier-COLLAPSED, not raw lineitem, but |suppliers| scales with
+  // SF, so one nation's posting is |suppliers|/25 — fine at the ABC
+  // reporting grain this row demonstrates, a straggler if suppliers
+  // reach corpus scale. The windowless equivalent is the r19
+  // conversion recipe verbatim: Windows.groupedPrefixSum over n_name
+  // for cum_rev + a 25-row total join for tot_rev (the
+  // pipeline_token_budget shape).
   // ------------------------------------------------------------------
   val paretoShare: Q = Q(
     (s, d) => {
@@ -1319,8 +1334,14 @@ object Inventory {
       val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
       val nat = t(s, d, "nation").select("n_nationkey", "n_name")
       val w = Window.partitionBy("n_name").orderBy(col("srev").desc, col("l_suppkey"))
+      // supplier is deliberately NOT broadcast-hinted: it scales with
+      // SF (the r19 broadcast-hint sweep caught an explicit
+      // broadcast(sup) here), so the supplier-rev join is left to
+      // size-based planning — AQE broadcasts while it fits, shuffles
+      // two supplier-collapsed sides when it doesn't. nation stays
+      // hinted (25 rows at any SF).
       val cum = rev
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .withColumn("cum_rev", sum(col("srev")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("tot_rev", sum(col("srev")).over(Window.partitionBy("n_name")))

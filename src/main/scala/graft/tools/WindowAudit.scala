@@ -19,11 +19,63 @@ import org.apache.spark.sql.SparkSession
   * whole-group-in-one-buffer shape the window conversions engineered
   * out. PlanSpec pins these to an exact per-query key allowlist too.
   *
+  * And EXPLICIT BROADCAST HINTS (BCAUDIT lines): AQE's auto-broadcast
+  * self-corrects at scale (it sizes the real build side at runtime),
+  * but an explicit `broadcast(df)` is obeyed regardless — a hint on a
+  * corpus-scaled relation that fits at the test SF is a guaranteed
+  * driver/executor OOM at 100 TB. Each hinted subtree gets a
+  * mechanical signature `<shape>:<sorted leaf tables>` where shape is
+  * `agg` (an Aggregate/Distinct collapses the subtree to a bounded
+  * domain before the hint), `flt` (a Filter gates it — bounded only
+  * if the predicate is a contract, which the PlanSpec allowlist
+  * classifies), or `raw` (the leaves flow to the hint unreduced —
+  * safe only for fixed-cardinality dimension tables).
+  *
   * Usage: sbt "runMain graft.tools.WindowAudit [sfDir]"
-  * Prints one line per (query, window partition-key set) and one per
-  * (query, collector grouping-key set).
+  * Prints one line per (query, window partition-key set), one per
+  * (query, collector grouping-key set), and one per (query,
+  * broadcast-hint signature).
   */
 object WindowAudit {
+
+  /** One signature per explicit broadcast hint in the plan:
+    * `<shape>:<sorted distinct leaf tables>`. Shape `agg` = an
+    * Aggregate/Distinct/Deduplicate/GlobalLimit collapses the hinted
+    * subtree to a bounded domain; `flt` = a Filter gates it (bounded
+    * only when the predicate is a contract — the allowlist classifies
+    * which); `raw` = leaves flow to the hint unreduced. Shared by the
+    * BCAUDIT dump and PlanSpec's broadcast-hint sweep so the ground
+    * truth and the pin can never drift.
+    */
+  def broadcastSignatures(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    plan.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        val leaves = h.child.collect {
+          case lr: LogicalRelation =>
+            lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+                  .distinct.sorted.mkString("|")
+              case other => other.getClass.getSimpleName
+            }
+          case _: LocalRelation => "local"
+          case _: Range => "range"
+          case l: LeafNode => l.nodeName
+        }
+        val shape =
+          if (h.child.exists {
+                case _: Aggregate | _: Distinct | _: Deduplicate | _: GlobalLimit => true
+                case _ => false
+              }) "agg"
+          else if (h.child.exists { case _: Filter => true; case _ => false }) "flt"
+          else "raw"
+        s"$shape:${leaves.distinct.sorted.mkString("+")}"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
@@ -60,6 +112,8 @@ object WindowAudit {
             else a.groupingExpressions
               .map(_.sql.replaceAll("#\\d+", "")).sorted.mkString(",")
         }.toSet.toSeq.sorted.foreach(k => println(s"""COLAUDIT\t$name\t$k"""))
+        broadcastSignatures(plan).toSet.toSeq.sorted
+          .foreach(k => println(s"""BCAUDIT\t$name\t$k"""))
       } catch {
         case e: Throwable => println(s"""WINAUDIT_ERR\t$name\t${e.getClass.getSimpleName}""")
       }

@@ -203,7 +203,8 @@ class PlanSpec extends SparkSpec {
       "text_textrank_keywords" -> Set("doc_id", "lang", "lang,src"), // vocab graph
       "text_top_bigrams" -> Set("doc_id", "lang"), // bigram-vocab ranks
       "text_zipf_slope" -> Set("lang"), // (lang, t) vocab counts
-      "window_pareto_share" -> Set("n_name"), // ≤25-nation collapse
+      // ---- DEMO (supplier-collapsed input; scaled path scaladoc'd) --
+      "window_pareto_share" -> Set("n_name"), // |suppliers|/25 posting — groupedPrefixSum is the scale path
       // ---- DEMO (scaladoc'd demo contract; bucketed/GroupLimit twins)
       "events_asof_next" -> Set("event_type"),
       "events_asof_next_bucketed" -> Set("_bucket,event_type", "event_type"),
@@ -354,6 +355,142 @@ class PlanSpec extends SparkSpec {
     assert(badParts.isEmpty,
       s"PARTS-classified collector does not reference __pid (not the two-phase " +
         s"offset assembly — re-classify): ${badParts.sorted.mkString(", ")}")
+  }
+
+  test("explicit broadcast hints cover only corpus-independent relations (exact allowlist)") {
+    // The fourth operator class of the degenerate-scale audit (r18:
+    // unpartitioned windows; r19: partitioned windows, collectors, and
+    // this). AQE's auto-broadcast self-corrects at scale — it sizes
+    // the REAL build side at runtime and falls back to a shuffle join
+    // when it outgrows the threshold. An explicit `broadcast(df)` hint
+    // is obeyed regardless, so a hint on a relation whose size scales
+    // with the corpus fits at the harness SF and OOMs the driver at
+    // 100 TB. This sweep caught two live instances on its first run:
+    // join_revenue_by_nation broadcast raw `customer` and
+    // window_pareto_share broadcast raw `supplier` — both SF-scaled
+    // TPC-H tables hiding behind a "dims ≪ fact" comment (converted
+    // to unhinted joins; AQE still broadcasts them at every measured
+    // scale). Signatures are `<shape>:<sorted leaf tables>` from
+    // tools/WindowAudit.broadcastSignatures (shared, so pin and
+    // ground-truth generator cannot drift): shape `agg` = an
+    // Aggregate/Distinct/limit collapses the subtree before the hint,
+    // `flt` = a Filter gates it (bounded only when the predicate is a
+    // contract), `raw` = leaves reach the hint unreduced.
+    val got: Map[String, Set[String]] = registryPlans.flatMap { case (name, p) =>
+      val sigs = graft.tools.WindowAudit.broadcastSignatures(p).toSet
+      if (sigs.isEmpty) None else Some(name -> sigs)
+    }
+    // GLOBAL rule, no per-query escape: a raw (un-collapsed,
+    // un-filtered) hint may only cover fixed-cardinality dims (nation
+    // = 25, region = 5 rows at ANY TPC-H scale factor) and literal /
+    // range seeds. Every SF-scaled table (customer supplier part
+    // orders lineitem events documents embeddings) must reach an
+    // explicit broadcast through a bounding collapse or contract
+    // filter — or not be hinted at all.
+    val rawSafe = Set("nation", "region", "local", "range")
+    val rawOffenders = got.toSeq.flatMap { case (n, sigs) =>
+      sigs.filter(_.startsWith("raw:")).filterNot(
+        _.stripPrefix("raw:").split("\\+").forall(rawSafe)).map(s => s"$n=$s")
+    }
+    assert(rawOffenders.isEmpty,
+      s"EXPLICIT broadcast hint over an un-collapsed SF-scaled relation (drop the " +
+        s"hint — AQE sizes it — or bound it first): ${rawOffenders.sorted.mkString(", ")}")
+    // Exact per-query pin, two-sided. Why each hinted subtree is
+    // bounded:
+    //  QUERYSET  flt:embeddings / flt:documents — the ANN/eval query
+    //            side, vec_id/doc_id < NumQueries by harness contract.
+    //  KBOUND    agg:embeddings / agg:local — centroids, codebooks,
+    //            probe tables: ≤ k·Dim cells by the executable
+    //            semdedupParams/byte-cap policies.
+    //  VOCAB     agg:documents on text_* — sketch-gated candidate
+    //            re-rank sets (CountMin/heavy-hitter caps) or per-term
+    //            stats for a contract-bounded query vocab.
+    //  ROLLUP    agg:documents on pipeline_*, agg:events, agg:orders,
+    //            agg:lineitem, agg:customer — threshold/bin/lang/
+    //            calendar/top-K rollups and the two-phase primitives'
+    //            per-(pid, group) offset tables: domain-bounded by
+    //            construction.
+    //  MEASURED  dedup_incremental — the batch side broadcasts only
+    //            under the byte-measured IncrementalBroadcastMaxChars
+    //            gate (spec-pinned); the outgrown branch stays SMJ.
+    //  DIM       raw:nation / raw:local / raw:range — fixed rows.
+    val allowed: Map[String, Set[String]] = Map(
+      "agg_market_basket" -> Set("agg:lineitem"), // top-BasketTopK parts rollup
+      "ann_cosine_topk" -> Set("flt:embeddings"),
+      "ann_dot_topk" -> Set("flt:embeddings"),
+      "ann_hard_negatives" -> Set("flt:embeddings"),
+      "ann_hybrid_rrf" -> Set("agg:documents", "flt:documents", "flt:embeddings"),
+      "ann_ivf_kmeans_topk" -> Set("agg:embeddings", "flt:embeddings"),
+      "ann_ivf_topk" -> Set("agg:embeddings"),
+      "ann_ivfpq_topk" -> Set("agg:embeddings", "flt:embeddings"),
+      "ann_mmr_rerank" -> Set("flt:embeddings"),
+      "ann_pq_topk" -> Set("agg:embeddings", "flt:embeddings"),
+      "ann_quantized_topk" -> Set("flt:embeddings"),
+      "ann_recall_eval" -> Set("flt:embeddings"),
+      "customer_rfm" -> Set("agg:orders"), // globalRowNumber offsets
+      "dedup_cross_source" -> Set("agg:documents"),
+      "dedup_embedding_pairs" -> Set("flt:embeddings"),
+      "dedup_incremental" -> Set("agg:documents"), // MEASURED batch gate
+      "dedup_recall_eval" -> Set("agg:documents"),
+      "dedup_record_linkage" -> Set("agg:documents"), // offsets
+      "dedup_semdedup" -> Set("agg:embeddings", "flt:embeddings"),
+      "dedup_semdedup_auto" -> Set("agg:embeddings"),
+      "dedup_semdedup_multi" -> Set("agg:embeddings"),
+      "dedup_semdedup_occupancy" -> Set("agg:embeddings", "flt:embeddings"),
+      "dedup_semdedup_probe" -> Set("agg:embeddings"),
+      "dedup_semdedup_twolevel" -> Set("agg:local", "flt:local"),
+      "dedup_simhash" -> Set("agg:documents"),
+      "dedup_sorted_neighborhood" -> Set("agg:documents"), // offsets
+      "emb_cluster_keywords" -> Set("agg:documents+embeddings", "agg:embeddings", "flt:embeddings"),
+      "emb_isotropy" -> Set("agg:embeddings"),
+      "emb_kmeans_assign" -> Set("agg:embeddings", "flt:embeddings"),
+      "emb_outliers_maha" -> Set("agg:embeddings"),
+      "emb_project_top" -> Set("raw:local"),
+      "events_active_users" -> Set("agg:events"),
+      "events_cohort_retention" -> Set("agg:events"),
+      "events_concurrency" -> Set("agg:events"), // groupedPrefixSum offsets
+      "events_dau_mau" -> Set("agg:events"),
+      "events_decayed_counts" -> Set("agg:events"),
+      "events_gini" -> Set("agg:events"), // globalRowNumber offsets
+      "events_growth_accounting" -> Set("agg:events"),
+      "events_seasonal_decompose" -> Set("agg:events"),
+      "events_survival_km" -> Set("agg:events"),
+      "graph_pagerank" -> Set("agg:events"), // dangling-mass scalar
+      "join_interval_overlap" -> Set("agg:events"),
+      "join_range_bands" -> Set("raw:local"),
+      "join_revenue_by_nation" -> Set("raw:nation"),
+      "pipeline_classifier_calibration" -> Set("agg:documents"),
+      "pipeline_classifier_eval" -> Set("agg:documents"),
+      "pipeline_curriculum" -> Set("agg:documents"), // groupedNtile offsets+counts
+      "pipeline_decontaminate" -> Set("agg:documents"),
+      "pipeline_dsir_weights" -> Set("agg:documents"),
+      "pipeline_pack_sequences" -> Set("agg:documents"),
+      "pipeline_quality_classifier" -> Set("agg:documents"),
+      "pipeline_quality_resample" -> Set("agg:documents"),
+      "pipeline_rater_agreement" -> Set("agg:documents"),
+      "pipeline_token_budget" -> Set("agg:documents"),
+      "privacy_t_closeness" -> Set("agg:customer"), // attribute-domain rollup
+      "text_bm25_topk" -> Set("agg:documents"),
+      "text_countmin_hitters" -> Set("agg:documents"),
+      "text_heaps_law" -> Set("agg:documents"),
+      "text_heavy_hitters" -> Set("agg:documents"),
+      "text_jsd_sources" -> Set("agg:documents"),
+      "text_lm_perplexity" -> Set("agg:documents"),
+      "text_tfidf_top_terms" -> Set("agg:documents"),
+      "text_vocab_coverage" -> Set("agg:documents"), // groupedPrefixSum offsets
+      "window_pareto_share" -> Set("raw:nation"))
+    val newQueries = got.keySet -- allowed.keySet
+    assert(newQueries.isEmpty,
+      s"UNCLASSIFIED broadcast hint (bound it or classify here): " +
+        newQueries.toSeq.sorted.map(n => s"$n=${got(n).toSeq.sorted.mkString("|")}").mkString(", "))
+    val stale = allowed.keySet -- got.keySet
+    assert(stale.isEmpty,
+      s"stale broadcast allowlist entries (hints removed — prune): ${stale.toSeq.sorted.mkString(", ")}")
+    val drifted = allowed.keySet.intersect(got.keySet).filter(n => allowed(n) != got(n))
+    assert(drifted.isEmpty,
+      "broadcast-hint drift (re-classify): " + drifted.toSeq.sorted
+        .map(n => s"$n got=${got(n).toSeq.sorted.mkString("|")} allowed=${allowed(n).toSeq.sorted.mkString("|")}")
+        .mkString(", "))
   }
 
   test("no query in the registry plans a cartesian product") {
