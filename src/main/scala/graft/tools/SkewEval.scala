@@ -299,6 +299,33 @@ object SkewEval {
     timed("cap_keepset", "heap_only", keepHeapOnly(langDocs))
     timed("cap_keepset", "heap_join_back", keepJoinBack(langDocs))
 
+    // ---- explicit broadcast hint vs AQE on a SCALED build side ------
+    // (r19 broadcast-hint sweep): the sweep's premise, priced. The
+    // build side here is `hot` rows — a "dimension" that grew with the
+    // corpus (the customer/supplier shape the sweep caught). The
+    // hinted form is OBEYED at any size: the whole build side funnels
+    // through the DRIVER (collect + hash-relation build, single-
+    // threaded, resident per executor thereafter — cost that max_task
+    // can't even see because it runs outside tasks), and dies outright
+    // at the 8 GB broadcast hard cap. The unhinted form lets AQE size
+    // the real relation: over threshold → both sides shuffle on the
+    // key, wall tracks rows/cores, memory stays bounded per task.
+    // Identical results by construction (join hints never change
+    // values) — this arm prices the plans.
+    def mkBuild(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("k"), (col("id") * 7L).as("v"))
+    def mkFact(n: Long, keys: Long): DataFrame =
+      spark.range(n).select((col("id") % keys).as("k"), col("id").as("x"))
+    def bcJoin(fact: DataFrame, build: DataFrame, hint: Boolean): DataFrame =
+      fact.join(if (hint) broadcast(build) else build, Seq("k"))
+        .select(col("k"), (col("v") + col("x")).as("y"))
+    val (warmBld, warmFct) = (mkBuild(1000L), mkFact(1000L, 1000L))
+    timed("bcast_hint", "warm", bcJoin(warmFct, warmBld, hint = true), silent = true)
+    timed("bcast_hint", "warm", bcJoin(warmFct, warmBld, hint = false), silent = true)
+    val build = mkBuild(hot); val fact = mkFact(cold, hot)
+    timed("bcast_hint", "hinted_broadcast", bcJoin(fact, build, hint = true))
+    timed("bcast_hint", "aqe_unhinted", bcJoin(fact, build, hint = false))
+
     spark.stop()
   }
 }
