@@ -145,7 +145,14 @@ object KMeans {
     * arrays — and the vectors attach afterwards by a broadcast id
     * join (k ids ≈ 12 B each ≪ the k×dim centroid relation itself,
     * so if this broadcast doesn't fit nothing about k-means at that k
-    * does).
+    * does). The closing groupBy(cluster) is value-neutral (cluster is
+    * unique by construction — one rank per id, vec_id unique in e, so
+    * `first` sees exactly one row) but makes the k-row bound VISIBLE
+    * in the plan: callers broadcast this output as seed centroids, and
+    * the r19 broadcast-hint sweep certifies a hint by walking output
+    * cardinality — a raw-e inner join reads as corpus-scaled however
+    * small the id side, while an Aggregate over the ≤k cluster domain
+    * is the bound itself.
     */
   private def seedCentsSlice(e: DataFrame, k: Int, table: Int): DataFrame = {
     val ids = e.select(col("vec_id")).orderBy("vec_id").limit(k * (table + 1))
@@ -153,7 +160,8 @@ object KMeans {
       .filter(col("rn") >= k * table)
       .select(col("vec_id"), (col("rn") - k * table).cast("int").as("cluster"))
     e.join(broadcast(ids), Seq("vec_id"))
-      .select(col("cluster"), transform(col("embedding"), x => x.cast(DoubleType)).as("centroid"))
+      .groupBy("cluster")
+      .agg(first(transform(col("embedding"), x => x.cast(DoubleType))).as("centroid"))
   }
 
   /** [[trained]] generalized to a policy-sized k: seeds are the k

@@ -1,6 +1,10 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Dump every Window node in every registry plan with its partition
   * keys (expr-ids stripped) — the generator for PlanSpec's mechanical
@@ -24,12 +28,8 @@ import org.apache.spark.sql.SparkSession
   * but an explicit `broadcast(df)` is obeyed regardless — a hint on a
   * corpus-scaled relation that fits at the test SF is a guaranteed
   * driver/executor OOM at 100 TB. Each hinted subtree gets a
-  * mechanical signature `<shape>:<sorted leaf tables>` where shape is
-  * `agg` (an Aggregate/Distinct collapses the subtree to a bounded
-  * domain before the hint), `flt` (a Filter gates it — bounded only
-  * if the predicate is a contract, which the PlanSpec allowlist
-  * classifies), or `raw` (the leaves flow to the hint unreduced —
-  * safe only for fixed-cardinality dimension tables).
+  * mechanical signature `<shape>:<sorted leaf tables>` (see
+  * [[broadcastSignatures]]).
   *
   * Usage: sbt "runMain graft.tools.WindowAudit [sfDir]"
   * Prints one line per (query, window partition-key set), one per
@@ -38,41 +38,89 @@ import org.apache.spark.sql.SparkSession
   */
 object WindowAudit {
 
-  /** One signature per explicit broadcast hint in the plan:
-    * `<shape>:<sorted distinct leaf tables>`. Shape `agg` = an
-    * Aggregate/Distinct/Deduplicate/GlobalLimit collapses the hinted
-    * subtree to a bounded domain; `flt` = a Filter gates it (bounded
-    * only when the predicate is a contract — the allowlist classifies
-    * which); `raw` = leaves flow to the hint unreduced. Shared by the
-    * BCAUDIT dump and PlanSpec's broadcast-hint sweep so the ground
+  private def keyString(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): String =
+    if (exprs.isEmpty) "<GLOBAL>"
+    else exprs.map(_.sql.replaceAll("#\\d+", "")).sorted.mkString(",")
+
+  /** Every collect_list/collect_set site in the plan — GROUPED
+    * (Aggregate node: grouping keys) or WINDOWED (Window node:
+    * partition keys; a windowed collector buffers one PARTITION's
+    * elements per row-frame, the same unbounded state) — as
+    * (key string, every-collector-input-references-__pid). The key is
+    * the site's keys, name-sorted, comma-joined, expr-ids stripped,
+    * "<GLOBAL>" when empty; the __pid flag is the mechanical signature
+    * of the two-phase Windows offset assembly (PARTS class). Shared by
+    * the COLAUDIT dump and PlanSpec's collector sweep so the ground
     * truth and the pin can never drift.
     */
-  def broadcastSignatures(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+  def collectorSites(plan: LogicalPlan): Seq[(String, Boolean)] = {
+    def collectors(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      exprs.flatMap(_.collect {
+        case c: CollectList => c.child
+        case c: CollectSet => c.child
+      })
+    def allPid(children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      children.forall(_.exists {
+        case ar: AttributeReference => ar.name == "__pid"
+        case _ => false
+      })
+    plan.collect {
+      case a: Aggregate =>
+        val cs = collectors(a.aggregateExpressions)
+        if (cs.isEmpty) None else Some(keyString(a.groupingExpressions) -> allPid(cs))
+      case w: Window =>
+        val cs = collectors(w.windowExpressions)
+        if (cs.isEmpty) None else Some(keyString(w.partitionSpec) -> allPid(cs))
+    }.flatten
+  }
+
+  /** One signature per explicit broadcast hint in the plan:
+    * `<shape>:<sorted distinct leaf tables>` (multi-path relations
+    * contribute one leaf per root path). Shape is computed by an
+    * OUTPUT-CARDINALITY walk from the hint's child, not a mere
+    * exists() over the subtree — an Aggregate on one branch of a join
+    * must not launder the other branch's raw leaves (the soundness
+    * hole a review caught in the first cut):
+    *  - Aggregate/Distinct/Deduplicate/GlobalLimit → `agg` (output ≤
+    *    its group/limit domain; the allowlist judges whether that
+    *    domain is bounded);
+    *  - Filter over a non-agg → `flt` (bounded only when the
+    *    predicate is a contract — allowlist-classified);
+    *  - leaves → `raw`;
+    *  - a join takes the WORST of its sides (raw > flt > agg), except
+    *    left-semi/anti, whose output is ≤ the left side; a union
+    *    takes the worst of its children; other nodes pass through.
+    * Shared by the BCAUDIT dump and PlanSpec's broadcast-hint sweep so
+    * the ground truth and the pin can never drift.
+    */
+  def broadcastSignatures(plan: LogicalPlan): Seq[String] = {
+    val rank = Map("agg" -> 0, "flt" -> 1, "raw" -> 2)
+    def worst(ss: Seq[String]): String = if (ss.isEmpty) "agg" else ss.maxBy(rank)
+    def shapeOf(p: LogicalPlan): String = p match {
+      case _: Aggregate | _: Distinct | _: Deduplicate | _: GlobalLimit => "agg"
+      case f: Filter => if (shapeOf(f.child) == "agg") "agg" else "flt"
+      case j: Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+            j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+        shapeOf(j.left)
+      case j: Join => worst(Seq(shapeOf(j.left), shapeOf(j.right)))
+      case _: LeafNode => "raw"
+      case other => worst(other.children.map(shapeOf))
+    }
     plan.collect {
       case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
         val leaves = h.child.collect {
           case lr: LogicalRelation =>
             lr.relation match {
               case fs: HadoopFsRelation =>
-                fs.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
-                  .distinct.sorted.mkString("|")
-              case other => other.getClass.getSimpleName
+                fs.location.rootPaths.map(_.getName.stripSuffix(".parquet")).toSeq
+              case other => Seq(other.getClass.getSimpleName)
             }
-          case _: LocalRelation => "local"
-          case _: Range => "range"
-          case l: LeafNode => l.nodeName
-        }
-        val shape =
-          if (h.child.exists {
-                case _: Aggregate | _: Distinct | _: Deduplicate | _: GlobalLimit => true
-                case _ => false
-              }) "agg"
-          else if (h.child.exists { case _: Filter => true; case _ => false }) "flt"
-          else "raw"
-        s"$shape:${leaves.distinct.sorted.mkString("+")}"
+          case _: LocalRelation => Seq("local")
+          case _: Range => Seq("range")
+          case l: LeafNode => Seq(l.nodeName)
+        }.flatten
+        s"${shapeOf(h.child)}:${leaves.distinct.sorted.mkString("+")}"
     }
   }
 
@@ -85,8 +133,6 @@ object WindowAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     // The ANALYZED plan, not the optimized one: cache substitution
     // (CacheManager.useCachedData) rewrites optimized plans through
     // InMemoryRelation whenever an EARLIER query persisted a matching
@@ -96,26 +142,27 @@ object WindowAudit {
     // intent). Lineage truncated through RDDs (checkpointed loops)
     // stays invisible either way; those stages are priced separately.
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // the stage marker keeps a failure attributable to the audit
+      // pass that actually threw — a BCAUDIT exception must not read
+      // as a window-audit error with silently missing collector lines
+      var stage = "PLAN"
       try {
         val plan = fn(spark, d).queryExecution.analyzed
-        val wins = plan.collect { case w: LWindow => w }
+        stage = "WINAUDIT"
+        val wins = plan.collect { case w: Window => w }
         if (wins.exists(_.partitionSpec.isEmpty)) println(s"""WINAUDIT\t$name\t<GLOBAL>""")
         wins.filter(_.partitionSpec.nonEmpty)
-          .map(_.partitionSpec.map(e => e.sql.replaceAll("#\\d+", "")).sorted.mkString(","))
+          .map(w => keyString(w.partitionSpec))
           .toSet.toSeq.sorted.foreach(k => println(s"""WINAUDIT\t$name\t$k"""))
-        plan.collect {
-          case a: Aggregate if a.aggregateExpressions.exists(_.exists {
-                case _: CollectList | _: CollectSet => true
-                case _ => false
-              }) =>
-            if (a.groupingExpressions.isEmpty) "<GLOBAL>"
-            else a.groupingExpressions
-              .map(_.sql.replaceAll("#\\d+", "")).sorted.mkString(",")
-        }.toSet.toSeq.sorted.foreach(k => println(s"""COLAUDIT\t$name\t$k"""))
+        stage = "COLAUDIT"
+        collectorSites(plan).map(_._1)
+          .toSet.toSeq.sorted.foreach(k => println(s"""COLAUDIT\t$name\t$k"""))
+        stage = "BCAUDIT"
         broadcastSignatures(plan).toSet.toSeq.sorted
           .foreach(k => println(s"""BCAUDIT\t$name\t$k"""))
       } catch {
-        case e: Throwable => println(s"""WINAUDIT_ERR\t$name\t${e.getClass.getSimpleName}""")
+        case e: Throwable =>
+          println(s"""${stage}_ERR\t$name\t${e.getClass.getSimpleName}""")
       }
     }
     spark.stop()

@@ -308,31 +308,15 @@ class PlanSpec extends SparkSpec {
       "pipeline_token_budget" -> Map("qbin" -> PARTS),
       "text_rake_keywords" -> Map("doc_id,pid" -> ENTITY), // one candidate phrase's tokens
       "text_vocab_coverage" -> Map("<GLOBAL>" -> PARTS))
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
-    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     // keyset → does EVERY collector under it reference __pid (the
-    // PARTS signature: collect_list(struct(__pid, partial)))
+    // PARTS signature: collect_list(struct(__pid, partial))). Sites
+    // come from the shared tools/WindowAudit.collectorSites — which
+    // also covers collectors used as WINDOW functions (a windowed
+    // collect_list buffers one partition's elements per row, the same
+    // unbounded state) — so the COLAUDIT dump and this pin can't
+    // drift.
     val got: Map[String, Map[String, Boolean]] = registryPlans.flatMap { case (name, p) =>
-      val sites = p.collect {
-        case a: Aggregate =>
-          val collectors = a.aggregateExpressions.flatMap(_.collect {
-            case c: CollectList => c.child
-            case c: CollectSet => c.child
-          })
-          if (collectors.isEmpty) None
-          else {
-            val key =
-              if (a.groupingExpressions.isEmpty) "<GLOBAL>"
-              else a.groupingExpressions
-                .map(_.sql.replaceAll("#\\d+", "")).sorted.mkString(",")
-            val allPid = collectors.forall(_.exists {
-              case ar: AttributeReference => ar.name == "__pid"
-              case _ => false
-            })
-            Some(key -> allPid)
-          }
-      }.flatten
+      val sites = graft.tools.WindowAudit.collectorSites(p)
       if (sites.isEmpty) None
       else Some(name -> sites.groupBy(_._1).map { case (k, v) => k -> v.forall(_._2) })
     }
@@ -372,10 +356,13 @@ class PlanSpec extends SparkSpec {
     // to unhinted joins; AQE still broadcasts them at every measured
     // scale). Signatures are `<shape>:<sorted leaf tables>` from
     // tools/WindowAudit.broadcastSignatures (shared, so pin and
-    // ground-truth generator cannot drift): shape `agg` = an
-    // Aggregate/Distinct/limit collapses the subtree before the hint,
-    // `flt` = a Filter gates it (bounded only when the predicate is a
-    // contract), `raw` = leaves reach the hint unreduced.
+    // ground-truth generator cannot drift). Shape comes from an
+    // OUTPUT-CARDINALITY walk, not exists() — an Aggregate on one join
+    // branch cannot launder the other branch's raw leaves (see the
+    // generator's scaladoc): `agg` = a collapse bounds the hint's
+    // output, `flt` = a Filter gates it (bounded only when the
+    // predicate is a contract), `raw` = leaves reach the hint
+    // unreduced.
     val got: Map[String, Set[String]] = registryPlans.flatMap { case (name, p) =>
       val sigs = graft.tools.WindowAudit.broadcastSignatures(p).toSet
       if (sigs.isEmpty) None else Some(name -> sigs)
@@ -421,7 +408,7 @@ class PlanSpec extends SparkSpec {
       "ann_hard_negatives" -> Set("flt:embeddings"),
       "ann_hybrid_rrf" -> Set("agg:documents", "flt:documents", "flt:embeddings"),
       "ann_ivf_kmeans_topk" -> Set("agg:embeddings", "flt:embeddings"),
-      "ann_ivf_topk" -> Set("agg:embeddings"),
+      "ann_ivf_topk" -> Set("agg:embeddings", "flt:embeddings"),
       "ann_ivfpq_topk" -> Set("agg:embeddings", "flt:embeddings"),
       "ann_mmr_rerank" -> Set("flt:embeddings"),
       "ann_pq_topk" -> Set("agg:embeddings", "flt:embeddings"),
@@ -432,7 +419,7 @@ class PlanSpec extends SparkSpec {
       "dedup_embedding_pairs" -> Set("flt:embeddings"),
       "dedup_incremental" -> Set("agg:documents"), // MEASURED batch gate
       "dedup_recall_eval" -> Set("agg:documents"),
-      "dedup_record_linkage" -> Set("agg:documents"), // offsets
+      "dedup_record_linkage" -> Set("agg:documents", "flt:documents"), // offsets + SNM boundary stitch (≤(SnmWindow−1)·tasks rows)
       "dedup_semdedup" -> Set("agg:embeddings", "flt:embeddings"),
       "dedup_semdedup_auto" -> Set("agg:embeddings"),
       "dedup_semdedup_multi" -> Set("agg:embeddings"),
@@ -440,7 +427,7 @@ class PlanSpec extends SparkSpec {
       "dedup_semdedup_probe" -> Set("agg:embeddings"),
       "dedup_semdedup_twolevel" -> Set("agg:local", "flt:local"),
       "dedup_simhash" -> Set("agg:documents"),
-      "dedup_sorted_neighborhood" -> Set("agg:documents"), // offsets
+      "dedup_sorted_neighborhood" -> Set("agg:documents", "flt:documents"), // offsets + SNM boundary stitch (≤(SnmWindow−1)·tasks rows)
       "emb_cluster_keywords" -> Set("agg:documents+embeddings", "agg:embeddings", "flt:embeddings"),
       "emb_isotropy" -> Set("agg:embeddings"),
       "emb_kmeans_assign" -> Set("agg:embeddings", "flt:embeddings"),
