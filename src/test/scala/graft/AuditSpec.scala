@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tools.WindowAudit.{broadcastSignatures, collectorSites}
+
+/** Unit pins for the audit MECHANISM itself (tools/WindowAudit) — the
+  * registry sweeps in PlanSpec trust these two functions to classify
+  * plans, so their edge semantics get their own tests, anchored on
+  * the exact regressions a review caught in the first cut:
+  * an Aggregate on one join branch must not launder the other
+  * branch's raw leaves, and collectors used as WINDOW functions must
+  * be visible to the collector sweep.
+  */
+class AuditSpec extends SparkSpec {
+
+  private def nation: DataFrame = spark.read.parquet(s"${sf()}/nation.parquet")
+  private def docs: DataFrame = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  private def sigs(df: DataFrame): Seq[String] =
+    broadcastSignatures(df.queryExecution.analyzed)
+
+  test("broadcast shape: raw leaf, filter gate, aggregate collapse") {
+    assert(sigs(docs.join(broadcast(nation), lit(true))) == Seq("raw:nation"))
+    assert(sigs(docs.crossJoin(broadcast(nation.filter(col("n_nationkey") < 3))))
+      == Seq("flt:nation"))
+    assert(sigs(docs.crossJoin(broadcast(
+      nation.groupBy("n_regionkey").agg(count(lit(1)).as("n")))))
+      == Seq("agg:nation"))
+    // limit is a collapse too
+    assert(sigs(docs.crossJoin(broadcast(nation.limit(3)))) == Seq("agg:nation"))
+  }
+
+  test("broadcast shape: an aggregate on one join branch cannot launder the other branch (the review case)") {
+    // docs ⋈ tiny-agg: output scales with docs however small the agg
+    // side — the exists()-based first cut read this as "agg:..."
+    val tinyAgg = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val laundered = docs.join(tinyAgg, Seq("lang"))
+    assert(sigs(nation.crossJoin(broadcast(laundered)))
+      == Seq("raw:documents"))
+    // but a LEFT-SEMI against anything is bounded by its left side
+    val semi = tinyAgg.join(docs.select("lang"), Seq("lang"), "left_semi")
+    assert(sigs(nation.crossJoin(broadcast(semi))) == Seq("agg:documents"))
+    // and a collapse ABOVE the join certifies the whole subtree —
+    // the seedCentsSlice fix shape
+    val certified = laundered.groupBy("lang").agg(count(lit(1)).as("m"))
+    assert(sigs(nation.crossJoin(broadcast(certified))) == Seq("agg:documents"))
+  }
+
+  test("broadcast shape: filter over a collapse stays agg; filter over raw is flt; worst side wins in a union") {
+    val aggThenFilter = docs.groupBy("lang").agg(count(lit(1)).as("n")).filter(col("n") > 0)
+    assert(sigs(nation.crossJoin(broadcast(aggThenFilter))) == Seq("agg:documents"))
+    val u = docs.select("lang").filter(col("lang") =!= "")
+      .unionAll(docs.select("lang"))
+    assert(sigs(nation.crossJoin(broadcast(u))) == Seq("raw:documents"))
+  }
+
+  test("broadcast leaves: multiple tables sort into one '+'-joined set; local relations read as local") {
+    val two = docs.select(col("lang").as("k"))
+      .join(nation.select(col("n_name").as("k")), Seq("k"))
+    assert(sigs(spark.range(1).crossJoin(broadcast(two)))
+      == Seq("raw:documents+nation"))
+    import spark.implicits._
+    val local = Seq((1L, "a")).toDF("id", "v")
+    assert(sigs(docs.crossJoin(broadcast(local))) == Seq("raw:local"))
+  }
+
+  test("collector sites: grouped, global, windowed, and the __pid PARTS signature") {
+    val grouped = docs.groupBy("lang").agg(collect_list(col("doc_id")).as("xs"))
+    assert(collectorSites(grouped.queryExecution.analyzed) == Seq("lang" -> false))
+    val global = docs.agg(collect_set(col("lang")).as("xs"))
+    assert(collectorSites(global.queryExecution.analyzed) == Seq("<GLOBAL>" -> false))
+    // a WINDOWED collector buffers one partition per row — must be
+    // visible (the review case: the first cut only saw Aggregates)
+    val windowed = docs.withColumn("xs",
+      collect_list(col("doc_id")).over(Window.partitionBy("lang")))
+    assert(collectorSites(windowed.queryExecution.analyzed) == Seq("lang" -> false))
+    // the PARTS signature: every collector input references __pid
+    val parts = docs
+      .withColumn("__pid", spark_partition_id())
+      .groupBy("lang")
+      .agg(collect_list(struct(col("__pid"), col("doc_id"))).as("xs"))
+    assert(collectorSites(parts.queryExecution.analyzed) == Seq("lang" -> true))
+    // plans with no collectors contribute nothing
+    assert(collectorSites(docs.groupBy("lang").count().queryExecution.analyzed).isEmpty)
+  }
+}
