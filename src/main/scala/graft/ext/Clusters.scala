@@ -181,6 +181,10 @@ object Clusters {
         labels = next
         iter += 1
       }
+      // observability: the fixpoint's round count (the final round is
+      // the no-change confirmation), stderr-only — the scale legs
+      // report it beside wall time (VERDICT r19 ask #4)
+      System.err.println(s"[components] min-label fixpoint converged in $iter rounds")
     } catch {
       case e: Throwable =>
         labels.unpersist()

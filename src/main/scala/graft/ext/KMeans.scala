@@ -152,7 +152,13 @@ object KMeans {
     * the r19 broadcast-hint sweep certifies a hint by walking output
     * cardinality — a raw-e inner join reads as corpus-scaled however
     * small the id side, while an Aggregate over the ≤k cluster domain
-    * is the bound itself.
+    * is the bound itself. The value-neutrality rests on e's vec_id
+    * UNIQUENESS (ADVICE r19): a duplicate vec_id would make `first`
+    * pick one arbitrary embedding per cluster instead of surfacing
+    * duplicate cluster rows downstream — if that contract ever
+    * loosens, dedupe on vec_id upstream (or assert count == 1 per
+    * cluster) before ranking; ExtSpec pins bit-identity on the
+    * harness corpus, where uniqueness holds.
     */
   private def seedCentsSlice(e: DataFrame, k: Int, table: Int): DataFrame = {
     val ids = e.select(col("vec_id")).orderBy("vec_id").limit(k * (table + 1))

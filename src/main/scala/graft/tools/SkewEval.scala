@@ -326,6 +326,22 @@ object SkewEval {
     timed("bcast_hint", "hinted_broadcast", bcJoin(fact, build, hint = true))
     timed("bcast_hint", "aqe_unhinted", bcJoin(fact, build, hint = false))
 
+    // ---- r20 arm: the split factor is cluster-sized (VERDICT r19
+    // #2) — price max-task vs `partitions` on the planted mega-lang.
+    // The two-phase primitives bound the straggler at ~|hot|/
+    // partitions rows per sorted task; the old hardcoded default
+    // froze that bound at hot/32 however large the cluster. Expected:
+    // max_task falls as partitions rise (wall flattens once per-task
+    // overhead dominates) — certifying that a production session
+    // raising spark.sql.shuffle.partitions buys straggler relief
+    // with no code change, which is exactly what the session-derived
+    // default now does.
+    timed("split_scaling", "warm", graft.engine.Windows.groupedPrefixSum(
+      warmDocs, Seq("lang"), Seq(col("doc_id")), col("n_tokens"), "cum", 8), silent = true)
+    for (parts <- Seq(8, 32, 128, 512))
+      timed("split_scaling", s"partitions_$parts", graft.engine.Windows.groupedPrefixSum(
+        langDocs, Seq("lang"), Seq(col("doc_id")), col("n_tokens"), "cum", parts))
+
     spark.stop()
   }
 }

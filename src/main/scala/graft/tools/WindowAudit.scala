@@ -49,9 +49,14 @@ object WindowAudit {
     * (key string, every-collector-input-references-__pid). The key is
     * the site's keys, name-sorted, comma-joined, expr-ids stripped,
     * "<GLOBAL>" when empty; the __pid flag is the mechanical signature
-    * of the two-phase Windows offset assembly (PARTS class). Shared by
-    * the COLAUDIT dump and PlanSpec's collector sweep so the ground
-    * truth and the pin can never drift.
+    * of the two-phase Windows offset assembly (PARTS class). `__pid`
+    * is a RESERVED internal attribute name (ADVICE r19): only
+    * engine/Windows produces it (from spark_partition_id), so the
+    * name-based match is the convention's enforcement — a collector
+    * over an unrelated column that merely reuses the name would
+    * launder past this check, which is why no other code may bind
+    * `__pid`. Shared by the COLAUDIT dump and PlanSpec's collector
+    * sweep so the ground truth and the pin can never drift.
     */
   def collectorSites(plan: LogicalPlan): Seq[(String, Boolean)] = {
     def collectors(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =

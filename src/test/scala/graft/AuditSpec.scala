@@ -105,6 +105,19 @@ class AuditSpec extends SparkSpec {
     assert(sigs(docs.crossJoin(broadcast(local))) == Seq("raw:local"))
   }
 
+  test("repartition sites: explicit counts are reported, count-less forms are not") {
+    import graft.tools.WindowAudit.repartitionSites
+    def rs(df: DataFrame) = repartitionSites(df.queryExecution.analyzed)
+    assert(rs(docs.repartitionByRange(7, col("doc_id"))) ==
+      Seq("7:doc_id ASC NULLS FIRST"))
+    assert(rs(docs.repartition(5, col("lang"))) == Seq("5:lang"))
+    assert(rs(docs.repartition(9)) == Seq("9:<ROUNDROBIN>"))
+    assert(rs(docs.coalesce(2)) == Seq("2:<COALESCE>"))
+    // a count-less keyed repartition inherits the session conf at
+    // EXECUTION time — nothing frozen in the plan, nothing to audit
+    assert(rs(docs.repartition(col("lang"))).isEmpty)
+  }
+
   test("collector sites: grouped, global, windowed, and the __pid PARTS signature") {
     val grouped = docs.groupBy("lang").agg(collect_list(col("doc_id")).as("xs"))
     assert(collectorSites(grouped.queryExecution.analyzed) == Seq("lang" -> false))

@@ -551,6 +551,66 @@ class PlanSpec extends SparkSpec {
         .mkString(", "))
   }
 
+  test("explicit repartition counts are session-derived, never hardcoded literals (exact allowlist, off-default conf)") {
+    // The FIFTH operator class of the degenerate-scale audit (r18:
+    // unpartitioned windows; r19: partitioned windows, collectors,
+    // broadcast hints; r20: this). A hardcoded repartition COUNT is
+    // frozen parallelism — correct at the harness SF, a 32-way
+    // ceiling on a 1000-executor cluster (the Windows primitives'
+    // old literal-32 default was exactly this class, VERDICT r19 #2).
+    //
+    // Mechanism: rebuild every registry plan under a session whose
+    // shuffle-partition conf is an OFF-DEFAULT PRIME (37). A
+    // session-derived count follows the conf and reads 37; a
+    // hardcoded literal keeps its constant — the literal-vs-config
+    // distinction no single-conf dump can make (at the shared
+    // session's value, a literal equal to the conf is invisible).
+    // newSession shares the SparkContext but owns its SQLConf, so
+    // this costs one extra analysis pass, not a second JVM.
+    //
+    // Two cluster-sized origins are accepted mechanically:
+    //  - the session conf (reads 37 under this sweep's session) — the
+    //    Windows primitives' range splits;
+    //  - sparkContext.defaultParallelism (reads this box's core
+    //    count) — Inventory.rebalanced's minimum-parallelism rescue
+    //    for unsplittable narrow scans ahead of CPU-heavy per-row
+    //    work, which on a real cluster is total executor cores.
+    // Residual blind spot, accepted: a literal that happens to equal
+    // THIS box's core count would hide — but it would resurface on
+    // any box with a different count, and the audit main runs at
+    // local[8] while tests run local[4], so a literal cannot match
+    // both.
+    //
+    // r20 ground truth: every explicit-count site in the registry
+    // (62 at audit time — entity-key rebalances and the Windows
+    // primitives' range splits) reads one of the two cluster-sized
+    // origins, so the semantic-literal allowlist is EMPTY. A new
+    // hardcoded count fails here until classified or converted; a
+    // classified one that later converts fails as stale.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "37")
+    val dp = spark.sparkContext.defaultParallelism
+    val allowed: Map[String, Set[String]] = Map()
+    val got: Map[String, Set[String]] = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val sites = graft.tools.WindowAudit
+        .repartitionSites(fn(s2, d).queryExecution.analyzed)
+        .filterNot(s => s.startsWith("37:") || s.startsWith(s"$dp:")).toSet
+      if (sites.isEmpty) None else Some(name -> sites)
+    }.toMap
+    val newQueries = got.keySet -- allowed.keySet
+    assert(newQueries.isEmpty,
+      s"HARDCODED repartition count (size it from the session conf / " +
+        s"Partitioning, or classify the literal here): " +
+        newQueries.toSeq.sorted.map(n => s"$n=${got(n).toSeq.sorted.mkString("|")}").mkString(", "))
+    val stale = allowed.keySet -- got.keySet
+    assert(stale.isEmpty,
+      s"stale repartition-literal allowlist entries (prune): ${stale.toSeq.sorted.mkString(", ")}")
+    val drifted = allowed.keySet.intersect(got.keySet).filter(n => allowed(n) != got(n))
+    assert(drifted.isEmpty,
+      "repartition-literal drift (re-classify): " + drifted.toSeq.sorted
+        .map(n => s"$n got=${got(n).toSeq.sorted.mkString("|")}").mkString(", "))
+  }
+
   test("no query in the registry plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
@@ -1053,14 +1113,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
   }
 
-  test("market basket bounds top-K map-side and broadcasts the frequency sides") {
+  test("market basket bounds top-K map-side; lift joins broadcast by SIZE, not by hint") {
+    // r20 (VERDICT r19 lead finding): freq = groupBy(l_partkey).count
+    // is SF-SCALED — its former explicit broadcast() hint was a forced
+    // 100 TB driver OOM. The hints are gone (only the 1-row n_orders
+    // anchor keeps one); the planner still chooses broadcast at
+    // measured scale because the sides genuinely fit — and at 100 TB
+    // AQE sizes the real relations and flips the ≤K co side to the
+    // build side instead. The ≥3 assertion pins measured-scale parity,
+    // the BCAUDIT allowlist (agg():lineitem only) pins hint absence.
     val p = plan(Inventory.marketBasket.build(spark, d))
     assert(p.contains("TakeOrderedAndProject"),
       s"top-K must be map-side bounded, not a global sort+limit:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"pair generation must stay within orders:\n$p")
     assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 3,
-      s"freq sides and the order-count anchor must broadcast:\n$p")
+      s"size-chosen broadcasts expected at harness scale:\n$p")
   }
 
   test("pareto running sums stay partitioned by nation (no single-partition window)") {
