@@ -23,8 +23,8 @@ import graft.functions.TopKPairs
   *      windowless HOF fold over one ≤|partitions|-element array —
   *      see [[prefixOffsets]]), broadcast them back;
   *   3. global rn = offset(partition) + local row_number, where the
-  *      local window's PARTITION BY spark_partition_id() keeps every
-  *      partition independent.
+  *      local window's PARTITION BY __pid (the partition id frozen at
+  *      the [[rangedPid]] boundary) keeps every partition independent.
   *
   * The result is EXACTLY `row_number() OVER (ORDER BY sortCols)` —
   * the offsets make it independent of where the sampled range bounds
@@ -52,6 +52,52 @@ object Windows {
     if (partitions > 0) partitions
     else df.sparkSession.sessionState.conf.numShufflePartitions
 
+  /** Range-partition `df` by `rangeCols`, sort within partitions, and
+    * tag every row with its physical partition id — through an RDD
+    * boundary, so every downstream branch (the per-pid counts AND the
+    * ranked rows) reads ONE materialization of ONE partitioning.
+    *
+    * Why not plan-land `spark_partition_id()` over
+    * `repartitionByRange` (the pre-r20 formulation): the two-phase
+    * algebra references the ranged relation from TWO branches, and
+    * its correctness requires both to see the SAME partition
+    * assignment. In plan land that consistency rests on Catalyst
+    * EXCHANGE REUSE — an optimization, not a contract. When a pass
+    * prunes the branches differently (measured r20: a CACHED input at
+    * Verify's 4-partition session — InMemoryRelation made the
+    * branches' column sets diverge), each branch re-executes the
+    * range exchange, and RangePartitioner's sample seed derives from
+    * the fresh RDD id: two DIFFERENT bounds, per-pid counts taken
+    * under one partitioning and offsets applied to another
+    * (customer_rfm's f_tile shifted by a whole boundary block).
+    * Exhaustive sampling masked the hazard at ≥ 32 partitions on
+    * harness row counts — sampleSizePerPartition·partitions covered
+    * the input, making bounds exact and seed-independent — which is
+    * why nineteen rounds of 32-partition runs never tripped it.
+    *
+    * The RDD boundary makes consistency STRUCTURAL: both branches
+    * reference one RDD object, so the shuffle's map stage executes
+    * once and the partition assignment is frozen no matter how the
+    * optimizer treats the branches. The boundary also truncates
+    * lineage (the Clusters fixed-point convention) — the range
+    * exchange itself runs during DataFrame CONSTRUCTION when AQE
+    * finalizes the plan for `.rdd`, which the bench's timed window
+    * includes (fn builds inside it). Cost: one external-Row
+    * conversion per row at the boundary, priced by the SkewEval
+    * aggregate arms and the touched-row bench (BENCHNOTES r20).
+    */
+  private def rangedPid(df: DataFrame, rangeCols: Seq[Column],
+      partitions: Int): DataFrame = {
+    val sorted = df.repartitionByRange(resolvePartitions(df, partitions), rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("__pid", IntegerType, nullable = false))
+    val tagged = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid))
+    }
+    sorted.sparkSession.createDataFrame(tagged, schema)
+  }
+
   /** Appends `rnCol` = global 1-based row number by `sortCols` (which
     * must be a total order). `partitions` bounds per-stage memory:
     * size it so |rows|/partitions fits an executor; the default
@@ -64,9 +110,7 @@ object Windows {
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
       rnCol: String = "rn", partitions: Int = 0,
       keepPid: Boolean = false): DataFrame = {
-    val ranged = df.repartitionByRange(resolvePartitions(df, partitions), sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = rangedPid(df, sortCols, partitions)
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__s"))
     val offsets = prefixOffsets(counts, Nil)
     val local = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
@@ -150,10 +194,7 @@ object Windows {
       sortCols: Seq[Column], value: Column, cumCol: String = "cum",
       partitions: Int = 0): DataFrame = {
     val gcols = groupCols.map(col)
-    val rangeCols = gcols ++ sortCols
-    val ranged = df.repartitionByRange(resolvePartitions(df, partitions), rangeCols: _*)
-      .sortWithinPartitions(rangeCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = rangedPid(df, gcols ++ sortCols, partitions)
     val sumType: DataType = df.select(sum(value).as("__s")).schema.head.dataType
     val zero = lit(0L).cast(sumType)
     val sums = ranged.groupBy((col("__pid") +: gcols): _*)
@@ -199,10 +240,7 @@ object Windows {
       sortCols: Seq[Column], buckets: Int, ntileCol: String = "ntile",
       partitions: Int = 0): DataFrame = {
     val gcols = groupCols.map(col)
-    val rangeCols = gcols ++ sortCols
-    val ranged = df.repartitionByRange(resolvePartitions(df, partitions), rangeCols: _*)
-      .sortWithinPartitions(rangeCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = rangedPid(df, gcols ++ sortCols, partitions)
     val sums = ranged.groupBy((col("__pid") +: gcols): _*)
       .agg(count(lit(1)).as("__s"))
     val offsets = prefixOffsets(sums, groupCols)

@@ -1125,16 +1125,23 @@ object Pipelines {
       explode(TextAnalysis.tokens(col("text"))).as("t"))
 
   /** Frequency-capped (t, feat) vocabulary of a token relation.
-    * The rank window runs over the DISTINCT-token table (vocab-sized
-    * by Heaps' law, not corpus-sized), single partition by
-    * construction — same contract as the heavy-hitters rank.
+    * The frequency rank runs over the DISTINCT-token table — vocab-
+    * sized by Heaps' law, which is SUBLINEAR but still corpus-GROWING
+    * (a 100 TB web crawl's junk tokens run to billions of distinct
+    * strings), and unlike the heavy-hitters rank this one is NOT a
+    * rank FILTER (the tail maps to "<unk>", so every vocab row
+    * survives and WindowGroupLimit can never rescue the window form —
+    * the whole vocabulary would sort in ONE task). r20: the rank is
+    * [[graft.engine.Windows.globalRowNumber]]'s two-phase offset
+    * form — range-split at the session's shuffle-partition count,
+    * value-identical to `row_number() OVER (ORDER BY c DESC, t)`
+    * because (c, t) is a total order on the distinct-token table.
     */
-  def nbVocab(tk: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    tk.groupBy("t").agg(count(lit(1)).as("c"))
-      .withColumn("rnk", row_number().over(Window.orderBy(col("c").desc, col("t"))))
+  def nbVocab(tk: DataFrame): DataFrame =
+    graft.engine.Windows.globalRowNumber(
+      tk.groupBy("t").agg(count(lit(1)).as("c")),
+      Seq(col("c").desc, col("t")), "rnk")
       .select(col("t"), when(col("rnk") <= NbVocabMax, col("t")).otherwise(lit("<unk>")).as("feat"))
-  }
 
   /** The trained (feat, lr) model relation — lr the 6dp-gridded
     * DECIMAL(18,6) class log-ratio. Shared by the registry query and

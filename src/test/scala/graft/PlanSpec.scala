@@ -186,10 +186,17 @@ class PlanSpec extends SparkSpec {
       "customer_rfm" -> Set("__pid"),
       "dedup_record_linkage" -> Set("__pid"),
       "dedup_sorted_neighborhood" -> Set("__pid"),
-      "events_concurrency" -> Set("__pid,day", "user_id"), // r19 conversion
+      "events_concurrency" -> Set("__pid,day"), // r19 conversion; the user_id
+      // sessionize window moved behind the rangedPid boundary in r20 —
+      // upstream-of-boundary nodes are lineage-truncated (the audit's
+      // documented RDD caveat)
       "events_gini" -> Set("__pid"),
+      "pipeline_classifier_calibration" -> Set("__pid"), // r20 nbVocab rank
+      "pipeline_classifier_eval" -> Set("__pid"), // r20 nbVocab rank
       "pipeline_curriculum" -> Set("__pid,lang"),
       "pipeline_pack_sequences" -> Set("__pid,lang"),
+      "pipeline_quality_classifier" -> Set("__pid"), // r20 nbVocab rank
+      "pipeline_rater_agreement" -> Set("__pid"), // r20 nbVocab rank
       "pipeline_token_budget" -> Set("__pid,qbin"),
       "text_vocab_coverage" -> Set("__pid"),
       // ---- COLLAPSED (bounded-domain input) ------------------------
@@ -302,9 +309,13 @@ class PlanSpec extends SparkSpec {
       "events_survival_km" -> Map("stratum" -> COLLAPSED), // duration-grain (dur_min, d, c) counts
       "events_top_paths" -> Map("sess_no,user_id" -> ENTITY), // one session's events (scaladoc'd bound)
       "multimodal_frame_dedup" -> Map("media_id" -> ENTITY),
+      "pipeline_classifier_calibration" -> Map("<GLOBAL>" -> PARTS), // r20 nbVocab rank offsets
+      "pipeline_classifier_eval" -> Map("<GLOBAL>" -> PARTS),
       "pipeline_curriculum" -> Map("lang" -> PARTS),
       "pipeline_decontaminate" -> Map("doc_id" -> ENTITY),
       "pipeline_pack_sequences" -> Map("lang" -> PARTS),
+      "pipeline_quality_classifier" -> Map("<GLOBAL>" -> PARTS),
+      "pipeline_rater_agreement" -> Map("<GLOBAL>" -> PARTS),
       "pipeline_token_budget" -> Map("qbin" -> PARTS),
       "text_rake_keywords" -> Map("doc_id,pid" -> ENTITY), // one candidate phrase's tokens
       "text_vocab_coverage" -> Map("<GLOBAL>" -> PARTS))
@@ -427,6 +438,11 @@ class PlanSpec extends SparkSpec {
     //            Checked: signature must start "lim".
     //  DIM       raw over fixed-cardinality dims only (also enforced
     //            by the global raw rule above).
+    // Leaf note: a `LogicalRDD` leaf is the Windows.rangedPid RDD
+    // boundary (r20) — the frozen-partitioning materialization the
+    // two-phase primitives read; its upstream subtree executes in a
+    // separate query and is lineage-truncated here (the audit's
+    // documented RDD caveat, same as checkpointed loops).
     val SCALAR = "SCALAR"; val KBOUND = "KBOUND"; val PARTS = "PARTS"
     val CONTRACT = "CONTRACT"; val TOPK = "TOPK"; val MEASURED = "MEASURED"
     val LIMIT = "LIMIT"; val DIM = "DIM"
@@ -448,21 +464,21 @@ class PlanSpec extends SparkSpec {
       "ann_quantized_topk" -> Map("flt:embeddings" -> CONTRACT),
       "ann_recall_eval" -> Map("flt:embeddings" -> CONTRACT),
       "customer_rfm" -> Map("agg():orders" -> SCALAR, // quantile anchor
-        "exp[agg()]:orders" -> PARTS), // globalRowNumber offsets
+        "exp[agg()]:LogicalRDD" -> PARTS), // globalRowNumber offsets over the rangedPid boundary
       "dedup_cross_source" -> Map("agg(source):documents" -> KBOUND),
       "dedup_embedding_pairs" -> Map("flt:embeddings" -> CONTRACT),
       "dedup_incremental" -> Map("flt[exp[agg(doc_id)]]:documents" -> MEASURED),
       "dedup_recall_eval" -> Map("agg():documents" -> SCALAR),
-      "dedup_record_linkage" -> Map("exp[agg()]:documents" -> PARTS,
-        "flt:documents" -> CONTRACT), // SNM boundary stitch
+      "dedup_record_linkage" -> Map("exp[agg()]:LogicalRDD" -> PARTS,
+        "flt:LogicalRDD" -> CONTRACT), // SNM boundary stitch
       "dedup_semdedup" -> Map("agg(cluster):embeddings" -> KBOUND, "flt:embeddings" -> CONTRACT),
       "dedup_semdedup_auto" -> Map("agg(cluster):embeddings" -> KBOUND, "lim:embeddings" -> LIMIT),
       "dedup_semdedup_multi" -> Map("agg(cluster):embeddings" -> KBOUND, "lim:embeddings" -> LIMIT),
       "dedup_semdedup_occupancy" -> Map("agg(cluster):embeddings" -> KBOUND, "flt:embeddings" -> CONTRACT),
       "dedup_semdedup_probe" -> Map("agg(cluster):embeddings" -> KBOUND, "lim:embeddings" -> LIMIT),
       "dedup_semdedup_twolevel" -> Map("agg(cluster):local" -> KBOUND, "flt:local" -> CONTRACT),
-      "dedup_sorted_neighborhood" -> Map("exp[agg()]:documents" -> PARTS,
-        "flt:documents" -> CONTRACT), // SNM boundary stitch
+      "dedup_sorted_neighborhood" -> Map("exp[agg()]:LogicalRDD" -> PARTS,
+        "flt:LogicalRDD" -> CONTRACT), // SNM boundary stitch
       "emb_cluster_keywords" -> Map("agg():documents+embeddings" -> SCALAR,
         "agg(cluster):embeddings" -> KBOUND, "flt:embeddings" -> CONTRACT),
       "emb_isotropy" -> Map("agg():embeddings" -> SCALAR),
@@ -471,10 +487,10 @@ class PlanSpec extends SparkSpec {
       "emb_project_top" -> Map("raw:local" -> DIM),
       "events_active_users" -> Map("agg(anchor):events" -> KBOUND), // calendar grain
       "events_cohort_retention" -> Map("agg(cohort_week):events" -> KBOUND),
-      "events_concurrency" -> Map("exp[agg(day)]:events" -> PARTS), // groupedPrefixSum offsets
+      "events_concurrency" -> Map("exp[agg(day)]:LogicalRDD" -> PARTS), // groupedPrefixSum offsets
       "events_dau_mau" -> Map("agg(anchor):events" -> KBOUND),
       "events_decayed_counts" -> Map("agg():events" -> SCALAR),
-      "events_gini" -> Map("exp[agg()]:events" -> PARTS), // globalRowNumber offsets
+      "events_gini" -> Map("exp[agg()]:LogicalRDD" -> PARTS), // globalRowNumber offsets
       "events_growth_accounting" -> Map("agg():events" -> SCALAR),
       "events_seasonal_decompose" -> Map("agg(dow):events" -> KBOUND), // 7 rows
       "events_survival_km" -> Map("agg():events" -> SCALAR),
@@ -483,21 +499,25 @@ class PlanSpec extends SparkSpec {
       "join_range_bands" -> Map("raw:local" -> DIM),
       "join_revenue_by_nation" -> Map("raw:nation" -> DIM),
       "pipeline_classifier_calibration" -> Map("agg():documents" -> SCALAR,
-        "agg(feat):documents" -> KBOUND), // fixed feature names
+        "agg(feat):LogicalRDD+documents" -> KBOUND, // <= NbVocabMax+1 capped features
+        "exp[agg()]:LogicalRDD" -> PARTS), // r20 nbVocab rank offsets
       "pipeline_classifier_eval" -> Map("agg():documents" -> SCALAR,
-        "agg(feat):documents" -> KBOUND),
-      "pipeline_curriculum" -> Map("agg(lang):documents" -> KBOUND, // group totals
-        "exp[agg(lang)]:documents" -> PARTS), // groupedNtile offsets
+        "agg(feat):LogicalRDD+documents" -> KBOUND,
+        "exp[agg()]:LogicalRDD" -> PARTS),
+      "pipeline_curriculum" -> Map("agg(lang):LogicalRDD" -> KBOUND, // group totals
+        "exp[agg(lang)]:LogicalRDD" -> PARTS), // groupedNtile offsets
       "pipeline_decontaminate" -> Map("flt[exp[agg(doc_id)]]:documents" -> CONTRACT), // doc_id < BenchmarkDocs
       "pipeline_dsir_weights" -> Map("agg(b):documents" -> KBOUND), // hash bins
-      "pipeline_pack_sequences" -> Map("exp[agg(lang)]:documents" -> PARTS),
-      "pipeline_quality_classifier" -> Map("agg(feat):documents" -> KBOUND),
+      "pipeline_pack_sequences" -> Map("exp[agg(lang)]:LogicalRDD" -> PARTS),
+      "pipeline_quality_classifier" -> Map("agg(feat):LogicalRDD+documents" -> KBOUND,
+        "exp[agg()]:LogicalRDD" -> PARTS),
       "pipeline_quality_resample" -> Map("agg():documents" -> SCALAR,
         "agg(lang):documents" -> KBOUND),
       "pipeline_rater_agreement" -> Map("agg():documents" -> SCALAR,
-        "agg(feat):documents" -> KBOUND),
+        "agg(feat):LogicalRDD+documents" -> KBOUND,
+        "exp[agg()]:LogicalRDD" -> PARTS),
       "pipeline_token_budget" -> Map("agg(qbin):documents" -> KBOUND,
-        "exp[agg(qbin)]:documents" -> PARTS), // groupedPrefixSum offsets
+        "exp[agg(qbin)]:LogicalRDD" -> PARTS), // groupedPrefixSum offsets
       "privacy_t_closeness" -> Map("agg():customer" -> SCALAR),
       "text_bm25_topk" -> Map("agg():documents" -> SCALAR,
         "agg(tok):documents" -> CONTRACT), // ≤ |Bm25QueryTerms| (filter below agg)
@@ -507,8 +527,8 @@ class PlanSpec extends SparkSpec {
       "text_jsd_sources" -> Map("agg():documents" -> SCALAR),
       "text_lm_perplexity" -> Map("agg():documents" -> SCALAR),
       "text_tfidf_top_terms" -> Map("agg():documents" -> SCALAR),
-      "text_vocab_coverage" -> Map("agg():documents" -> SCALAR,
-        "exp[agg()]:documents" -> PARTS),
+      "text_vocab_coverage" -> Map("agg():LogicalRDD" -> SCALAR,
+        "exp[agg()]:LogicalRDD" -> PARTS),
       "window_pareto_share" -> Map("raw:nation" -> DIM))
     // ---- mechanical teeth per class --------------------------------
     // corpus-scaled entity keys: an agg grouped by one of these is NOT
@@ -1223,11 +1243,17 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
-  test("sorted-neighborhood runs ONE documents scan; pairs come from the window, not a join") {
+  test("sorted-neighborhood reads the frozen rank boundary; pairs come from the window, not a join") {
+    // r20: the ranked relation is Windows.rangedPid's RDD boundary —
+    // the documents scan + key build + range exchange run ONCE in the
+    // boundary's sub-execution (single execution by RDD identity, a
+    // STRONGER guarantee than the ReusedExchange this pin used to
+    // assert), and every branch of the published plan (window pairs +
+    // boundary stitch) reads the frozen partitioning via ExistingRDD.
     val p = finalPlan(graft.ext.Dedup.sortedNeighborhood.build(spark, d))
-    assert(parquetScans(p) === 1,
-      s"rank pipeline must be exchange-reused across the union branches:\n$p")
-    assert(p.contains("ReusedExchange"), p)
+    assert(parquetScans(p) === 0,
+      s"published plan must read the boundary, not rescan documents:\n$p")
+    assert(p.contains("ExistingRDD"), p)
     assert(p.contains("lead(doc_id"),
       s"in-partition neighbor pairs must come from window lead():\n$p")
     assert(!p.contains("SortMergeJoin"), p)
@@ -1248,15 +1274,18 @@ class PlanSpec extends SparkSpec {
       s"published peel plan must source from the checkpointed RDD:\n$p")
   }
 
-  test("concurrency sweep line scans events ONCE; no corpus-sized global window") {
+  test("concurrency sweep line scans events ONCE (inside the frozen boundary); no corpus-sized global window") {
     // sessions -> +-1 transitions -> groupedPrefixSum intra-day prefix
     // (r19: a per-day WINDOW bounded task count, not task size) +
-    // days-collapse global cumsum: the whole pipeline forks from ONE
-    // events scan (the transition fan-out is an in-plan explode, the
-    // prefix primitive's offsets side reuses the range exchange), and
-    // the only unpartitioned window runs over the |days| collapse
+    // days-collapse global cumsum. r20: the transition build + range
+    // exchange run ONCE in Windows.rangedPid's boundary sub-execution
+    // (single execution by RDD identity); the published plan reads
+    // the frozen partitioning via ExistingRDD and must not touch
+    // parquet again — the only unpartitioned window runs over the
+    // |days| collapse.
     val p = finalPlan(graft.ext.Sessions.concurrency.build(spark, d))
-    assert(parquetScans(p) === 1, s"events must be scanned once:\n$p")
+    assert(parquetScans(p) === 0, s"published plan must read the boundary:\n$p")
+    assert(p.contains("ExistingRDD"), p)
   }
 
   test("rake keywords: top-25 is a bounded TakeOrderedAndProject, never a global sort of all phrases") {

@@ -64,28 +64,62 @@ class WindowsSpec extends SparkSpec {
     // cluster; the default now resolves from the SESSION, so the
     // production knob every cluster already sizes (shuffle
     // partitions) scales the split. newSession shares the context
-    // but owns its conf — the plan must pick up ITS value.
+    // but owns its conf. The range exchange sits behind the rangedPid
+    // RDD boundary (not plan-inspectable), so the pin reads the
+    // frozen __pid domain that keepPid exposes: a 3-partition session
+    // default must cap the pid domain at 3, while an explicit
+    // partitions=32 under the SAME session must spread beyond it.
     val s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "37")
+    s2.conf.set("spark.sql.shuffle.partitions", "3")
     import s2.implicits._
-    val df = (1 to 500).map(i => (i % 11, i.toLong, (i % 5).toLong + 1)).toDF("g", "id", "v")
-    val planned = Windows.groupedPrefixSum(df, Seq("g"), Seq(col("id")), col("v"), "cum")
-    val counts = planned.queryExecution.analyzed.collect {
-      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
-        r.optNumPartitions
-    }.flatten
-    // the ranged subtree appears once per branch (rows + offsets) in
-    // the analyzed plan — every occurrence must carry the session value
-    assert(counts.nonEmpty && counts.forall(_ == 37),
-      s"range split did not follow the session conf: $counts")
+    val df = (1 to 500).map(i => (i % 11, i.toLong)).toDF("g", "id")
+    val pids = Windows.globalRowNumber(df, Seq(col("g"), col("id")), keepPid = true)
+      .select(col("__pid")).distinct().collect().map(_.getInt(0))
+    assert(pids.length > 1 && pids.forall(p => p >= 0 && p < 3),
+      s"default split did not follow the session conf (3): ${pids.toSeq.sorted}")
+    val pids32 = Windows.globalRowNumber(df, Seq(col("g"), col("id")),
+      partitions = 32, keepPid = true)
+      .select(col("__pid")).distinct().collect().map(_.getInt(0))
+    assert(pids32.length > 3, s"explicit partitions ignored: ${pids32.length}")
     // and the session-sized run stays value-identical to the window form
     val w = Window.partitionBy("g").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val expected = df.withColumn("cum", sum(col("v")).over(w))
+    val dfv = (1 to 500).map(i => (i % 11, i.toLong, (i % 5).toLong + 1)).toDF("g", "id", "v")
+    val expected = dfv.withColumn("cum", sum(col("v")).over(w))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
-    val got = planned
+    val got = Windows.groupedPrefixSum(dfv, Seq("g"), Seq(col("id")), col("v"), "cum")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
     assert(got.toSeq === expected.toSeq)
+  }
+
+  test("two-phase ranks stay exact when the input is CACHED (the r20 exchange-reuse regression)") {
+    // the pre-r20 plan-land formulation computed __pid via
+    // spark_partition_id over repartitionByRange and relied on
+    // Catalyst exchange reuse for the counts and rows branches to see
+    // ONE partitioning; a cached input made the branches' pruned
+    // subtrees diverge, each re-executed the exchange with a fresh
+    // RangePartitioner sample seed, and offsets counted under one
+    // bounds set were applied to another (customer_rfm's f_tile
+    // shifted by a whole boundary block at 4 partitions — masked at
+    // ≥32 because exhaustive sampling made bounds seed-independent).
+    // The rangedPid RDD boundary makes the partitioning structural;
+    // this pin reproduces the trigger: cached aggregate input, few
+    // partitions (forcing subsampled bounds), heavy key ties.
+    import spark.implicits._
+    val base = (1 to 1500).map(i => (i.toLong, (i % 40).toLong)).toDF("k", "c")
+      .groupBy("k").agg(sum("c").as("n")).cache()
+    try {
+      base.count()
+      val w = Window.orderBy(col("n"), col("k"))
+      val expected = base.withColumn("rn", row_number().over(w).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      for (parts <- Seq(3, 4, 5)) {
+        val got = Windows.globalRowNumber(base, Seq(col("n"), col("k")),
+          partitions = parts)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+        assert(got.toSeq === expected.toSeq, s"partitions=$parts")
+      }
+    } finally base.unpersist()
   }
 
   test("groupedPrefixSum with no groups is the global running sum (double values)") {
