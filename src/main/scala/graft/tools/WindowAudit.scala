@@ -51,7 +51,8 @@ object WindowAudit {
     * "<GLOBAL>" when empty; the __pid flag is the mechanical signature
     * of the two-phase Windows offset assembly (PARTS class). `__pid`
     * is a RESERVED internal attribute name (ADVICE r19): only
-    * engine/Windows produces it (from spark_partition_id), so the
+    * engine/Windows produces it (the rangedPid boundary tags it via
+    * mapPartitionsWithIndex since r20), so the
     * name-based match is the convention's enforcement — a collector
     * over an unrelated column that merely reuses the name would
     * launder past this check, which is why no other code may bind
