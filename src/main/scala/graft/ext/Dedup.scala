@@ -231,9 +231,31 @@ object Dedup {
     * fan-out stays near-linear — there this variant is the only exact
     * option. Both are exact; `JaccardSpec` asserts equal output.
     */
-  def jaccardPairsPrefix(s: SparkSession, d: String, tau: Double = JaccardTau): DataFrame = {
+  def jaccardPairsPrefix(s: SparkSession, d: String, tau: Double = JaccardTau): DataFrame =
+    pairsFromPostsPrefix(shinglePosts(s, d), tau)
+
+  /** The prefix-filtered pair join over an already-built posting list
+    * `(doc_id, hs, sz)` — the postings-relation-level twin of
+    * [[pairsFromPosts]], factored out of [[jaccardPairsPrefix]] so DAG
+    * models can route their pair stage through it when the postings
+    * checkpoint measures df-skewed (r20 scale legs: the direct join's
+    * Σdf² candidate mass priced at 428–473 s with 65–74 GB of spill on
+    * the boilerplate-heavy 100× corpus, while prefix candidates stay
+    * near-linear because ascending-df prefixes never emit the
+    * boilerplate shingles). Output identical to [[pairsFromPosts]]
+    * (both exact; JaccardSpec asserts equality).
+    *
+    * Scale notes: the per-doc rank window partitions by doc_id
+    * (ENTITY-bounded — a partition is one document's shingle set); the
+    * candidate and verify joins carry merge hints for the same
+    * explode-size-underestimate reason as [[pairsFromPosts]]. `posts`
+    * is referenced four times (df counts, rank, verify a/b) — callers
+    * with a non-materialized postings pipeline should checkpoint it
+    * first (the [[graft.models.CorpusPipeline]] shape) or accept the
+    * recomputation.
+    */
+  def pairsFromPostsPrefix(posts: DataFrame, tau: Double = JaccardTau): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val posts = shinglePosts(s, d)
     val df = posts.groupBy("hs").agg(count(lit(1)).as("df"))
     val ranked = posts.join(df, Seq("hs"))
       .withColumn("rnk", row_number().over(
@@ -264,6 +286,62 @@ object Dedup {
       .filter(jac >= tau)
       .select(col("doc_a"), col("doc_b"), roundPortable(jac, 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Candidate-mass budget for the DIRECT posting join, in emitted
+    * join rows per posting row: the direct join outputs Σdf² rows
+    * (df = a shingle's document frequency), so Σdf²/|posts| is the
+    * join's fan-out per input row — the exact quantity whose growth
+    * made the r20 100× PERIOD=3 legs superlinear. The crossover is
+    * MEASURED (SCALING.md "direct-vs-prefix policy"; PairsEval over
+    * the materialized checkpoint, r21): the flat-df harness corpus
+    * probes at fan-out 10.7 and the direct join wins 8× (2.4 vs
+    * 19.2 s — prefix pays its df build + rank + verify re-join for
+    * nothing); the boilerplate-heavy PERIOD=3 corpora probe at 36.1
+    * (30×) / 108.3 (100×) and the prefix path wins there —
+    * increasingly with scale (30×: 54.7 vs 70.8 s; 100×: 185.7 s vs
+    * the direct join's superlinear 400+ s / 65–74 GB-spill class;
+    * prefix wall grew 3.4× for 3.35× posting rows — linear). 16 sits
+    * between the regimes on the side that degrades gracefully:
+    * mis-picking prefix near the crossover costs a bounded constant
+    * (~1.3× at fan-out 36), mis-picking direct costs an unbounded
+    * quadratic.
+    */
+  val DirectPairFanoutMax = 16.0
+
+  /** The df-skew probe: one column-pruned aggregate over the posting
+    * list returning (Σdf², |posts|) — Σdf² in DOUBLE because a web
+    * corpus's hot boilerplate shingle alone can put it past int64.
+    * Σdf² is exactly the direct join's output row count, so the probe
+    * measures the quantity the gate budgets, not a proxy (same
+    * engine-measures-itself pattern as the incremental-ingest char/
+    * token gate above).
+    */
+  def postingSkewProbe(posts: DataFrame): (Double, Long) = {
+    val r = posts.groupBy("hs").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df").cast(DoubleType) * col("df")), lit(0.0)).as("sq"),
+        coalesce(sum(col("df")), lit(0L)).as("n"))
+      .head()
+    (r.getDouble(0), r.getLong(1))
+  }
+
+  /** MEASURED direct-vs-prefix pair generation (VERDICT r20 #1/#2):
+    * probe the posting list's df skew, then route — flat document
+    * frequencies take [[pairsFromPosts]] (one join, no df machinery),
+    * zipfian/boilerplate frequencies take [[pairsFromPostsPrefix]]
+    * (ascending-df prefixes drop the hot shingles whose c² fan-out is
+    * the direct join's failure mode). Both branches are exact and
+    * emit identical rows, so the gate changes COST only, never
+    * output; the production DAG pair stages
+    * ([[graft.models.CorpusPipeline]] `corpus_pairs`,
+    * [[graft.models.DedupFunnel]] `dedup_pairs`) call this over their
+    * materialized postings checkpoint, where the probe is one
+    * column-pruned parquet scan.
+    */
+  def pairsFromPostsAuto(posts: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    val (sq, n) = postingSkewProbe(posts)
+    if (sq <= DirectPairFanoutMax * n) pairsFromPosts(posts)
+    else pairsFromPostsPrefix(posts, tau)
   }
 
   // ------------------------------------------------------------------

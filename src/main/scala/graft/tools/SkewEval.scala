@@ -64,8 +64,14 @@ object SkewEval {
 
     def timed(op: String, form: String, df: => DataFrame, silent: Boolean = false): Unit = {
       maxTask.set(0L)
-      val frame = df
+      // t0 BEFORE forcing the by-name frame: the two-phase Windows
+      // primitives run their range-sampling job and shuffle map stage
+      // at DataFrame CONSTRUCTION (the rangedPid boundary finalizes
+      // the plan for .rdd), so constructing before t0 would charge
+      // wall and max_task over DIFFERENT windows and flatter the
+      // two-phase forms in wall comparisons (ADVICE r20).
       val t0 = System.nanoTime()
+      val frame = df
       frame.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the listener bus drain before snapshotting

@@ -400,6 +400,48 @@ class ExtSpec extends SparkSpec {
     assert(prefixed.toSeq === direct.toSeq)
   }
 
+  test("measured pair-gen gate: flat df routes direct, skewed df routes prefix, outputs identical") {
+    // Synthetic posting relations with KNOWN df shapes (consistent by
+    // construction: sz = per-doc distinct-hs count). The plan-shape
+    // witness for which branch ran is the prefix path's per-doc rank
+    // Window — the direct join has no Window node at all; synthetic
+    // posts have no upstream shingle window to confound it.
+    import spark.implicits._
+    def hasWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window])
+    // FLAT regime: 12 docs in pairs sharing 3 of their 6 shingles
+    // (J = 3/9 = 0.33 ≥ τ — real emitted pairs); every df ≤ 2,
+    // fan-out << DirectPairFanoutMax
+    val flat = (0 until 12).flatMap { doc =>
+      val shared = (0 until 3).map(u => 1000L + (doc / 2) * 10 + u)
+      val unique = (0 until 3).map(u => 5000L + doc * 100 + u)
+      (shared ++ unique).map(hs => (doc.toLong, hs, 6L))
+    }.toDF("doc_id", "hs", "sz")
+    val (fsq, fn) = Dedup.postingSkewProbe(flat)
+    assert(fsq <= Dedup.DirectPairFanoutMax * fn, s"flat probe must be under budget: $fsq / $fn")
+    assert(!hasWindow(Dedup.pairsFromPostsAuto(flat)), "flat df must route to the direct join")
+    // SKEWED regime: 100 docs sharing ONE boilerplate shingle (df=100,
+    // the c² hot key); doc pairs (2k, 2k+1) additionally share a rare
+    // shingle (overlap 2 of 3 → J = 0.5, real emitted pairs) —
+    // fan-out ≈ 34
+    val skewed = (0 until 100).flatMap { doc =>
+      Seq(9999L, (doc / 2) * 10L + 1, doc * 10L + 2).map(hs => (doc.toLong, hs, 3L))
+    }.toDF("doc_id", "hs", "sz")
+    val (ssq, sn) = Dedup.postingSkewProbe(skewed)
+    assert(ssq > Dedup.DirectPairFanoutMax * sn, s"skewed probe must exceed budget: $ssq / $sn")
+    val auto = Dedup.pairsFromPostsAuto(skewed)
+    assert(hasWindow(auto), "skewed df must route to the prefix join")
+    // the gate moves cost, never output: all three generators agree
+    // on the skewed relation (and the flat one)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val skewDirect = rows(Dedup.pairsFromPosts(skewed))
+    assert(skewDirect.nonEmpty, "skewed fixture should contain near-dup pairs")
+    assert(rows(Dedup.pairsFromPostsPrefix(skewed)) === skewDirect)
+    assert(rows(auto) === skewDirect)
+    assert(rows(Dedup.pairsFromPostsAuto(flat)) === rows(Dedup.pairsFromPosts(flat)))
+  }
+
   test("simhash: near-dup pairs have small Hamming distance, random pairs large") {
     val fp = Dedup.simhashFingerprints.build(spark, d).select("doc_id", "simhash")
     val pairs = Dedup.jaccardPairs.build(spark, d).filter(col("jaccard") >= 0.5)
