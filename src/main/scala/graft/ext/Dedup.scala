@@ -247,12 +247,30 @@ object Dedup {
     *
     * Scale notes: the per-doc rank window partitions by doc_id
     * (ENTITY-bounded — a partition is one document's shingle set); the
-    * candidate and verify joins carry merge hints for the same
+    * candidate join carries merge hints for the same
     * explode-size-underestimate reason as [[pairsFromPosts]]. `posts`
-    * is referenced four times (df counts, rank, verify a/b) — callers
+    * is referenced four times (df counts, rank, verify sets) — callers
     * with a non-materialized postings pipeline should checkpoint it
     * first (the [[graft.models.CorpusPipeline]] shape) or accept the
     * recomputation.
+    *
+    * The VERIFY stage ships each doc's shingle set ONCE as an array
+    * row (a `collect_set` per doc_id — ENTITY-bounded by document
+    * length, the same collapse [[shinglePostsDf]] itself performs) and
+    * intersects arrays per candidate pair, instead of the r21-draft
+    * posting re-join that re-shuffled and re-sorted the WHOLE posting
+    * table twice (once by doc_a, once by (doc_b, hs)) regardless of
+    * candidate count — the guide-§8 move: decide with one row per
+    * doc, not sz rows. ArrayIntersect hash-builds over primitive
+    * longs, so each pair costs O(sz_a + sz_b). Measured (PairsEval,
+    * checkpointed postings): 39.2 → 20.1 s at the 30× PERIOD=3 corpus,
+    * 185.7 → 85.1 s at 100× — candidate generation (6.6 s at 30×) was
+    * only ~1/5 of the draft's wall, the verify re-join was the rest.
+    * The sets joins hint shuffle_hash (array rows are wide — sorting
+    * them through an SMJ is the regression the embeddingLshPairs
+    * vector-attach already measured; the hint also keeps the
+    * corpus-sized, estimate-underpriced relation out of the static
+    * broadcast path, the r12 class).
     */
   def pairsFromPostsPrefix(posts: DataFrame, tau: Double = JaccardTau): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -274,15 +292,20 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b") &&
         col("sz_a") >= col("sz_b") * tau && col("sz_b") >= col("sz_a") * tau)
       .select("doc_a", "doc_b").distinct()
-    val pa = posts.select(col("doc_id").as("doc_a"), col("hs"), col("sz").as("sz_a"))
-    val pb = posts.select(col("doc_id").as("doc_b"), col("hs"), col("sz").as("sz_b"))
+    // one array row per doc; size(hss) == sz by construction (posts
+    // carries per-doc DISTINCT shingles), so sz need not be re-joined
+    val sets = posts.groupBy("doc_id").agg(collect_set(col("hs")).as("hss"))
     val jac = col("overlap").cast(DoubleType) /
       (col("sz_a") + col("sz_b") - col("overlap"))
     cand
-      .join(pa.hint("merge"), Seq("doc_a"))
-      .join(pb.hint("merge"), Seq("doc_b", "hs"))
-      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("overlap"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("hss").as("hs_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hss").as("hs_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("hs_a")).cast("long").as("sz_a"),
+        size(col("hs_b")).cast("long").as("sz_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("overlap"))
       .filter(jac >= tau)
       .select(col("doc_a"), col("doc_b"), roundPortable(jac, 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -295,17 +318,17 @@ object Dedup {
     * made the r20 100× PERIOD=3 legs superlinear. The crossover is
     * MEASURED (SCALING.md "direct-vs-prefix policy"; PairsEval over
     * the materialized checkpoint, r21): the flat-df harness corpus
-    * probes at fan-out 10.7 and the direct join wins 8× (2.4 vs
-    * 19.2 s — prefix pays its df build + rank + verify re-join for
+    * probes at fan-out 10.7 and the direct join wins ~2× (2.4 vs
+    * 5.4 s — prefix pays its df build + rank + array verify for
     * nothing); the boilerplate-heavy PERIOD=3 corpora probe at 36.1
     * (30×) / 108.3 (100×) and the prefix path wins there —
-    * increasingly with scale (30×: 54.7 vs 70.8 s; 100×: 185.7 s vs
-    * the direct join's superlinear 400+ s / 65–74 GB-spill class;
-    * prefix wall grew 3.4× for 3.35× posting rows — linear). 16 sits
-    * between the regimes on the side that degrades gracefully:
-    * mis-picking prefix near the crossover costs a bounded constant
-    * (~1.3× at fan-out 36), mis-picking direct costs an unbounded
-    * quadratic.
+    * increasingly with scale (30×: 20.1 vs 70.8 s; 100×: 85.1 s vs
+    * the direct join's superlinear 557.4 s / 65–74 GB-spill class;
+    * prefix wall grew 4.2× for 3.35× posting rows — near-linear,
+    * direct 7.9×). 16 sits between the regimes on the side that
+    * degrades gracefully: mis-picking prefix near the crossover costs
+    * a bounded constant (~2× at harness fan-out), mis-picking direct
+    * costs an unbounded quadratic.
     */
   val DirectPairFanoutMax = 16.0
 

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import graft.ext.Dedup
 
@@ -74,6 +75,63 @@ object PairsEval {
       }
       if (legs("direct")) timed("direct")(Dedup.pairsFromPosts(posts))
       if (legs("prefix")) timed("prefix")(Dedup.pairsFromPostsPrefix(posts))
+      // prototype: prefix candidates + ARRAY-based verify (ship each
+      // doc's shingle set once as one row — guide §8 — instead of
+      // re-shuffling the whole posting table twice through the verify
+      // SMJs); measured before swapping into pairsFromPostsPrefix
+      if (legs("prefix2")) {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DoubleType
+        val tau = Dedup.JaccardTau
+        val df = posts.groupBy("hs").agg(count(lit(1)).as("df"))
+        val ranked = posts.join(df, Seq("hs"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "hs")))
+        val prefix = ranked
+          .filter(col("rnk") <= col("sz") - ceil(col("sz") * tau) + 1)
+          .select(col("hs"), col("doc_id"), col("sz"))
+        val a2 = prefix.select(col("hs"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+        val b2 = prefix.select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+        val cand = a2.join(b2.hint("merge"), Seq("hs"))
+          .filter(col("doc_a") < col("doc_b") &&
+            col("sz_a") >= col("sz_b") * tau && col("sz_b") >= col("sz_a") * tau)
+          .select("doc_a", "doc_b").distinct()
+        val sets = posts.groupBy("doc_id").agg(collect_set(col("hs")).as("hss"))
+        val jac2 = col("overlap").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("overlap"))
+        timed("prefix2")(cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("hss").as("hs_a")).hint("shuffle_hash"), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("hss").as("hs_b")).hint("shuffle_hash"), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            size(col("hs_a")).cast("long").as("sz_a"),
+            size(col("hs_b")).cast("long").as("sz_b"),
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("overlap"))
+          .filter(jac2 >= tau)
+          .select(col("doc_a"), col("doc_b"),
+            graft.engine.Functions.roundPortable(jac2, 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b"))
+      }
+      // stage split: candidate generation alone (df build + rank +
+      // prefix self-join + distinct), i.e. the prefix leg minus the
+      // verify re-join — run to decide whether a cheaper verify
+      // formulation is worth pursuing
+      if (legs("cand")) {
+        import org.apache.spark.sql.expressions.Window
+        val tau = Dedup.JaccardTau
+        val df = posts.groupBy("hs").agg(count(lit(1)).as("df"))
+        val ranked = posts.join(df, Seq("hs"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "hs")))
+        val prefix = ranked
+          .filter(col("rnk") <= col("sz") - ceil(col("sz") * tau) + 1)
+          .select(col("hs"), col("doc_id"), col("sz"))
+        val a2 = prefix.select(col("hs"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+        val b2 = prefix.select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+        timed("cand")(a2.join(b2.hint("merge"), Seq("hs"))
+          .filter(col("doc_a") < col("doc_b") &&
+            col("sz_a") >= col("sz_b") * tau && col("sz_b") >= col("sz_a") * tau)
+          .select("doc_a", "doc_b").distinct())
+      }
       if (legs("plans")) {
         // .explain("formatted") artifacts for plans/r21 — the pair
         // stage's plan over the postings checkpoint, both generators
