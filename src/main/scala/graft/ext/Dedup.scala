@@ -147,9 +147,32 @@ object Dedup {
 
   /** DataFrame-level Jaccard pair graph — the body of [[jaccardPairs]],
     * reusable by DAG models over an already-resolved documents relation.
+    *
+    * r22: routes through the MEASURED direct-vs-prefix gate
+    * ([[pairsFromPostsAuto]]) over a locally persisted postings frame —
+    * the standalone registry rows that rebuild the pair graph per their
+    * contract (`dedup_jaccard_pairs`, `dedup_components*`,
+    * `dedup_keep_best`) previously stayed locked to the direct join
+    * whose Σdf² fan-out the r21 100× legs measured superlinear
+    * (428–557 s class on the boilerplate-heavy corpus) while the DAG
+    * models were already gated (VERDICT r21 #1). The persist is the
+    * in-query analogue of the DAG's postings Table checkpoint: the
+    * probe materializes it once and the chosen branch's 2 (direct) or
+    * 5 (prefix: df, rank, two set sides) postings references read the
+    * cache instead of re-running the shingle window. MEMORY_AND_DISK
+    * (the funnel-persist precedent) so a corpus-scale posting list
+    * degrades to disk, never OOM. [[graft.engine.Caches.retain]]
+    * registers it for scoped consumers (the funnel registry rows);
+    * bench/oracle runs clear caches between queries, so nothing is
+    * carried across runs. Both branches are exact and emit identical
+    * rows — the gate moves cost, never output.
     */
-  def jaccardPairsDf(docs: DataFrame): DataFrame =
-    pairsFromPosts(shinglePostsDf(docs))
+  def jaccardPairsDf(docs: DataFrame): DataFrame = {
+    val posts = graft.engine.Caches.retain(
+      shinglePostsDf(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairsFromPostsAuto(posts)
+  }
 
   /** The pair-join half of the set-similarity join, over an
     * already-built posting list `(doc_id, hs, sz)` — split out so DAG
@@ -272,7 +295,21 @@ object Dedup {
     * corpus-sized, estimate-underpriced relation out of the static
     * broadcast path, the r12 class).
     */
-  def pairsFromPostsPrefix(posts: DataFrame, tau: Double = JaccardTau): DataFrame = {
+  def pairsFromPostsPrefix(posts: DataFrame, tau: Double = JaccardTau): DataFrame =
+    pairsFromPostsPrefixImpl(posts, tau, bOnly = None)
+
+  /** Shared body of [[pairsFromPostsPrefix]] and its DELTA twin
+    * ([[pairsFromPostsPrefixDelta]]). `bOnly`, when set, restricts the
+    * b SIDE ONLY — candidate prefixes and verify sets — to the rows
+    * matching the predicate (the incremental batch). Completeness is
+    * unchanged by the restriction: document frequencies, the global
+    * (df, hs) order, and the a side stay corpus-wide, so for any pair
+    * (A, B) with J ≥ τ and B in the batch, the prefix theorem still
+    * guarantees a shared shingle between A's corpus-ordered prefix (a
+    * side, unrestricted) and B's (b side, batch row).
+    */
+  private def pairsFromPostsPrefixImpl(posts: DataFrame, tau: Double,
+      bOnly: Option[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val df = posts.groupBy("hs").agg(count(lit(1)).as("df"))
     val ranked = posts.join(df, Seq("hs"))
@@ -281,8 +318,10 @@ object Dedup {
     val prefix = ranked
       .filter(col("rnk") <= col("sz") - ceil(col("sz") * tau) + 1)
       .select(col("hs"), col("doc_id"), col("sz"))
+    val restrict = (d: DataFrame) => bOnly.fold(d)(d.filter)
     val a = prefix.select(col("hs"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-    val b = prefix.select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val b = restrict(prefix)
+      .select(col("hs"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
     // merge hints: prefix table and postings are corpus-derived and
     // explode-size-underestimated (see pairsFromPosts) - never let the
     // static planner broadcast them. The hint pins SMJ through AQE
@@ -300,7 +339,7 @@ object Dedup {
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hss").as("hs_a"))
         .hint("shuffle_hash"), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("hss").as("hs_b"))
+      .join(restrict(sets).select(col("doc_id").as("doc_b"), col("hss").as("hs_b"))
         .hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(col("hs_a")).cast("long").as("sz_a"),
@@ -309,6 +348,61 @@ object Dedup {
       .filter(jac >= tau)
       .select(col("doc_a"), col("doc_b"), roundPortable(jac, 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Prefix-filtered DELTA pair generation — the candidate half of the
+    * incremental refresh when the STANDING corpus is df-skewed: emits
+    * exactly the pairs incident to the batch (doc_ids ≥ `batchFrom`,
+    * the append-only contract: every batch id exceeds every standing
+    * id, so `doc_b` of any delta pair is a batch doc). Output identical
+    * to `pairsFromPosts(posts, probe = Some(batch))` — both exact; the
+    * direct probe form explodes as Σ(df_all·df_batch) when a hot
+    * boilerplate shingle has standing df = c (c candidate rows per
+    * batch posting row, unbounded in corpus skew — VERDICT r21 #3),
+    * while ascending-df prefixes never emit the hot shingles.
+    */
+  def pairsFromPostsPrefixDelta(posts: DataFrame, batchFrom: Long,
+      tau: Double = JaccardTau): DataFrame =
+    pairsFromPostsPrefixImpl(posts, tau, bOnly = Some(col("doc_id") >= batchFrom))
+
+  /** The delta twin of [[postingSkewProbe]]: one aggregate over the
+    * merged posting list returning (Σ df_all·df_batch, |batch posts|).
+    * Σ df_all·df_batch is EXACTLY the direct probe join's output row
+    * count (each shingle with df_all standing+batch postings and
+    * df_batch batch postings emits df_all·df_batch candidate rows), so
+    * the ratio is the probe join's fan-out per batch posting row — the
+    * same budget quantity [[DirectPairFanoutMax]] was measured for.
+    */
+  def deltaSkewProbe(posts: DataFrame, batchFrom: Long): (Double, Long) = {
+    val r = posts.groupBy("hs")
+      .agg(count(lit(1)).as("dfa"),
+        sum(when(col("doc_id") >= batchFrom, 1L).otherwise(0L)).as("dfb"))
+      .agg(coalesce(sum(col("dfa").cast(DoubleType) * col("dfb")), lit(0.0)).as("sq"),
+        coalesce(sum(col("dfb")), lit(0L)).as("n"))
+      .head()
+    (r.getDouble(0), r.getLong(1))
+  }
+
+  /** MEASURED delta pair generation (VERDICT r21 #3 — the incremental
+    * DAG's pair stage was ungated): probe the merged posting list's
+    * cross-df mass, then route. A flat standing corpus keeps the
+    * broadcast-probe join (batch broadcasts, the standing posting list
+    * streams map-side off its scan — zero corpus shuffle, the
+    * EngineSpec-pinned in-contract shape); a boilerplate-heavy one
+    * routes through the batch-restricted prefix filter, whose
+    * candidate mass excludes the hot shingles at the cost of one
+    * corpus-side df/rank pass (reads the postings CHECKPOINT, never
+    * re-shingles). Both branches exact and row-identical — the gate
+    * moves cost, never output (ExtSpec pins it on a synthetic skewed
+    * relation; EngineSpec pins the merged table against a full
+    * rebuild).
+    */
+  def pairsFromPostsDeltaAuto(posts: DataFrame, batchFrom: Long,
+      tau: Double = JaccardTau): DataFrame = {
+    val (sq, n) = deltaSkewProbe(posts, batchFrom)
+    if (sq <= DirectPairFanoutMax * n)
+      pairsFromPosts(posts, probe = Some(posts.filter(col("doc_id") >= batchFrom)))
+    else pairsFromPostsPrefixDelta(posts, batchFrom, tau)
   }
 
   /** Candidate-mass budget for the DIRECT posting join, in emitted
@@ -488,17 +582,32 @@ object Dedup {
         Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // exact-Jaccard verify of candidates via overlap counting (the
-    // same posting-list trick as jaccardPairs — no array ops)
-    val pa = posts.select(col("doc_id").as("doc_a"), col("hs"), col("sz").as("sz_a"))
-    val pb = posts.select(col("doc_id").as("doc_b"), col("hs"), col("sz").as("sz_b"))
+    // exact-Jaccard verify via ONE array row per doc (r22 — the same
+    // guide-§8 verify the r21 prefix path shipped): the draft verify
+    // re-joined the WHOLE posting table twice (re-shuffled by doc_a,
+    // then by (doc_b, hs)) regardless of candidate count — 2·|posts|
+    // shuffled rows to verify a banding-bounded candidate set. A
+    // collect_set row per doc is ENTITY-bounded (the same collapse
+    // shinglePostsDf performs), the shuffle moves one row per doc +
+    // two skinny candidate streams, and ArrayIntersect hash-builds
+    // over primitive longs — O(sz_a + sz_b) per pair. size(hss) == sz
+    // by construction (posts carries per-doc DISTINCT shingles).
+    // shuffle_hash for the same two reasons as pairsFromPostsPrefix:
+    // array rows are wide (sorting them through an SMJ is the measured
+    // vector-attach regression) and the corpus-sized relation must
+    // stay out of the static broadcast path.
+    val sets = posts.groupBy("doc_id").agg(collect_set(col("hs")).as("hss"))
     val jac = col("overlap").cast(DoubleType) /
       (col("sz_a") + col("sz_b") - col("overlap"))
     cand
-      .join(pa.hint("merge"), Seq("doc_a"))
-      .join(pb.hint("merge"), Seq("doc_b", "hs"))
-      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("overlap"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("hss").as("hs_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hss").as("hs_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("hs_a")).cast("long").as("sz_a"),
+        size(col("hs_b")).cast("long").as("sz_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("overlap"))
       .filter(jac >= JaccardTau) // unrounded, same threshold semantics as jaccardPairs
       .select(col("doc_a"), col("doc_b"), roundPortable(jac, 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -943,39 +1052,47 @@ object Dedup {
 
   /** [[embeddingLshPairs]] body from an already-built sized relation
     * (shared with the funnel so the two paths cannot drift).
+    *
+    * r22 (VERDICT r21 #4 — the vector-attach verify was the registry's
+    * largest shuffle at sf0.1, 172 MiB): vectors now travel ONCE into
+    * their (table, bucket) blocks and cosine is verified IN PLACE in
+    * the block self-join, instead of generating a distinct (id_a,
+    * id_b) candidate stream and re-attaching both vectors by id. The
+    * attach path shuffled every candidate row twice — and after the
+    * first attach the rows are ~0.5 KB wide (the r14 measured class) —
+    * so its bytes grow with CANDIDATE mass (quadratic in bucket
+    * occupancy); the in-place form's wide exchange is the bucket join
+    * itself at n·L vector-carrying rows — LINEAR in corpus size — and
+    * everything after the τ filter is survivors only. The old
+    * distinct-then-attach order computed one cosine per distinct pair
+    * where this computes one per bucket CO-OCCURRENCE (≈1.5× at the
+    * harness grid), but cosine is a fused codegen loop and the τ
+    * filter now runs BEFORE the dedup exchange, so the ≈10⁻⁴-selective
+    * filter drops candidates in the join stage and the distinct
+    * shuffles survivors only. Output identical: cosine is
+    * deterministic per pair (same expression, same operand order), so
+    * distinct over (id_a, id_b, cos_sim) ≡ the old attach-then-score
+    * rows. shuffle_hash on the block self-join for the same two
+    * reasons as the old attach joins: vector-carrying rows must never
+    * sort through an SMJ (the r14 76 GB-spill class), and the
+    * corpus-sized relation must stay out of the static broadcast
+    * path. Per-partition hash builds stay bounded: rows per
+    * (table, bucket) ≤ maxBucket by the guard, and the build side is
+    * data-size partitioned.
     */
   private def embeddingLshPairsFrom(sized: DataFrame, e: DataFrame,
       tau: Double, maxBucket: Int): DataFrame = {
     val keys = sized.filter(col("bucket_n") <= maxBucket)
-    val cand = keys.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
-      .join(keys.select(col("table"), col("bucket"), col("vec_id").as("id_b")).hint("merge"),
-        Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val va = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      .join(e.select(col("vec_id"), col("embedding")).hint("shuffle_hash"), Seq("vec_id"))
     val sim = roundPortable(graft.functions.CosineSimilarity(col("va"), col("vb")), 6)
-    // Vector-attach joins are SHUFFLE_HASH-hinted (r14 100× finding):
-    // left alone the planner sort-merges them at scale, and an SMJ
-    // SORTS the candidate stream — once id_a's vector is attached the
-    // rows are ~0.5 KB wide, so a policy-sized candidate mass
-    // (cand/row ≈ occ·L/2 ≈ 10³) sorts C·0.5 KB of data — measured
-    // >76 GB of sort spill (disk-full abort) at the 100× corpus's
-    // 246M candidates. A hash join streams the pair side with no
-    // sort: the skinny (id_a, id_b) stream shuffles once per attach
-    // and the vector side builds a per-partition hash table. No
-    // ordering is needed until the final publish sort, which runs on
-    // the tau-filtered survivors only. The hint is binding at every
-    // scale: Spark 4.1.2 honors strategy hints through AQE
-    // re-planning, so the sf0.1 plan is ALSO a shuffled hash join now
-    // (not the old broadcast) — a deliberate ~0.6 s price at harness
-    // scale for surviving the 100× candidate mass (r15 correction:
-    // the r14 note claimed AQE would restore the small-scale
-    // broadcast; it does not).
-    cand.join(va.hint("shuffle_hash"), Seq("id_a"))
-      .join(vb.hint("shuffle_hash"), Seq("id_b"))
+    keys.select(col("table"), col("bucket"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
+      .join(keys.select(col("table"), col("bucket"), col("vec_id").as("id_b"),
+        col("embedding").as("vb")).hint("shuffle_hash"), Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), sim.as("cos_sim"))
       .filter(col("cos_sim") >= tau)
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 
@@ -1412,7 +1529,15 @@ object Dedup {
   // ------------------------------------------------------------------
   val minhashEstimate: Q = Q(
     (s, d) => {
-      val posts = shinglePosts(s, d, hash60)
+      // persisted postings + measured pair-gen gate (r22, same class as
+      // jaccardPairsDf: this row's pair side was the one remaining
+      // UNgated pairsFromPosts over full postings — identical Σdf²
+      // failure mode on boilerplate-heavy corpora, identical output
+      // under either branch). The persist also feeds the signature
+      // aggregate from the cache instead of a second shingle pass.
+      val posts = graft.engine.Caches.retain(
+        shinglePosts(s, d, hash60)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val x = col("hs") % P
       val mins = (0 until NumHashes).map(i =>
         min((lit(coefA(i)) * x + lit(coefB(i))) % P).as(s"m$i"))
@@ -1425,7 +1550,7 @@ object Dedup {
       val est = matches.cast(DoubleType) / NumHashes
       val bound = lit(3.0) * sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) / NumHashes) +
         lit(1.0 / NumHashes)
-      pairsFromPosts(posts)
+      pairsFromPostsAuto(posts)
         .join(sigA, Seq("doc_a"))
         .join(sigB, Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("jaccard"),

@@ -16,8 +16,10 @@ import graft.ext.Dedup
   * "direct-vs-prefix policy").
   *
   * Usage:
-  *   SPARK_DRIVER_MEM=8g sbt "runMain graft.tools.PairsEval <dir> [legs]"
-  * where `legs` is a comma-set of probe,direct,prefix (default all).
+  *   SPARK_DRIVER_MEM=8g sbt "runMain graft.tools.PairsEval <dir> [legs] [batchFrom]"
+  * where `legs` is a comma-set of probe,direct,prefix (default all)
+  * plus the r22 incremental legs delta_probe,delta_direct,
+  * delta_prefix,delta_plans (batch = doc_id >= batchFrom, args(2)).
   * Prints one JSON line per leg.
   */
 object PairsEval {
@@ -132,6 +134,28 @@ object PairsEval {
             col("sz_a") >= col("sz_b") * tau && col("sz_b") >= col("sz_a") * tau)
           .select("doc_a", "doc_b").distinct())
       }
+      // ---- DELTA legs (r22, VERDICT r21 #3): the incremental pair
+      // stage over the same checkpoint — batch = doc_id >= batchFrom
+      // (args(2); REQUIRED for these legs). delta_direct is the
+      // broadcast-probe join the pipeline shipped before r22;
+      // delta_prefix the batch-restricted prefix route; delta_probe
+      // prints the Σ(df_all·df_batch) fan-out the gate reads.
+      val batchFrom: Long =
+        if (args.length > 2) args(2).toLong else Long.MinValue
+      if (legs("delta_probe")) {
+        spark.sparkContext.setJobDescription("pairs: delta df-skew probe")
+        val p0 = System.nanoTime()
+        val (sq, n) = Dedup.deltaSkewProbe(posts, batchFrom)
+        val dt = (System.nanoTime() - p0) / 1e9
+        val fanout = if (n > 0) sq / n else 0.0
+        val pick = if (sq <= Dedup.DirectPairFanoutMax * n) "direct" else "prefix"
+        println(s"""{"leg":"delta_probe","wall_s":$dt,"sum_dfa_dfb":$sq,"batch_posts":$n,""" +
+          s""""fanout":$fanout,"budget":${Dedup.DirectPairFanoutMax},"pick":"$pick","batch_from":$batchFrom,"dir":"$dir"}""")
+      }
+      if (legs("delta_direct")) timed("delta_direct")(Dedup.pairsFromPosts(posts,
+        probe = Some(posts.filter(col("doc_id") >= batchFrom))))
+      if (legs("delta_prefix")) timed("delta_prefix")(
+        Dedup.pairsFromPostsPrefixDelta(posts, batchFrom))
       if (legs("plans")) {
         // .explain("formatted") artifacts for plans/r21 — the pair
         // stage's plan over the postings checkpoint, both generators
@@ -142,6 +166,16 @@ object PairsEval {
         println(fmt(Dedup.pairsFromPosts(posts)))
         println("==== PLAN prefix (pairsFromPostsPrefix) ====")
         println(fmt(Dedup.pairsFromPostsPrefix(posts)))
+      }
+      if (legs("delta_plans")) {
+        def fmt(df: org.apache.spark.sql.DataFrame): String =
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        println("==== PLAN delta direct (pairsFromPosts probe) ====")
+        println(fmt(Dedup.pairsFromPosts(posts,
+          probe = Some(posts.filter(col("doc_id") >= batchFrom)))))
+        println("==== PLAN delta prefix (pairsFromPostsPrefixDelta) ====")
+        println(fmt(Dedup.pairsFromPostsPrefixDelta(posts, batchFrom)))
       }
     } finally graft.engine.Scratch.deleteTree(scratch)
     spark.stop()

@@ -118,6 +118,46 @@ class AuditSpec extends SparkSpec {
     assert(rs(docs.repartition(col("lang"))).isEmpty)
   }
 
+  test("rangedPid boundary hides exactly the frozen range exchange (VERDICT r20 #4 / r21 #5)") {
+    // The audit blind-spot pin: the two-phase Windows primitives cross
+    // an RDD boundary, so every plan sweep (PlanSpec's window /
+    // collector / broadcast / repartition allowlists) is blind to the
+    // subtree BELOW it. The rule (stated at PlanSpec's RDD-boundary
+    // sweep) is that this boundary may hide only rangedPid's four
+    // lines: repartitionByRange(session-derived partitions, sort cols)
+    // + sortWithinPartitions + the __pid tag. This test pins the
+    // hidden shape from OUTSIDE the boundary:
+    //  - lineage truncation is real (every leaf of the analyzed plan
+    //    is the boundary LogicalRDD — the parquet scan is invisible);
+    //  - both algebra branches (per-pid counts AND ranked rows) read
+    //    ONE frozen RDD (the r20 consistency contract — the reason the
+    //    boundary exists);
+    //  - the hidden subtree bottoms out in exactly one shuffle (the
+    //    range exchange) at the session-derived width, tagging the
+    //    input schema + __pid and nothing else. A second hidden
+    //    exchange, a changed width policy, or extra hidden columns
+    //    fail here.
+    import org.apache.spark.sql.execution.LogicalRDD
+    val in = docs.select("doc_id", "n_chars")
+    val out = graft.engine.Windows.globalRowNumber(in, Seq(col("doc_id")))
+    val leaves = out.queryExecution.analyzed.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(_.isInstanceOf[LogicalRDD]),
+      s"expected lineage truncation at the boundary, got leaves: $leaves")
+    val rdds = leaves.map(_.asInstanceOf[LogicalRDD].rdd)
+    assert(rdds.map(_.id).distinct.size === 1,
+      "both two-phase branches must read the ONE frozen boundary RDD")
+    val rdd = rdds.head
+    assert(rdd.getNumPartitions ===
+      spark.sessionState.conf.numShufflePartitions,
+      "hidden range exchange must follow the session-derived width")
+    val lineage = rdd.toDebugString
+    assert(lineage.linesIterator.count(_.contains("ShuffledRowRDD")) === 1,
+      s"the boundary must hide exactly ONE exchange (the range split):\n$lineage")
+    val leafSchema = leaves.head.asInstanceOf[LogicalRDD].output.map(_.name)
+    assert(leafSchema === in.schema.fieldNames.toSeq :+ "__pid",
+      s"boundary schema must be input + __pid, got $leafSchema")
+  }
+
   test("collector sites: grouped, global, windowed, and the __pid PARTS signature") {
     val grouped = docs.groupBy("lang").agg(collect_list(col("doc_id")).as("xs"))
     assert(collectorSites(grouped.queryExecution.analyzed) == Seq("lang" -> false))

@@ -442,6 +442,57 @@ class ExtSpec extends SparkSpec {
     assert(rows(Dedup.pairsFromPostsAuto(flat)) === rows(Dedup.pairsFromPosts(flat)))
   }
 
+  test("measured DELTA pair-gen gate: flat standing corpus keeps the broadcast probe, skewed routes prefix, outputs identical") {
+    // The incremental refresh's pair stage (VERDICT r21 #3): batch =
+    // doc_ids >= batchFrom (append-only contract). Same plan-shape
+    // witnesses as the full gate test: the prefix route carries the
+    // per-doc rank Window; the in-contract route broadcasts the batch
+    // probe (no Window — synthetic posts have no upstream shingle
+    // window to confound it).
+    import spark.implicits._
+    def hasWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window])
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    // FLAT standing corpus + batch: pairs (2k, 2k+1) share 3 of 6
+    // shingles (J = 1/3 ≥ τ); batch = ids >= 8, so delta edges exist
+    // both (standing, batch) and (batch, batch); every df <= 2
+    val flat = (0 until 12).flatMap { doc =>
+      val shared = (0 until 3).map(u => 1000L + (doc / 2) * 10 + u)
+      val unique = (0 until 3).map(u => 5000L + doc * 100 + u)
+      (shared ++ unique).map(hs => (doc.toLong, hs, 6L))
+    }.toDF("doc_id", "hs", "sz")
+    val flatFrom = 8L
+    val (fsq, fn) = Dedup.deltaSkewProbe(flat, flatFrom)
+    assert(fn === 4 * 6, "batch posting count")
+    assert(fsq <= Dedup.DirectPairFanoutMax * fn, s"flat delta probe must be under budget: $fsq / $fn")
+    val flatAuto = Dedup.pairsFromPostsDeltaAuto(flat, flatFrom)
+    assert(!hasWindow(flatAuto), "flat standing corpus must keep the direct broadcast-probe join")
+    // SKEWED standing corpus: every doc carries one boilerplate shingle
+    // (df = 104), so each batch posting of it fans out ~104 candidate
+    // rows under the direct probe — over budget
+    val skewed = (0 until 104).flatMap { doc =>
+      Seq(9999L, (doc / 2) * 10L + 1, doc * 10L + 2).map(hs => (doc.toLong, hs, 3L))
+    }.toDF("doc_id", "hs", "sz")
+    val skewFrom = 100L
+    val (ssq, sn) = Dedup.deltaSkewProbe(skewed, skewFrom)
+    assert(ssq > Dedup.DirectPairFanoutMax * sn, s"skewed delta probe must exceed budget: $ssq / $sn")
+    val skewAuto = Dedup.pairsFromPostsDeltaAuto(skewed, skewFrom)
+    assert(hasWindow(skewAuto), "skewed standing corpus must route to the prefix delta")
+    // the gate moves cost, never output: both routes equal the direct
+    // probe form on both relations, and the delta is exactly the
+    // full-graph pairs incident to the batch
+    def directDelta(posts: org.apache.spark.sql.DataFrame, from: Long) =
+      Dedup.pairsFromPosts(posts, probe = Some(posts.filter(col("doc_id") >= from)))
+    val skewDirect = rows(directDelta(skewed, skewFrom))
+    assert(skewDirect.nonEmpty, "skewed fixture should contain delta pairs")
+    assert(rows(Dedup.pairsFromPostsPrefixDelta(skewed, skewFrom)) === skewDirect)
+    assert(rows(skewAuto) === skewDirect)
+    assert(rows(flatAuto) === rows(directDelta(flat, flatFrom)))
+    assert(rows(flatAuto) ===
+      rows(Dedup.pairsFromPosts(flat).filter(col("doc_b") >= flatFrom)))
+  }
+
   test("simhash: near-dup pairs have small Hamming distance, random pairs large") {
     val fp = Dedup.simhashFingerprints.build(spark, d).select("doc_id", "simhash")
     val pairs = Dedup.jaccardPairs.build(spark, d).filter(col("jaccard") >= 0.5)
