@@ -366,19 +366,29 @@ object Dedup {
     pairsFromPostsPrefixImpl(posts, tau, bOnly = Some(col("doc_id") >= batchFrom))
 
   /** The delta twin of [[postingSkewProbe]]: one aggregate over the
-    * merged posting list returning (Σ df_all·df_batch, |batch posts|).
+    * merged posting list returning (Σ df_all·df_batch, |ALL posts|).
     * Σ df_all·df_batch is EXACTLY the direct probe join's output row
     * count (each shingle with df_all standing+batch postings and
-    * df_batch batch postings emits df_all·df_batch candidate rows), so
-    * the ratio is the probe join's fan-out per batch posting row — the
-    * same budget quantity [[DirectPairFanoutMax]] was measured for.
+    * df_batch batch postings emits df_all·df_batch candidate rows).
+    * It is normalized by the WHOLE posting count — not the batch's —
+    * because that is what the alternative costs: the prefix-delta's
+    * fixed price is a df + rank pass over the ENTIRE posting list
+    * regardless of batch size, so the direct route is the right pick
+    * while its candidate mass stays within a small multiple of that
+    * corpus pass. (Measured at the 30× PERIOD=3 corpus with a 1/30
+    * batch: candidate mass 11.9M on 10.4M postings — 1.15 per corpus
+    * posting row — and direct wins 3.7 vs 10.9 s even though per-BATCH
+    * fan-out is 34; a per-batch normalization would have mis-routed
+    * it. The same budget constant applies: both gates compare the
+    * direct join's output rows against the rows a corpus-wide pass
+    * must touch anyway.)
     */
   def deltaSkewProbe(posts: DataFrame, batchFrom: Long): (Double, Long) = {
     val r = posts.groupBy("hs")
       .agg(count(lit(1)).as("dfa"),
         sum(when(col("doc_id") >= batchFrom, 1L).otherwise(0L)).as("dfb"))
       .agg(coalesce(sum(col("dfa").cast(DoubleType) * col("dfb")), lit(0.0)).as("sq"),
-        coalesce(sum(col("dfb")), lit(0L)).as("n"))
+        coalesce(sum(col("dfa")), lit(0L)).as("n"))
       .head()
     (r.getDouble(0), r.getLong(1))
   }
@@ -388,8 +398,10 @@ object Dedup {
     * cross-df mass, then route. A flat standing corpus keeps the
     * broadcast-probe join (batch broadcasts, the standing posting list
     * streams map-side off its scan — zero corpus shuffle, the
-    * EngineSpec-pinned in-contract shape); a boilerplate-heavy one
-    * routes through the batch-restricted prefix filter, whose
+    * EngineSpec-pinned in-contract shape); a boilerplate-heavy one —
+    * Σ df_all·df_batch beyond [[DirectPairFanoutMax]] × |posts| (see
+    * [[deltaSkewProbe]] for why the normalizer is the whole posting
+    * list) — routes through the batch-restricted prefix filter, whose
     * candidate mass excludes the hot shingles at the cost of one
     * corpus-side df/rank pass (reads the postings CHECKPOINT, never
     * re-shingles). Both branches exact and row-identical — the gate

@@ -403,19 +403,32 @@ object Similarity {
   /** The ANN queries' planes: 4 tables × 8 bits, seed 42. */
   lazy val hyperplanes: Array[Array[Array[Double]]] = gaussianPlanes(Tables, Bits, Dim, 42)
 
-  /** Sign of ⟨v, plane⟩ via the native codegen'd cosine expression —
-    * cosine and dot product share their sign (norms are positive), and
-    * the fused-loop expression beats an interpreted HOF fold ~10×.
-    */
-  private def planeSide(v: Column, plane: Array[Double]): Column =
-    graft.functions.CosineSimilarity(v, typedLit(plane.toSeq)) > 0
-
   /** Bucket key of `v` under one table's planes: sign bits packed into
-    * a long.
+    * a long — the native [[graft.functions.LshBucket]] expression
+    * (r22). The previous composed form (kept below as the spec
+    * reference, the hash60Composed pattern) inlined B fused cosine
+    * loops per table into the grid projection's single generated
+    * method; at L·B grids in the 64–150-plane range that method is too
+    * big for the JVM JIT to compile (8 000-bytecode refusal) yet under
+    * Spark's 65 535 hugeMethodLimit fallback, so the hottest loop of
+    * the embedding family ran in the bytecode interpreter — measured
+    * 55.1 s vs 1.3–2.0 s for the 30× B=9/L=16 grid. The native
+    * expression keeps the loop in one ordinary JIT-compiled method and
+    * emits a single call from codegen; ExtSpec pins bucket-value
+    * identity against the composed form.
     */
   def lshBucketOf(v: Column, tablePlanes: Array[Array[Double]]): Column =
+    graft.functions.LshBucket(v, tablePlanes)
+
+  /** The composed built-in formulation [[lshBucketOf]] replaced — the
+    * spec reference ExtSpec pins the native expression against (and
+    * the shape the oracle SQL mirrors: sign of the dot, since cosine
+    * and dot share their sign under positive norms).
+    */
+  def lshBucketOfComposed(v: Column, tablePlanes: Array[Array[Double]]): Column =
     tablePlanes.indices.map(b =>
-      when(planeSide(v, tablePlanes(b)), lit(1L << b)).otherwise(lit(0L)))
+      when(graft.functions.CosineSimilarity(v, typedLit(tablePlanes(b).toSeq)) > 0,
+        lit(1L << b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
 
   /** Bucket key of `v` in ANN table `t`. */

@@ -149,8 +149,8 @@ object PairsEval {
         val dt = (System.nanoTime() - p0) / 1e9
         val fanout = if (n > 0) sq / n else 0.0
         val pick = if (sq <= Dedup.DirectPairFanoutMax * n) "direct" else "prefix"
-        println(s"""{"leg":"delta_probe","wall_s":$dt,"sum_dfa_dfb":$sq,"batch_posts":$n,""" +
-          s""""fanout":$fanout,"budget":${Dedup.DirectPairFanoutMax},"pick":"$pick","batch_from":$batchFrom,"dir":"$dir"}""")
+        println(s"""{"leg":"delta_probe","wall_s":$dt,"sum_dfa_dfb":$sq,"all_posts":$n,""" +
+          s""""fanout_per_corpus_row":$fanout,"budget":${Dedup.DirectPairFanoutMax},"pick":"$pick","batch_from":$batchFrom,"dir":"$dir"}""")
       }
       if (legs("delta_direct")) timed("delta_direct")(Dedup.pairsFromPosts(posts,
         probe = Some(posts.filter(col("doc_id") >= batchFrom))))

@@ -46,9 +46,16 @@ object RebandEval {
     val configs: Seq[(Int, Int)] = args(1).split("[;:]").toSeq
       .map { s => val Array(b, l) = s.split(","); (b.toInt, l.toInt) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // r22: overridable shuffle-partition count (PairsEval's knob) — the
+    // in-place bucket verify puts the co-occurrence cosine CPU on the
+    // (table, bucket) join partitions, so a hardcoded 32 understates
+    // the balance a data-sized session (Bench/production policy) gets
+    // when the bucket-key count is small (B=9/L=16 → 8192 keys)
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

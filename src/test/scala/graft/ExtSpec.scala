@@ -464,18 +464,20 @@ class ExtSpec extends SparkSpec {
     }.toDF("doc_id", "hs", "sz")
     val flatFrom = 8L
     val (fsq, fn) = Dedup.deltaSkewProbe(flat, flatFrom)
-    assert(fn === 4 * 6, "batch posting count")
+    assert(fn === 12 * 6, "probe normalizer is ALL posting rows (the prefix route's fixed cost)")
     assert(fsq <= Dedup.DirectPairFanoutMax * fn, s"flat delta probe must be under budget: $fsq / $fn")
     val flatAuto = Dedup.pairsFromPostsDeltaAuto(flat, flatFrom)
     assert(!hasWindow(flatAuto), "flat standing corpus must keep the direct broadcast-probe join")
-    // SKEWED standing corpus: every doc carries one boilerplate shingle
-    // (df = 104), so each batch posting of it fans out ~104 candidate
-    // rows under the direct probe — over budget
-    val skewed = (0 until 104).flatMap { doc =>
-      Seq(9999L, (doc / 2) * 10L + 1, doc * 10L + 2).map(hs => (doc.toLong, hs, 3L))
+    // SKEWED standing corpus: most of every doc is boilerplate (3 hot
+    // shingles with df = 300 out of sz = 4) and the batch is a 10%
+    // backfill, so Σ df_all·df_batch = 3·300·30 ≈ 27k exceeds the
+    // budget of 16 candidate rows per corpus posting row (16·1200)
+    val skewed = (0 until 300).flatMap { doc =>
+      Seq(7770L, 7771L, 7772L, 10000L + doc * 10L).map(hs => (doc.toLong, hs, 4L))
     }.toDF("doc_id", "hs", "sz")
-    val skewFrom = 100L
+    val skewFrom = 270L
     val (ssq, sn) = Dedup.deltaSkewProbe(skewed, skewFrom)
+    assert(sn === 300 * 4)
     assert(ssq > Dedup.DirectPairFanoutMax * sn, s"skewed delta probe must exceed budget: $ssq / $sn")
     val skewAuto = Dedup.pairsFromPostsDeltaAuto(skewed, skewFrom)
     assert(hasWindow(skewAuto), "skewed standing corpus must route to the prefix delta")
@@ -599,6 +601,47 @@ class ExtSpec extends SparkSpec {
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(2) >= Dedup.CosTau && r.getDouble(2) <= 1.0)
     }
+  }
+
+  test("native LshBucket matches the composed cosine-sign form on every table and plane grid") {
+    // the r22 JIT-cliff fix (Similarity.lshBucketOf scaladoc): the
+    // native expression must assign bit-identical buckets to the
+    // composed when(cosine > 0) reduction it replaced, on the real
+    // harness vectors, across BOTH a registry grid (B=4/L=16) and a
+    // re-banding policy grid (B=9/L=16 — the shape that measured the
+    // 30x interpreter cliff)
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    Seq(Dedup.embPlanes, Similarity.gaussianPlanes(16, 9, 64, 43)).foreach { planes =>
+      planes.indices.foreach { t =>
+        val diff = e.select(
+          Similarity.lshBucketOf(col("embedding"), planes(t)).as("native"),
+          Similarity.lshBucketOfComposed(col("embedding"), planes(t)).as("composed"))
+          .filter(col("native") =!= col("composed") ||
+            col("native").isNull =!= col("composed").isNull)
+          .collect()
+        assert(diff.isEmpty, s"bucket divergence in table $t: ${diff.headOption}")
+      }
+    }
+    // edge semantics carried from the composed form: an empty vector's
+    // cosines are NaN, and Spark SQL orders NaN above every double, so
+    // every bit sets (bucket 2^B - 1); a null element in the scored
+    // prefix nulls every cosine and when(null) contributes 0 -> bucket 0
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Some(Seq.empty[Option[Float]])),
+      (2L, Some(Seq(Some(1.0f), None, Some(2.0f)))),
+      (3L, None)).toDF("vec_id", "embedding")
+    val got = edge.select(col("vec_id"),
+      Similarity.lshBucketOf(col("embedding"), Dedup.embPlanes(0)).as("native"),
+      Similarity.lshBucketOfComposed(col("embedding"), Dedup.embPlanes(0)).as("composed"))
+      .orderBy("vec_id").collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"null divergence: $r")
+      if (!r.isNullAt(1)) assert(r.getLong(1) === r.getLong(2), s"edge divergence: $r")
+    }
+    assert(got(0).getLong(1) === (1L << Dedup.EmbBits) - 1, "empty vector: NaN cosines set every bit")
+    assert(got(1).getLong(1) === 0L, "null element: nulled cosines contribute 0")
+    assert(got(2).getLong(1) === 0L, "null vector: when(null) falls to otherwise(0) -> bucket 0")
   }
 
   test("bucketed embedding LSH dedup is a subset of exact pairs with high recall") {
